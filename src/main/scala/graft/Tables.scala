@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md).
+  * One parquet file per table under the scale-factor dir. Schemas are
+  * carried by parquet; dates arrive as TIMESTAMP and are cast at use
+  * sites to keep oracle (DuckDB) parity explicit.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = t(s, d, "region")
+  def nation(s: SparkSession, d: String)    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = t(s, d, "part")
+  def orders(s: SparkSession, d: String)    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    * parquet reader rejects; read nanos as long (legacy conf) and convert
+    * to a micros timestamp (matches DuckDB's nanos→micros truncation). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String) = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
+}

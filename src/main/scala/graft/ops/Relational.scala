@@ -1,0 +1,423 @@
+package graft.ops
+
+import graft.Tables
+import graft.functions.Cleaning._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operators (SURVEY §2.2, §2.4, §2.5, §2.7, §2.8)
+  * demonstrated over the driver's TPC-H-ish testdata.
+  *
+  * Determinism/oracle-parity conventions:
+  *  - money sums go through decimal(18,2) then cast to double (exact,
+  *    order-independent → bit-identical to DuckDB);
+  *  - per-row double arithmetic is left raw (IEEE ops are identical);
+  *  - every ranking has a total tie-break key.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- A1
+  /** Grouped multi-aggregate (pricing summary; SURVEY A1/A3/A6 family —
+    * the reference's groupBy-sum marts, payments_daily.py:400-423). */
+  val q01AggPricing: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        decSum($"l_quantity", 2).as("sum_qty"),
+        moneySum($"l_extendedprice").as("sum_base_price"),
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+        (sum($"l_quantity".cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+  val o01 = """
+    SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+  // ------------------------------------------------------------ P3/P4/F17
+  /** Predicate pushdown + projection: date-range + membership filter,
+    * derived per-row arithmetic (reference P3/P4/F17). */
+  val q02FilterProject: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .filter($"l_shipdate".cast("date")
+        .between(lit("1995-06-01"), lit("1997-06-30")) &&
+        $"l_returnflag".isin("A", "R"))
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+  }
+  val o02 = """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1.0 - l_discount) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1995-06-01' AND DATE '1997-06-30'
+      AND l_returnflag IN ('A','R')"""
+
+  // ---------------------------------------------------------------- J3
+  /** Multi-way broadcast join + aggregate (mart assembly J3). */
+  val q03JoinAgg: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        moneySum($"c_acctbal").as("sum_acctbal"))
+  }
+  val o03 = """
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name"""
+
+  // ---------------------------------------------------------------- A4
+  /** Exact count-distinct per group (num_tickets, payments_daily.py:426-437). */
+  val q04CountDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_custs"),
+        count(lit(1)).as("n_orders"))
+  }
+  val o04 = """
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority"""
+
+  // ---------------------------------------------------------------- A5
+  /** Conditional count-distinct (tickets_with_eliminations,
+    * payments_daily.py:440-451). */
+  val q05CondCountDistinct: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_linestatus")
+      .agg(countDistinct(when($"l_returnflag" === "R", $"l_orderkey"))
+        .as("n_returned_orders"),
+        countDistinct($"l_orderkey").as("n_orders"))
+  }
+  val o05 = """
+    SELECT l_linestatus,
+      COUNT(DISTINCT CASE WHEN l_returnflag='R' THEN l_orderkey END) AS n_returned_orders,
+      COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_linestatus"""
+
+  // ---------------------------------------------------------------- J1
+  /** Left join + existence flag (eliminations flag,
+    * payments_cleaner.py:597-650): dedup right side, left join, null→false. */
+  val q06LeftFlag: Q = (s, d) => {
+    import s.implicits._
+    val returned = Tables.lineitem(s, d)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey").distinct()
+      .withColumn("flag", lit(true))
+    Tables.orders(s, d)
+      .join(returned, $"o_orderkey" === $"l_orderkey", "left")
+      .withColumn("has_return", coalesce($"flag", lit(false)))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when($"has_return", 1L).otherwise(0L)).as("n_flagged"))
+  }
+  val o06 = """
+    SELECT o_orderstatus, COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN r.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM orders
+    LEFT JOIN (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag='R') r
+      ON o_orderkey = r.l_orderkey
+    GROUP BY o_orderstatus"""
+
+  // ---------------------------------------------------------------- A2
+  /** Fixed-domain pivot (9-bucket income pivot, payments_daily.py:405-417):
+    * value list passed explicitly → no discovery pass; null→0. */
+  val q07PivotFixed: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_linestatus")
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).cast("double"))
+      .na.fill(0.0, Seq("A", "N", "R"))
+  }
+  val o07 = """
+    SELECT l_linestatus,
+      COALESCE(CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS A,
+      COALESCE(CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS N,
+      COALESCE(CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS R
+    FROM lineitem GROUP BY l_linestatus"""
+
+  // ---------------------------------------------------------------- A10
+  /** Unpivot/melt wide→long then re-aggregate (sales_by_group.py:305-354). */
+  val q08Unpivot: Q = (s, d) => {
+    import s.implicits._
+    q07PivotFixed(s, d)
+      .select($"l_linestatus",
+        expr("stack(3, 'A', A, 'N', N, 'R', R) as (l_returnflag, qty)"))
+  }
+  val o08 = """
+    WITH p AS (
+      SELECT l_linestatus,
+        COALESCE(CAST(SUM(CASE WHEN l_returnflag='A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS A,
+        COALESCE(CAST(SUM(CASE WHEN l_returnflag='N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS N,
+        COALESCE(CAST(SUM(CASE WHEN l_returnflag='R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS R
+      FROM lineitem GROUP BY l_linestatus)
+    SELECT l_linestatus, 'A' AS l_returnflag, A AS qty FROM p
+    UNION ALL SELECT l_linestatus, 'N', N FROM p
+    UNION ALL SELECT l_linestatus, 'R', R FROM p"""
+
+  // ---------------------------------------------------------------- A12
+  /** Rollup with TOTAL row semantics (transfers pivot totals,
+    * etl/marts/transfers.py:213-246): rollup + NULL→'TOTAL'. */
+  val q09Rollup: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(moneySum($"l_extendedprice").as("total_price"),
+        count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("TOTAL")).as("l_returnflag"),
+        coalesce($"l_linestatus", lit("TOTAL")).as("l_linestatus"),
+        $"total_price", $"n")
+  }
+  val o09 = """
+    SELECT COALESCE(l_returnflag, 'TOTAL') AS l_returnflag,
+           COALESCE(l_linestatus, 'TOTAL') AS l_linestatus,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""
+
+  // ------------------------------------------------------------ window
+  /** Ranked top-N per group (window row_number with total tie-break). */
+  val q10WindowTopN: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal", $"rn")
+  }
+  val o10 = """
+    SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+        ROW_NUMBER() OVER (PARTITION BY c_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+      FROM customer) WHERE rn <= 3"""
+
+  // ---------------------------------------------------------------- J5
+  /** SCD2-style validity-window (range) join against a small broadcast
+    * dimension (branches.py:60-127): open-ended valid_to IS NULL. */
+  val q12RangeJoin: Q = (s, d) => {
+    import s.implicits._
+    val dim = s.createDataFrame(Seq(
+      ("era1", "1995-01-01", "1996-12-31"),
+      ("era2", "1997-01-01", "1998-12-31"),
+      ("era3", "1999-01-01", null)
+    )).toDF("era", "valid_from", "valid_to")
+      .select($"era", $"valid_from".cast("date"),
+        $"valid_to".cast("date"))
+    val o = Tables.orders(s, d)
+      .withColumn("od", $"o_orderdate".cast("date"))
+    o.join(broadcast(dim),
+        $"od" >= $"valid_from" &&
+          ($"valid_to".isNull || $"od" <= $"valid_to"))
+      .groupBy($"era")
+      .agg(count(lit(1)).as("n_orders"),
+        moneySum($"o_totalprice").as("sum_price"))
+  }
+  val o12 = """
+    SELECT era, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    JOIN (VALUES ('era1', DATE '1995-01-01', DATE '1996-12-31'),
+                 ('era2', DATE '1997-01-01', DATE '1998-12-31'),
+                 ('era3', DATE '1999-01-01', NULL)) dim(era, valid_from, valid_to)
+      ON CAST(o_orderdate AS DATE) >= valid_from
+     AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) <= valid_to)
+    GROUP BY era"""
+
+  // ---------------------------------------------------------------- U1
+  /** unionByName with missing columns (multi-file concat U1,
+    * payments_daily.py:339). */
+  val q13Union: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val hi = o.filter($"o_totalprice" >= 150000.0)
+      .select($"o_orderkey", $"o_totalprice", lit("HIGH").as("band"))
+    val lo = o.filter($"o_totalprice" < 150000.0)
+      .select($"o_orderkey", lit("LOW").as("band"))
+    hi.unionByName(lo, allowMissingColumns = true)
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n"),
+        moneySum($"o_totalprice").as("sum_price"))
+  }
+  val o13 = """
+    WITH u AS (
+      SELECT o_orderkey, o_totalprice, 'HIGH' AS band FROM orders WHERE o_totalprice >= 150000.0
+      UNION ALL
+      SELECT o_orderkey, NULL AS o_totalprice, 'LOW' AS band FROM orders WHERE o_totalprice < 150000.0)
+    SELECT band, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM u GROUP BY band"""
+
+  // ---------------------------------------------------------------- A13
+  /** Monthly aggregation (year_month bucketing, qa_payments.py:704-815). */
+  val q14Monthly: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy(date_format($"ts", "yyyy-MM").as("year_month"),
+        $"event_type")
+      .agg(decSum($"value", 2).as("sum_value"),
+        count(lit(1)).as("n_events"))
+  }
+  val o14 = """
+    SELECT strftime(ts, '%Y-%m') AS year_month, event_type,
+      CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value,
+      COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- U6
+  /** Deterministic seeded sample (qa_payments.py:823-965 uses seeded rng;
+    * at scale we use a stable hash-mod so any engine reproduces it). */
+  val q15SampleDet: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .filter(($"c_custkey" * lit(2654435761L)) % 100 < 5)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+  }
+  val o15 = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE (c_custkey * 2654435761) % 100 < 5"""
+
+  // ---------------------------------------------------------------- U3/U5
+  /** Ordered top-K with total tie-break (U3 ordered output + U5 limit). */
+  val q16TopK: Q = (s, d) => {
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+  val o16 = """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"""
+
+  // ---------------------------------------------------------------- Q8/W2
+  /** Grain assertion: duplicate-key audit as a 1-row summary
+    * (tests/test_grain_assertions.py; qa_payments.py:300-328). */
+  val q17GrainCheck: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_orderkey", $"l_linenumber")
+      .agg(count(lit(1)).as("c"))
+      .filter($"c" > 1)
+      .agg(count(lit(1)).cast("long").as("n_dup_keys"),
+        coalesce(sum($"c"), lit(0L)).cast("long").as("n_dup_rows"))
+  }
+  val o17 = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_keys,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_dup_rows
+    FROM (SELECT COUNT(*) AS c FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)"""
+
+  // ---------------------------------------------------------------- Q2/Q3
+  /** QA summary: null counts + negativity counts in one row
+    * (qa_payments.py:507-583). */
+  val q18QaSummary: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d).agg(
+      sum(when($"o_custkey".isNull, 1L).otherwise(0L)).as("null_custkey"),
+      sum(when($"o_orderdate".isNull, 1L).otherwise(0L)).as("null_orderdate"),
+      sum(when($"o_totalprice" < -1e-6, 1L).otherwise(0L)).as("neg_totalprice"))
+    val l = Tables.lineitem(s, d).agg(
+      sum(when($"l_extendedprice" < -1e-6, 1L).otherwise(0L)).as("neg_extendedprice"),
+      sum(when($"l_quantity" < -1e-6, 1L).otherwise(0L)).as("neg_quantity"))
+    o.crossJoin(l)
+  }
+  val o18 = """
+    SELECT * FROM
+      (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+              CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_orderdate,
+              CAST(SUM(CASE WHEN o_totalprice < -1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS neg_totalprice
+       FROM orders)
+    CROSS JOIN
+      (SELECT CAST(SUM(CASE WHEN l_extendedprice < -1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS neg_extendedprice,
+              CAST(SUM(CASE WHEN l_quantity < -1e-6 THEN 1 ELSE 0 END) AS BIGINT) AS neg_quantity
+       FROM lineitem)"""
+
+  // ---------------------------------------------------------------- A14
+  /** Per-entity profile: count/min/max/sum + null-safe average
+    * (qa_payments.py:672-696). */
+  val q19Profile: Q = (s, d) => {
+    import s.implicits._
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        min($"c_custkey").as("min_custkey"),
+        max($"c_custkey").as("max_custkey"),
+        moneySum($"c_acctbal").as("sum_acctbal"))
+      .withColumn("avg_acctbal",
+        when($"n_customers" === 0, lit(null).cast("double"))
+          .otherwise($"sum_acctbal" / $"n_customers"))
+  }
+  val o19 = """
+    SELECT n_name, n_customers, min_custkey, max_custkey, sum_acctbal,
+      CASE WHEN n_customers = 0 THEN NULL
+           ELSE sum_acctbal / n_customers END AS avg_acctbal
+    FROM (
+      SELECT n_name, COUNT(*) AS n_customers,
+        MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)"""
+
+  val queries: Map[String, Q] = Map(
+    "q01_agg_pricing" -> q01AggPricing,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_join_agg" -> q03JoinAgg,
+    "q04_count_distinct" -> q04CountDistinct,
+    "q05_cond_count_distinct" -> q05CondCountDistinct,
+    "q06_left_flag" -> q06LeftFlag,
+    "q07_pivot_fixed" -> q07PivotFixed,
+    "q08_unpivot" -> q08Unpivot,
+    "q09_rollup" -> q09Rollup,
+    "q10_window_topn" -> q10WindowTopN,
+    "q12_range_join" -> q12RangeJoin,
+    "q13_union" -> q13Union,
+    "q14_monthly" -> q14Monthly,
+    "q15_sample_det" -> q15SampleDet,
+    "q16_topk" -> q16TopK,
+    "q17_grain_check" -> q17GrainCheck,
+    "q18_qa_summary" -> q18QaSummary,
+    "q19_profile" -> q19Profile)
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" -> o01,
+    "q02_filter_project" -> o02,
+    "q03_join_agg" -> o03,
+    "q04_count_distinct" -> o04,
+    "q05_cond_count_distinct" -> o05,
+    "q06_left_flag" -> o06,
+    "q07_pivot_fixed" -> o07,
+    "q08_unpivot" -> o08,
+    "q09_rollup" -> o09,
+    "q10_window_topn" -> o10,
+    "q12_range_join" -> o12,
+    "q13_union" -> o13,
+    "q14_monthly" -> o14,
+    "q15_sample_det" -> o15,
+    "q16_topk" -> o16,
+    "q17_grain_check" -> o17,
+    "q18_qa_summary" -> o18,
+    "q19_profile" -> o19)
+}
