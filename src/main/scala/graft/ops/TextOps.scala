@@ -1,0 +1,203 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * (stopword-marker voting), document fingerprinting (rolling hash),
+  * and exact deduplication.
+  *
+  * Everything stays inside Catalyst expressions (higher-order array
+  * functions, no UDFs) so whole-stage codegen applies and the same
+  * logic scales to 100 TB of text unchanged.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val MOD = 1000000007L
+
+  /** Tokens of a whitespace-delimited document. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  // ------------------------------------------------------------ tokens
+  /** Token counting + basic stats (the LLM-pipeline token counter;
+    * whitespace tokenization). */
+  val q50TokenStats: Q = (s, d) => {
+    import s.implicits._
+    val t = toks($"text")
+    Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        size(t).as("n_tokens"),
+        length($"text").as("len_chars"),
+        // avg token length from exact ints → identical doubles
+        ((length($"text") - (size(t) - 1)).cast("double") /
+          size(t).cast("double")).as("avg_token_len"))
+  }
+  val o50 = """
+    SELECT doc_id, lang,
+      len(string_split(text, ' ')) AS n_tokens,
+      length(text) AS len_chars,
+      CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents"""
+
+  // ----------------------------------------------------------- quality
+  /** Quality scoring: stopword ratio + length score → composite in
+    * [0,1]. All doubles derive from exact integer counts. */
+  val q51QualityScore: Q = (s, d) => {
+    import s.implicits._
+    val stop = "'the','a','of','and','in','to'"
+    val nTok = size(toks($"text")).cast("double")
+    val nStop = expr(
+      s"size(filter(split(text, ' '), t -> t IN ($stop)))").cast("double")
+    val lenScore = least(lit(1.0), length($"text").cast("double") / 400.0)
+    val stopRatio = nStop / nTok
+    Tables.documents(s, d)
+      .select($"doc_id",
+        stopRatio.as("stop_ratio"),
+        lenScore.as("len_score"),
+        (stopRatio * 0.5 + lenScore * 0.5).as("quality"))
+  }
+  val o51 = """
+    SELECT doc_id,
+      sr AS stop_ratio, ls AS len_score,
+      sr * 0.5 + ls * 0.5 AS quality
+    FROM (
+      SELECT doc_id,
+        CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','in','to'))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE) AS sr,
+        least(1.0, CAST(length(text) AS DOUBLE) / 400.0) AS ls
+      FROM documents)"""
+
+  // ----------------------------------------------------------- lang id
+  /** Language-ID heuristic: marker-token voting per language, argmax
+    * with deterministic tie-break (score desc, language name asc) —
+    * the n-gram/stopword language detector of an LLM data pipeline,
+    * reported as a (declared, predicted) confusion matrix. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "de", "y"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "de", "et"))
+
+  val q52LangId: Q = (s, d) => {
+    import s.implicits._
+    val scored = markers.foldLeft(Tables.documents(s, d)) {
+      case (df, (lang, ms)) =>
+        val inList = ms.map(m => s"'$m'").mkString(",")
+        df.withColumn(s"score_$lang",
+          expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))"))
+    }
+    // argmax over the fixed language list; ties → first in (de,en,es,fr)
+    val langs = markers.map(_._1).sorted
+    val best = langs.tail.foldLeft(
+      (col(s"score_${langs.head}"), lit(langs.head))) {
+      case ((bs, bl), l) =>
+        val sc = col(s"score_$l")
+        (when(sc > bs, sc).otherwise(bs),
+          when(sc > bs, lit(l)).otherwise(bl))
+    }._2
+    scored.withColumn("predicted", best)
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+  val o52: String = {
+    val scoreCols = markers.map { case (l, ms) =>
+      val inList = ms.map(m => s"'$m'").mkString(",")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS score_$l"
+    }.mkString(",\n        ")
+    val langs = markers.map(_._1).sorted
+    // same left-fold argmax: strictly-greater replaces, ties keep earlier
+    val pred = langs.tail.foldLeft((s"score_${langs.head}", s"'${langs.head}'")) {
+      case ((bs, bl), l) =>
+        (s"CASE WHEN score_$l > ($bs) THEN score_$l ELSE ($bs) END",
+          s"CASE WHEN score_$l > ($bs) THEN '$l' ELSE ($bl) END")
+    }._2
+    s"""
+    SELECT lang, $pred AS predicted, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang, text,
+        $scoreCols
+      FROM documents)
+    GROUP BY 1, 2"""
+  }
+
+  // ------------------------------------------------------- fingerprint
+  /** Document fingerprinting: left-fold polynomial rolling hash over
+    * token hashes, mod large prime — a content-defined fingerprint any
+    * engine reproduces. */
+  val q53Fingerprint: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        expr("aggregate(transform(split(text, ' '), " +
+          "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")
+          .as("fingerprint"))
+  }
+  val o53 = s"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            t -> CAST(unicode(t) * 131 + length(t) AS BIGINT))),
+        (acc, x) -> (acc * 31 + x) % $MOD) AS fingerprint
+    FROM documents"""
+
+  // ------------------------------------------------------- exact dedup
+  /** Exact deduplication (hash-groupBy): per source, doc counts vs
+    * distinct-text counts and the dup overhead — the first stage of any
+    * LLM-corpus dedup. At scale the groupBy key would be a content
+    * hash (fingerprint above) rather than the full text. */
+  val q54ExactDedup: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"text").as("n_distinct"),
+        (count(lit(1)) - countDistinct($"text")).as("n_dup_rows"))
+  }
+  val o54 = """
+    SELECT source, COUNT(*) AS n_docs,
+      COUNT(DISTINCT text) AS n_distinct,
+      COUNT(*) - COUNT(DISTINCT text) AS n_dup_rows
+    FROM documents GROUP BY source"""
+
+  /** Canonical-id assignment for exact dedup: every text keyed to the
+    * min doc_id holding it; emits only non-canonical rows (the rows an
+    * LLM pipeline would drop). */
+  val q55DedupAssign: Q = (s, d) => {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"text")
+    Tables.documents(s, d)
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .filter($"doc_id" =!= $"canonical_id")
+      .select($"doc_id", $"canonical_id", $"source")
+  }
+  val o55 = """
+    SELECT doc_id, canonical_id, source FROM (
+      SELECT doc_id, source,
+        MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+      FROM documents)
+    WHERE doc_id <> canonical_id"""
+
+  val queries: Map[String, Q] = Map(
+    "q50_token_stats" -> q50TokenStats,
+    "q51_quality_score" -> q51QualityScore,
+    "q52_lang_id" -> q52LangId,
+    "q53_fingerprint" -> q53Fingerprint,
+    "q54_exact_dedup" -> q54ExactDedup,
+    "q55_dedup_assign" -> q55DedupAssign)
+
+  val oracles: Map[String, String] = Map(
+    "q50_token_stats" -> o50,
+    "q51_quality_score" -> o51,
+    "q52_lang_id" -> o52,
+    "q53_fingerprint" -> o53,
+    "q54_exact_dedup" -> o54,
+    "q55_dedup_assign" -> o55)
+}

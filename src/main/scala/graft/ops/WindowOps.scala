@@ -1,0 +1,270 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Window / time-series operators (SURVEY §2.6 W1–W7) over the `events`
+  * table.
+  *
+  * Float-parity rule: every DOUBLE the oracle compares is derived from
+  * EXACT integers (money as cents via decimal sums) through an IEEE
+  * expression tree written identically on both sides, so Spark and
+  * DuckDB produce bit-identical doubles. Rolling mean/stddev are
+  * therefore computed from exact windowed sums (s1, s2, n), not from
+  * the engines' own AVG/STDDEV implementations (which differ in
+  * summation order).
+  */
+object WindowOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Daily series: exact integer cents per (event_type, day).
+    * Shared base of every query here (reference
+    * forecasting/data/preparation.py:12-39 builds the same shape). */
+  private def daily(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg((sum($"value".cast("decimal(28,2)")) * 100)
+        .cast("long").as("cents"),
+        count(lit(1)).as("n_events"))
+  }
+  private val dailySql = """
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2"""
+
+  // ---------------------------------------------------------------- W1
+  /** Rolling z-score anomaly detection (qa_payments.py:331-407): per
+    * event_type ordered by day, 60-row trailing window, sample stddev
+    * (ddof=1, matching pandas), σ=0 or n<2 → null z. */
+  val q40RollingZscore: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-59, 0)
+    val s1 = sum($"cents").over(w).cast("double")
+    val s2 = sum($"cents" * $"cents").over(w).cast("double")
+    val n  = count(lit(1)).over(w).cast("double")
+    daily(s, d)
+      .withColumn("mu", s1 / n)
+      .withColumn("variance",
+        when(n > 1.0, (s2 - (s1 * s1) / n) / (n - lit(1.0))))
+      .withColumn("z",
+        when($"variance" > 0.0, ($"cents".cast("double") - $"mu") / sqrt($"variance")))
+      .withColumn("is_anomaly",
+        coalesce(abs($"z") >= 4.0, lit(false)))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("d"),
+        $"cents", $"z", $"is_anomaly")
+  }
+  val o40 = s"""
+    WITH daily AS ($dailySql),
+    win AS (
+      SELECT event_type, d, cents,
+        CAST(SUM(cents) OVER w AS DOUBLE) AS s1,
+        CAST(SUM(cents * cents) OVER w AS DOUBLE) AS s2,
+        CAST(COUNT(*) OVER w AS DOUBLE) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)),
+    zz AS (
+      SELECT event_type, d, cents,
+        CASE WHEN n > 1.0 AND (s2 - (s1 * s1) / n) / (n - 1.0) > 0.0
+             THEN (CAST(cents AS DOUBLE) - s1 / n)
+                  / sqrt((s2 - (s1 * s1) / n) / (n - 1.0)) END AS z
+      FROM win)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents, z,
+           COALESCE(abs(z) >= 4.0, FALSE) AS is_anomaly
+    FROM zz"""
+
+  // ---------------------------------------------------------------- W3
+  /** Calendar gap fill / densification (preparation.py:12-39): per
+    * event_type, every day between its min and max, absent days = 0. */
+  val q41GapFill: Q = (s, d) => {
+    import s.implicits._
+    val base = daily(s, d)
+    val cal = base.groupBy($"event_type")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"event_type",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("d"))
+    cal.join(base, Seq("event_type", "d"), "left")
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("d"),
+        coalesce($"cents", lit(0L)).as("cents"))
+  }
+  val o41 = s"""
+    WITH daily AS ($dailySql),
+    cal AS (
+      SELECT event_type, unnest(generate_series(min(d), max(d),
+             INTERVAL 1 DAY))::DATE AS d
+      FROM daily GROUP BY event_type)
+    SELECT cal.event_type, strftime(cal.d, '%Y-%m-%d') AS d,
+           COALESCE(daily.cents, 0) AS cents
+    FROM cal LEFT JOIN daily
+      ON cal.event_type = daily.event_type AND cal.d = daily.d"""
+
+  // ------------------------------------------------------------- W4/J7
+  /** Missing-day detection (qa_payments.py:254-297): calendar anti-join —
+    * days inside each event_type's range with no data. */
+  val q42MissingDays: Q = (s, d) => {
+    import s.implicits._
+    val base = daily(s, d)
+    val cal = base.groupBy($"event_type")
+      .agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"event_type",
+        explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("d"))
+    cal.join(base, Seq("event_type", "d"), "left_anti")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_missing"),
+        date_format(min($"d"), "yyyy-MM-dd").as("first_missing"))
+  }
+  val o42 = s"""
+    WITH daily AS ($dailySql),
+    cal AS (
+      SELECT event_type, unnest(generate_series(min(d), max(d),
+             INTERVAL 1 DAY))::DATE AS d
+      FROM daily GROUP BY event_type)
+    SELECT cal.event_type, COUNT(*) AS n_missing,
+           strftime(MIN(cal.d), '%Y-%m-%d') AS first_missing
+    FROM cal ANTI JOIN daily
+      ON cal.event_type = daily.event_type AND cal.d = daily.d
+    GROUP BY cal.event_type"""
+
+  // ---------------------------------------------------------------- W7
+  /** Naive seasonal forecast (forecasting/models/naive.py:19-56): value
+    * for a day = the most recent same-weekday value 1..4 weeks back that
+    * was non-zero, else 0 — lag-chain over the densified series. */
+  val q43NaiveLag: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    def nz(k: Int): Column = {
+      val l = lag($"cents", k).over(w)
+      when(l =!= 0L, l)
+    }
+    q41GapFill(s, d)
+      .withColumn("naive",
+        coalesce(nz(7), nz(14), nz(21), nz(28), lit(0L)))
+      .select($"event_type", $"d", $"cents", $"naive")
+  }
+  val o43 = s"""
+    WITH daily AS ($dailySql),
+    cal AS (
+      SELECT event_type, unnest(generate_series(min(d), max(d),
+             INTERVAL 1 DAY))::DATE AS d
+      FROM daily GROUP BY event_type),
+    dense AS (
+      SELECT cal.event_type, cal.d, COALESCE(daily.cents, 0) AS cents
+      FROM cal LEFT JOIN daily
+        ON cal.event_type = daily.event_type AND cal.d = daily.d)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents,
+      COALESCE(
+        CASE WHEN lag(cents, 7)  OVER w <> 0 THEN lag(cents, 7)  OVER w END,
+        CASE WHEN lag(cents, 14) OVER w <> 0 THEN lag(cents, 14) OVER w END,
+        CASE WHEN lag(cents, 21) OVER w <> 0 THEN lag(cents, 21) OVER w END,
+        CASE WHEN lag(cents, 28) OVER w <> 0 THEN lag(cents, 28) OVER w END,
+        0) AS naive
+    FROM dense
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)"""
+
+  // ------------------------------------------------------------- W5/W6
+  /** Deposit schedule (forecasting/deposit_schedule.py:31-155): weekday-
+    * conditional batching, set-based. Cash: Fri/Sat/Sun→Monday,
+    * Mon/Tue→Wednesday, Wed/Thu→Friday. Cards: Fri/Sat/Sun→Monday,
+    * else next day. dayofweek here: 1=Sun..7=Sat (Spark) mapped via
+    * explicit CASE so both engines agree. */
+  val q44DepositSchedule: Q = (s, d) => {
+    import s.implicits._
+    val dow = dayofweek($"d") // 1=Sun 2=Mon ... 7=Sat
+    val cashShift = when(dow === 6, 3).when(dow === 7, 2)   // Fri,Sat→Mon
+      .when(dow === 1, 1)                                    // Sun→Mon
+      .when(dow === 2, 2).when(dow === 3, 1)                 // Mon,Tue→Wed
+      .when(dow === 4, 2).when(dow === 5, 1)                 // Wed,Thu→Fri
+    val cardShift = when(dow === 6, 3).when(dow === 7, 2)
+      .when(dow === 1, 1).otherwise(1)
+    daily(s, d)
+      .withColumn("cash_deposit_date", date_add($"d", cashShift))
+      .withColumn("card_deposit_date", date_add($"d", cardShift))
+      .groupBy($"cash_deposit_date".as("deposit_date"))
+      .agg(sum($"cents").as("cash_cents"))
+      .join(
+        daily(s, d)
+          .withColumn("card_deposit_date",
+            date_add($"d", cardShift))
+          .groupBy($"card_deposit_date".as("deposit_date"))
+          .agg(sum($"n_events").as("card_events")),
+        Seq("deposit_date"), "full_outer")
+      .select(date_format($"deposit_date", "yyyy-MM-dd").as("deposit_date"),
+        coalesce($"cash_cents", lit(0L)).as("cash_cents"),
+        coalesce($"card_events", lit(0L)).as("card_events"))
+  }
+  val o44 = s"""
+    WITH daily AS ($dailySql),
+    shifted AS (
+      SELECT *,
+        CASE dayofweek(d)  -- duckdb: 0=Sun..6=Sat; match Spark semantics
+          WHEN 5 THEN 3 WHEN 6 THEN 2 WHEN 0 THEN 1
+          WHEN 1 THEN 2 WHEN 2 THEN 1 WHEN 3 THEN 2 WHEN 4 THEN 1
+        END AS cash_shift,
+        CASE dayofweek(d)
+          WHEN 5 THEN 3 WHEN 6 THEN 2 ELSE 1
+        END AS card_shift
+      FROM daily),
+    cash AS (
+      SELECT d + cash_shift * INTERVAL 1 DAY AS deposit_date,
+             SUM(cents) AS cash_cents
+      FROM shifted GROUP BY 1),
+    card AS (
+      SELECT d + card_shift * INTERVAL 1 DAY AS deposit_date,
+             SUM(n_events) AS card_events
+      FROM shifted GROUP BY 1)
+    SELECT strftime(COALESCE(cash.deposit_date, card.deposit_date),
+             '%Y-%m-%d') AS deposit_date,
+           CAST(COALESCE(cash_cents, 0) AS BIGINT) AS cash_cents,
+           CAST(COALESCE(card_events, 0) AS BIGINT) AS card_events
+    FROM cash FULL OUTER JOIN card
+      ON cash.deposit_date = card.deposit_date"""
+
+  // ---------------------------------------------------------------- J6
+  /** Interval islands (etl/utils.py:125-159 merge_intervals analog at
+    * scale): contiguous runs of present days per event_type via the
+    * date − row_number() grouping trick. */
+  val q45Islands: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+    daily(s, d)
+      .withColumn("grp", expr("date_sub(d, row_number() over " +
+        "(partition by event_type order by d))"))
+      .groupBy($"event_type", $"grp")
+      .agg(date_format(min($"d"), "yyyy-MM-dd").as("island_start"),
+        date_format(max($"d"), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("n_days"))
+      .drop("grp")
+  }
+  val o45 = s"""
+    WITH daily AS ($dailySql),
+    g AS (
+      SELECT event_type, d,
+        d - CAST(row_number() OVER
+            (PARTITION BY event_type ORDER BY d) AS INTEGER) AS grp
+      FROM daily)
+    SELECT event_type, strftime(MIN(d), '%Y-%m-%d') AS island_start,
+           strftime(MAX(d), '%Y-%m-%d') AS island_end,
+           COUNT(*) AS n_days
+    FROM g GROUP BY event_type, grp"""
+
+  val queries: Map[String, Q] = Map(
+    "q40_rolling_zscore" -> q40RollingZscore,
+    "q41_gap_fill" -> q41GapFill,
+    "q42_missing_days" -> q42MissingDays,
+    "q43_naive_lag" -> q43NaiveLag,
+    "q44_deposit_schedule" -> q44DepositSchedule,
+    "q45_islands" -> q45Islands)
+
+  val oracles: Map[String, String] = Map(
+    "q40_rolling_zscore" -> o40,
+    "q41_gap_fill" -> o41,
+    "q42_missing_days" -> o42,
+    "q43_naive_lag" -> o43,
+    "q44_deposit_schedule" -> o44,
+    "q45_islands" -> o45)
+}
