@@ -15,11 +15,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.ScalarParity.queries ++
-      ops.WindowOps.queries ++ ops.TextOps.queries
+      ops.WindowOps.queries ++ ops.TextOps.queries ++
+      ops.DedupOps.queries ++ ops.VectorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.ScalarParity.oracles ++
-      ops.WindowOps.oracles ++ ops.TextOps.oracles
+      ops.WindowOps.oracles ++ ops.TextOps.oracles ++
+      ops.DedupOps.oracles ++ ops.VectorOps.oracles
 }

@@ -8,8 +8,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * sites to keep oracle (DuckDB) parity explicit.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** The driver's testdata is one parquet file with ONE row group per
+    * table, so a bare scan runs every upstream operator on a single
+    * task. Redistribute to all cores right after the scan — the local
+    * stand-in for the many-file splits a real 100 TB table has.
+    * Catalyst still pushes filters/pruning through the repartition to
+    * the scan. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.repartition(spark.sparkContext.defaultParallelism)
+  }
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

@@ -1,0 +1,232 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for the training-data pipeline:
+  * MinHash signatures, LSH banding, n-gram (shingle) Jaccard, and
+  * SimHash — all over the `documents` table.
+  *
+  * Scale design: signatures are computed per-row inside codegen'd
+  * higher-order array expressions (no UDF, no shuffle); pair
+  * generation goes through an inverted index on shingles / LSH
+  * buckets (shuffle keyed on the shingle or bucket, never a full
+  * cross join), which is the standard 100 TB-safe layout.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val P = 1000000007L
+
+  /** Adds `th` (per-token hash array, computed ONCE per row — split
+    * inside a lambda re-evaluates per element access, an O(tokens²)
+    * trap) and `shs` (token-3-gram shingle hashes, collision-sparse
+    * polynomial combine, fits int64). */
+  private def withShingles(df: DataFrame): DataFrame = df
+    .withColumn("th", expr(
+      "transform(split(text, ' '), x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))"))
+    // zip_with over slices, NOT element_at(th, i) in a lambda: a lambda
+    // body referencing a derived column re-inlines its whole expression
+    // per ELEMENT after projection collapse (O(tokens²) interpreted
+    // evals/row); slice() arguments evaluate once per row.
+    .withColumn("shs", expr(
+      """zip_with(
+           zip_with(slice(th, 1, greatest(size(th) - 2, 0)),
+                    slice(th, 2, greatest(size(th) - 2, 0)),
+                    (a, b) -> a * 100003 + b),
+           slice(th, 3, greatest(size(th) - 2, 0)),
+           (ab, c) -> ab * 100003 + c)"""))
+  /** DuckDB twin of [[shinglesExpr]]. */
+  private val shinglesSql: String = {
+    def h(i: String) =
+      s"CAST(unicode(t[$i]) * 131 + length(t[$i]) AS BIGINT)"
+    s"""list_transform(generate_series(1, len(t) - 2), i ->
+          ((${h("i")}) * 100003 + (${h("i+1")})) * 100003 + (${h("i+2")}))"""
+  }
+
+  // ------------------------------------------------------------ MinHash
+  /** MinHash signature: 4 independent hash functions (a*x+b mod p) over
+    * the shingle set; per-doc minimum each. The standard Broder
+    * construction used by every large-scale corpus dedup. */
+  private val ab = Seq((37L, 17L), (101L, 89L), (8191L, 131L), (577L, 7L))
+
+  val q56MinHash: Q = (s, d) => {
+    import s.implicits._
+    val base = withShingles(Tables.documents(s, d))
+    ab.zipWithIndex.foldLeft(base) { case (df, ((a, b), j)) =>
+      df.withColumn(s"mh$j",
+        expr(s"array_min(transform(shs, x -> ($a * x + $b) % $P))"))
+    }.select($"doc_id", $"mh0", $"mh1", $"mh2", $"mh3")
+  }
+  val o56: String = {
+    val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
+    }.mkString(",\n        ")
+    s"""
+    SELECT doc_id, $mhs
+    FROM (SELECT doc_id, $shinglesSql AS shs
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+  }
+
+  // ---------------------------------------------------------------- LSH
+  /** LSH banding over the MinHash signature: 2 bands × 2 rows; docs
+    * agreeing on a whole band are candidates. Emitted as a per-band
+    * bucket census (bucket key, size, candidate pairs C(n,2)) — the
+    * shuffle-friendly shape; q58 materializes verified pairs. */
+  val q57LshBuckets: Q = (s, d) => {
+    import s.implicits._
+    q56MinHash(s, d)
+      .select($"doc_id", expr(
+        "explode(array(named_struct('band', 0, 'h1', mh0, 'h2', mh1), " +
+          "named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.h1", $"b.h2")
+      .groupBy($"band", $"h1", $"h2")
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter($"bucket_size" > 1)
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum($"bucket_size" * ($"bucket_size" - 1) / 2)
+          .cast("long").as("n_candidate_pairs"))
+  }
+  val o57: String = s"""
+    WITH sig AS (${o56}),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM sig),
+    buckets AS (
+      SELECT band, h1, h2, COUNT(*) AS bucket_size
+      FROM bands GROUP BY 1, 2, 3 HAVING COUNT(*) > 1)
+    SELECT band, COUNT(*) AS n_buckets,
+           CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+             AS n_candidate_pairs
+    FROM buckets GROUP BY band"""
+
+  // ------------------------------------------------------------ Jaccard
+  /** n-gram Jaccard near-dup pairs via inverted shingle index: only
+    * pairs sharing ≥1 shingle are compared (no cross join);
+    * J = |A∩B| / |A∪B| over distinct shingles, threshold 0.5. */
+  val q58JaccardPairs: Q = (s, d) => {
+    import s.implicits._
+    val sh = withShingles(Tables.documents(s, d))
+      .select($"doc_id", explode($"shs").as("sh"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        $"i".cast("double") / ($"na" + $"nb" - $"i").cast("double"))
+      .filter($"jaccard" >= 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+  }
+  val o58: String = s"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, unnest(shs) AS sh
+      FROM (SELECT doc_id, $shinglesSql AS shs
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5"""
+
+  // ------------------------------------------------------------ SimHash
+  /** 32-bit SimHash per doc: per bit, the sign of the sum of ±1 votes
+    * from every token hash — computed as 32 in-row array folds (no
+    * explode, no shuffle, fully codegen'd). */
+  /** Folds over a PRE-HASHED token array (`hashesCol`) so each token
+    * is hashed once, not once per bit. */
+  private def simhashExpr(hashesCol: String): String =
+    (0 until 32).map { b =>
+      s"""(CASE WHEN aggregate($hashesCol, CAST(0 AS BIGINT),
+            (acc, x) -> acc + (2 * (shiftright(x, $b) & 1) - 1)) > 0
+          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" + ")
+  private def simhashSql: String = {
+    val h = s"((CAST(unicode(x) * 131 + length(x) AS BIGINT) * 2654435761) & 4294967295)"
+    (0 until 32).map { b =>
+      s"""(CASE WHEN list_sum(list_transform(t,
+            x -> 2 * ((($h) >> $b) & 1) - 1)) > 0
+          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" + ")
+  }
+
+  val q59SimHash: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("thm", expr(
+        """transform(split(text, ' '), x ->
+             (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
+               & 4294967295)"""))
+      .select($"doc_id",
+        expr(simhashExpr("thm")).as("simhash"))
+  }
+  val o59: String = s"""
+    SELECT doc_id, ${simhashSql} AS simhash
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
+
+  /** SimHash near-dup pairs: LSH on the two 16-bit halves (pairs must
+    * agree on at least one half), then exact Hamming ≤ 2 verify —
+    * banded join, never quadratic. */
+  val q60SimHashPairs: Q = (s, d) => {
+    import s.implicits._
+    val sig = q59SimHash(s, d).persist()
+    def band(df: DataFrame, e: String) = {
+      import df.sparkSession.implicits._
+      df.withColumn("bk", expr(e))
+    }
+    val hi = "CAST(simhash >> 16 AS BIGINT)"
+    val lo = "CAST(simhash & 65535 AS BIGINT)"
+    val cand = Seq(hi, lo).map { e =>
+      band(sig, e).as("a")
+        .join(band(sig, e).as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+    }.reduce(_ unionByName _).distinct()
+    cand
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      .filter($"hamming" <= 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+  val o60: String = s"""
+    WITH sig AS (${o59}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       AND ((a.simhash >> 16) = (b.simhash >> 16)
+         OR (a.simhash & 65535) = (b.simhash & 65535)))
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
+
+  val queries: Map[String, Q] = Map(
+    "q56_minhash" -> q56MinHash,
+    "q57_lsh_buckets" -> q57LshBuckets,
+    "q58_jaccard_pairs" -> q58JaccardPairs,
+    "q59_simhash" -> q59SimHash,
+    "q60_simhash_pairs" -> q60SimHashPairs)
+
+  val oracles: Map[String, String] = Map(
+    "q56_minhash" -> o56,
+    "q57_lsh_buckets" -> o57,
+    "q58_jaccard_pairs" -> o58,
+    "q59_simhash" -> o59,
+    "q60_simhash_pairs" -> o60)
+}
