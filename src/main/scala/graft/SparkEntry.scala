@@ -16,12 +16,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.ScalarParity.queries ++
       ops.WindowOps.queries ++ ops.TextOps.queries ++
-      ops.DedupOps.queries ++ ops.VectorOps.queries
+      ops.DedupOps.queries ++ ops.VectorOps.queries ++
+      ops.MartOps.queries ++ ops.MultiModal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.ScalarParity.oracles ++
       ops.WindowOps.oracles ++ ops.TextOps.oracles ++
-      ops.DedupOps.oracles ++ ops.VectorOps.oracles
+      ops.DedupOps.oracles ++ ops.VectorOps.oracles ++
+      ops.MartOps.oracles ++ ops.MultiModal.oracles
 }
