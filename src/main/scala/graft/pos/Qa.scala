@@ -1,0 +1,104 @@
+package graft.pos
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-quality engine over `mart_payments_daily`
+  * (`/root/reference/src/pos_core/qa/qa_payments.py`), level-gated like
+  * `qa/api.py:105-134`:
+  *   0 schema, 1 nulls, 2 non-negativity + consistency,
+  *   3 missing/duplicate days + zero-method flags, 4 z-score anomalies.
+  *
+  * Every check is a lazy DataFrame; [[PaymentsQaResult.summary]]
+  * forces only the counts. The z-score window is the same
+  * exact-integer construction as the oracle queries: rolling 60-row
+  * mean/sample-stddev per sucursal (qa_payments.py:331-407).
+  */
+final case class PaymentsQaResult(
+    summary: Map[String, Long],
+    missingDays: Option[DataFrame],
+    duplicateDays: Option[DataFrame],
+    zeroMethodFlags: Option[DataFrame],
+    zscoreAnomalies: Option[DataFrame]) {
+  def hasErrors: Boolean =
+    summary.getOrElse("null_key_rows", 0L) > 0 ||
+      summary.getOrElse("negative_rows", 0L) > 0
+}
+
+object Qa {
+  private val MoneyCols = PaymentsDaily.BucketCols :+ "propinas"
+  private val Required = Seq("sucursal", "fecha") ++ MoneyCols ++
+    Seq("num_tickets")
+
+  def runPaymentsQa(df: DataFrame, level: Int = 4,
+                    zWindow: Int = 60,
+                    zThreshold: Double = 4.0): PaymentsQaResult = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // Q1 level 0: schema
+    val missing = Required.filterNot(df.columns.toSet)
+    if (missing.nonEmpty)
+      throw new DataQualityError(
+        s"missing required columns: ${missing.mkString(", ")}")
+
+    var summary = Map.empty[String, Long]
+
+    // Q2 level 1: nulls in key columns are errors
+    if (level >= 1) {
+      summary += "null_key_rows" ->
+        df.filter($"sucursal".isNull || $"fecha".isNull).count()
+    }
+    // Q3/Q4 level 2: non-negativity + ticket/revenue consistency
+    if (level >= 2) {
+      val negPred = MoneyCols.map(c => col(c) < -1e-6).reduce(_ || _)
+      summary += "negative_rows" -> df.filter(negPred).count()
+      val revenue = MoneyCols.map(c => coalesce(col(c), lit(0.0)))
+        .reduce(_ + _)
+      summary += "tickets_no_revenue" ->
+        df.filter($"num_tickets" > 0 && revenue <= 1e-6).count()
+      summary += "revenue_no_tickets" ->
+        df.filter(revenue > 1e-6 && $"num_tickets" <= 0).count()
+    }
+
+    // W4/W2/Q5 level 3
+    val (missingDays, dupDays, zeroFlags) = if (level >= 3) {
+      val cal = df.groupBy($"sucursal")
+        .agg(min($"fecha").as("d0"), max($"fecha").as("d1"))
+        .select($"sucursal",
+          explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("fecha"))
+      val md = cal.join(df.select($"sucursal", $"fecha"),
+        Seq("sucursal", "fecha"), "left_anti")
+      val dd = df.groupBy($"sucursal", $"fecha")
+        .agg(count(lit(1)).as("n")).filter($"n" > 1)
+      val zf = df.filter($"num_tickets" > 0 &&
+        $"ingreso_credito" === 0.0 && $"ingreso_debito" === 0.0)
+        .select($"sucursal", $"fecha", $"num_tickets")
+      summary += "missing_days" -> md.count()
+      summary += "duplicate_days" -> dd.count()
+      summary += "zero_method_days" -> zf.count()
+      (Some(md), Some(dd), Some(zf))
+    } else (None, None, None)
+
+    // W1 level 4: rolling z-score per sucursal × money column
+    val zs = if (level >= 4) {
+      val w = Window.partitionBy($"sucursal").orderBy($"fecha")
+        .rowsBetween(-(zWindow - 1), 0)
+      val perCol = MoneyCols.map { c =>
+        val v = coalesce(col(c), lit(0.0))
+        val mu = avg(v).over(w)
+        val sd = stddev_samp(v).over(w) // ddof=1, matches pandas
+        df.select($"sucursal", $"fecha", lit(c).as("metric"),
+            v.as("value"), mu.as("mu"), sd.as("sd"))
+          .withColumn("z", when($"sd" > 0, ($"value" - $"mu") / $"sd"))
+          .filter(abs($"z") >= zThreshold)
+      }
+      val all = perCol.reduce(_ unionByName _)
+      summary += "zscore_anomalies" -> all.count()
+      Some(all)
+    } else None
+
+    PaymentsQaResult(summary, missingDays, dupDays, zeroFlags, zs)
+  }
+}
