@@ -110,6 +110,44 @@ object Forecast {
       .orderBy($"sucursal", $"fecha", $"metric")
   }
 
+  /** One daily observation of a (branch, metric) series. */
+  final case class SeriesRow(sucursal: String, metric: String,
+                             fecha: java.sql.Date, valor: Double)
+
+  /** Log-AR forecast (W8): per-(sucursal, metric) series collected
+    * INSIDE `flatMapGroups` on executors — the cluster parallelizes
+    * across branch × metric, each tiny series fits locally
+    * (arima.py:31-185 contract; see [[ArimaLite]]). Combinations with
+    * < minObs observations are skipped; all-skipped raises
+    * (api.py:296-336). */
+  def arimaForecast(series: DataFrame, horizonDays: Int,
+                    minObs: Int = 30): DataFrame = {
+    val spark = series.sparkSession
+    import spark.implicits._
+    val out = series.select($"sucursal", $"metric",
+        $"fecha".cast("date").as("fecha"), $"valor".cast("double"))
+      .as[SeriesRow]
+      .groupByKey(r => (r.sucursal, r.metric))
+      .flatMapGroups { (key: (String, String),
+                        it: Iterator[SeriesRow]) =>
+        val (suc, m) = key
+        val rows = it.toArray.sortBy(_.fecha.getTime)
+        if (rows.length < minObs) Iterator.empty
+        else {
+          val fc = ArimaLite.forecastLog1p(rows.map(_.valor), horizonDays)
+          val last = rows.last.fecha.toLocalDate
+          fc.iterator.zipWithIndex.map { case (v, i) =>
+            SeriesRow(suc, m,
+              java.sql.Date.valueOf(last.plusDays(i + 1L)), v)
+          }
+        }
+      }.toDF()
+    if (out.isEmpty)
+      throw new DataQualityError(
+        s"no (sucursal, metric) series with >= $minObs observations")
+    out.orderBy($"sucursal", $"fecha", $"metric")
+  }
+
   /** Deposit schedule over the forecast window: cash batched Mon/Wed/
     * Fri, cards next-business-day; values from historical where the
     * source date ≤ last historical date, else from the forecast
@@ -182,11 +220,16 @@ object Forecast {
     * forecast → deposit schedule (api.py:179-362 shape). */
   def runPaymentsForecast(mart: DataFrame, horizonDays: Int = 7,
                           metrics: Seq[String] = DefaultMetrics,
-                          holidays: Set[LocalDate] = Set.empty)
+                          holidays: Set[LocalDate] = Set.empty,
+                          model: String = "naive")
       : (DataFrame, DataFrame) = {
     val withTotal = withIngresoTotal(mart)
     val series = buildDailySeries(withTotal, metrics)
-    val fc = naiveForecast(series, horizonDays, holidays)
+    val fc = model match {
+      case "naive" => naiveForecast(series, horizonDays, holidays)
+      case "arima" => arimaForecast(series, horizonDays)
+      case other => throw new ConfigError(s"unknown model: $other")
+    }
     (fc, depositSchedule(fc, withTotal))
   }
 }

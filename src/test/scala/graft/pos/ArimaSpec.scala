@@ -1,0 +1,50 @@
+package graft.pos
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ArimaLite numeric behavior: the contract is non-negative forecasts
+  * that track level and persistence, not statsmodels bit-parity
+  * (SURVEY §7.4 risk 8). */
+class ArimaSpec extends AnyFunSuite {
+
+  test("AR(1) fit recovers a strongly autocorrelated process") {
+    // y_t = 5 + 0.8 y_{t-1} + noise — enough signal variance that the
+    // lag separates from the intercept
+    val rnd = new scala.util.Random(7)
+    val y = new Array[Double](500)
+    y(0) = 25.0
+    for (t <- 1 until 500)
+      y(t) = 5.0 + 0.8 * y(t - 1) + rnd.nextGaussian() * 2.0
+    val fit = ArimaLite.fitAr(y, 1).get
+    assert(math.abs(fit.coef(0) - 0.8) < 0.1)
+    assert(math.abs(fit.intercept - 5.0) < 2.5)
+  }
+
+  test("grid selection prefers differencing for a trending series") {
+    val y = Array.tabulate(100)(t => 10.0 + 2.0 * t)
+    val fit = ArimaLite.select(y)
+    assert(fit.isDefined)
+    val fc = ArimaLite.forecastFit(y, fit.get, 5)
+    // a linear trend must keep rising
+    assert(fc.head > y.last - 2.0 && fc.last >= fc.head - 1e-9)
+  }
+
+  test("forecastLog1p is non-negative and finite, even on junk") {
+    for (vals <- Seq(
+      Array.fill(40)(0.0),                      // constant zero
+      Array.fill(40)(123.4),                    // constant
+      Array.tabulate(40)(t => if (t % 7 == 0) 900.0 else 100.0),
+      Array.tabulate(40)(_.toDouble * -1))) {   // negatives clipped in
+      val fc = ArimaLite.forecastLog1p(vals, 7)
+      assert(fc.length == 7)
+      assert(fc.forall(v => v >= 0.0 && java.lang.Double.isFinite(v)))
+    }
+  }
+
+  test("level tracking: forecast of a stable series stays near level") {
+    val rnd = new scala.util.Random(11)
+    val y = Array.tabulate(120)(_ => 1000.0 + rnd.nextGaussian() * 20)
+    val fc = ArimaLite.forecastLog1p(y, 7)
+    fc.foreach(v => assert(math.abs(v - 1000.0) < 150.0, s"got $v"))
+  }
+}

@@ -270,6 +270,26 @@ class PosSpec extends AnyFunSuite {
     assert(math.abs(wed.getAs[Double]("credito") - (500.0 + 250.0)) < 1e-9)
   }
 
+  test("forecast: arima model end-to-end (W8, flatMapGroups per series)") {
+    val mart = padMart(martFixture(35, spike = false))
+    val (fc, dep) = Forecast.runPaymentsForecast(mart, horizonDays = 7,
+      model = "arima")
+    import org.apache.spark.sql.functions._
+    val rows = fc.collect()
+    // 2 branches × 4 metrics × 7 days
+    assert(rows.length == 2 * 4 * 7)
+    rows.foreach { r =>
+      val v = r.getAs[Double]("valor")
+      assert(v >= 0.0 && java.lang.Double.isFinite(v))
+    }
+    // level sanity: efectivo forecasts in the ballpark of the series
+    val ef = fc.filter(col("sucursal") === "Kavia" &&
+      col("metric") === "ingreso_efectivo")
+      .collect().map(_.getAs[Double]("valor"))
+    ef.foreach(v => assert(v > 300.0 && v < 5000.0, s"got $v"))
+    assert(dep.count() == 7)
+  }
+
   test("forecast: under-observed series raises (api.py:296-299)") {
     val tiny = padMart(martFixture(5, spike = false))
     val e = intercept[DataQualityError] {
