@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode}
+
+/** Structured Streaming over the `events` shape (event_id, ts,
+  * user_id, event_type, value): the streaming face of the engine.
+  * The reference is batch-only (SURVEY §1.1 — "incremental" means
+  * date-partitioned batch), so these are the engine's forward path:
+  * the same transforms run on `readStream` sources unchanged.
+  *
+  * Each function takes a (possibly streaming) DataFrame and returns a
+  * lazy plan — callers attach `writeStream` with their sink/trigger.
+  */
+object EventStreaming {
+
+  /** Windowed per-type revenue: event-time tumbling windows with a
+    * watermark bounding state (late events beyond it are dropped). */
+  def windowedTotals(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", windowLen), $"event_type")
+      .agg(sum($"value").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .select($"window.start".as("window_start"),
+        $"window.end".as("window_end"),
+        $"event_type", $"total_value", $"n_events")
+  }
+
+  /** Late-tolerant daily mart: the streaming twin of the batch daily
+    * aggregation — same grain, watermark instead of a chunk filter. */
+  def dailyByType(events: DataFrame,
+                  watermark: String = "1 day"): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(sum($"value").as("total_value"),
+        count(lit(1)).as("n_events"))
+      .select($"window.start".cast("date").as("d"),
+        $"event_type", $"total_value", $"n_events")
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+                         user_id: Long, event_type: String,
+                         value: Double)
+  final case class SessionState(start: Long, lastSeen: Long,
+                                nEvents: Long, totalValue: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp,
+                           n_events: Long, total_value: Double)
+
+  /** Per-user sessionization with an inactivity gap: custom state via
+    * flatMapGroupsWithState (the engine's arbitrary-stateful path).
+    * A session closes when a later event arrives past `gapMillis`
+    * (data-driven, deterministic). Pass
+    * `GroupStateTimeout.ProcessingTimeTimeout()` to ALSO close idle
+    * sessions on quiet streams — that trigger is wall-clock-driven,
+    * so keep the default for reproducible batch tests. */
+  def sessionize(events: Dataset[Event],
+                 gapMillis: Long = 30L * 60 * 1000,
+                 timeout: GroupStateTimeout =
+                   GroupStateTimeout.NoTimeout()): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val useTimeout =
+      timeout == GroupStateTimeout.ProcessingTimeTimeout()
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[Event],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId,
+              new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMillis =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1,
+                    totalValue = s.totalValue + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.nEvents,
+                    s.totalValue)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (useTimeout) state.setTimeoutDuration(gapMillis)
+              case None => ()
+            }
+            closed.iterator
+          }
+      }
+  }
+}
