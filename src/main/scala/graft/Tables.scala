@@ -9,15 +9,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   /** The driver's testdata is one parquet file with ONE row group per
-    * table, so a bare scan runs every upstream operator on a single
-    * task. Redistribute to all cores right after the scan — the local
-    * stand-in for the many-file splits a real 100 TB table has.
-    * Catalyst still pushes filters/pruning through the repartition to
-    * the scan. */
+    * table, so a bare scan feeds every upstream operator from a single
+    * task. For the relational tables that is FINE — map-side partial
+    * aggregation collapses them in one cheap pass and an exchange
+    * would cost more than it buys (measured 0.67s vs 1.2s on the q01
+    * shape). The text/vector tables are different: their per-row work
+    * (higher-order array folds, 64-dim dot products) dwarfs scan cost,
+    * so those redistribute to all cores right after the scan — the
+    * local stand-in for the many-file splits a real 100 TB table has.
+    * Catalyst still pushes filters/pruning through the repartition. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.repartition(spark.sparkContext.defaultParallelism)
+    if (HeavyPerRow(name))
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
   }
+  private val HeavyPerRow = Set("documents", "embeddings")
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

@@ -24,7 +24,9 @@ object ScalarParity {
       .when(v === 1, regexp_replace(ds, "\\.", ","))          // EU comma
       .when(v === 2, concat(lit("$ "), ds))                   // currency
       .otherwise(concat(lit("("), ds, lit(")")))              // paren neg
+    // per-row UDF parse dominates scan cost → spread across cores
     Tables.lineitem(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"l_orderkey", $"l_linenumber",
         parseMoney(raw).as("parsed"))
   }
@@ -72,6 +74,7 @@ object ScalarParity {
       .when(v === 2, date_format(od, "MM/dd/yyyy"))
       .otherwise(date_format(od, "dd-MM-yyyy"))
     Tables.orders(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select($"o_orderkey",
         date_format(parseDateMulti(raw), "yyyy-MM-dd").as("parsed"))
   }
