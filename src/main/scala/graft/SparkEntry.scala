@@ -17,7 +17,8 @@ object SparkEntry {
     ops.Relational.queries ++ ops.ScalarParity.queries ++
       ops.WindowOps.queries ++ ops.TextOps.queries ++
       ops.DedupOps.queries ++ ops.VectorOps.queries ++
-      ops.MartOps.queries ++ ops.MultiModal.queries
+      ops.MartOps.queries ++ ops.MultiModal.queries ++
+      ops.EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -25,5 +26,6 @@ object SparkEntry {
     ops.Relational.oracles ++ ops.ScalarParity.oracles ++
       ops.WindowOps.oracles ++ ops.TextOps.oracles ++
       ops.DedupOps.oracles ++ ops.VectorOps.oracles ++
-      ops.MartOps.oracles ++ ops.MultiModal.oracles
+      ops.MartOps.oracles ++ ops.MultiModal.oracles ++
+      ops.EventOps.oracles
 }
