@@ -1,0 +1,111 @@
+package graft.pos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Layered fetch/load facade mirroring the reference's entry points
+  * (`payments.marts.fetch_daily`, `sales.marts.fetch_ticket/...` —
+  * `/root/reference/src/pos_core/payments/marts.py:24-82`,
+  * `sales/marts.py:24-160`) with `mode ∈ {missing, force}`
+  * idempotence (payments/core.py:52-73):
+  *
+  *  - `missing`: skip compute when a matching-version ok manifest
+  *    covers the range; serve from storage.
+  *  - `force`: recompute and overwrite.
+  *
+  * Storage: `{root}/gold/<mart>/data` parquet partitioned by `fecha`,
+  * so date-range loads prune partitions at the source (the Spark-
+  * native replacement for the reference's filename-encoded pruning,
+  * SURVEY S11), with `_meta/` manifests beside it.
+  */
+final class PosApi(spark: SparkSession, rootDir: String,
+                   version: String = "graft_v1") {
+
+  private def martDir(name: String) = s"$rootDir/gold/$name"
+
+  private def validateMode(mode: String): Unit =
+    if (mode != "missing" && mode != "force")
+      throw new ConfigError(s"mode must be 'missing' or 'force', got '$mode'")
+
+  /** fact_payments_ticket rows → mart_payments_daily for [start, end],
+    * computed at most once per (range, version) unless forced. */
+  def fetchPaymentsDaily(payments: DataFrame, start: String, end: String,
+                         mode: String = "missing",
+                         holidays: Set[java.time.LocalDate] = Set.empty)
+      : DataFrame = {
+    validateMode(mode)
+    val dir = martDir("payments_daily")
+    val man = new StageManifests(dir)
+    man.runStage(start, end, version, Nil, force = mode == "force") {
+      val slice = payments.filter(
+        col("operating_date").between(lit(start).cast("date"),
+          lit(end).cast("date")))
+      PaymentsDaily.aggregate(slice, holidays)
+        .write.mode("overwrite")
+        .partitionBy("fecha")
+        .parquet(s"$dir/data")
+    }
+    loadPaymentsDaily(start, end)
+  }
+
+  /** Partition-pruned load of a stored mart range. */
+  def loadPaymentsDaily(start: String, end: String): DataFrame =
+    spark.read.parquet(s"${martDir("payments_daily")}/data")
+      .filter(col("fecha").between(lit(start).cast("date"),
+        lit(end).cast("date")))
+
+  /** Item lines → ticket mart, same idempotence contract. */
+  def fetchSalesByTicket(lines: DataFrame, start: String, end: String,
+                         mode: String = "missing"): DataFrame = {
+    validateMode(mode)
+    val dir = martDir("sales_by_ticket")
+    val man = new StageManifests(dir)
+    man.runStage(start, end, version, Nil, force = mode == "force") {
+      val slice = lines.filter(
+        col("operating_date").between(lit(start).cast("date"),
+          lit(end).cast("date")))
+      SalesByTicket.aggregateByTicket(slice)
+        .write.mode("overwrite").parquet(s"$dir/data")
+    }
+    spark.read.parquet(s"$dir/data")
+      .filter(col("operating_date").between(lit(start).cast("date"),
+        lit(end).cast("date")))
+  }
+}
+
+/** Edge-format IO (SURVEY S9/S10): UTF-8-BOM CSV at the boundary —
+  * internal storage stays parquet. */
+object EdgeIO {
+  /** Write a (small, final) DataFrame as ONE `utf-8-sig` CSV file, the
+    * reference's export format (payments_cleaner.py:716-728). The
+    * single-file coalesce is for edge exports only — marts stay
+    * partitioned parquet. */
+  def writeCsvWithBom(df: DataFrame, outFile: String): Unit = {
+    import java.nio.file._
+    val tmp = Files.createTempDirectory("csvout").toString
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator()
+    var src: Path = null
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.toString.endsWith(".csv")) src = p
+    }
+    if (src == null) throw new EtlError(s"no csv part written in $tmp")
+    val out = Paths.get(outFile)
+    if (out.getParent != null) Files.createDirectories(out.getParent)
+    val bytes = Files.readAllBytes(src)
+    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+    Files.write(out, bom ++ bytes)
+  }
+
+  /** Read many clean CSVs (BOM-tolerant, recursive glob, header) —
+    * the multi-file union the reference does with pd.concat
+    * (payments_daily.py:504-526). */
+  def readCleanCsvs(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("recursiveFileLookup", "true")
+      .option("encoding", "UTF-8")
+      .csv(path)
+}
