@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression,
+  ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for accent stripping (SURVEY F6) —
+  * NFD-decompose then drop combining marks, the semantics of the
+  * reference's `remove_accents` (cleaning_utils.py:261-313).
+  *
+  * A Scala UDF gives the same answer but is an optimizer black box:
+  * not codegen-inlined, blocks null-intolerance reasoning, and boxes
+  * every row. This expression participates in whole-stage codegen
+  * (`doGenCode` emits a static call), so the surrounding projection
+  * stays in one generated function — the (b)-tier of the custom-
+  * operator ladder (expression > UDF). */
+object StripAccentsUtil {
+  def strip(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    val out = java.text.Normalizer
+      .normalize(s.toString, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}+", "")
+    UTF8String.fromString(out)
+  }
+}
+
+case class StripAccents(child: Expression)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    StripAccentsUtil.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StripAccentsUtil.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : StripAccents = copy(child = newChild)
+
+  override def prettyName: String = "strip_accents"
+}
+
+/** Session extension registering the native functions — wire with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`; then
+  * `expr("strip_accents_native(c)")` resolves through the registry
+  * and codegens inline. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("strip_accents_native"),
+      new ExpressionInfo(classOf[StripAccents].getName,
+        "strip_accents_native"),
+      (children: Seq[Expression]) => StripAccents(children.head)))
+  }
+}

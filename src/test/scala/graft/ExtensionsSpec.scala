@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.GraftExtensions
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native expression registration + codegen behavior. Own session —
+  * extensions bind at session build time. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("ext")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+    .getOrCreate()
+
+  test("strip_accents_native resolves, matches UDF semantics, codegens") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("Café Überraschung añejo", "Miércoles", null)
+      .toDF("t")
+      .select($"t", expr("strip_accents_native(t)").as("n"),
+        graft.functions.Cleaning.stripAccents($"t").as("u"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) == "Cafe Uberraschung anejo")
+    assert(rows(1).getString(1) == "Miercoles")
+    assert(rows(2).isNullAt(1)) // null-intolerant → null in, null out
+    rows.filter(!_.isNullAt(1)).foreach(r =>
+      assert(r.getString(1) == r.getString(2))) // expression == UDF
+    // on a real source the projection stays inside whole-stage codegen
+    // (the local-relation case above folds to a LocalTableScan)
+    val scanDf = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(expr("strip_accents_native(text)").as("n"))
+    assert(scanDf.collect().forall(_.getString(0).nonEmpty))
+    // AQE finalizes the plan only after execution; "*(n)" marks a
+    // whole-stage-codegen stage containing the projection
+    assert(scanDf.queryExecution.executedPlan.toString
+      .contains("*(2) Project [strip_accents(text"))
+  }
+}

@@ -12,6 +12,7 @@ class StreamingSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   private def ts(s: String) = java.sql.Timestamp.valueOf(s)
