@@ -49,6 +49,19 @@ object Headers {
   def normalizeBranchName(raw: String): String =
     if (raw == null) ""
     else raw.trim.split("_", 2)(0).replace('-', ' ')
+
+  /** F9 slugify (etl/utils.py:408-435): NFKD, strip combining, strip
+    * non-word, spaces/hyphens → single hyphen; empty → "unknown". */
+  def slugify(value: String): String = {
+    val norm = java.text.Normalizer
+      .normalize(if (value == null) "" else value,
+        java.text.Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}+", "")
+    val slug = norm.replaceAll("[^\\w\\s-]", "")
+      .replaceAll("[-\\s]+", "-")
+      .replaceAll("^[-_]+|[-_]+$", "").toLowerCase
+    if (slug.isEmpty) "unknown" else slug
+  }
 }
 
 /** "Detalle por forma de pago" cleaner
@@ -171,8 +184,27 @@ object PaymentsCleaner {
       case _ => coerced
     }
 
-    val withSucursal = ranged.withColumn("sucursal",
-      lit(Headers.normalizeBranchName(sucursalHint)))
+    // sucursal: hint first; F16 fallback = modal value of the Cajero/
+    // Mesero columns (read BEFORE they are dropped), preferring
+    // non-numeric, shorter candidates (payments_cleaner.py:220-248)
+    val sucursal0 = Headers.normalizeBranchName(sucursalHint)
+    val sucursal =
+      if (sucursal0.nonEmpty) sucursal0
+      else {
+        val cands = rawHeaders.zipWithIndex.filter { case (h, _) =>
+          val n = Headers.stripInvisibles(h)
+          n == "Cajero" || n == "Mesero"
+        }.flatMap { case (_, i) =>
+          body.select(Cleaning.stripInvisibles(col(cellCols(i))).as("v"))
+            .filter(col("v").isNotNull && col("v") =!= "")
+            .groupBy("v").count()
+            .orderBy(col("count").desc, col("v").asc)
+            .limit(1).collect().headOption.map(_.getString(0))
+        }
+        cands.sortBy(v => (if (v.matches("\\d+")) 1 else 0, v.length))
+          .headOption.getOrElse("")
+      }
+    val withSucursal = ranged.withColumn("sucursal", lit(sucursal))
 
     // J1: eliminations flag — dedup on (date, order), left join,
     // null → false (payments_cleaner.py:597-650)

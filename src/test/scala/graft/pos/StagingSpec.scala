@@ -133,6 +133,19 @@ class StagingSpec extends AnyFunSuite {
       "total_anulacion"))
   }
 
+  test("sucursal fallback: modal Cajero value when no hint (F16)") {
+    val out = PaymentsCleaner.clean(grid(paymentsRaw), sucursalHint = "")
+    // 'Juan' is the modal (only) Cajero value in the fixture
+    assert(out.collect().forall(_.getAs[String]("sucursal") == "Juan"))
+  }
+
+  test("slugify (F9): accents, spaces, underscores, empties") {
+    assert(Headers.slugify("Punto Valle") == "punto-valle")
+    assert(Headers.slugify("Café") == "cafe")
+    assert(Headers.slugify("Kavia_OLD") == "kavia_old")
+    assert(Headers.slugify("  ¡¡!!  ") == "unknown")
+  }
+
   test("formula injection neutralized in payment cells (F2)") {
     val inj = Seq(
       Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total"),
