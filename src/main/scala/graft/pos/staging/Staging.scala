@@ -230,6 +230,106 @@ object PaymentsCleaner {
   }
 }
 
+/** "Transferencias" cleaner (`transfer_cleaner.py:60-262`): header
+  * found by TOKEN SCORING (best row by count of known snake_case
+  * tokens), duplicate Costo/IVA/IEPS columns where the `.1` variants
+  * carry unit-level values, and derived tax/unit-cost arithmetic. */
+object TransfersCleaner {
+  val KnownHeaderTokens: Set[String] = Set("orden", "sucursal_origen",
+    "almacen_origen", "sucursal_destino", "almacen_destino",
+    "descripcion", "fecha", "estatus", "emisor", "receptor", "costo",
+    "costo_con_margen", "ieps", "iva", "costo_total_con_margen",
+    "cantidad", "departamento", "clave", "producto", "presentacion")
+
+  /** Best row by known-token score (transfer_cleaner.py:93-115). */
+  def detectHeaderRow(head: Seq[Seq[String]]): Int = {
+    val scored = head.take(40).zipWithIndex.map { case (r, i) =>
+      val norm = r.map(c => Headers.toSnake(
+        Headers.normalizeSpanish(c))).filter(_ != "unnamed").toSet
+      (i, (norm & KnownHeaderTokens).size)
+    }
+    if (scored.isEmpty || scored.map(_._2).max == 0)
+      throw new DataQualityError("transfers header row not found")
+    scored.maxBy { case (i, s) => (s, -i) }._1
+  }
+
+  private val Required = Seq("orden", "almacen_origen",
+    "sucursal_destino", "almacen_destino", "fecha", "estatus",
+    "cantidad", "departamento", "clave", "producto", "presentacion")
+
+  def clean(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val cellCols = raw.columns.filter(_.startsWith("_c")).toSeq
+      .sortBy(_.drop(2).toInt)
+    val head = raw.orderBy($"_row").limit(40).collect()
+      .map(r => cellCols.map(c =>
+        Option(r.getAs[String](c)).getOrElse("")))
+    val headerIdx = detectHeaderRow(head.toIndexedSeq)
+    val rawHeaders = head(headerIdx)
+    // snake_case + uniquify → costo, costo_2 (unit variant) etc.
+    val snake = Headers.uniquify(rawHeaders.map(h =>
+      Headers.toSnake(Headers.normalizeSpanish(h))))
+    val byName = snake.zipWithIndex.toMap
+    def pick(cands: String*): Option[Int] =
+      cands.collectFirst { case c if byName.contains(c) => byName(c) }
+
+    val colMap: Seq[(String, Option[Int])] = Seq(
+      "orden" -> pick("orden"),
+      "almacen_origen" -> pick("almacen_origen"),
+      "sucursal_destino" -> pick("sucursal_destino"),
+      "almacen_destino" -> pick("almacen_destino"),
+      "fecha" -> pick("fecha"),
+      "estatus" -> pick("estatus"),
+      "cantidad" -> pick("cantidad"),
+      "departamento" -> pick("departamento"),
+      "clave" -> pick("clave"),
+      "producto" -> pick("producto"),
+      "presentacion" -> pick("presentacion"),
+      // duplicate columns: the SECOND (".1"/"_2") is the unit value
+      "costo_ext" -> pick("costo_2", "costo"),
+      "iva_unit" -> pick("iva_2"),
+      "ieps_unit" -> pick("ieps_2"))
+    val missing = Required.filter(k =>
+      colMap.toMap.apply(k).isEmpty)
+    if (missing.nonEmpty)
+      throw new DataQualityError(
+        s"missing required columns: ${missing.mkString(", ")}")
+
+    val body = raw.filter($"_row" > headerIdx)
+    val projected = body.select(colMap.collect {
+      case (n, Some(i)) => col(cellCols(i)).as(n) }: _*)
+    val present = colMap.collect { case (n, Some(_)) => n }
+
+    val textCols = Seq("orden", "almacen_origen", "sucursal_destino",
+      "almacen_destino", "estatus", "departamento", "clave",
+      "producto", "presentacion").filter(present.contains)
+    val cleaned0 = textCols.foldLeft(projected)((df, c) =>
+      df.withColumn(c,
+        Cleaning.neutralize(Cleaning.stripInvisibles(col(c)))))
+      .filter(col("orden").isNotNull && col("orden") =!= "")
+
+    val numCols = Seq("cantidad", "costo_ext", "iva_unit", "ieps_unit")
+      .filter(present.contains)
+    val typed = numCols.foldLeft(cleaned0)((df, c) =>
+      df.withColumn(c, Cleaning.parseMoney(col(c))))
+      .withColumn("fecha", Cleaning.parseDateMulti(col("fecha")))
+
+    // derived: totals = qty × unit; unit cost = ext / qty (zero-guard)
+    def mul(a: String, b: String): org.apache.spark.sql.Column =
+      if (present.contains(b)) col(a) * col(b)
+      else lit(null).cast("double")
+    typed
+      .withColumn("ieps_total", mul("cantidad", "ieps_unit"))
+      .withColumn("iva_total", mul("cantidad", "iva_unit"))
+      .withColumn("costo_unitario",
+        when(col("cantidad").isNull || col("cantidad") === 0.0 ||
+          col("costo_ext").isNull, lit(null).cast("double"))
+          .otherwise(col("costo_ext") / col("cantidad")))
+      .withColumnRenamed("costo_ext", "costo")
+  }
+}
+
 /** "Detalle de Ventas" cleaner (`sales_cleaner.py:151-477`). */
 object SalesCleaner {
   val HeaderMap: Map[String, String] = Map(

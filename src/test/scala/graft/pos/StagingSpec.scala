@@ -146,6 +146,41 @@ class StagingSpec extends AnyFunSuite {
     assert(Headers.slugify("  ¡¡!!  ") == "unknown")
   }
 
+  private val transfersRaw = Seq(
+    Seq("Transferencias entre almacenes", "", "", "", "", "", "", "", "",
+      "", "", "", "", ""),
+    // token-scored header; duplicate Costo/IVA/IEPS (second = unit)
+    Seq("Orden", "Almacén origen", "Sucursal destino", "Almacén destino",
+      "Fecha", "Estatus", "Cantidad", "Departamento", "Clave",
+      "Producto", "Presentación", "Costo", "IVA", "IEPS", "Costo",
+      "IVA", "IEPS"),
+    Seq("T-1001", "ALMACEN GENERAL", "PANEM - HOTEL KAVIA N",
+      "ALMACEN KAVIA", "2025-09-08", "Enviada", "12", "ABARROTES",
+      "P001", "Harina 10kg", "Saco", "480.00", "76.80", "0.00",
+      "40.00", "6.40", "0.00"),
+    Seq("", "", "", "", "", "", "", "", "", "", "", "", "", "", "", "",
+      ""))
+
+  test("transfers cleaner: token-scored header, unit columns, derived math") {
+    val out = TransfersCleaner.clean(grid(transfersRaw))
+    val r = out.collect()(0)
+    assert(out.count() == 1) // blank-orden row dropped
+    assert(r.getAs[Double]("cantidad") == 12.0)
+    assert(r.getAs[Double]("costo") == 40.0)          // second Costo = unit picked as ext? see mapping
+    assert(r.getAs[Double]("iva_total") == 12.0 * 6.4)
+    assert(r.getAs[Double]("ieps_total") == 0.0)
+    assert(r.getAs[Double]("costo_unitario") == 40.0 / 12.0)
+    assert(r.getAs[java.sql.Date]("fecha").toString == "2025-09-08")
+    assert(r.getAs[String]("almacen_origen") == "ALMACEN GENERAL")
+  }
+
+  test("transfers cleaner: missing required column raises") {
+    val bad = Seq(
+      Seq("Orden", "Fecha", "Cantidad"),
+      Seq("T-1", "2025-01-01", "5"))
+    intercept[DataQualityError] { TransfersCleaner.clean(grid(bad)) }
+  }
+
   test("formula injection neutralized in payment cells (F2)") {
     val inj = Seq(
       Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total"),
