@@ -101,4 +101,51 @@ object Qa {
 
     PaymentsQaResult(summary, missingDays, dupDays, zeroFlags, zs)
   }
+
+  /** A13 monthly roll-ups (qa_payments.py:704-815): per (sucursal,
+    * year-month) totals, then two month × sucursal pivots — sales and
+    * elimination-pct. Returns (monthly, salesPivot, elimPctPivot). */
+  def monthlyPivots(df: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val revenue = MoneyCols.filter(df.columns.contains)
+      .map(c => coalesce(col(c), lit(0.0))).reduce(_ + _)
+    val elimCol =
+      if (df.columns.contains("tickets_with_eliminations"))
+        coalesce($"tickets_with_eliminations", lit(0L))
+      else lit(0L)
+    val monthly = df
+      .withColumn("year_month", date_format($"fecha", "yyyy-MM"))
+      .groupBy($"sucursal", $"year_month")
+      .agg(sum(revenue).as("total_sin_propinas"),
+        sum($"num_tickets").as("num_tickets"),
+        sum(elimCol).as("tickets_with_eliminations"))
+      .withColumn("pct_eliminations",
+        when($"num_tickets" === 0, 0.0)
+          .otherwise(bround($"tickets_with_eliminations" * 100.0 /
+            $"num_tickets", 2)))
+    val sales = monthly.groupBy($"year_month")
+      .pivot("sucursal").sum("total_sin_propinas").na.fill(0.0)
+    val elim = monthly.groupBy($"year_month")
+      .pivot("sucursal").sum("pct_eliminations").na.fill(0.0)
+    (monthly, sales, elim)
+  }
+
+  /** U6 seeded spot-check sample (qa_payments.py:823-965): choose n
+    * distinct (sucursal, year-month) pairs with rand(seed), then join
+    * back all detail rows for the chosen pairs. Deterministic within
+    * Spark for a fixed seed. */
+  def sampleMonthPairs(df: DataFrame, n: Int, seed: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withYm = df.withColumn("year_month",
+      date_format($"fecha", "yyyy-MM"))
+    val pairs = withYm.select($"sucursal", $"year_month").distinct()
+      .orderBy($"sucursal", $"year_month") // stable pre-shuffle order
+      .withColumn("r", rand(seed))
+      .orderBy($"r").limit(n)
+      .drop("r")
+    withYm.join(broadcast(pairs), Seq("sucursal", "year_month"))
+  }
 }

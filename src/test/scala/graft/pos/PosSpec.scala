@@ -271,6 +271,27 @@ class PosSpec extends AnyFunSuite {
     assert(math.abs(wed.getAs[Double]("credito") - (500.0 + 250.0)) < 1e-9)
   }
 
+  test("QA monthly pivots and seeded month-pair sample (A13/U6)") {
+    val mart = padMart(martFixture(70, spike = false))
+    val (monthly, sales, elim) = Qa.monthlyPivots(mart)
+    // Jan 2025 + Feb 2025 + Mar for 2 branches
+    assert(monthly.count() == 6)
+    assert(sales.columns.toSet == Set("year_month", "Kavia", "Nativa"))
+    assert(elim.count() == 3)
+    val jan = monthly.filter(monthly("year_month") === "2025-01" &&
+      monthly("sucursal") === "Kavia").collect()(0)
+    // 31 days × (efectivo + 500 + 300): efectivo = 1000 + 100*(i%7)
+    val efJan = (0 until 31).map(i => 1000.0 + 100.0 * (i % 7)).sum
+    assert(jan.getAs[Double]("total_sin_propinas") ==
+      efJan + 31 * 800.0)
+    // seeded sample: deterministic for a fixed seed, n pairs only
+    val s1 = Qa.sampleMonthPairs(mart, 2, seed = 7)
+    val s2 = Qa.sampleMonthPairs(mart, 2, seed = 7)
+    assert(s1.select("sucursal", "year_month").distinct().count() == 2)
+    assert(s1.collect().map(_.toString).sorted.toSeq ==
+      s2.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("forecast: arima model end-to-end (W8, flatMapGroups per series)") {
     val mart = padMart(martFixture(35, spike = false))
     val (fc, dep) = Forecast.runPaymentsForecast(mart, horizonDays = 7,
