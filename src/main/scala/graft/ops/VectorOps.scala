@@ -177,15 +177,98 @@ object VectorOps {
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.3"""
 
+  // ------------------------------------------------------------- IVF
+  /** IVF coarse quantization, fully in-engine: centroids = per-label
+    * element-wise means (exact decimal sums over a posexplode, so
+    * they're order-independent), every vector assigned to its nearest
+    * centroid by L2; emitted as a (true label × assigned cell)
+    * census. The trained-quantizer step of an IVF ANN index. */
+  val q65IvfAssign: Q = (s, d) => {
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .select($"vec_id", $"label",
+        posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val centroids = dims.groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+    val dist = dims.join(broadcast(centroids), Seq("pos"))
+      .withColumn("sq",
+        (($"v" - $"c") * ($"v" - $"c")).cast("decimal(38,12)"))
+      .groupBy($"vec_id", $"label", $"c_label")
+      .agg(sum($"sq").cast("double").as("d2"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"d2".asc, $"c_label".asc)
+    dist.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"label", $"c_label".as("assigned"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+  val o65: String = """
+    WITH dims AS (
+      SELECT vec_id, label, g.pos AS pos,
+             CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    centroids AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    dist AS (
+      SELECT d.vec_id, d.label, ct.c_label,
+             CAST(SUM(CAST((d.v - ct.c) * (d.v - ct.c)
+               AS DECIMAL(38,12))) AS DOUBLE) AS d2
+      FROM dims d JOIN centroids ct ON d.pos = ct.pos
+      GROUP BY 1, 2, 3),
+    assigned AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+        ORDER BY d2 ASC, c_label ASC) AS rn
+      FROM dist)
+    SELECT label, c_label AS assigned, COUNT(*) AS n_vecs
+    FROM assigned WHERE rn = 1 GROUP BY 1, 2"""
+
+  // ------------------------------------------------------ quantization
+  /** Symmetric int8 quantization for embedding storage: per-vector
+    * scale = 127 / max|x|, elements rounded to int8 — 4× smaller at
+    * rest, rehydrated as q/scale. Emits head elements + scale. */
+  val q66QuantizeInt8: Q = (s, d) => {
+    import s.implicits._
+    val maxAbs = expr(
+      "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(0.0)
+    val e = Tables.embeddings(s, d).withColumn("scale", scale)
+    def qAt(i: Int) = expr(
+      s"CAST(round(CAST(element_at(embedding, $i) AS DOUBLE) * scale)" +
+        " AS INT)").as(s"q$i")
+    e.select($"vec_id", $"scale", qAt(1), qAt(2), qAt(3), qAt(4))
+  }
+  val o66: String = """
+    SELECT vec_id, scale,
+      CAST(round(CAST(embedding[1] AS DOUBLE) * scale) AS INT) AS q1,
+      CAST(round(CAST(embedding[2] AS DOUBLE) * scale) AS INT) AS q2,
+      CAST(round(CAST(embedding[3] AS DOUBLE) * scale) AS INT) AS q3,
+      CAST(round(CAST(embedding[4] AS DOUBLE) * scale) AS INT) AS q4
+    FROM (
+      SELECT vec_id, embedding,
+        CASE WHEN m > 0.0 THEN 127.0 / m ELSE 0.0 END AS scale
+      FROM (SELECT vec_id, embedding,
+              list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings))"""
+
   val queries: Map[String, Q] = Map(
     "q61_norm_stats" -> q61NormStats,
     "q62_knn_brute" -> q62KnnBrute,
     "q63_ann_bucketed" -> q63AnnBucketed,
-    "q64_cosine_neardup" -> q64CosineNearDup)
+    "q64_cosine_neardup" -> q64CosineNearDup,
+    "q65_ivf_assign" -> q65IvfAssign,
+    "q66_quantize_int8" -> q66QuantizeInt8)
 
   val oracles: Map[String, String] = Map(
     "q61_norm_stats" -> o61,
     "q62_knn_brute" -> o62,
     "q63_ann_bucketed" -> o63,
-    "q64_cosine_neardup" -> o64)
+    "q64_cosine_neardup" -> o64,
+    "q65_ivf_assign" -> o65,
+    "q66_quantize_int8" -> o66)
 }
