@@ -89,10 +89,11 @@ object Cleaning {
   def parseMoney(c: Column): Column = parseMoneyU(c)
 
   // ---------------------------------------------------------------- F4
-  /** to_float then half-even? Reference uses Python round() (banker's).
-    * Ref: cleaning_utils.py:200-222. Python round() is half-to-even. */
+  /** to_float then round half-to-even — Python round() is banker's,
+    * so bround (HALF_EVEN), not round (HALF_UP).
+    * Ref: cleaning_utils.py:200-222. */
   def parseIntMoney(c: Column): Column =
-    round(parseMoney(c), 0).cast("long") // Spark round = HALF_UP; see spec note
+    bround(parseMoney(c), 0).cast("long")
 
   // ---------------------------------------------------------------- F5
   /** Multi-format date parse, order matters (day-first before US).

@@ -21,8 +21,9 @@ object DedupOps {
 
   /** Adds `th` (per-token hash array, computed ONCE per row — split
     * inside a lambda re-evaluates per element access, an O(tokens²)
-    * trap) and `shs` (token-3-gram shingle hashes, collision-sparse
-    * polynomial combine, fits int64). */
+    * trap) and `shs` (token-3-gram shingle hashes, mod-reduced per
+    * combine so a*x in MinHash never overflows Int64 even for high
+    * code points). */
   private def withShingles(df: DataFrame): DataFrame = df
     .withColumn("th", expr(
       "transform(split(text, ' '), x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))"))
@@ -31,18 +32,19 @@ object DedupOps {
     // per ELEMENT after projection collapse (O(tokens²) interpreted
     // evals/row); slice() arguments evaluate once per row.
     .withColumn("shs", expr(
-      """zip_with(
+      s"""zip_with(
            zip_with(slice(th, 1, greatest(size(th) - 2, 0)),
                     slice(th, 2, greatest(size(th) - 2, 0)),
-                    (a, b) -> a * 100003 + b),
+                    (a, b) -> (a * 100003 + b) % $P),
            slice(th, 3, greatest(size(th) - 2, 0)),
-           (ab, c) -> ab * 100003 + c)"""))
+           (ab, c) -> (ab * 100003 + c) % $P)"""))
   /** DuckDB twin of [[shinglesExpr]]. */
   private val shinglesSql: String = {
+    // greatest(unicode,0): DuckDB unicode('') is -1, Spark ascii('') is 0
     def h(i: String) =
-      s"CAST(unicode(t[$i]) * 131 + length(t[$i]) AS BIGINT)"
+      s"CAST(greatest(unicode(t[$i]), 0) * 131 + length(t[$i]) AS BIGINT)"
     s"""list_transform(generate_series(1, len(t) - 2), i ->
-          ((${h("i")}) * 100003 + (${h("i+1")})) * 100003 + (${h("i+2")}))"""
+          (((${h("i")}) * 100003 + (${h("i+1")})) % $P * 100003 + (${h("i+2")})) % $P)"""
   }
 
   // ------------------------------------------------------------ MinHash
@@ -112,7 +114,6 @@ object DedupOps {
     val sh = withShingles(Tables.documents(s, d))
       .select($"doc_id", explode($"shs").as("sh"))
       .distinct()
-      .persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -159,7 +160,7 @@ object DedupOps {
           THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
     }.mkString(" + ")
   private def simhashSql: String = {
-    val h = s"((CAST(unicode(x) * 131 + length(x) AS BIGINT) * 2654435761) & 4294967295)"
+    val h = s"((CAST(greatest(unicode(x), 0) * 131 + length(x) AS BIGINT) * 2654435761) & 4294967295)"
     (0 until 32).map { b =>
       s"""(CASE WHEN list_sum(list_transform(t,
             x -> 2 * ((($h) >> $b) & 1) - 1)) > 0
@@ -186,7 +187,7 @@ object DedupOps {
     * banded join, never quadratic. */
   val q60SimHashPairs: Q = (s, d) => {
     import s.implicits._
-    val sig = q59SimHash(s, d).persist()
+    val sig = q59SimHash(s, d)
     def band(df: DataFrame, e: String) = {
       import df.sparkSession.implicits._
       df.withColumn("bk", expr(e))

@@ -12,11 +12,11 @@ import org.apache.spark.sql.functions._
 object MartOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** F13: group → column-safe UPPER_SNAKE pivot name
-    * (sales_by_ticket.py:97-111). Driver-side — names schema, not data. */
-  def sanitizeGroupName(g: String): String =
-    g.trim.replaceAll("[^A-Za-z0-9]+", "_")
-      .replaceAll("^_+|_+$", "").toUpperCase
+  /** F13: group → column-safe UPPER_SNAKE pivot names with collision
+    * suffixes — shared with the ticket mart
+    * (sales_by_ticket.py:97-111). Driver-side — names schema. */
+  def sanitizeGroupNames(gs: Seq[String]): Seq[(String, String)] =
+    graft.pos.SalesByTicket.sanitize(gs)
 
   // ---------------------------------------------------------------- A7
   /** Dynamic two-measure pivot (sales_by_ticket.py:284-353): the column
@@ -34,12 +34,12 @@ object MartOps {
       .agg(moneySum($"o_totalprice").as("sum"),
         count(lit(1)).as("cnt"))
     // pivot names columns "<value>_<alias>"; re-key to sanitized names
-    val renamed = prios.foldLeft(pv) { (df, p) =>
-      df.withColumnRenamed(s"${p}_sum", s"${sanitizeGroupName(p)}_SUM")
-        .withColumnRenamed(s"${p}_cnt", s"${sanitizeGroupName(p)}_CNT")
+    val named = sanitizeGroupNames(prios)
+    val renamed = named.foldLeft(pv) { case (df, (p, n)) =>
+      df.withColumnRenamed(s"${p}_sum", s"${n}_SUM")
+        .withColumnRenamed(s"${p}_cnt", s"${n}_CNT")
     }
-    val sel = $"o_custkey" +: prios.flatMap { p =>
-      val n = sanitizeGroupName(p)
+    val sel = $"o_custkey" +: named.flatMap { case (_, n) =>
       Seq(coalesce(col(s"${n}_SUM"), lit(0.0)).as(s"${n}_SUM"),
         coalesce(col(s"${n}_CNT"), lit(0L)).as(s"${n}_CNT"))
     }

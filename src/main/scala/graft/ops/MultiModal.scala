@@ -61,10 +61,10 @@ object MultiModal {
       .toDF()
   }
   val o75 = """
-    SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
       md5(text) AS checksum,
-      length(text) % 640 AS fake_width,
-      (length(text) * 7) % 480 AS fake_height
+      octet_length(encode(text)) % 640 AS fake_width,
+      (octet_length(encode(text)) * 7) % 480 AS fake_height
     FROM documents"""
 
   /** Media batch profile: partition-level batch shape audit — rows and
@@ -82,8 +82,8 @@ object MultiModal {
   }
   val o76 = """
     SELECT source, COUNT(*) AS n_items,
-      CAST(SUM(length(text)) AS BIGINT) AS total_bytes,
-      CAST(MAX(length(text)) AS BIGINT) AS max_bytes
+      CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+      CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents GROUP BY source"""
 
   val queries: Map[String, Q] = Map(

@@ -143,7 +143,7 @@ object TextOps {
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(string_split(text, ' '),
-            t -> CAST(unicode(t) * 131 + length(t) AS BIGINT))),
+            t -> CAST(greatest(unicode(t), 0) * 131 + length(t) AS BIGINT))),
         (acc, x) -> (acc * 31 + x) % $MOD) AS fingerprint
     FROM documents"""
 

@@ -45,7 +45,10 @@ object WindowOps {
     val w = Window.partitionBy($"event_type").orderBy($"d")
       .rowsBetween(-59, 0)
     val s1 = sum($"cents").over(w).cast("double")
-    val s2 = sum($"cents" * $"cents").over(w).cast("double")
+    // decimal square: cents² overflows Int64 at ~$30M/day; decimal(19)
+    // × decimal(19) → decimal(38) stays exact (DuckDB side: HUGEINT)
+    val s2 = sum($"cents".cast("decimal(19,0)") *
+      $"cents".cast("decimal(19,0)")).over(w).cast("double")
     val n  = count(lit(1)).over(w).cast("double")
     daily(s, d)
       .withColumn("mu", s1 / n)
@@ -63,7 +66,7 @@ object WindowOps {
     win AS (
       SELECT event_type, d, cents,
         CAST(SUM(cents) OVER w AS DOUBLE) AS s1,
-        CAST(SUM(cents * cents) OVER w AS DOUBLE) AS s2,
+        CAST(SUM(CAST(cents AS HUGEINT) * cents) OVER w AS DOUBLE) AS s2,
         CAST(COUNT(*) OVER w AS DOUBLE) AS n
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY d

@@ -42,6 +42,10 @@ final class PosApi(spark: SparkSession, rootDir: String,
           lit(end).cast("date")))
       PaymentsDaily.aggregate(slice, holidays)
         .write.mode("overwrite")
+        // dynamic: only partitions present in THIS slice are replaced;
+        // static overwrite would wipe previously stored ranges whose
+        // manifests still say ok
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("fecha")
         .parquet(s"$dir/data")
     }
@@ -65,7 +69,10 @@ final class PosApi(spark: SparkSession, rootDir: String,
         col("operating_date").between(lit(start).cast("date"),
           lit(end).cast("date")))
       SalesByTicket.aggregateByTicket(slice)
-        .write.mode("overwrite").parquet(s"$dir/data")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("operating_date")
+        .parquet(s"$dir/data")
     }
     spark.read.parquet(s"$dir/data")
       .filter(col("operating_date").between(lit(start).cast("date"),
@@ -82,21 +89,29 @@ object EdgeIO {
     * partitioned parquet. */
   def writeCsvWithBom(df: DataFrame, outFile: String): Unit = {
     import java.nio.file._
-    val tmp = Files.createTempDirectory("csvout").toString
-    df.coalesce(1).write.mode("overwrite")
-      .option("header", "true").csv(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var src: Path = null
-    while (part.hasNext) {
-      val p = part.next()
-      if (p.toString.endsWith(".csv")) src = p
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("csvout")
+    try {
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(tmp.toString)
+      val src = {
+        val st = Files.list(tmp)
+        try st.iterator().asScala.find(_.toString.endsWith(".csv"))
+          .getOrElse(throw new EtlError(s"no csv part written in $tmp"))
+        finally st.close()
+      }
+      val out = Paths.get(outFile)
+      if (out.getParent != null) Files.createDirectories(out.getParent)
+      val os = Files.newOutputStream(out)
+      try {
+        os.write(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+        Files.copy(src, os)
+      } finally os.close()
+    } finally {
+      val st = Files.walk(tmp)
+      try st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally st.close()
     }
-    if (src == null) throw new EtlError(s"no csv part written in $tmp")
-    val out = Paths.get(outFile)
-    if (out.getParent != null) Files.createDirectories(out.getParent)
-    val bytes = Files.readAllBytes(src)
-    val bom = Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
-    Files.write(out, bom ++ bytes)
   }
 
   /** Read many clean CSVs (BOM-tolerant, recursive glob, header) —

@@ -55,12 +55,15 @@ object SalesByTicket {
     import spark.implicits._
     val key = groupingKey(lines)
 
-    // A7 domain discovery: tiny distinct collect (driver-side names only)
+    // A7 domain discovery: tiny distinct collect (driver-side names
+    // only). Null groups are excluded like pandas groupby drops NaN
+    // keys — their rows still count toward ticket metadata below.
     val groups = lines.select($"group").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
     val named = sanitize(groups)
 
-    val pivoted = lines.groupBy(key.map(col): _*)
+    val pivoted = lines.filter($"group".isNotNull)
+      .groupBy(key.map(col): _*)
       .pivot("group", groups)
       .agg(sum($"subtotal_item").as("subtotal"),
         sum($"total_item").as("total"))
