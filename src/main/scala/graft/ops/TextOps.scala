@@ -185,7 +185,62 @@ object TextOps {
       FROM documents)
     WHERE doc_id <> canonical_id"""
 
+  // ---------------------------------------------------- curation e2e
+  /** The capstone corpus-curation pipeline, composed from the
+    * primitives: quality gate (stop-ratio + length composite ≥ 0.4) →
+    * language allowlist → exact dedup (canonical id survives) →
+    * near-dup drop (of each Jaccard ≥ 0.5 pair, the higher doc_id
+    * drops) → per-language census of survivors with token budget.
+    * One declarative plan; at 100 TB each stage is the same shuffle
+    * layout the standalone queries use. */
+  val q56Curation: Q = (s, d) => {
+    import s.implicits._
+    val stop = "'the','a','of','and','in','to'"
+    val nTok = size(toks($"text")).cast("double")
+    val nStop = expr(
+      s"size(filter(split(text, ' '), t -> t IN ($stop)))").cast("double")
+    val lenScore = least(lit(1.0), length($"text").cast("double") / 400.0)
+    val quality = (nStop / nTok) * 0.5 + lenScore * 0.5
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"text")
+    val base = Tables.documents(s, d)
+      .withColumn("quality", quality)
+      .withColumn("n_tokens", size(toks($"text")))
+      .filter($"quality" >= 0.4 && $"lang".isin("en", "es", "fr"))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .filter($"doc_id" === $"canonical_id")
+    val dropped = DedupOps.q58JaccardPairs(s, d)
+      .select($"doc_b".as("doc_id")).distinct()
+    base.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").cast("long").as("total_tokens"))
+  }
+  val o56cur: String = s"""
+    WITH jacc AS (${DedupOps.o58}),
+    dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jacc),
+    scored AS (
+      SELECT doc_id, lang, text,
+        len(string_split(text, ' ')) AS n_tokens,
+        (CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','in','to'))) AS DOUBLE)
+          / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+          + least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5
+          AS quality
+      FROM documents),
+    gated AS (
+      SELECT *, MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
+      FROM scored
+      WHERE quality >= 0.4 AND lang IN ('en', 'es', 'fr')),
+    survivors AS (
+      SELECT g.* FROM gated g
+      ANTI JOIN dropped d ON g.doc_id = d.doc_id
+      WHERE g.doc_id = g.canonical_id)
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM survivors GROUP BY lang"""
+
   val queries: Map[String, Q] = Map(
+    "q82_curation" -> q56Curation,
     "q50_token_stats" -> q50TokenStats,
     "q51_quality_score" -> q51QualityScore,
     "q52_lang_id" -> q52LangId,
@@ -194,6 +249,7 @@ object TextOps {
     "q55_dedup_assign" -> q55DedupAssign)
 
   val oracles: Map[String, String] = Map(
+    "q82_curation" -> o56cur,
     "q50_token_stats" -> o50,
     "q51_quality_score" -> o51,
     "q52_lang_id" -> o52,
