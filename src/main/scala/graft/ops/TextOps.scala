@@ -193,7 +193,7 @@ object TextOps {
     * drops) → per-language census of survivors with token budget.
     * One declarative plan; at 100 TB each stage is the same shuffle
     * layout the standalone queries use. */
-  val q56Curation: Q = (s, d) => {
+  val q82Curation: Q = (s, d) => {
     import s.implicits._
     val stop = "'the','a','of','and','in','to'"
     val nTok = size(toks($"text")).cast("double")
@@ -215,7 +215,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").cast("long").as("total_tokens"))
   }
-  val o56cur: String = s"""
+  val o82: String = s"""
     WITH jacc AS (${DedupOps.o58}),
     dropped AS (SELECT DISTINCT doc_b AS doc_id FROM jacc),
     scored AS (
@@ -240,7 +240,7 @@ object TextOps {
     FROM survivors GROUP BY lang"""
 
   val queries: Map[String, Q] = Map(
-    "q82_curation" -> q56Curation,
+    "q82_curation" -> q82Curation,
     "q50_token_stats" -> q50TokenStats,
     "q51_quality_score" -> q51QualityScore,
     "q52_lang_id" -> q52LangId,
@@ -249,7 +249,7 @@ object TextOps {
     "q55_dedup_assign" -> q55DedupAssign)
 
   val oracles: Map[String, String] = Map(
-    "q82_curation" -> o56cur,
+    "q82_curation" -> o82,
     "q50_token_stats" -> o50,
     "q51_quality_score" -> o51,
     "q52_lang_id" -> o52,
