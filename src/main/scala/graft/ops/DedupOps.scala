@@ -111,20 +111,20 @@ object DedupOps {
     * J = |A∩B| / |A∪B| over distinct shingles, threshold 0.5. */
   val q58JaccardPairs: Q = (s, d) => {
     import s.implicits._
+    // per-doc set size rides along in-row (size of array_distinct) and
+    // the explode is already distinct — no dedup shuffle, no separate
+    // sizes aggregation, and the self-join's two identical sides hit
+    // Spark's exchange reuse
     val sh = withShingles(Tables.documents(s, d))
-      .select($"doc_id", explode($"shs").as("sh"))
-      .distinct()
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a")
+      .select($"doc_id",
+        size(array_distinct($"shs")).as("n"),
+        explode(array_distinct($"shs")).as("sh"))
+    sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard",
         $"i".cast("double") / ($"na" + $"nb" - $"i").cast("double"))
       .filter($"jaccard" >= 0.5)
