@@ -41,6 +41,27 @@ class ArimaSpec extends AnyFunSuite {
     }
   }
 
+  test("ARMA: Hannan-Rissanen recovers MA structure on an ARMA(1,1) process") {
+    // y_t = 0.6 y_{t-1} + e_t + 0.5 e_{t-1}
+    val rnd = new scala.util.Random(3)
+    val n = 600
+    val y = new Array[Double](n)
+    var ePrev = 0.0
+    for (t <- 1 until n) {
+      val e = rnd.nextGaussian()
+      y(t) = 0.6 * y(t - 1) + e + 0.5 * ePrev
+      ePrev = e
+    }
+    val f = ArimaLite.fitArma(y, 1, 1).get
+    assert(math.abs(f.coef(0) - 0.6) < 0.15, s"phi=${f.coef(0)}")
+    assert(f.maCoef(0) > 0.2 && f.maCoef(0) < 0.8,
+      s"theta=${f.maCoef(0)}")
+    // forecast decays toward the process mean (0), stays finite
+    val fc = ArimaLite.forecastFit(y, f, 10)
+    assert(fc.forall(java.lang.Double.isFinite))
+    assert(math.abs(fc.last) <= math.abs(fc.head) + 1.0)
+  }
+
   test("level tracking: forecast of a stable series stays near level") {
     val rnd = new scala.util.Random(11)
     val y = Array.tabulate(120)(_ => 1000.0 + rnd.nextGaussian() * 20)
