@@ -48,11 +48,45 @@ case class StripAccents(child: Expression)
   override def prettyName: String = "strip_accents"
 }
 
+/** Native money parser (SURVEY F3): same decision tree as the
+  * `parseMoney` UDF ([[Cleaning.parseMoneyFn]]) but as a Catalyst
+  * expression whose codegen emits a static call — the hottest scalar
+  * in the cleaning path stays inside whole-stage codegen. */
+object ParseMoneyUtil {
+  def parse(s: UTF8String): java.lang.Double =
+    if (s == null) null
+    else Cleaning.parseMoneyFn(s.toString) match {
+      case Some(v) => java.lang.Double.valueOf(v)
+      case None => null
+    }
+}
+
+case class ParseMoney(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.DoubleType
+  // parse can return null even for non-null input (junk strings)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any = {
+    val r = ParseMoneyUtil.parse(input.asInstanceOf[UTF8String])
+    if (r == null) null else r.doubleValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Double r = graft.functions.ParseMoneyUtil.parse($c);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }""")
+  override protected def withNewChildInternal(newChild: Expression)
+      : ParseMoney = copy(child = newChild)
+  override def prettyName: String = "parse_money"
+}
+
 /** Session extension registering the native functions — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or `.withExtensions(new GraftExtensions)`; then
-  * `expr("strip_accents_native(c)")` resolves through the registry
-  * and codegens inline. */
+  * `expr("strip_accents_native(c)")` / `expr("parse_money_native(c)")`
+  * resolve through the registry and codegen inline. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -60,5 +94,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StripAccents].getName,
         "strip_accents_native"),
       (children: Seq[Expression]) => StripAccents(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("parse_money_native"),
+      new ExpressionInfo(classOf[ParseMoney].getName,
+        "parse_money_native"),
+      (children: Seq[Expression]) => ParseMoney(children.head)))
   }
 }

@@ -41,4 +41,20 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(scanDf.queryExecution.executedPlan.toString
       .contains("*(2) Project [strip_accents(text"))
   }
+
+  test("parse_money_native matches the UDF on the truth table + nulls") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val cases = Seq("1,234.56", "1.234,56", "(1,234.56)", "$ 1 234,56",
+      "1.234", "1,234", "1.234.567", "12,34", "-42", "abc", "", null)
+    val df = cases.toDF("raw")
+      .select($"raw", expr("parse_money_native(raw)").as("n"),
+        graft.functions.Cleaning.parseMoney($"raw").as("u"))
+    df.collect().foreach { r =>
+      val n = if (r.isNullAt(1)) null else r.getDouble(1)
+      val u = if (r.isNullAt(2)) null else r.getDouble(2)
+      assert(n == u, s"raw=${r.getString(0)}: native=$n udf=$u")
+    }
+  }
 }
