@@ -21,6 +21,20 @@ object TextOps {
   /** Tokens of a whitespace-delimited document. */
   private def toks(c: Column): Column = split(c, " ")
 
+  private val StopList = "'the','a','of','and','in','to'"
+
+  /** Composite quality score in [0,1]: stop-ratio and length halves —
+    * ONE definition shared by q51 and the q82 curation capstone. */
+  private def qualityExpr: Column = {
+    val nTok = size(toks(col("text"))).cast("double")
+    val nStop = expr(
+      s"size(filter(split(text, ' '), t -> t IN ($StopList)))")
+      .cast("double")
+    val lenScore = least(lit(1.0),
+      length(col("text")).cast("double") / 400.0)
+    (nStop / nTok) * 0.5 + lenScore * 0.5
+  }
+
   // ------------------------------------------------------------ tokens
   /** Token counting + basic stats (the LLM-pipeline token counter;
     * whitespace tokenization). */
@@ -48,17 +62,16 @@ object TextOps {
     * [0,1]. All doubles derive from exact integer counts. */
   val q51QualityScore: Q = (s, d) => {
     import s.implicits._
-    val stop = "'the','a','of','and','in','to'"
     val nTok = size(toks($"text")).cast("double")
     val nStop = expr(
-      s"size(filter(split(text, ' '), t -> t IN ($stop)))").cast("double")
+      s"size(filter(split(text, ' '), t -> t IN ($StopList)))")
+      .cast("double")
     val lenScore = least(lit(1.0), length($"text").cast("double") / 400.0)
-    val stopRatio = nStop / nTok
     Tables.documents(s, d)
       .select($"doc_id",
-        stopRatio.as("stop_ratio"),
+        (nStop / nTok).as("stop_ratio"),
         lenScore.as("len_score"),
-        (stopRatio * 0.5 + lenScore * 0.5).as("quality"))
+        qualityExpr.as("quality"))
   }
   val o51 = """
     SELECT doc_id,
@@ -195,15 +208,9 @@ object TextOps {
     * layout the standalone queries use. */
   val q82Curation: Q = (s, d) => {
     import s.implicits._
-    val stop = "'the','a','of','and','in','to'"
-    val nTok = size(toks($"text")).cast("double")
-    val nStop = expr(
-      s"size(filter(split(text, ' '), t -> t IN ($stop)))").cast("double")
-    val lenScore = least(lit(1.0), length($"text").cast("double") / 400.0)
-    val quality = (nStop / nTok) * 0.5 + lenScore * 0.5
     val w = org.apache.spark.sql.expressions.Window.partitionBy($"text")
     val base = Tables.documents(s, d)
-      .withColumn("quality", quality)
+      .withColumn("quality", qualityExpr)
       .withColumn("n_tokens", size(toks($"text")))
       .filter($"quality" >= 0.4 && $"lang".isin("en", "es", "fr"))
       .withColumn("canonical_id", min($"doc_id").over(w))

@@ -124,6 +124,14 @@ object Forecast {
                     minObs: Int = 30): DataFrame = {
     val spark = series.sparkSession
     import spark.implicits._
+    // emptiness guard runs on the tiny bounds aggregate, NOT on the
+    // fitted output — out.isEmpty would execute the whole per-series
+    // grid twice (once for the check, once for the caller's action)
+    val anyEligible = !series.groupBy($"sucursal", $"metric")
+      .agg(count(lit(1)).as("n")).filter($"n" >= minObs).isEmpty
+    if (!anyEligible)
+      throw new DataQualityError(
+        s"no (sucursal, metric) series with >= $minObs observations")
     val out = series.select($"sucursal", $"metric",
         $"fecha".cast("date").as("fecha"), $"valor".cast("double"))
       .as[SeriesRow]
@@ -142,9 +150,6 @@ object Forecast {
           }
         }
       }.toDF()
-    if (out.isEmpty)
-      throw new DataQualityError(
-        s"no (sucursal, metric) series with >= $minObs observations")
     out.orderBy($"sucursal", $"fecha", $"metric")
   }
 
@@ -163,9 +168,13 @@ object Forecast {
     val lastHist = historicalMart.agg(max($"fecha".cast("date")))
       .collect()(0).getDate(0)
 
+    // absent metric columns count as zero (cash_flow.py:42-57)
+    val histCols = historicalMart.columns.toSet
     val histDaily = historicalMart
       .select(($"fecha".cast("date").as("d") +:
-        metrics.map(m => coalesce(col(m), lit(0.0)).as(m))): _*)
+        metrics.map(m =>
+          (if (histCols(m)) coalesce(col(m), lit(0.0))
+           else lit(0.0)).as(m))): _*)
       .groupBy($"d")
       .agg(sum(col(metrics.head)).as(metrics.head),
         metrics.tail.map(m => sum(col(m)).as(m)): _*)

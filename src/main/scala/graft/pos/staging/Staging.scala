@@ -102,6 +102,11 @@ object PaymentsCleaner {
       counts(c) = k + 1
       if (k == 0) c else s"$c.$k"
     }
+    // NOTE: the reference's own code compares the mangled name
+    // verbatim ("Propina.1" != "Propina"), so its second Propina
+    // leaks through as raw propina_1 — contradicting its docstring
+    // and the downstream ticket_tip contract (FIXTURES.md §1). We
+    // implement the documented contract: positional disambiguation.
     var propinas = 0
     val mapped = numbered.map { c =>
       val base = c.replaceAll("\\.\\d+$", "")
@@ -115,10 +120,15 @@ object PaymentsCleaner {
     Headers.uniquify(mapped)
   }
 
-  /** Sentinel scan for the header row (payments_cleaner.py:94-107). */
+  /** Sentinel scan for the header row — SUBSTRING match like the
+    * reference ("Forma de pago:" still hits, payments_cleaner.py:
+    * 94-107). Divergence: the reference silently falls back to row 0
+    * when no sentinel exists; we fail fast — a mis-structured silver
+    * file is worse than a rejected one. */
   def detectHeaderRow(head: Seq[Seq[String]]): Int = {
     val i = head.indexWhere(_.exists(c =>
-      Headers.stripInvisibles(c).equalsIgnoreCase("Forma de pago")))
+      Headers.stripInvisibles(c).toLowerCase
+        .contains("forma de pago")))
     if (i < 0)
       throw new DataQualityError(
         "header row with 'Forma de pago' not found in first rows")
@@ -166,19 +176,25 @@ object PaymentsCleaner {
       .na.drop("all", strCols)
       .filter(col(firstCol).isNotNull && col(firstCol) =!= "")
 
-    // type coercion: F5 dates, F3 money, F4 ints
-    val typed = nonEmpty
-      .withColumn("operating_date",
-        Cleaning.parseDateMulti(col("operating_date")))
-      .withColumn("order_index",
-        Cleaning.parseIntMoney(col("order_index")))
+    // type coercion: F5 dates, F3 money, F4 ints — only for columns
+    // the report actually carries (reference guards each with `in df`)
+    val typed0 =
+      if (strCols.contains("operating_date"))
+        nonEmpty.withColumn("operating_date",
+          Cleaning.parseDateMulti(col("operating_date")))
+      else nonEmpty
+    val typed =
+      if (strCols.contains("order_index"))
+        typed0.withColumn("order_index",
+          Cleaning.parseIntMoney(col("order_index")))
+      else typed0
     val coerced = NumericColumns.filter(strCols.contains)
       .foldLeft(typed)((df, c) =>
         df.withColumn(c, Cleaning.parseMoney(col(c))))
 
     // P3 chunk-range filter (dedups overlapping exports)
     val ranged = (chunkStart, chunkEnd) match {
-      case (Some(s0), Some(e0)) =>
+      case (Some(s0), Some(e0)) if strCols.contains("operating_date") =>
         coerced.filter(col("operating_date")
           .between(lit(s0).cast("date"), lit(e0).cast("date")))
       case _ => coerced
@@ -195,7 +211,12 @@ object PaymentsCleaner {
           val n = Headers.stripInvisibles(h)
           n == "Cajero" || n == "Mesero"
         }.flatMap { case (_, i) =>
-          body.select(Cleaning.stripInvisibles(col(cellCols(i))).as("v"))
+          // exclude footer/junk rows (blank first kept column), like
+          // the reference which samples AFTER footer filtering
+          val firstCell = cellCols(named.head._2)
+          body
+            .filter(Cleaning.stripInvisibles(col(firstCell)) =!= "")
+            .select(Cleaning.stripInvisibles(col(cellCols(i))).as("v"))
             .filter(col("v").isNotNull && col("v") =!= "")
             .groupBy("v").count()
             .orderBy(col("count").desc, col("v").asc)
@@ -286,8 +307,10 @@ object TransfersCleaner {
       "clave" -> pick("clave"),
       "producto" -> pick("producto"),
       "presentacion" -> pick("presentacion"),
-      // duplicate columns: the SECOND (".1"/"_2") is the unit value
-      "costo_ext" -> pick("costo_2", "costo"),
+      // reference parity: its pick("costo.1", ...) can never match the
+      // snake_cased "costo_1", so costo comes from the FIRST column;
+      // iva/ieps genuinely take the second (unit-level) occurrence
+      "costo_ext" -> pick("costo"),
       "iva_unit" -> pick("iva_2"),
       "ieps_unit" -> pick("ieps_2"))
     val missing = Required.filter(k =>
@@ -388,9 +411,8 @@ object SalesCleaner {
     * (sales_cleaner.py:100-124). */
   def detectHeaderRow(head: Seq[Seq[String]]): Int = {
     val i = head.indexWhere(r => r.exists { c =>
-      val s = Headers.stripInvisibles(c)
-      s.equalsIgnoreCase("Día") ||
-        s.equalsIgnoreCase("Fecha de operación")
+      val s = Headers.stripInvisibles(c).toLowerCase
+      s.contains("fecha de operación") || s == "día"
     })
     if (i < 0)
       throw new DataQualityError("sales header row not found")

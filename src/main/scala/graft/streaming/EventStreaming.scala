@@ -65,7 +65,8 @@ object EventStreaming {
   def sessionize(events: Dataset[Event],
                  gapMillis: Long = 30L * 60 * 1000,
                  timeout: GroupStateTimeout =
-                   GroupStateTimeout.NoTimeout()): Dataset[Session] = {
+                   GroupStateTimeout.NoTimeout(),
+                 emitOpen: Boolean = false): Dataset[Session] = {
     import events.sparkSession.implicits._
     val useTimeout =
       timeout == GroupStateTimeout.ProcessingTimeTimeout()
@@ -101,8 +102,15 @@ object EventStreaming {
               }
             }
             cur match {
-              case Some(s) =>
-                state.update(s)
+              case Some(st) if emitOpen =>
+                // batch mode: each key is visited exactly once, so the
+                // trailing session must flush here or it is lost
+                state.remove()
+                closed += Session(userId, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.lastSeen), st.nEvents,
+                  st.totalValue)
+              case Some(st) =>
+                state.update(st)
                 if (useTimeout) state.setTimeoutDuration(gapMillis)
               case None => ()
             }

@@ -166,10 +166,10 @@ class StagingSpec extends AnyFunSuite {
     val r = out.collect()(0)
     assert(out.count() == 1) // blank-orden row dropped
     assert(r.getAs[Double]("cantidad") == 12.0)
-    assert(r.getAs[Double]("costo") == 40.0)          // second Costo = unit picked as ext? see mapping
-    assert(r.getAs[Double]("iva_total") == 12.0 * 6.4)
+    assert(r.getAs[Double]("costo") == 480.0)  // FIRST Costo (extended)
+    assert(r.getAs[Double]("iva_total") == 12.0 * 6.4) // second IVA = unit
     assert(r.getAs[Double]("ieps_total") == 0.0)
-    assert(r.getAs[Double]("costo_unitario") == 40.0 / 12.0)
+    assert(r.getAs[Double]("costo_unitario") == 480.0 / 12.0)
     assert(r.getAs[java.sql.Date]("fecha").toString == "2025-09-08")
     assert(r.getAs[String]("almacen_origen") == "ALMACEN GENERAL")
   }
