@@ -46,6 +46,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: emitOpen flushes trailing sessions for batch use") {
+    val s = spark
+    import s.implicits._
+    val events = Seq(
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStreaming.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      EventStreaming.Event(3, ts("2024-01-01 12:00:00"), 1, "view", 3.0),
+      EventStreaming.Event(4, ts("2024-01-01 09:00:00"), 2, "view", 5.0)
+    ).toDS()
+    val sess = EventStreaming.sessionize(events, emitOpen = true)
+      .collect().sortBy(r => (r.user_id, r.session_start.getTime))
+    // user 1: burst + trailing singleton; user 2: single trailing
+    assert(sess.length == 3)
+    assert(sess(0).n_events == 2 && sess(0).total_value == 3.0)
+    assert(sess(1).n_events == 1 && sess(1).total_value == 3.0)
+    assert(sess(2).user_id == 2 && sess(2).n_events == 1)
+  }
+
   test("sessionize: inactivity gap splits sessions within a batch") {
     val s = spark
     import s.implicits._
