@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.expressions.{Expression,
   ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
@@ -82,6 +84,17 @@ case class ParseMoney(child: Expression) extends UnaryExpression {
   override def prettyName: String = "parse_money"
 }
 
+/** Optimizer rule: collapse nested idempotent normalizers —
+  * `strip_accents(strip_accents(x))` ⇒ `strip_accents(x)` (NFD +
+  * mark-strip is idempotent). A tiny example of the
+  * `injectOptimizerRule` extension point doing real plan surgery. */
+object CollapseIdempotentStripAccents extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case StripAccents(inner @ StripAccents(_)) => inner
+    }
+}
+
 /** Session extension registering the native functions — wire with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
   * or `.withExtensions(new GraftExtensions)`; then
@@ -99,5 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ParseMoney].getName,
         "parse_money_native"),
       (children: Seq[Expression]) => ParseMoney(children.head)))
+    ext.injectOptimizerRule(_ => CollapseIdempotentStripAccents)
   }
 }
