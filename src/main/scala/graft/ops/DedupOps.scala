@@ -106,35 +106,52 @@ object DedupOps {
     FROM buckets GROUP BY band"""
 
   // ------------------------------------------------------------ Jaccard
-  /** n-gram Jaccard near-dup pairs via inverted shingle index: only
-    * pairs sharing ≥1 shingle are compared (no cross join);
-    * J = |A∩B| / |A∪B| over distinct shingles, threshold 0.5. */
+  /** Document-frequency cap for the inverted shingle index: a shingle
+    * held by k docs produces C(k,2) self-join rows, so one boilerplate
+    * "stop-shingle" at corpus scale is a hot key that dwarfs the whole
+    * shuffle. Shingles with df > cap carry no near-dup signal anyway
+    * (they are corpus-wide noise) — dropping them from the shingle
+    * SETS (sizes and intersections alike) is standard corpus-dedup
+    * practice and bounds the self-join input per shingle. */
+  private val MaxShingleDf = 100
+
+  /** n-gram Jaccard near-dup pairs via a df-capped inverted shingle
+    * index: only pairs sharing ≥1 surviving shingle are compared (no
+    * cross join, no uncapped posting lists);
+    * J = |A∩B| / |A∪B| over distinct df-capped shingles, threshold
+    * 0.5. Sizes are computed AFTER the cap so the Jaccard denominator
+    * and numerator see the same sets. */
   val q58JaccardPairs: Q = (s, d) => {
     import s.implicits._
-    // per-doc set size rides along in-row (size of array_distinct) and
-    // the explode is already distinct — no dedup shuffle, no separate
-    // sizes aggregation, and the self-join's two identical sides hit
-    // Spark's exchange reuse
-    val sh = withShingles(Tables.documents(s, d))
-      .select($"doc_id",
-        size(array_distinct($"shs")).as("n"),
-        explode(array_distinct($"shs")).as("sh"))
+    val exploded = withShingles(Tables.documents(s, d))
+      .select($"doc_id", explode(array_distinct($"shs")).as("sh"))
+    // df census has map-side partial combine — the hot shingle never
+    // skews this shuffle; it is then excluded from the self-join
+    val kept = exploded.groupBy($"sh")
+      .agg(count(lit(1)).as("df"))
+      .filter($"df" <= MaxShingleDf)
+      .select($"sh")
+    val sh = exploded.join(kept, Seq("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         $"i".cast("double") / ($"na" + $"nb" - $"i").cast("double"))
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"jaccard")
   }
   val o58: String = s"""
-    WITH sh AS (
+    WITH sh0 AS (
       SELECT DISTINCT doc_id, unnest(shs) AS sh
       FROM (SELECT doc_id, $shinglesSql AS shs
             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+    kept AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
+    sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN kept USING (sh)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i

@@ -77,18 +77,31 @@ object ScaleOps {
   }
 
   // -------------------------------------------------------------- U6
-  /** Seeded random sample (qa_payments.py:823-965): rand(seed) is
-    * deterministic WITHIN Spark (same seed + partitioning → same
-    * rows) but not reproducible by other engines, so this query has
-    * no SQL oracle — the driver records a rows-only check. The
-    * cross-engine-reproducible variant is q15's hash-mod sample. */
+  /** Seeded sample via a seed-mixed multiplicative hash
+    * (qa_payments.py:823-965 uses a seeded rng). `rand(seed)` is the
+    * WRONG operator at scale: its stream depends on the partition
+    * layout, so AQE / repartitioning silently changes which rows are
+    * sampled, and no other engine can reproduce it. A seeded hash of
+    * the key is stable under any partitioning, reproducible by any
+    * engine (→ full oracle check), and equally uniform. Two mod-prime
+    * rounds keep every intermediate < 2^63 (no ANSI overflow) while
+    * mixing the seed into high bits. Distinct from q15's single
+    * unseeded hash-mod round. */
+  private val SampleSeed = 42L
+
   val q81SeededSample: Q = (s, d) => {
     import s.implicits._
+    val h1 = ($"c_custkey" * lit(2654435761L) + lit(SampleSeed * 40503L)) %
+      lit(1000000007L)
+    val h2 = (h1 * lit(2654435761L)) % lit(1000000007L)
     Tables.customer(s, d)
-      .withColumn("r", rand(42))
-      .filter($"r" < 0.05)
+      .filter(h2 % 100 < 5)
       .select($"c_custkey", $"c_name", $"c_acctbal")
   }
+  val o81: String = s"""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE (((c_custkey * 2654435761 + ${SampleSeed * 40503L}) % 1000000007)
+            * 2654435761) % 1000000007 % 100 < 5"""
 
   val queries: Map[String, Q] = Map(
     "q79_salted_agg" -> q79SaltedAgg,
@@ -97,5 +110,6 @@ object ScaleOps {
 
   val oracles: Map[String, String] = Map(
     "q79_salted_agg" -> o79,
-    "q80_spanish_calendar" -> o80)
+    "q80_spanish_calendar" -> o80,
+    "q81_seeded_sample" -> o81)
 }

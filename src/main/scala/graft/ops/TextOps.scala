@@ -139,17 +139,20 @@ object TextOps {
   }
 
   // ------------------------------------------------------- fingerprint
-  /** Document fingerprinting: left-fold polynomial rolling hash over
-    * token hashes, mod large prime — a content-defined fingerprint any
+  /** Left-fold polynomial rolling hash over token hashes, mod large
+    * prime — the content key shared by q53 and the dedup shuffles in
+    * q55/q82 (an 8-byte key instead of the full document body). */
+  private def fingerprintCol: Column =
+    expr("aggregate(transform(split(text, ' '), " +
+      "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")
+
+  /** Document fingerprinting: a content-defined fingerprint any
     * engine reproduces. */
   val q53Fingerprint: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id",
-        expr("aggregate(transform(split(text, ' '), " +
-          "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
-          s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")
-          .as("fingerprint"))
+      .select($"doc_id", fingerprintCol.as("fingerprint"))
   }
   val o53 = s"""
     SELECT doc_id,
@@ -181,13 +184,21 @@ object TextOps {
 
   /** Canonical-id assignment for exact dedup: every text keyed to the
     * min doc_id holding it; emits only non-canonical rows (the rows an
-    * LLM pipeline would drop). */
+    * LLM pipeline would drop).
+    *
+    * Keyed on the 8-byte fingerprint (q53) with the raw text only as a
+    * collision tiebreak, and spelled aggregate + join-back rather than
+    * a window over `text`: the aggregation's map-side partial combine
+    * collapses hot duplicate texts BEFORE the shuffle, and AQE
+    * skew-join can split the join's hot keys — window partitions can
+    * do neither, so the old text-keyed window shuffled full document
+    * bodies and skewed on exactly the rows dedup exists to find. */
   val q55DedupAssign: Q = (s, d) => {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"text")
-    Tables.documents(s, d)
-      .withColumn("canonical_id", min($"doc_id").over(w))
+    val docs = Tables.documents(s, d).withColumn("fp", fingerprintCol)
+    val canon = docs.groupBy($"fp", $"text")
+      .agg(min($"doc_id").as("canonical_id"))
+    docs.join(canon, Seq("fp", "text"))
       .filter($"doc_id" =!= $"canonical_id")
       .select($"doc_id", $"canonical_id", $"source")
   }
@@ -208,16 +219,24 @@ object TextOps {
     * layout the standalone queries use. */
   val q82Curation: Q = (s, d) => {
     import s.implicits._
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"text")
-    val base = Tables.documents(s, d)
+    // exact-dedup stage keyed on (fingerprint, text) like q55: the
+    // groupBy's map-side combine collapses hot duplicates pre-shuffle,
+    // and the canonical row's attributes come out of the same agg
+    // (min_by for lang; n_tokens is a function of text, constant per
+    // group) — no window over document bodies, no join-back needed
+    // since only canonical rows survive this stage anyway
+    val canon = Tables.documents(s, d)
       .withColumn("quality", qualityExpr)
       .withColumn("n_tokens", size(toks($"text")))
       .filter($"quality" >= 0.4 && $"lang".isin("en", "es", "fr"))
-      .withColumn("canonical_id", min($"doc_id").over(w))
-      .filter($"doc_id" === $"canonical_id")
+      .withColumn("fp", fingerprintCol)
+      .groupBy($"fp", $"text")
+      .agg(min($"doc_id").as("doc_id"),
+        min_by($"lang", $"doc_id").as("lang"),
+        min($"n_tokens").as("n_tokens"))
     val dropped = DedupOps.q58JaccardPairs(s, d)
       .select($"doc_b".as("doc_id")).distinct()
-    base.join(dropped, Seq("doc_id"), "left_anti")
+    canon.join(dropped, Seq("doc_id"), "left_anti")
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").cast("long").as("total_tokens"))

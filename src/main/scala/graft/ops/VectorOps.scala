@@ -59,14 +59,18 @@ object VectorOps {
     GROUP BY label"""
 
   // --------------------------------------------------------- brute kNN
-  /** Brute-force cosine top-k: queries = vec_id % 100 = 0, k = 5,
-    * ranked by (cosine desc, vec_id asc). The exact baseline every ANN
-    * variant is measured against. */
+  /** Brute-force cosine top-k: queries = vec_id % 100 = 0 AND
+    * vec_id < 2500 (≤ 25 queries no matter how big the table grows —
+    * a percentage-of-N query set would make the broadcast side scale
+    * with the data and OOM executors at 100×; the exact baseline must
+    * stay a CONSTANT-size broadcast), k = 5, ranked by (cosine desc,
+    * vec_id asc). The exact baseline every ANN variant is measured
+    * against; q63/q65 are the scale paths for large query sets. */
   val q62KnnBrute: Q = (s, d) => {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
-    val q = e.filter($"vec_id" % 100 === 0)
+    val q = e.filter($"vec_id" % 100 === 0 && $"vec_id" < 2500)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
         $"norm".as("q_norm"))
     val c = e.select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
@@ -88,7 +92,8 @@ object VectorOps {
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
         ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm) AS cosine
-      FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id <> c.vec_id)
+      FROM e q JOIN e c ON q.vec_id % 100 = 0 AND q.vec_id < 2500
+                       AND q.vec_id <> c.vec_id)
     SELECT query_id, neighbor_id, rank, cosine FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
         ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -180,31 +185,48 @@ object VectorOps {
   // ------------------------------------------------------------- IVF
   /** IVF coarse quantization, fully in-engine: centroids = per-label
     * element-wise means (exact decimal sums over a posexplode, so
-    * they're order-independent), every vector assigned to its nearest
-    * centroid by L2; emitted as a (true label × assigned cell)
-    * census. The trained-quantizer step of an IVF ANN index. */
+    * they're order-independent — the tiny training aggregate is the
+    * only place the 64× explode appears, and its map-side combine
+    * shrinks it to k×64 groups), then every vector assigned to its
+    * nearest centroid by an IN-ROW argmin: centroids are packed into
+    * one broadcast row of (c_label, vector) structs and the L2
+    * distance is a left-fold `aggregate(zip_with(...))` per centroid —
+    * no posexplode on the assignment path, so nothing is shuffled but
+    * the final (label × cell) census. Distances are left folds in
+    * element order on both engines → bit-identical doubles → identical
+    * argmin. The trained-quantizer step of an IVF ANN index. */
   val q65IvfAssign: Q = (s, d) => {
     import s.implicits._
     val dims = Tables.embeddings(s, d)
-      .select($"vec_id", $"label",
-        posexplode($"embedding").as(Seq("pos", "v")))
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .withColumn("v", $"v".cast("double"))
     val centroids = dims.groupBy($"label".as("c_label"), $"pos")
       .agg((sum($"v".cast("decimal(30,8)")).cast("double")
         / count(lit(1))).as("c"))
-    val dist = dims.join(broadcast(centroids), Seq("pos"))
-      .withColumn("sq",
-        (($"v" - $"c") * ($"v" - $"c")).cast("decimal(38,12)"))
-      .groupBy($"vec_id", $"label", $"c_label")
-      .agg(sum($"sq").cast("double").as("d2"))
-    val w = Window.partitionBy($"vec_id")
-      .orderBy($"d2".asc, $"c_label".asc)
-    dist.withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .groupBy($"label", $"c_label".as("assigned"))
+    // k centroids → one row: array of (c_label, carr) ordered structs.
+    // collect_list order is nondeterministic; array_sort fixes it (pos
+    // and c_label are unique keys within their groups).
+    val packed = centroids
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
+      .agg(array_sort(collect_list(struct($"c_label", $"carr")))
+        .as("cents"))
+    Tables.embeddings(s, d)
+      .join(broadcast(packed))
+      // argmin over the centroid array per row; struct ordering gives
+      // the (d2 asc, c_label asc) tie-break in one array_min
+      .withColumn("assigned", expr(
+        """array_min(transform(cents, ct -> named_struct(
+             'd2', aggregate(
+                     zip_with(embedding, ct.carr, (x, c) ->
+                       (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+             'c_label', ct.c_label))).c_label"""))
+      .groupBy($"label", $"assigned")
       .agg(count(lit(1)).as("n_vecs"))
   }
-  val o65: String = """
+  val o65: String = s"""
     WITH dims AS (
       SELECT vec_id, label, g.pos AS pos,
              CAST(embedding[g.pos] AS DOUBLE) AS v
@@ -214,12 +236,18 @@ object VectorOps {
       SELECT label AS c_label, pos,
              CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
       FROM dims GROUP BY 1, 2),
+    carr AS (
+      SELECT c_label, list(c ORDER BY pos) AS carr
+      FROM centroids GROUP BY c_label),
     dist AS (
-      SELECT d.vec_id, d.label, ct.c_label,
-             CAST(SUM(CAST((d.v - ct.c) * (d.v - ct.c)
-               AS DECIMAL(38,12))) AS DOUBLE) AS d2
-      FROM dims d JOIN centroids ct ON d.pos = ct.pos
-      GROUP BY 1, 2, 3),
+      SELECT em.vec_id, em.label, ca.c_label,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, 64), i ->
+                   (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i])
+                     * (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i]))),
+               (acc, x) -> acc + x) AS d2
+      FROM embeddings em, carr ca),
     assigned AS (
       SELECT *, row_number() OVER (PARTITION BY vec_id
         ORDER BY d2 ASC, c_label ASC) AS rn

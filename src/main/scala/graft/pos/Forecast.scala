@@ -167,6 +167,11 @@ object Forecast {
 
     val lastHist = historicalMart.agg(max($"fecha".cast("date")))
       .collect()(0).getDate(0)
+    // an empty historical mart would make both null-comparison filters
+    // below drop every row → silent all-zero schedule; fail loudly
+    if (lastHist == null)
+      throw new DataQualityError(
+        "depositSchedule: historical mart has no rows (no last date)")
 
     // absent metric columns count as zero (cash_flow.py:42-57)
     val histCols = historicalMart.columns.toSet

@@ -67,10 +67,14 @@ final class StageManifests(stageDir: String) {
 
   def readAll(): Seq[StageMetadata] =
     if (!Files.exists(metaDir)) Nil
-    else Files.list(metaDir).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
-      .flatMap(p => StageMetadata.fromJson(Files.readString(p)))
-      .toSeq
+    else {
+      val stream = Files.list(metaDir)
+      try stream.iterator().asScala
+        .filter(_.toString.endsWith(".json"))
+        .flatMap(p => StageMetadata.fromJson(Files.readString(p)))
+        .toSeq
+      finally stream.close()
+    }
 
   /** should_run_stage (payments/metadata.py:75-93): run unless an
     * exact-range manifest exists with status ok and matching version. */

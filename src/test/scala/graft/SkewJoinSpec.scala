@@ -15,13 +15,11 @@ class SkewJoinSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
-    // force SMJ (skew-split applies to sort-merge joins) and make the
-    // tiny fixture look skewed to AQE
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // skew-trip configs live ONLY in the test body (set/save/restore):
+    // putting them in the builder would make them the session-wide
+    // baseline whenever this suite is the one that creates the shared
+    // JVM session, leaking plan-shape changes into every later suite
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
     .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
