@@ -151,8 +151,37 @@ object ArimaLite {
   private def diff(y: Array[Double]): Array[Double] =
     Array.tabulate(y.length - 1)(i => y(i + 1) - y(i))
 
+  private def sdiff(y: Array[Double], s: Int): Array[Double] =
+    if (y.length <= s) Array.empty
+    else Array.tabulate(y.length - s)(i => y(i + s) - y(i))
+
+  /** Apply d regular + sD seasonal differences; returns the working
+    * series plus the pre-difference series stack (head = last applied)
+    * needed to integrate a forecast back to the original scale. */
+  private def diffChain(y: Array[Double], d: Int, sD: Int, s: Int)
+      : (Array[Double], List[(Array[Double], Int)]) = {
+    var cur = y
+    var stack = List.empty[(Array[Double], Int)]
+    for (_ <- 0 until d) { stack = (cur, 1) :: stack; cur = diff(cur) }
+    for (_ <- 0 until sD) { stack = (cur, s) :: stack; cur = sdiff(cur, s) }
+    (cur, stack)
+  }
+
+  /** Invert the difference chain: each step anchors on the tail of the
+    * corresponding pre-difference series (x_t = Δx_t + x_{t-lag}). */
+  private def integrate(fc: Array[Double],
+                        stack: List[(Array[Double], Int)]): Array[Double] =
+    stack.foldLeft(fc) { case (f, (pre, lag)) =>
+      val hist = scala.collection.mutable.ArrayBuffer(pre.toSeq: _*)
+      f.map { dv =>
+        val v = dv + hist(hist.length - lag)
+        hist += v
+        v
+      }
+    }
+
   /** Grid over p ∈ 0..maxP × q ∈ 0..maxQ × d ∈ {0,1} (p+q ≥ 1), min
-    * AIC — the reference's SARIMAX grid minus seasonal terms
+    * AIC — the non-seasonal slice of the reference's SARIMAX grid
     * (arima.py:118-139: failures inside the grid are skipped). */
   def select(y: Array[Double], maxP: Int = 2, maxQ: Int = 2)
       : Option[ArmaFit] = {
@@ -165,6 +194,145 @@ object ArimaLite {
       f <- fitArma(yd, p, q)
     } yield f.copy(d = d)
     if (fits.isEmpty) None else Some(fits.minBy(_.aic))
+  }
+
+  // ---------------------------------------------------------- seasonal
+  /** Subset-lag SARMA fit on the (d, D_s)-differenced series. The
+    * multiplicative SARIMAX polynomial φ(B)Φ(B^s) is expanded to its
+    * lag set {i + j·s : 0 ≤ i ≤ p, 0 ≤ j ≤ P} \ {0} and the products
+    * φ_iΦ_j are freed into independent OLS coefficients (same for the
+    * MA side over the Hannan–Rissanen residuals) — a superset of the
+    * reference's SARIMAX family under the repo's documented OLS-not-MLE
+    * tolerance (arima.py:118-139, seasonal_order=(P,D,Q,7)). */
+  final case class LagFit(arLags: Array[Int], maLags: Array[Int],
+                          d: Int, sD: Int, s: Int,
+                          coef: Array[Double], maCoef: Array[Double],
+                          intercept: Double, sigma2: Double,
+                          aic: Double, resid: Array[Double])
+
+  /** φ(B)Φ(B^s) expansion: {1..p} ∪ {i + j·s} for j ≥ 1, i ≤ p. */
+  private def lagSet(p: Int, sp: Int, s: Int): Array[Int] =
+    ((1 to p) ++ (for { j <- 1 to sp; i <- 0 to p } yield i + j * s))
+      .distinct.sorted.toArray
+
+  def fitLags(w: Array[Double], arLags: Array[Int],
+              maLags: Array[Int]): Option[LagFit] = {
+    val pMax = if (arLags.isEmpty) 0 else arLags.max
+    val qMax = if (maLags.isEmpty) 0 else maLags.max
+    // stage 1 (only when MA lags are present): long AR residuals
+    val eHat: Array[Double] =
+      if (maLags.isEmpty) new Array[Double](w.length)
+      else {
+        val m = math.max(pMax, qMax) + 3
+        fitAr(w, m).map(residualsAr(w, _)).getOrElse(return None)
+      }
+    val start =
+      if (maLags.isEmpty) pMax
+      else math.max(pMax, math.max(pMax, qMax) + 3 + qMax)
+    val n = w.length - start
+    val k = 1 + arLags.length + maLags.length
+    if (n <= k + 2) return None
+    def row(t: Int): Array[Double] =
+      1.0 +: (arLags.map(l => w(t - l)) ++ maLags.map(l => eHat(t - l)))
+    val xtx = Array.fill(k, k)(0.0)
+    val xty = Array.fill(k)(0.0)
+    for (t <- start until w.length) {
+      val r = row(t)
+      for (i <- 0 until k) {
+        xty(i) += r(i) * w(t)
+        for (j <- 0 until k) xtx(i)(j) += r(i) * r(j)
+      }
+    }
+    solve(xtx, xty).flatMap { beta =>
+      var sse = 0.0
+      for (t <- start until w.length) {
+        val r = row(t)
+        var pred = 0.0
+        for (i <- 0 until k) pred += beta(i) * r(i)
+        sse += math.pow(w(t) - pred, 2)
+      }
+      val sigma2 = math.max(sse / n, 1e-12)
+      if (sigma2.isNaN) None
+      else {
+        val fit = LagFit(arLags, maLags, 0, 0, 0,
+          beta.slice(1, 1 + arLags.length),
+          beta.slice(1 + arLags.length, k), beta(0), sigma2,
+          n * math.log(sigma2) + 2.0 * (k + 1), Array.empty)
+        Some(fit.copy(resid = residualsLags(w, fit)))
+      }
+    }
+  }
+
+  /** In-sample one-step residuals under the fitted SARMA recursion
+    * (feeds the MA terms of the iterated forecast). */
+  private def residualsLags(w: Array[Double], f: LagFit): Array[Double] = {
+    val pMax = if (f.arLags.isEmpty) 0 else f.arLags.max
+    val qMax = if (f.maLags.isEmpty) 0 else f.maLags.max
+    val e = new Array[Double](w.length)
+    for (t <- math.max(pMax, qMax) until w.length) {
+      var pred = f.intercept
+      for (i <- f.arLags.indices) pred += f.coef(i) * w(t - f.arLags(i))
+      for (j <- f.maLags.indices) pred += f.maCoef(j) * e(t - f.maLags(j))
+      e(t) = w(t) - pred
+    }
+    e
+  }
+
+  /** Full seasonal grid — the reference's 288-combination shape:
+    * (p,d,q) ∈ (0..2)×(0..1)×(0..2) × (P,D,Q) ∈ {0,1}³ at period s,
+    * min AIC, per-combination failures skipped (arima.py:41-46,
+    * 118-139). */
+  /** All grid fits, best (lowest) AIC first — callers that iterate a
+    * forecast should walk this list and take the first SANE forecast:
+    * with the σ² floor, several degenerate perfect fits can tie on
+    * likelihood and the nominal winner may be an explosive recursion
+    * (OLS enforces neither stationarity nor invertibility — and the
+    * reference runs SARIMAX with enforce_stationarity=False too). */
+  def selectSeasonalAll(y: Array[Double], s: Int = 7, maxP: Int = 2,
+                        maxQ: Int = 2, maxSP: Int = 1, maxSQ: Int = 1)
+      : Seq[LagFit] = {
+    val fits = for {
+      d <- 0 to 1
+      sD <- 0 to 1
+      w = diffChain(y, d, sD, s)._1
+      if w.nonEmpty
+      p <- 0 to maxP
+      q <- 0 to maxQ
+      sp <- 0 to maxSP
+      sq <- 0 to maxSQ
+      if p + q + sp + sq > 0
+      f <- fitLags(w, lagSet(p, sp, s), lagSet(q, sq, s))
+    } yield f.copy(d = d, sD = sD, s = s)
+    fits.sortBy(_.aic)
+  }
+
+  def selectSeasonal(y: Array[Double], s: Int = 7, maxP: Int = 2,
+                     maxQ: Int = 2, maxSP: Int = 1, maxSQ: Int = 1)
+      : Option[LagFit] =
+    selectSeasonalAll(y, s, maxP, maxQ, maxSP, maxSQ).headOption
+
+  /** Iterated h-step forecast of a seasonal fit on the differenced
+    * scale (future shocks zero, trailing residuals feed the MA lags),
+    * then integration back through the difference chain. */
+  def forecastLagFit(y: Array[Double], fit: LagFit, h: Int)
+      : Array[Double] = {
+    val (w, stack) = diffChain(y, fit.d, fit.sD, fit.s)
+    val buf = scala.collection.mutable.ArrayBuffer(w.toSeq: _*)
+    val e = scala.collection.mutable.ArrayBuffer(
+      (if (fit.resid.nonEmpty) fit.resid
+       else new Array[Double](w.length)).toSeq: _*)
+    val out = new Array[Double](h)
+    for (step <- 0 until h) {
+      var v = fit.intercept
+      for (i <- fit.arLags.indices)
+        v += fit.coef(i) * buf(buf.length - fit.arLags(i))
+      for (j <- fit.maLags.indices)
+        v += fit.maCoef(j) * e(e.length - fit.maLags(j))
+      buf += v
+      e += 0.0
+      out(step) = v
+    }
+    integrate(out, stack)
   }
 
   /** Iterated h-step forecast on the (possibly differenced) scale —
@@ -193,25 +361,26 @@ object ArimaLite {
     }
   }
 
-  /** Full contract: log1p → grid select → forecast → expm1 → clip ≥ 0
-    * (arima.py:96,165-169). Falls back to the series mean when the
-    * grid yields nothing (constant series etc.) OR when the selected
-    * model's iterated forecast leaves the observed envelope — an
-    * OLS-fit ARMA can be non-stationary and explode; the reference
-    * tolerates per-model failures the same way. */
+  /** Full contract: log1p → seasonal (s=7) grid select → forecast →
+    * expm1 → clip ≥ 0 (arima.py:96,118-139,165-169). Falls back to the
+    * series mean when the grid yields nothing (constant series etc.)
+    * OR when the selected model's iterated forecast leaves the
+    * observed envelope — an OLS-fit (S)ARMA can be non-stationary and
+    * explode; the reference tolerates per-model failures the same
+    * way. */
   def forecastLog1p(values: Array[Double], h: Int): Array[Double] = {
     val y = values.map(v => math.log1p(math.max(v, 0.0)))
     val mean = if (y.isEmpty) 0.0 else y.sum / y.length
     val lo = if (y.isEmpty) 0.0 else y.min - 5.0
     val hi = if (y.isEmpty) 0.0 else y.max + 5.0
-    val raw = select(y) match {
-      case Some(fit) =>
-        val fc = forecastFit(y, fit, h)
-        if (fc.forall(v => java.lang.Double.isFinite(v) &&
-              v >= lo && v <= hi)) fc
-        else Array.fill(h)(mean)
-      case None => Array.fill(h)(mean)
-    }
+    // walk the AIC order, first fit whose forecast stays inside the
+    // observed envelope wins (degenerate σ²-floor ties can put an
+    // explosive recursion first); nothing sane → series-mean fallback
+    val raw = selectSeasonalAll(y).iterator
+      .map(fit => forecastLagFit(y, fit, h))
+      .find(_.forall(v => java.lang.Double.isFinite(v) &&
+        v >= lo && v <= hi))
+      .getOrElse(Array.fill(h)(mean))
     raw.map(v => math.max(math.expm1(v), 0.0))
   }
 }

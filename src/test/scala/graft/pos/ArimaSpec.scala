@@ -62,6 +62,37 @@ class ArimaSpec extends AnyFunSuite {
     assert(math.abs(fc.last) <= math.abs(fc.head) + 1.0)
   }
 
+  test("seasonal grid recovers a planted weekly pattern plain ARMA misses") {
+    // strong 7-day profile + noise; 20 full weeks of observations
+    val profile = Array(520.0, 80.0, 90.0, 110.0, 130.0, 260.0, 400.0)
+    val rnd = new scala.util.Random(5)
+    val y = Array.tabulate(140)(t => profile(t % 7) + rnd.nextGaussian() * 5.0)
+    val want = Array.tabulate(7)(i => profile((140 + i) % 7))
+
+    val seas = ArimaLite.selectSeasonal(y).get
+    assert(seas.sD > 0 || seas.arLags.exists(_ >= 7) ||
+      seas.maLags.exists(_ >= 7), "no seasonal structure selected")
+    val fcS = ArimaLite.forecastLagFit(y, seas, 7)
+    val errS = fcS.zip(want).map { case (a, b) => math.abs(a - b) }.max
+    assert(errS < 30.0, s"seasonal max err $errS: ${fcS.mkString(",")}")
+
+    // the non-seasonal grid slice cannot express a period-7 shape
+    val plain = ArimaLite.select(y).get
+    val fcP = ArimaLite.forecastFit(y, plain, 7)
+    val errP = fcP.zip(want).map { case (a, b) => math.abs(a - b) }.max
+    assert(errP > 2 * errS, s"plain ARMA unexpectedly tracks: $errP vs $errS")
+  }
+
+  test("forecastLog1p carries the weekly spike through the log transform") {
+    // Sunday×9 revenue spike, 12 weeks — the dominant POS signal shape
+    val y = Array.tabulate(84)(t => if (t % 7 == 0) 900.0 else 100.0)
+    val fc = ArimaLite.forecastLog1p(y, 7)
+    // t = 84 is a spike day: the forecast must place the spike there
+    assert(fc(0) > 500.0, s"spike day forecast ${fc(0)}")
+    for (i <- 1 until 7)
+      assert(fc(i) < 300.0, s"non-spike day $i forecast ${fc(i)}")
+  }
+
   test("level tracking: forecast of a stable series stays near level") {
     val rnd = new scala.util.Random(11)
     val y = Array.tabulate(120)(_ => 1000.0 + rnd.nextGaussian() * 20)
