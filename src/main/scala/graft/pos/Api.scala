@@ -80,6 +80,53 @@ final class PosApi(spark: SparkSession, rootDir: String,
   }
 }
 
+/** Bronze-only order_times domain facade
+  * (`/root/reference/src/pos_core/order_times/raw.py:20-93`,
+  * `__init__.py`): `fetch()` ensures raw exports exist for a date
+  * range — a manifest-gated download with `mode ∈ {missing, force}` —
+  * and `load()` verifies coverage WITHOUT downloading, raising when
+  * the range is absent. Ingestion is driver-side (SURVEY S1–S5); the
+  * transport is an injected function (no egress here), which receives
+  * the chunks actually missing, planned over covered-interval
+  * manifests like [[graft.pos.ingest.Extraction.planDownloads]]. */
+final class OrderTimesRaw(rawDir: String, version: String = "extract_v1") {
+  import java.time.LocalDate
+
+  private val man = new StageManifests(rawDir)
+
+  private def validateMode(mode: String): Unit =
+    if (mode != "missing" && mode != "force")
+      throw new ConfigError(s"mode must be 'missing' or 'force', got '$mode'")
+
+  /** Ensure raw order_times exist for [start, end]. `missing` runs the
+    * download only when no ok same-version manifest covers the exact
+    * range (raw.py:46-61); `force` always re-downloads (raw.py:50-53).
+    * The crash-safe failed→ok manifest protocol comes from
+    * [[StageManifests.runStage]]. */
+  def fetch(start: String, end: String, branches: Seq[String] = Nil,
+            mode: String = "missing")
+           (download: Seq[(LocalDate, LocalDate)] => Unit): Unit = {
+    validateMode(mode)
+    man.runStage(start, end, version, branches, force = mode == "force") {
+      val chunks =
+        if (mode == "force")
+          Seq((LocalDate.parse(start), LocalDate.parse(end)))
+        else ingest.Extraction.planDownloads(LocalDate.parse(start),
+          LocalDate.parse(end), man.coveredIntervals(version))
+      download(chunks)
+    }
+  }
+
+  /** Verify-only load: returns the ok manifest for the exact range or
+    * raises — never downloads (raw.py:64-93 FileNotFoundError
+    * contract). */
+  def load(start: String, end: String): StageMetadata =
+    man.read(start, end).filter(_.status == "ok")
+      .getOrElse(throw new ExtractionError(
+        s"raw order times not found for range $start to $end; " +
+          "use OrderTimesRaw.fetch() to download"))
+}
+
 /** Edge-format IO (SURVEY S9/S10): UTF-8-BOM CSV at the boundary —
   * internal storage stays parquet. */
 object EdgeIO {

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
-  OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Structured Streaming over the `events` shape (event_id, ts,
   * user_id, event_type, value): the streaming face of the engine.
@@ -117,5 +118,80 @@ object EventStreaming {
             closed.iterator
           }
       }
+  }
+
+  /** Per-user sessionization on the Spark 4 arbitrary-state v2 API
+    * (`transformWithState`), with EVENT-TIME timers closing idle
+    * sessions: a timer is (re)registered at `lastSeen + gap` on every
+    * update and fires when the watermark passes it — deterministic
+    * and replayable, unlike the wall-clock ProcessingTimeTimeout of
+    * the v1 path above. State lives in the RocksDB state store
+    * (required by this API), so per-key state scales far past heap.
+    * Data-driven closes (a later event beyond the gap) behave exactly
+    * like [[sessionize]]. */
+  final class SessionProcessor(gapMillis: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def toSession(key: Long, s: SessionState): Session =
+      Session(key, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (state.exists) Some(state.get) else None
+      val closed = scala.collection.mutable.ListBuffer.empty[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastSeen <= gapMillis =>
+            cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+              nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            closed += toSession(key, s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        // one live timer per key: re-arm at the new idle deadline
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(st.lastSeen + gapMillis)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[Session] =
+      if (state.exists &&
+          state.get.lastSeen + gapMillis <= info.getExpiryTimeInMs) {
+        val s = state.get
+        state.clear()
+        Iterator.single(toSession(key, s))
+      } else Iterator.empty
+  }
+
+  /** [[SessionProcessor]] wired to a watermarked stream. `watermark`
+    * bounds how late events may arrive; the idle-timeout timers fire
+    * off the same watermark clock. */
+  def sessionizeTws(events: Dataset[Event],
+                    gapMillis: Long = 30L * 60 * 1000,
+                    watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -54,6 +54,42 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("order_times raw facade: fetch gates on manifests, load verifies") {
+    val dir = Files.createTempDirectory("ot").toString
+    val ot = new OrderTimesRaw(dir)
+    // load before any fetch raises (raw.py FileNotFoundError contract)
+    intercept[ExtractionError] { ot.load("2025-01-01", "2025-01-31") }
+
+    var calls = 0
+    var lastChunks: Seq[(java.time.LocalDate, java.time.LocalDate)] = Nil
+    def dl(chunks: Seq[(java.time.LocalDate, java.time.LocalDate)]): Unit = {
+      calls += 1; lastChunks = chunks
+    }
+    ot.fetch("2025-01-01", "2025-01-31")(dl)
+    assert(calls == 1 && lastChunks.nonEmpty)
+    assert(ot.load("2025-01-01", "2025-01-31").status == "ok")
+    // second missing-mode fetch: manifest covers the range → no call
+    ot.fetch("2025-01-01", "2025-01-31")(dl)
+    assert(calls == 1)
+    // force re-downloads the whole range
+    ot.fetch("2025-01-01", "2025-01-31", mode = "force")(dl)
+    assert(calls == 2)
+    assert(lastChunks == Seq((java.time.LocalDate.parse("2025-01-01"),
+      java.time.LocalDate.parse("2025-01-31"))))
+    // a failing download leaves a failed manifest → load still raises
+    val dir2 = Files.createTempDirectory("ot2").toString
+    val ot2 = new OrderTimesRaw(dir2)
+    intercept[RuntimeException] {
+      ot2.fetch("2025-02-01", "2025-02-28") { _ =>
+        throw new RuntimeException("transport down") }
+    }
+    intercept[ExtractionError] { ot2.load("2025-02-01", "2025-02-28") }
+    // invalid mode raises before anything runs
+    intercept[ConfigError] {
+      ot.fetch("2025-01-01", "2025-01-31", mode = "always")(dl)
+    }
+  }
+
   test("CSV BOM round-trip preserves accents and parses back") {
     val s = spark
     import s.implicits._

@@ -64,6 +64,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess(2).user_id == 2 && sess(2).n_events == 1)
   }
 
+  test("transformWithState: event-time timers close idle sessions") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the state-v2 API requires the RocksDB state store; session-scoped
+    // conf, so save/restore around the query like SkewJoinSpec does
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStreaming.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      EventStreaming.Event(3, ts("2024-01-01 12:00:00"), 1, "view", 3.0))
+    val q = EventStreaming.sessionizeTws(input.toDS())
+      .writeStream.format("memory").queryName("tws_sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // burst 1 closed by DATA (event 3 arrived past the gap)
+      val afterData = spark.table("tws_sess").collect()
+      assert(afterData.length == 1)
+      assert(afterData(0).getAs[Long]("n_events") == 2 &&
+        afterData(0).getAs[Double]("total_value") == 3.0)
+      // push the watermark past 12:00 + 30 min via an unrelated user;
+      // the TIMER (not data) must close user 1's open session. Two
+      // rounds: watermark computed at end of batch N applies in N+1.
+      input.addData(EventStreaming.Event(4,
+        ts("2024-01-01 23:00:00"), 99, "click", 7.0))
+      q.processAllAvailable()
+      input.addData(EventStreaming.Event(5,
+        ts("2024-01-01 23:01:00"), 99, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("tws_sess").collect()
+        .filter(_.getAs[Long]("user_id") == 1)
+        .sortBy(_.getAs[java.sql.Timestamp]("session_start").getTime)
+      assert(rows.length == 2, rows.mkString(";"))
+      assert(rows(1).getAs[Long]("n_events") == 1 &&
+        rows(1).getAs[Double]("total_value") == 3.0)
+      assert(rows(1).getAs[java.sql.Timestamp]("session_end").toString
+        .startsWith("2024-01-01 12:00"))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionize: inactivity gap splits sessions within a batch") {
     val s = spark
     import s.implicits._
