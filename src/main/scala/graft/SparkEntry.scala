@@ -18,7 +18,8 @@ object SparkEntry {
       ops.WindowOps.queries ++ ops.TextOps.queries ++
       ops.DedupOps.queries ++ ops.VectorOps.queries ++
       ops.MartOps.queries ++ ops.MultiModal.queries ++
-      ops.EventOps.queries ++ ops.ScaleOps.queries
+      ops.EventOps.queries ++ ops.ScaleOps.queries ++
+      ops.DomainParity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,6 @@ object SparkEntry {
       ops.WindowOps.oracles ++ ops.TextOps.oracles ++
       ops.DedupOps.oracles ++ ops.VectorOps.oracles ++
       ops.MartOps.oracles ++ ops.MultiModal.oracles ++
-      ops.EventOps.oracles ++ ops.ScaleOps.oracles
+      ops.EventOps.oracles ++ ops.ScaleOps.oracles ++
+      ops.DomainParity.oracles
 }

@@ -55,8 +55,10 @@ object Forecast {
       .agg(coalesce(sum($"valor"), lit(0.0)).as("valor"))
   }
 
-  private def holidayAdjacent(d: Column,
-                              holidays: Set[LocalDate]): Column =
+  /** W6 holiday adjacency: date is a holiday or ±1 day from one
+    * (holiday set broadcast as literals — it is tiny and fixed). */
+  def holidayAdjacent(d: Column,
+                      holidays: Set[LocalDate]): Column =
     if (holidays.isEmpty) lit(false)
     else {
       val hs = holidays.map(_.toString).toSeq

@@ -48,6 +48,21 @@ object PaymentsDaily {
   private val Required =
     Seq("sucursal", "operating_date", "payment_method", "ticket_total")
 
+  /** J2/Q6 tip-reconciliation report: per (sucursal, operating_date),
+    * per-ticket tips summed vs the embedded day total; rows whose gap
+    * exceeds the tolerance (payments_daily.py:341-397). `aggregate`
+    * aborts on any such row; exposed so the check is also queryable
+    * as a report. */
+  def tipViolations(payments: DataFrame,
+                    tipTolerance: Double = 0.05): DataFrame = {
+    import payments.sparkSession.implicits._
+    payments.groupBy($"sucursal", $"operating_date")
+      .agg(sum($"ticket_tip").as("tips_sum"),
+        max($"total_day_tips").as("tips_expected"))
+      .filter(abs(coalesce($"tips_sum", lit(0.0)) -
+        coalesce($"tips_expected", lit(0.0))) > tipTolerance)
+  }
+
   /** Build the daily mart. Throws [[DataQualityError]] on missing
     * columns or tip-reconciliation failure (payments_daily.py:341-397). */
   def aggregate(payments: DataFrame,
@@ -70,11 +85,7 @@ object PaymentsDaily {
 
     // Q6/J2: tip reconciliation — hard abort BEFORE any mart math
     if (hasTip && hasDayTips) {
-      val viol = payments.groupBy(key: _*)
-        .agg(sum($"ticket_tip").as("tips_sum"),
-          max($"total_day_tips").as("tips_expected"))
-        .filter(abs(coalesce($"tips_sum", lit(0.0)) -
-          coalesce($"tips_expected", lit(0.0))) > tipTolerance)
+      val viol = tipViolations(payments, tipTolerance)
       val sample = viol.limit(10).collect()
       if (sample.nonEmpty)
         throw new DataQualityError(

@@ -45,21 +45,36 @@ object Qa {
 
     var summary = Map.empty[String, Long]
 
-    // Q2 level 1: nulls in key columns are errors
+    // Levels 1–3 row-level counts in ONE aggregation job: each check
+    // stays a lazy DataFrame for callers, but the summary numbers come
+    // from a single scan of the mart (sum-of-flags with map-side
+    // partial aggregation) instead of one count() job per check —
+    // at scale the mart is read once, not six times.
+    val negPred = MoneyCols.map(c => col(c) < -1e-6).reduce(_ || _)
+    val revenue = MoneyCols.map(c => coalesce(col(c), lit(0.0)))
+      .reduce(_ + _)
+    val zeroPred = $"num_tickets" > 0 &&
+      $"ingreso_credito" === 0.0 && $"ingreso_debito" === 0.0
+    def flag(p: org.apache.spark.sql.Column) =
+      sum(when(p, 1L).otherwise(0L))
     if (level >= 1) {
-      summary += "null_key_rows" ->
-        df.filter($"sucursal".isNull || $"fecha".isNull).count()
-    }
-    // Q3/Q4 level 2: non-negativity + ticket/revenue consistency
-    if (level >= 2) {
-      val negPred = MoneyCols.map(c => col(c) < -1e-6).reduce(_ || _)
-      summary += "negative_rows" -> df.filter(negPred).count()
-      val revenue = MoneyCols.map(c => coalesce(col(c), lit(0.0)))
-        .reduce(_ + _)
-      summary += "tickets_no_revenue" ->
-        df.filter($"num_tickets" > 0 && revenue <= 1e-6).count()
-      summary += "revenue_no_tickets" ->
-        df.filter(revenue > 1e-6 && $"num_tickets" <= 0).count()
+      val aggs =
+        Seq(flag($"sucursal".isNull || $"fecha".isNull).as("nk")) ++
+          (if (level >= 2) Seq(flag(negPred).as("neg"),
+            flag($"num_tickets" > 0 && revenue <= 1e-6).as("tnr"),
+            flag(revenue > 1e-6 && $"num_tickets" <= 0).as("rnt"))
+           else Nil) ++
+          (if (level >= 3) Seq(flag(zeroPred).as("zero")) else Nil)
+      val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      def get(n: String): Long =
+        if (r.isNullAt(r.fieldIndex(n))) 0L else r.getAs[Long](n)
+      summary += "null_key_rows" -> get("nk")
+      if (level >= 2) {
+        summary += "negative_rows" -> get("neg")
+        summary += "tickets_no_revenue" -> get("tnr")
+        summary += "revenue_no_tickets" -> get("rnt")
+      }
+      if (level >= 3) summary += "zero_method_days" -> get("zero")
     }
 
     // W4/W2/Q5 level 3
@@ -70,14 +85,24 @@ object Qa {
           explode(sequence($"d0", $"d1", expr("interval 1 day"))).as("fecha"))
       val md = cal.join(df.select($"sucursal", $"fecha"),
         Seq("sucursal", "fecha"), "left_anti")
+      // ONE grouped pass yields both the duplicate-day count and the
+      // missing-day count (per-branch span minus days present equals
+      // the calendar anti-join count) — md/dd stay lazy for callers
       val dd = df.groupBy($"sucursal", $"fecha")
         .agg(count(lit(1)).as("n")).filter($"n" > 1)
-      val zf = df.filter($"num_tickets" > 0 &&
-        $"ingreso_credito" === 0.0 && $"ingreso_debito" === 0.0)
+      val zf = df.filter(zeroPred)
         .select($"sucursal", $"fecha", $"num_tickets")
-      summary += "missing_days" -> md.count()
-      summary += "duplicate_days" -> dd.count()
-      summary += "zero_method_days" -> zf.count()
+      val grouped = df.groupBy($"sucursal", $"fecha")
+        .agg(count(lit(1)).as("n"))
+        .groupBy($"sucursal")
+        .agg((datediff(max($"fecha"), min($"fecha")) + 1 -
+          count(lit(1))).cast("long").as("gap_days"),
+          sum(when($"n" > 1, 1L).otherwise(0L)).as("dup_days"))
+        .agg(coalesce(sum($"gap_days"), lit(0L)).as("md"),
+          coalesce(sum($"dup_days"), lit(0L)).as("dd"))
+        .collect()(0)
+      summary += "missing_days" -> grouped.getAs[Long]("md")
+      summary += "duplicate_days" -> grouped.getAs[Long]("dd")
       (Some(md), Some(dd), Some(zf))
     } else (None, None, None)
 
