@@ -426,7 +426,78 @@ object DomainParity {
         THEN CAST(value AS DECIMAL(28,2)) END) AS DOUBLE) AS purchase
     FROM events GROUP BY 1"""
 
+  // ------------------------------------- J3/J4/A2/A3/A4/A5/F17 (e2e)
+  /** The flagship payments-daily mart builder, end-to-end: ticket
+    * lines synthesized from `lineitem` (several payment rows per
+    * ticket, so countDistinct vs count actually matters) run through
+    * the REAL [[PaymentsDaily.aggregate]] — bucket pivot, tips,
+    * distinct tickets, elimination counts + banker's pct, holiday
+    * flag, multi-way assembly (payments_daily.py:341-469). Totals and
+    * tips are integer-valued doubles so every sum is exact. */
+  val q37PaymentsMart: Q = (s, d) => {
+    import s.implicits._
+    val suc = element_at(array(lit("Kavia"), lit("Nativa"), lit("Carreta")),
+      (pmod($"l_suppkey", lit(3)) + 1).cast("int"))
+    val method = element_at(array(lit(" EFECTIVO "),
+      lit("Tarjeta de Crédito"), lit("Tarjeta Débito"),
+      lit("Uber Eats MX"), lit("Cheque")),
+      (pmod($"l_linenumber", lit(5)) + 1).cast("int"))
+    val fact = Tables.lineitem(s, d).select(
+      suc.as("sucursal"),
+      $"l_shipdate".cast("date").as("operating_date"),
+      method.as("payment_method"),
+      pmod($"l_orderkey" + $"l_linenumber" * 7, lit(500)).cast("double")
+        .as("ticket_total"),
+      pmod($"l_partkey", lit(20)).cast("double").as("ticket_tip"),
+      $"l_orderkey".as("order_index"),
+      ($"l_returnflag" === "R").as("elimination_present"))
+    val hols = Set("1995-12-25", "1996-05-01")
+      .map(java.time.LocalDate.parse)
+    PaymentsDaily.aggregate(fact, hols)
+      .withColumn("fecha", date_format($"fecha", "yyyy-MM-dd"))
+  }
+  val o37: String = """
+    WITH f AS (
+      SELECT CASE l_suppkey % 3 WHEN 0 THEN 'Kavia' WHEN 1 THEN 'Nativa'
+               ELSE 'Carreta' END AS sucursal,
+             CAST(l_shipdate AS DATE) AS fecha,
+             l_linenumber % 5 AS mk,
+             CAST((l_orderkey + l_linenumber * 7) % 500 AS DOUBLE) AS total,
+             CAST(l_partkey % 20 AS DOUBLE) AS tip,
+             l_orderkey AS oid,
+             (l_returnflag = 'R') AS elim
+      FROM lineitem),
+    g AS (
+      SELECT sucursal, fecha,
+        SUM(CASE WHEN mk = 0 THEN total ELSE 0 END) AS ingreso_efectivo,
+        SUM(CASE WHEN mk = 1 THEN total ELSE 0 END) AS ingreso_credito,
+        SUM(CASE WHEN mk = 2 THEN total ELSE 0 END) AS ingreso_debito,
+        0.0 AS ingreso_amex,
+        SUM(CASE WHEN mk = 3 THEN total ELSE 0 END) AS ingreso_ubereats,
+        0.0 AS ingreso_rappi,
+        0.0 AS ingreso_transferencia,
+        0.0 AS "ingreso_SubsidioTEC",
+        SUM(CASE WHEN mk = 4 THEN total ELSE 0 END) AS ingreso_otros,
+        SUM(tip) AS propinas,
+        COUNT(DISTINCT oid) AS num_tickets,
+        COUNT(DISTINCT CASE WHEN elim THEN oid END)
+          AS tickets_with_eliminations
+      FROM f GROUP BY 1, 2)
+    SELECT sucursal, strftime(fecha, '%Y-%m-%d') AS fecha,
+      ingreso_efectivo, ingreso_credito, ingreso_debito, ingreso_amex,
+      ingreso_ubereats, ingreso_rappi, ingreso_transferencia,
+      "ingreso_SubsidioTEC", ingreso_otros, propinas, num_tickets,
+      tickets_with_eliminations,
+      CASE WHEN num_tickets = 0 THEN 0.0
+           ELSE round_even(tickets_with_eliminations * 100.0
+                           / num_tickets, 2)
+      END AS pct_tickets_with_eliminations,
+      strftime(fecha, '%Y-%m-%d') IN ('1995-12-25', '1996-05-01')
+        AS is_national_holiday
+    FROM g"""
+
   val queries: Map[String, Q] = Map(
+    "q37_payments_mart" -> q37PaymentsMart,
     "q27_transfer_bucket" -> q27TransferBucket,
     "q28_unmapped_loss" -> q28UnmappedLoss,
     "q29_transfer_pivot" -> q29TransferPivot,
@@ -439,6 +510,7 @@ object DomainParity {
     "q36_keyword_cols" -> q36KeywordCols)
 
   val oracles: Map[String, String] = Map(
+    "q37_payments_mart" -> o37,
     "q27_transfer_bucket" -> o27,
     "q28_unmapped_loss" -> o28,
     "q29_transfer_pivot" -> o29,
