@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.functions.Cleaning._
 import graft.pos.{Forecast, PaymentsDaily, Qa, TransfersPivot}
-import graft.pos.staging.Headers
+import graft.pos.staging.{Headers, PaymentsCleaner}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -496,7 +496,78 @@ object DomainParity {
         AS is_national_holiday
     FROM g"""
 
+  // --------------------------------- S7/S8-F16/P1/P2/F3/F5/J1 (e2e)
+  /** The full bronze→fact payments cleaner, end-to-end over a
+    * synthesized raw grid: metadata + header rows unioned with body
+    * rows built from `orders` (dd/MM dates, EU-comma money on odd
+    * keys, a Cajero column whose modal value supplies the missing
+    * sucursal, fully-blank rows to drop, noise columns to drop, and
+    * an eliminations block joined back as a flag). The Spark side runs
+    * the REAL [[PaymentsCleaner.clean]]; the oracle restates the
+    * surviving fact rows from the original `orders` values
+    * (payments_cleaner.py:126-686).
+    *
+    * The grid is a 1-in-15 key subset of `orders`: a bronze grid is
+    * ONE exported file in this domain (a few thousand rows), so the
+    * fixture should not grow linearly with corpus scale — the
+    * cleaner's driver pre-pass + modal census + parse passes are
+    * per-file costs by design. */
+  val q38StagingClean: Q = (s, d) => {
+    import s.implicits._
+    val header = Seq(
+      (0L, "Reporte de pagos", "", "", "", "", "", ""),
+      (1L, "", "", "", "", "", "", ""),
+      (2L, "Fecha", "Orden", "Forma de pago", "Total", "Total", "Cajero",
+        "Participación del día"))
+      .toDF("_row", "_c0", "_c1", "_c2", "_c3", "_c4", "_c5", "_c6")
+    val blank = pmod($"o_orderkey", lit(97)) === 0
+    def cell(c: org.apache.spark.sql.Column) =
+      when(blank, lit("")).otherwise(c)
+    val ds = $"o_totalprice".cast("decimal(18,2)").cast("string")
+    val body = Tables.orders(s, d)
+      .filter(pmod($"o_orderkey", lit(15)) === 0)
+      .select(
+      ($"o_orderkey" + 10).as("_row"),
+      cell(date_format($"o_orderdate", "dd/MM/yyyy")).as("_c0"),
+      cell($"o_orderkey".cast("string")).as("_c1"),
+      cell(element_at(array(lit("Efectivo"), lit("Tarjeta Crédito"),
+        lit("Tarjeta Débito")),
+        (pmod($"o_orderkey", lit(3)) + 1).cast("int"))).as("_c2"),
+      cell(ds).as("_c3"),
+      cell(when(pmod($"o_orderkey", lit(2)) === 1,
+        regexp_replace(ds, "\\.", ",")).otherwise(ds)).as("_c4"),
+      cell(element_at(array(lit("ANA"), lit("ANA"), lit("LUIS"),
+        lit("22")), (pmod($"o_custkey", lit(4)) + 1).cast("int")))
+        .as("_c5"),
+      cell(lit("0.5")).as("_c6"))
+    val raw = header.unionByName(body)
+    val elim = Tables.orders(s, d)
+      .filter(pmod($"o_orderkey", lit(15)) === 0 &&
+        pmod($"o_orderkey", lit(10)) === 0)
+      .select(date_format($"o_orderdate", "dd/MM/yyyy")
+        .as("Fecha de operación"),
+        $"o_orderkey".cast("string").as("Orden"))
+    PaymentsCleaner.clean(raw, "", Some(elim))
+      .withColumn("operating_date",
+        date_format($"operating_date", "yyyy-MM-dd"))
+  }
+  val o38: String = """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')
+             AS operating_date,
+           o_orderkey AS order_index,
+           CASE o_orderkey % 3 WHEN 0 THEN 'Efectivo'
+                WHEN 1 THEN 'Tarjeta Crédito'
+                ELSE 'Tarjeta Débito' END AS payment_method,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS day_total,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+             AS ticket_total,
+           'ANA' AS sucursal,
+           (o_orderkey % 10 = 0) AS elimination_present
+    FROM orders WHERE o_orderkey % 15 = 0 AND o_orderkey % 97 <> 0"""
+
   val queries: Map[String, Q] = Map(
+    "q38_staging_clean" -> q38StagingClean,
     "q37_payments_mart" -> q37PaymentsMart,
     "q27_transfer_bucket" -> q27TransferBucket,
     "q28_unmapped_loss" -> q28UnmappedLoss,
@@ -510,6 +581,7 @@ object DomainParity {
     "q36_keyword_cols" -> q36KeywordCols)
 
   val oracles: Map[String, String] = Map(
+    "q38_staging_clean" -> o38,
     "q37_payments_mart" -> o37,
     "q27_transfer_bucket" -> o27,
     "q28_unmapped_loss" -> o28,
