@@ -19,7 +19,7 @@ object SparkEntry {
       ops.DedupOps.queries ++ ops.VectorOps.queries ++
       ops.MartOps.queries ++ ops.MultiModal.queries ++
       ops.EventOps.queries ++ ops.ScaleOps.queries ++
-      ops.DomainParity.queries
+      ops.DomainParity.queries ++ ops.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +29,5 @@ object SparkEntry {
       ops.DedupOps.oracles ++ ops.VectorOps.oracles ++
       ops.MartOps.oracles ++ ops.MultiModal.oracles ++
       ops.EventOps.oracles ++ ops.ScaleOps.oracles ++
-      ops.DomainParity.oracles
+      ops.DomainParity.oracles ++ ops.CorpusOps.oracles
 }

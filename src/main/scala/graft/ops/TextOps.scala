@@ -140,12 +140,21 @@ object TextOps {
 
   // ------------------------------------------------------- fingerprint
   /** Left-fold polynomial rolling hash over token hashes, mod large
-    * prime — the content key shared by q53 and the dedup shuffles in
-    * q55/q82 (an 8-byte key instead of the full document body). */
-  private def fingerprintCol: Column =
+    * prime — the content key shared by q53, the dedup shuffles in
+    * q55/q82, and the incremental-dedup semi-join in q87 (an 8-byte
+    * key instead of the full document body). */
+  private[ops] def fingerprintCol: Column =
     expr("aggregate(transform(split(text, ' '), " +
       "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")
+
+  /** DuckDB twin of [[fingerprintCol]] (same left fold, same mod). */
+  private[ops] val fingerprintSql: String = s"""
+    list_reduce(
+      list_prepend(CAST(0 AS BIGINT),
+        list_transform(string_split(text, ' '),
+          t -> CAST(greatest(unicode(t), 0) * 131 + length(t) AS BIGINT))),
+      (acc, x) -> (acc * 31 + x) % $MOD)"""
 
   /** Document fingerprinting: a content-defined fingerprint any
     * engine reproduces. */
@@ -155,12 +164,7 @@ object TextOps {
       .select($"doc_id", fingerprintCol.as("fingerprint"))
   }
   val o53 = s"""
-    SELECT doc_id,
-      list_reduce(
-        list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(text, ' '),
-            t -> CAST(greatest(unicode(t), 0) * 131 + length(t) AS BIGINT))),
-        (acc, x) -> (acc * 31 + x) % $MOD) AS fingerprint
+    SELECT doc_id, $fingerprintSql AS fingerprint
     FROM documents"""
 
   // ------------------------------------------------------- exact dedup

@@ -182,6 +182,63 @@ object VectorOps {
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.3"""
 
+  // -------------------------------------------------- semantic dedup
+  /** SemDeDup-style semantic deduplication census: within each
+    * coarse-quantizer cell (`label`), a vector is dropped when some
+    * LOWER-id vector in the same cell is closer than the cosine
+    * threshold — keep-the-first with a deterministic id order, the
+    * standard embedding-dedup rule. Emits the per-cell retention
+    * census (total, dropped, kept, retention %).
+    *
+    * 100 TB design: the pair generation is quadratic only WITHIN a
+    * cell — a real pipeline picks k ∝ N clusters so cell sizes stay
+    * constant and the per-cell work is bounded (SemDeDup's own
+    * regime); the join is keyed on the cell id, so the shuffle is the
+    * cluster assignment, never all-pairs over the corpus. Retention
+    * doubles derive from exact integer counts. */
+  val q84SemanticDedup: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+    val a = e.select($"label", $"vec_id".as("id_a"),
+      $"embedding".as("emb_a"), $"norm".as("norm_a"))
+    val b = e.select($"label", $"vec_id".as("id_b"),
+      $"embedding".as("emb_b"), $"norm".as("norm_b"))
+    val dropped = a.join(b, Seq("label")).filter($"id_a" < $"id_b")
+      .withColumn("cosine",
+        expr(dot("emb_a", "emb_b")) / ($"norm_a" * $"norm_b"))
+      .filter($"cosine" >= 0.3)
+      .select($"id_b".as("vec_id")).distinct()
+    e.join(dropped.withColumn("is_dup", lit(1L)), Seq("vec_id"), "left")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(coalesce($"is_dup", lit(0L))).cast("long").as("n_dropped"))
+      .withColumn("n_kept", $"n_vecs" - $"n_dropped")
+      .withColumn("retention_pct",
+        $"n_kept".cast("double") * 100.0 / $"n_vecs".cast("double"))
+  }
+  val o84: String = s"""
+    WITH e AS (
+      SELECT label, vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+              >= 0.3),
+    flagged AS (
+      SELECT e.label,
+             CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+      FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id)
+    SELECT label, n_vecs, n_dropped, n_vecs - n_dropped AS n_kept,
+      CAST(n_vecs - n_dropped AS DOUBLE) * 100.0 / CAST(n_vecs AS DOUBLE)
+        AS retention_pct
+    FROM (
+      SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(is_dup) AS BIGINT) AS n_dropped
+      FROM flagged GROUP BY label)"""
+
   // ------------------------------------------------------------- IVF
   /** IVF coarse quantization, fully in-engine: centroids = per-label
     * element-wise means (exact decimal sums over a posexplode, so
@@ -290,9 +347,11 @@ object VectorOps {
     "q63_ann_bucketed" -> q63AnnBucketed,
     "q64_cosine_neardup" -> q64CosineNearDup,
     "q65_ivf_assign" -> q65IvfAssign,
-    "q66_quantize_int8" -> q66QuantizeInt8)
+    "q66_quantize_int8" -> q66QuantizeInt8,
+    "q84_semantic_dedup" -> q84SemanticDedup)
 
   val oracles: Map[String, String] = Map(
+    "q84_semantic_dedup" -> o84,
     "q61_norm_stats" -> o61,
     "q62_knn_brute" -> o62,
     "q63_ann_bucketed" -> o63,
