@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
+  ValueState}
 
 /** Structured Streaming over the `events` shape (event_id, ts,
   * user_id, event_type, value): the streaming face of the engine.
@@ -192,6 +193,184 @@ object EventStreaming {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .transformWithState(new SessionProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[SessionProcessor]] with an INITIAL-STATE bootstrap
+    * (`StatefulProcessorWithInitialState`): open sessions computed by
+    * a batch backfill are loaded into the state store before the first
+    * micro-batch, so a pipeline can cut over from batch sessionization
+    * to the stream without losing in-flight sessions or re-reading
+    * history. Each bootstrapped key also arms its idle timer, so a
+    * session that never sees another event still closes when the
+    * watermark passes its deadline. */
+  final class BootstrappedSessionProcessor(gapMillis: Long)
+      extends StatefulProcessorWithInitialState[
+        Long, Event, Session, SessionState] {
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def toSession(key: Long, s: SessionState): Session =
+      Session(key, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+
+    private def armTimer(deadline: Long): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(deadline)
+    }
+
+    override def handleInitialState(key: Long, initial: SessionState,
+                                    tv: TimerValues): Unit = {
+      state.update(initial)
+      armTimer(initial.lastSeen + gapMillis)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var cur = if (state.exists) Some(state.get) else None
+      val closed = scala.collection.mutable.ListBuffer.empty[Session]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastSeen <= gapMillis =>
+            cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+              nEvents = s.nEvents + 1,
+              totalValue = s.totalValue + e.value))
+          case Some(s) =>
+            closed += toSession(key, s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { st =>
+        state.update(st)
+        armTimer(st.lastSeen + gapMillis)
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[Session] =
+      if (state.exists &&
+          state.get.lastSeen + gapMillis <= info.getExpiryTimeInMs) {
+        val s = state.get
+        state.clear()
+        Iterator.single(toSession(key, s))
+      } else Iterator.empty
+  }
+
+  /** [[BootstrappedSessionProcessor]] wired to a watermarked stream.
+    * `initial` carries (user_id, open-session state) rows from the
+    * batch backfill — e.g. the still-open tail of
+    * `sessionize(history, emitOpen = false)`'s state, or a snapshot
+    * table the batch job wrote at cutover. */
+  def sessionizeBootstrapped(events: Dataset[Event],
+                             initial: Dataset[(Long, SessionState)],
+                             gapMillis: Long = 30L * 60 * 1000,
+                             watermark: String = "0 seconds")
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new BootstrappedSessionProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
+  final case class ChannelSession(user_id: Long, channel: String,
+                                  session_start: java.sql.Timestamp,
+                                  session_end: java.sql.Timestamp,
+                                  n_events: Long, total_value: Double)
+
+  /** CONCURRENT per-channel sessions under one key: a user's clicks
+    * and views (different devices, surfaces, event types) session
+    * independently, so the per-user state is a `MapState[channel →
+    * SessionState]` instead of a single value — the state-v2 API's
+    * multi-entity-per-key shape. One event-time timer per user fires
+    * at the EARLIEST open deadline; on expiry every overdue channel
+    * closes and the timer re-arms at the next-earliest remaining one.
+    *
+    * Scale note: MapState reads/writes individual map entries from
+    * RocksDB — a hot user with many channels never deserializes the
+    * whole map per event, which is exactly why this beats a
+    * ValueState[Map[...]] spelling at scale. */
+  final class ChannelSessionProcessor(gapMillis: Long)
+      extends StatefulProcessor[Long, Event, ChannelSession] {
+
+    @transient private var state: MapState[String, SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getMapState("channel_sessions",
+        Encoders.STRING, Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def toSession(key: Long, ch: String,
+                          s: SessionState): ChannelSession =
+      ChannelSession(key, ch, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
+
+    /** One live timer per key, at the earliest open-session deadline. */
+    private def rearm(): Unit = {
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val deadlines = state.values().map(_.lastSeen + gapMillis)
+      if (deadlines.nonEmpty)
+        getHandle.registerTimer(deadlines.min)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues)
+        : Iterator[ChannelSession] = {
+      val closed =
+        scala.collection.mutable.ListBuffer.empty[ChannelSession]
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val ch = e.event_type
+        val t = e.ts.getTime
+        val next = Option(state.getValue(ch)) match {
+          case Some(s) if t - s.lastSeen <= gapMillis =>
+            s.copy(lastSeen = math.max(s.lastSeen, t),
+              nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value)
+          case Some(s) =>
+            closed += toSession(key, ch, s)
+            SessionState(t, t, 1, e.value)
+          case None =>
+            SessionState(t, t, 1, e.value)
+        }
+        state.updateValue(ch, next)
+      }
+      rearm()
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[ChannelSession] = {
+      val expired = state.iterator()
+        .filter { case (_, s) =>
+          s.lastSeen + gapMillis <= info.getExpiryTimeInMs }
+        .toSeq
+      expired.foreach { case (ch, _) => state.removeKey(ch) }
+      rearm()
+      expired.iterator.map { case (ch, s) => toSession(key, ch, s) }
+    }
+  }
+
+  /** [[ChannelSessionProcessor]] wired to a watermarked stream. */
+  def sessionizeByChannel(events: Dataset[Event],
+                          gapMillis: Long = 30L * 60 * 1000,
+                          watermark: String = "0 seconds")
+      : Dataset[ChannelSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new ChannelSessionProcessor(gapMillis),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -115,6 +115,128 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("initial-state bootstrap: batch open sessions survive cutover") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch backfill left user 1 with an OPEN session (2 events, last
+    // seen 09:50) and user 2 with one (last seen 08:00)
+    val initial = Seq(
+      1L -> EventStreaming.SessionState(
+        ts("2024-01-01 09:40:00").getTime,
+        ts("2024-01-01 09:50:00").getTime, 2, 4.0),
+      2L -> EventStreaming.SessionState(
+        ts("2024-01-01 08:00:00").getTime,
+        ts("2024-01-01 08:00:00").getTime, 1, 9.0)).toDS()
+    val input = MemoryStream[EventStreaming.Event]
+    // user 1's first STREAM event lands within the gap of the
+    // bootstrapped session → must extend it, not start a new one
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0))
+    val q = EventStreaming
+      .sessionizeBootstrapped(input.toDS(), initial)
+      .writeStream.format("memory").queryName("boot_sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past both deadlines (two rounds: the
+      // watermark computed at the end of batch N applies in N+1)
+      input.addData(EventStreaming.Event(9,
+        ts("2024-01-01 23:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreaming.Event(10,
+        ts("2024-01-01 23:01:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("boot_sess").collect()
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1)
+      assert(u1.length == 1, rows.mkString(";"))
+      // bootstrapped 2 events + 1 stream event, values 4.0 + 1.0,
+      // session start preserved from the BATCH state
+      assert(u1(0).getAs[Long]("n_events") == 3)
+      assert(u1(0).getAs[Double]("total_value") == 5.0)
+      assert(u1(0).getAs[java.sql.Timestamp]("session_start").toString
+        .startsWith("2024-01-01 09:40"))
+      // user 2 saw NO stream events: the bootstrap-armed timer alone
+      // must close it
+      val u2 = rows.filter(_.getAs[Long]("user_id") == 2)
+      assert(u2.length == 1, rows.mkString(";"))
+      assert(u2(0).getAs[Long]("n_events") == 1 &&
+        u2(0).getAs[Double]("total_value") == 9.0)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("MapState: per-channel sessions run concurrently under one user") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    // user 1 interleaves clicks and views; the 11:00 click is > 30 min
+    // past the last CLICK (10:10) so the click session closes even
+    // though a view arrived in between at 10:20
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStreaming.Event(2, ts("2024-01-01 10:10:00"), 1, "click", 2.0),
+      EventStreaming.Event(3, ts("2024-01-01 10:20:00"), 1, "view", 4.0),
+      EventStreaming.Event(4, ts("2024-01-01 11:00:00"), 1, "click", 8.0))
+    val q = EventStreaming.sessionizeByChannel(input.toDS())
+      .writeStream.format("memory").queryName("ch_sess")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // click #1 closes by DATA (the 11:00 click is past its gap); the
+      // view closes by TIMER already here — the 11:00 event pushes the
+      // 0-delay watermark past the view's 10:50 idle deadline
+      val firstBatch = spark.table("ch_sess").collect()
+        .sortBy(_.getAs[String]("channel"))
+      assert(firstBatch.length == 2, firstBatch.mkString(";"))
+      assert(firstBatch(0).getAs[String]("channel") == "click" &&
+        firstBatch(0).getAs[Long]("n_events") == 2 &&
+        firstBatch(0).getAs[Double]("total_value") == 3.0)
+      assert(firstBatch(1).getAs[String]("channel") == "view" &&
+        firstBatch(1).getAs[Double]("total_value") == 4.0)
+      // watermark past every deadline → the timer closes the still-open
+      // second click session
+      input.addData(EventStreaming.Event(9,
+        ts("2024-01-01 23:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(EventStreaming.Event(10,
+        ts("2024-01-01 23:01:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      val u1 = spark.table("ch_sess").collect()
+        .filter(_.getAs[Long]("user_id") == 1)
+        .sortBy(r => (r.getAs[String]("channel"),
+          r.getAs[java.sql.Timestamp]("session_start").getTime))
+      assert(u1.length == 3, u1.mkString(";"))
+      // click #2: the lone 11:00 event; view: the lone 10:20 event
+      assert(u1(1).getAs[String]("channel") == "click" &&
+        u1(1).getAs[Long]("n_events") == 1 &&
+        u1(1).getAs[Double]("total_value") == 8.0)
+      assert(u1(2).getAs[String]("channel") == "view" &&
+        u1(2).getAs[Long]("n_events") == 1 &&
+        u1(2).getAs[Double]("total_value") == 4.0)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("sessionize: inactivity gap splits sessions within a batch") {
     val s = spark
     import s.implicits._
