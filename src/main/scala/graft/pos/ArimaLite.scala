@@ -311,6 +311,115 @@ object ArimaLite {
       : Option[LagFit] =
     selectSeasonalAll(y, s, maxP, maxQ, maxSP, maxSQ).headOption
 
+  // --------------------------------------------------- CSS refinement
+  /** Conditional sum of squares of a parameter vector
+    * [intercept, φ…, θ…] under the (S)ARMA recursion with zero
+    * pre-sample shocks — the exact objective statsmodels' method="css"
+    * minimizes (the reference's SARIMAX fits CSS-MLE; Gaussian MLE and
+    * CSS share their minimizer up to the pre-sample treatment). */
+  private def cssSse(w: Array[Double], arLags: Array[Int],
+                     maLags: Array[Int], params: Array[Double]): Double = {
+    val pMax = if (arLags.isEmpty) 0 else arLags.max
+    val qMax = if (maLags.isEmpty) 0 else maLags.max
+    // the recursion still runs from the lag cover, but the SUM skips a
+    // further qMax steps: with zero pre-sample shocks the first MA
+    // residuals carry a startup transient, and letting the optimizer
+    // see it makes it damp the transient instead of fitting the
+    // process (visible as flattened seasonal spikes on short series)
+    val start = math.max(pMax, qMax)
+    val burn = start + qMax
+    val e = new Array[Double](w.length)
+    var sse = 0.0
+    for (t <- start until w.length) {
+      var pred = params(0)
+      for (i <- arLags.indices) pred += params(1 + i) * w(t - arLags(i))
+      for (j <- maLags.indices)
+        pred += params(1 + arLags.length + j) * e(t - maLags(j))
+      e(t) = w(t) - pred
+      if (t >= burn) sse += e(t) * e(t)
+    }
+    sse
+  }
+
+  /** The CSS objective value of a fit's own parameters — exposed so
+    * callers/tests can compare warm start vs refined on equal terms. */
+  def cssObjective(w: Array[Double], fit: LagFit): Double =
+    cssSse(w, fit.arLags, fit.maLags,
+      fit.intercept +: (fit.coef ++ fit.maCoef))
+
+  /** Derivative-free Nelder–Mead minimization (standard ρ=1, χ=2,
+    * γ=½, σ=½ simplex moves) — small, dependency-free, and exactly
+    * enough for the ≤ 13-parameter CSS surfaces here. */
+  private def nelderMead(f: Array[Double] => Double, x0: Array[Double],
+                         maxIter: Int): Array[Double] = {
+    val n = x0.length
+    var simplex = (x0 +: Array.tabulate(n) { i =>
+      val x = x0.clone()
+      x(i) += (if (math.abs(x(i)) > 1e-8) 0.05 * math.abs(x(i)) else 0.01)
+      x
+    }).map(x => (x, f(x))).sortBy(_._2)
+    var iter = 0
+    while (iter < maxIter &&
+           simplex.last._2 - simplex.head._2 > 1e-12 *
+             (math.abs(simplex.head._2) + 1e-12)) {
+      val worst = simplex.last
+      val centroid = Array.tabulate(n)(j =>
+        simplex.dropRight(1).map(_._1(j)).sum / n)
+      def move(a: Double) =
+        Array.tabulate(n)(j => centroid(j) + a * (centroid(j) - worst._1(j)))
+      val refl = move(1.0); val fRefl = f(refl)
+      val replacement =
+        if (fRefl < simplex.head._2) {
+          val exp = move(2.0); val fExp = f(exp)
+          if (fExp < fRefl) (exp, fExp) else (refl, fRefl)
+        } else if (fRefl < simplex(simplex.length - 2)._2) (refl, fRefl)
+        else {
+          val con = move(-0.5); val fCon = f(con)
+          if (fCon < worst._2) (con, fCon)
+          else { // shrink toward the best vertex
+            val best = simplex.head._1
+            simplex = simplex.head +: simplex.tail.map { case (x, _) =>
+              val s = Array.tabulate(n)(j => best(j) + 0.5 * (x(j) - best(j)))
+              (s, f(s))
+            }
+            simplex.last
+          }
+        }
+      simplex = (simplex.dropRight(1) :+ replacement).sortBy(_._2)
+      iter += 1
+    }
+    simplex.head._1
+  }
+
+  /** Refine a Hannan–Rissanen OLS fit by minimizing the true CSS
+    * objective from the OLS point (two-stage HR is consistent but not
+    * efficient — its MA coefficients regress on ESTIMATED residuals;
+    * CSS re-optimizes them under the model's own recursion, which is
+    * what statsmodels does after its own HR warm start). σ²/AIC are
+    * recomputed under the CSS objective; the refined fit never has
+    * higher CSS than the OLS start because NM only descends. */
+  def refineCss(w: Array[Double], fit: LagFit,
+                maxIter: Int = 400): LagFit = {
+    // a σ²-floor fit is already exact on its sample — the CSS descent
+    // could only trade that exactness against the startup transient
+    if (fit.sigma2 <= 1e-10) return fit
+    val x0 = fit.intercept +: (fit.coef ++ fit.maCoef)
+    val best = nelderMead(cssSse(w, fit.arLags, fit.maLags, _), x0, maxIter)
+    val pMax = if (fit.arLags.isEmpty) 0 else fit.arLags.max
+    val qMax = if (fit.maLags.isEmpty) 0 else fit.maLags.max
+    val n = w.length - (math.max(pMax, qMax) + qMax)
+    val k = x0.length
+    if (n <= k + 2) return fit
+    val sse = cssSse(w, fit.arLags, fit.maLags, best)
+    val sigma2 = math.max(sse / n, 1e-12)
+    val refined = fit.copy(
+      coef = best.slice(1, 1 + fit.arLags.length),
+      maCoef = best.slice(1 + fit.arLags.length, k),
+      intercept = best(0), sigma2 = sigma2,
+      aic = n * math.log(sigma2) + 2.0 * (k + 1))
+    refined.copy(resid = residualsLags(w, refined))
+  }
+
   /** Iterated h-step forecast of a seasonal fit on the differenced
     * scale (future shocks zero, trailing residuals feed the MA lags),
     * then integration back through the difference chain. */
@@ -375,9 +484,15 @@ object ArimaLite {
     val hi = if (y.isEmpty) 0.0 else y.max + 5.0
     // walk the AIC order, first fit whose forecast stays inside the
     // observed envelope wins (degenerate σ²-floor ties can put an
-    // explosive recursion first); nothing sane → series-mean fallback
+    // explosive recursion first); nothing sane → series-mean fallback.
+    // Each candidate is CSS-refined from its OLS warm start before
+    // forecasting — the iterator is lazy, so only candidates actually
+    // reached pay the refinement.
     val raw = selectSeasonalAll(y).iterator
-      .map(fit => forecastLagFit(y, fit, h))
+      .map { fit =>
+        val w = diffChain(y, fit.d, fit.sD, fit.s)._1
+        forecastLagFit(y, refineCss(w, fit), h)
+      }
       .find(_.forall(v => java.lang.Double.isFinite(v) &&
         v >= lo && v <= hi))
       .getOrElse(Array.fill(h)(mean))

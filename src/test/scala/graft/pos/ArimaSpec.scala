@@ -62,6 +62,32 @@ class ArimaSpec extends AnyFunSuite {
     assert(math.abs(fc.last) <= math.abs(fc.head) + 1.0)
   }
 
+  test("CSS refinement descends from the Hannan-Rissanen start") {
+    // ARMA(1,1): HR is consistent but regresses the MA term on
+    // ESTIMATED residuals; CSS re-optimizes under the model's own
+    // recursion (what statsmodels' css/mle fit does)
+    val rnd = new scala.util.Random(3)
+    val n = 600
+    val y = new Array[Double](n)
+    var ePrev = 0.0
+    for (t <- 1 until n) {
+      val e = rnd.nextGaussian()
+      y(t) = 0.6 * y(t - 1) + e + 0.5 * ePrev
+      ePrev = e
+    }
+    val hr = ArimaLite.fitLags(y, Array(1), Array(1)).get
+    val css = ArimaLite.refineCss(y, hr)
+    // the CSS objective can only improve from the warm start
+    assert(ArimaLite.cssObjective(y, css) <=
+      ArimaLite.cssObjective(y, hr) + 1e-9,
+      s"css ${ArimaLite.cssObjective(y, css)} vs " +
+        s"hr ${ArimaLite.cssObjective(y, hr)}")
+    // and the refined parameters still sit at the planted truth
+    assert(math.abs(css.coef(0) - 0.6) < 0.15, s"phi=${css.coef(0)}")
+    assert(css.maCoef(0) > 0.2 && css.maCoef(0) < 0.8,
+      s"theta=${css.maCoef(0)}")
+  }
+
   test("seasonal grid recovers a planted weekly pattern plain ARMA misses") {
     // strong 7-day profile + noise; 20 full weeks of observations
     val profile = Array(520.0, 80.0, 90.0, 110.0, 130.0, 260.0, 400.0)
