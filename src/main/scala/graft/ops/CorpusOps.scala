@@ -249,15 +249,190 @@ object CorpusOps {
       CAST(COUNT(*) - SUM(seen) AS BIGINT) AS n_new
     FROM incoming GROUP BY source"""
 
+  // ------------------------------------------- repetition filter
+  /** Gopher-style repetition quality gates: the fraction of a doc's
+    * tokens that are repeats of an earlier token, and the share of its
+    * 2-grams taken by the single most frequent 2-gram — boilerplate
+    * and template spam score high on both. The dup-token fraction is a
+    * pure in-row expression (array_distinct fold, codegen'd, no
+    * shuffle); the top-bigram share needs a per-(doc, gram) count, so
+    * it explodes ONCE and map-side combines — keyed on (doc_id, gram),
+    * which cannot skew across docs. Thresholds (0.3 / 0.18) follow the
+    * Gopher paper's repetition-filter family. */
+  val q88RepetitionFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("t")))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - size(array_distinct(col("t")))).cast("double")
+          / col("n_tokens").cast("double"))
+    val bigrams = docs
+      .select(col("doc_id"), expr(
+        """explode(zip_with(
+             slice(t, 1, greatest(size(t) - 1, 0)),
+             slice(t, 2, greatest(size(t) - 1, 0)),
+             (a, b) -> concat(a, ' ', b))) AS gram"""))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"),
+        sum(col("c")).cast("long").as("n_grams"))
+      .withColumn("top_bigram_frac",
+        col("top_c").cast("double") / col("n_grams").cast("double"))
+    docs.select(col("doc_id"), col("dup_token_frac"))
+      .join(bigrams.select(col("doc_id"), col("top_bigram_frac")),
+        Seq("doc_id"))
+      .withColumn("keep",
+        when(col("dup_token_frac") <= 0.3
+          && col("top_bigram_frac") <= 0.18, 1L).otherwise(0L))
+  }
+  val o88: String = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    dup AS (
+      SELECT doc_id,
+        CAST(len(t) - len(list_distinct(t)) AS DOUBLE)
+          / CAST(len(t) AS DOUBLE) AS dup_token_frac
+      FROM toks),
+    grams AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 1),
+          i -> t[i] || ' ' || t[i + 1])) AS gram
+      FROM toks),
+    gc AS (
+      SELECT doc_id, gram, COUNT(*) AS c
+      FROM grams GROUP BY doc_id, gram),
+    tb AS (
+      SELECT doc_id,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+          AS top_bigram_frac
+      FROM gc GROUP BY doc_id)
+    SELECT d.doc_id, d.dup_token_frac, tb.top_bigram_frac,
+      CASE WHEN d.dup_token_frac <= 0.3 AND tb.top_bigram_frac <= 0.18
+           THEN 1 ELSE 0 END AS keep
+    FROM dup d JOIN tb USING (doc_id)"""
+
+  // --------------------------------------------- decontamination
+  /** Eval-set decontamination: a training doc is contaminated when it
+    * shares ≥ 2 distinct token-3-gram shingles with ANY doc of the
+    * held-out eval set (doc_id % 97 = 0 stands in for the benchmark
+    * suite). Reported as the per-source contamination census the
+    * pipeline would alert on.
+    *
+    * 100 TB design: the eval side is benchmarks — thousands of docs,
+    * not billions — so its distinct-shingle set broadcasts and the
+    * train side is a map-side semi-join (no shuffle of the corpus);
+    * the per-(train doc) distinct-overlap count is keyed on doc_id,
+    * which cannot skew. */
+  val q89Decontaminate: Q = (s, d) => {
+    val sh = DedupOps.withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(col("shs"))).as("sh"))
+    val evalSh = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("sh")).distinct()
+    val contaminated = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .select(col("doc_id"), lit(1L).as("bad"))
+    Tables.documents(s, d).filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("bad"), lit(0L))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contaminated_pct",
+        col("n_contaminated").cast("double") * 100.0
+          / col("n_docs").cast("double"))
+  }
+  val o89: String = s"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, source, unnest(shs) AS sh
+      FROM (SELECT doc_id, source, ${DedupOps.shinglesSql} AS shs
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents))),
+    evalsh AS (SELECT DISTINCT sh FROM sh0 WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT doc_id FROM sh0
+      JOIN evalsh USING (sh)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id HAVING COUNT(*) >= 2)
+    SELECT d.source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_contaminated,
+      CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE)
+        AS contaminated_pct
+    FROM documents d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source"""
+
+  // --------------------------------------------- mixture weights
+  /** Training-mixture reweighting: given a target language share, the
+    * per-doc sampling weight is target_share / actual_token_share —
+    * the quantity a data-mixing stage multiplies into each domain's
+    * sampling rate to hit the recipe. Exact integer token sums; the
+    * shares and weights are single IEEE divisions of those sums, so
+    * they hash-match cross-engine. A two-level aggregate (per-lang,
+    * then corpus total joined back) — at 100 TB both are tiny. */
+  val q90MixtureWeights: Q = (s, d) => {
+    val target =
+      when(col("lang") === "en", 0.4)
+        .when(col("lang") === "es", 0.2)
+        .when(col("lang") === "fr", 0.2)
+        .when(col("lang") === "de", 0.1)
+        .otherwise(0.1)
+    val perLang = Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).cast("long").as("total_tokens"))
+      .withColumn("target_share", target)
+    val total = perLang.agg(
+      sum(col("total_tokens")).cast("long").as("corpus_tokens"))
+    perLang.join(broadcast(total))
+      .withColumn("actual_share",
+        col("total_tokens").cast("double")
+          / col("corpus_tokens").cast("double"))
+      .withColumn("weight", col("target_share") / col("actual_share"))
+      .select(col("lang"), col("total_tokens"), col("actual_share"),
+        col("target_share"), col("weight"))
+  }
+  val o90: String = """
+    WITH per_lang AS (
+      SELECT lang,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+          AS total_tokens,
+        CASE WHEN lang = 'en' THEN 0.4 WHEN lang = 'es' THEN 0.2
+             WHEN lang = 'fr' THEN 0.2 WHEN lang = 'de' THEN 0.1
+             ELSE 0.1 END AS target_share
+      FROM documents GROUP BY lang),
+    tot AS (
+      SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens
+      FROM per_lang)
+    SELECT lang, total_tokens,
+      CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE)
+        AS actual_share,
+      target_share,
+      target_share / (CAST(total_tokens AS DOUBLE)
+        / CAST(corpus_tokens AS DOUBLE)) AS weight
+    FROM per_lang, tot"""
+
   val queries: Map[String, Q] = Map(
     "q83_dup_clusters" -> q83DupClusters,
     "q85_tfidf_topk" -> q85TfIdf,
     "q86_stratified_sample" -> q86StratifiedSample,
-    "q87_incremental_dedup" -> q87IncrementalDedup)
+    "q87_incremental_dedup" -> q87IncrementalDedup,
+    "q88_repetition_filter" -> q88RepetitionFilter,
+    "q89_decontaminate" -> q89Decontaminate,
+    "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
     "q83_dup_clusters" -> o83,
     "q85_tfidf_topk" -> o85,
     "q86_stratified_sample" -> o86,
-    "q87_incremental_dedup" -> o87)
+    "q87_incremental_dedup" -> o87,
+    "q88_repetition_filter" -> o88,
+    "q89_decontaminate" -> o89,
+    "q90_mixture_weights" -> o90)
 }

@@ -24,7 +24,7 @@ object DedupOps {
     * trap) and `shs` (token-3-gram shingle hashes, mod-reduced per
     * combine so a*x in MinHash never overflows Int64 even for high
     * code points). */
-  private def withShingles(df: DataFrame): DataFrame = df
+  private[ops] def withShingles(df: DataFrame): DataFrame = df
     .withColumn("th", expr(
       "transform(split(text, ' '), x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))"))
     // zip_with over slices, NOT element_at(th, i) in a lambda: a lambda
@@ -38,8 +38,8 @@ object DedupOps {
                     (a, b) -> (a * 100003 + b) % $P),
            slice(th, 3, greatest(size(th) - 2, 0)),
            (ab, c) -> (ab * 100003 + c) % $P)"""))
-  /** DuckDB twin of [[shinglesExpr]]. */
-  private val shinglesSql: String = {
+  /** DuckDB twin of [[withShingles]]. */
+  private[ops] val shinglesSql: String = {
     // greatest(unicode,0): DuckDB unicode('') is -1, Spark ascii('') is 0
     def h(i: String) =
       s"CAST(greatest(unicode(t[$i]), 0) * 131 + length(t[$i]) AS BIGINT)"
