@@ -79,11 +79,114 @@ object EventOps {
       CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS value_cents
     FROM numbered GROUP BY user_id, session_id"""
 
+  // ------------------------------------------------------------ funnel
+  /** Ordered conversion funnel view → click → purchase: each stage's
+    * entry time is the user's first qualifying event STRICTLY AFTER
+    * the previous stage's entry — the classic product-analytics
+    * operator. Three user-keyed aggregates, each joined to the
+    * previous stage's (small, shrinking) user set; every shuffle is on
+    * user_id with map-side combine, and the final census is one row.
+    * At 100 TB the stage tables shrink monotonically, so the chain is
+    * broadcast-friendly after stage 1. */
+  val q92Funnel: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+      .withColumn("click_rate",
+        $"n_click".cast("double") / $"n_view".cast("double"))
+      .withColumn("purchase_rate",
+        $"n_purchase".cast("double") / $"n_click".cast("double"))
+  }
+  val o92 = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT nv AS n_view, nc AS n_click, np AS n_purchase,
+      CAST(nc AS DOUBLE) / CAST(nv AS DOUBLE) AS click_rate,
+      CAST(np AS DOUBLE) / CAST(nc AS DOUBLE) AS purchase_rate
+    FROM (SELECT COUNT(*) AS nv FROM v),
+         (SELECT COUNT(*) AS nc FROM c),
+         (SELECT COUNT(*) AS np FROM p)"""
+
+  // ------------------------------------------------------------ cohort
+  /** Cohort retention: users grouped by first-active day; a cohort
+    * member counts as day-1 retained if active the very next day and
+    * week-2 retained if active on any of days 7–13. Two user-keyed
+    * aggregates over the (user, active-day) distinct set — the
+    * hot-user skew collapses in the distinct's map-side combine. */
+  val q93CohortRetention: Q = (s, d) => {
+    import s.implicits._
+    val days = Tables.events(s, d)
+      .select($"user_id", $"ts".cast("date").as("day")).distinct()
+    val cohort = days.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    val flags = days.join(cohort, Seq("user_id"))
+      .withColumn("dd", datediff($"day", $"cohort_day"))
+      .groupBy($"user_id", $"cohort_day")
+      .agg(max(when($"dd" === 1, 1L).otherwise(0L)).as("d1"),
+        max(when($"dd" >= 7 && $"dd" <= 13, 1L).otherwise(0L)).as("w2"))
+    flags.groupBy(date_format($"cohort_day", "yyyy-MM-dd")
+        .as("cohort_day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum($"d1").cast("long").as("n_retained_d1"),
+        sum($"w2").cast("long").as("n_retained_w2"))
+      .withColumn("d1_pct",
+        $"n_retained_d1".cast("double") * 100.0
+          / $"n_users".cast("double"))
+      .withColumn("w2_pct",
+        $"n_retained_w2".cast("double") * 100.0
+          / $"n_users".cast("double"))
+  }
+  val o93 = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    cohort AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id),
+    flags AS (
+      SELECT d.user_id, c.cohort_day,
+        MAX(CASE WHEN date_diff('day', c.cohort_day, d.day) = 1
+                 THEN 1 ELSE 0 END) AS d1,
+        MAX(CASE WHEN date_diff('day', c.cohort_day, d.day) BETWEEN 7
+                   AND 13 THEN 1 ELSE 0 END) AS w2
+      FROM days d JOIN cohort c ON d.user_id = c.user_id
+      GROUP BY d.user_id, c.cohort_day)
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      COUNT(*) AS n_users,
+      CAST(SUM(d1) AS BIGINT) AS n_retained_d1,
+      CAST(SUM(w2) AS BIGINT) AS n_retained_w2,
+      CAST(SUM(d1) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE)
+        AS d1_pct,
+      CAST(SUM(w2) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE)
+        AS w2_pct
+    FROM flags GROUP BY cohort_day"""
+
   val queries: Map[String, Q] = Map(
     "q77_json_extract" -> q77JsonExtract,
-    "q78_sessionize_batch" -> q78SessionizeBatch)
+    "q78_sessionize_batch" -> q78SessionizeBatch,
+    "q92_funnel" -> q92Funnel,
+    "q93_cohort_retention" -> q93CohortRetention)
 
   val oracles: Map[String, String] = Map(
     "q77_json_extract" -> o77,
-    "q78_sessionize_batch" -> o78)
+    "q78_sessionize_batch" -> o78,
+    "q92_funnel" -> o92,
+    "q93_cohort_retention" -> o93)
 }

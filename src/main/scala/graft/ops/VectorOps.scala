@@ -312,6 +312,79 @@ object VectorOps {
     SELECT label, c_label AS assigned, COUNT(*) AS n_vecs
     FROM assigned WHERE rn = 1 GROUP BY 1, 2"""
 
+  // ----------------------------------- semantic dedup, centroid path
+  /** The LINEAR SemDeDup variant: instead of q84's within-cell pairs
+    * (quadratic in cell size), each vector is scored by cosine against
+    * its OWN cell centroid and dropped when it hugs the centroid too
+    * closely (≥ 0.25 here) — prototypical near-duplicates go, outliers
+    * stay. One broadcast row of per-cell centroid arrays (exact
+    * decimal means, as in q65) and a single in-row fold per vector: no
+    * pair generation at all, O(N·dim) total — the shape that actually
+    * runs at 100 TB. */
+  val q91SemDedupCentroid: Q = (s, d) => {
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val packed = dims.groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"c_label".as("label"),
+        expr("transform(pc, x -> x.c)").as("carr"))
+    Tables.embeddings(s, d)
+      .join(broadcast(packed), Seq("label"))
+      .withColumn("cos_c",
+        expr("""aggregate(zip_with(embedding, carr,
+                  (x, c) -> CAST(x AS DOUBLE) * c),
+                CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+          / (sqrt(expr(dot("embedding", "embedding")))
+            * sqrt(expr("""aggregate(transform(carr, x -> x * x),
+                     CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when($"cos_c" >= 0.25, 1L).otherwise(0L)).cast("long")
+          .as("n_dropped"))
+      .withColumn("n_kept", $"n_vecs" - $"n_dropped")
+      .withColumn("retention_pct",
+        $"n_kept".cast("double") * 100.0 / $"n_vecs".cast("double"))
+  }
+  val o91: String = s"""
+    WITH dims AS (
+      SELECT label, g.pos AS pos,
+             CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    centroids AS (
+      SELECT label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (
+      SELECT label, list(c ORDER BY pos) AS carr
+      FROM centroids GROUP BY label),
+    scored AS (
+      SELECT em.label,
+        list_reduce(
+          list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 64), i ->
+              CAST(em.embedding[i] AS DOUBLE) * ca.carr[i])),
+          (acc, x) -> acc + x)
+        / (sqrt(${dotSql("em.embedding", "em.embedding")})
+           * sqrt(list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(ca.carr, x -> x * x)),
+               (acc, x) -> acc + x))) AS cos_c
+      FROM embeddings em JOIN carr ca ON em.label = ca.label)
+    SELECT label, n_vecs, n_dropped, n_vecs - n_dropped AS n_kept,
+      CAST(n_vecs - n_dropped AS DOUBLE) * 100.0 / CAST(n_vecs AS DOUBLE)
+        AS retention_pct
+    FROM (
+      SELECT label, COUNT(*) AS n_vecs,
+        CAST(SUM(CASE WHEN cos_c >= 0.25 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped
+      FROM scored GROUP BY label)"""
+
   // ------------------------------------------------------ quantization
   /** Symmetric int8 quantization for embedding storage: per-vector
     * scale = 127 / max|x|, elements rounded to int8 — 4× smaller at
@@ -348,10 +421,12 @@ object VectorOps {
     "q64_cosine_neardup" -> q64CosineNearDup,
     "q65_ivf_assign" -> q65IvfAssign,
     "q66_quantize_int8" -> q66QuantizeInt8,
-    "q84_semantic_dedup" -> q84SemanticDedup)
+    "q84_semantic_dedup" -> q84SemanticDedup,
+    "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
     "q84_semantic_dedup" -> o84,
+    "q91_semdedup_centroid" -> o91,
     "q61_norm_stats" -> o61,
     "q62_knn_brute" -> o62,
     "q63_ann_bucketed" -> o63,
