@@ -1,0 +1,65 @@
+package graft.pos.staging
+
+import graft.sources.Xlsx
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's full xlsx staging flow (S6 end-to-end,
+  * `payments_cleaner.py:282-420`): open the workbook, pick the detail
+  * sheet by the case-insensitive/substring rule, bronze-grid it, parse
+  * the optional "Pagos Eliminados" sheet (its own header scan, block
+  * columns B..L), and hand both to [[PaymentsCleaner.clean]].
+  *
+  * Until this round the bronze grid had to be produced elsewhere; with
+  * [[Xlsx]] the workbook itself is the input, no POI required.
+  */
+object PaymentsXlsx {
+
+  /** Clean every payments workbook under `path`. */
+  def clean(spark: SparkSession, path: String, sucursalHint: String,
+            chunkStart: Option[String] = None,
+            chunkEnd: Option[String] = None): DataFrame = {
+    val grid = Xlsx.readGrid(spark, path, "Detalle por forma de pago")
+      .drop("_file")
+    PaymentsCleaner.clean(grid, sucursalHint,
+      eliminations = eliminations(spark, path),
+      chunkStart = chunkStart, chunkEnd = chunkEnd)
+  }
+
+  /** "Pagos Eliminados" sheet → (Fecha de operación, Orden) DataFrame,
+    * or None when the sheet (or its required columns) is absent — the
+    * reference logs and continues without the flag
+    * (payments_cleaner.py:306-420: header row = first of the top 40
+    * containing "Fecha de operación", else row 6; data block = columns
+    * B..L below it). */
+  def eliminations(spark: SparkSession, path: String)
+      : Option[DataFrame] = {
+    val grid =
+      try Xlsx.readGrid(spark, path, "Pagos Eliminados")
+      catch { case _: Exception => return None }
+    val cellCols = grid.columns.filter(_.startsWith("_c"))
+    // block B..L = _c1.._c11 (payments_cleaner.py:339)
+    val block = cellCols.filter { c =>
+      val i = c.drop(2).toInt; i >= 1 && i <= 11
+    }
+    if (block.isEmpty) return None
+    val head = grid.orderBy(col("_row")).limit(40).collect()
+    val headerIdx = head.find(r => cellCols.exists { c =>
+      val v = r.getAs[String](c)
+      v != null && Headers.stripInvisibles(v).contains("Fecha de operación")
+    }).map(_.getAs[Long]("_row")).getOrElse(5L)
+    val headerRow = head.find(_.getAs[Long]("_row") == headerIdx)
+      .getOrElse(return None)
+    def colFor(target: String): Option[String] = block.find { c =>
+      val v = headerRow.getAs[String](c)
+      v != null && Headers.stripInvisibles(v).trim == target
+    }
+    for {
+      fecha <- colFor("Fecha de operación")
+      orden <- colFor("Orden")
+    } yield grid.filter(col("_row") > headerIdx)
+      .select(col(fecha).as("Fecha de operación"),
+        col(orden).as("Orden"))
+      .na.drop("all")
+  }
+}

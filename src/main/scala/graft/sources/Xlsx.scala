@@ -1,0 +1,358 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, OutputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dependency-free XLSX reader/writer (SURVEY §2.1 S6/S13) built on
+  * the JDK's `java.util.zip` + StAX — an .xlsx file is a zip of small
+  * XML parts, so no POI is needed for the bronze contract.
+  *
+  * Reader semantics mirror the reference's pandas path
+  * (`payments_cleaner.py:82-91,285-316`): list sheet names, pick one
+  * case-insensitively (exact then substring), and deliver the sheet as
+  * a dense row-indexed grid of raw cell strings — the same
+  * `(_row, _c0.._cN)` bronze shape the staging cleaners consume.
+  * Handles shared strings (incl. rich-text runs), inline strings,
+  * numbers, booleans, sparse rows/cells (dense-filled with nulls), and
+  * both `r`-attributed and positional rows/cells.
+  *
+  * Scale design: ONE export workbook is a bounded artifact (a day's
+  * report), so parsing happens per file inside executors via the
+  * `binaryFile` source + flatMap — many files parallelize across the
+  * cluster, and no workbook is ever collected to the driver.
+  */
+object Xlsx {
+
+  // ------------------------------------------------------------ read
+  final case class Workbook(sheets: Seq[(String, Vector[Vector[String]])]) {
+    def sheetNames: Seq[String] = sheets.map(_._1)
+    def grid(name: String): Vector[Vector[String]] =
+      sheets.find(_._1 == name).map(_._2)
+        .getOrElse(sys.error(s"no sheet '$name'"))
+  }
+
+  /** Reference sheet lookup: exact case-insensitive match first, then
+    * substring (payments_cleaner.py:82-91). */
+  def findSheet(names: Seq[String], target: String): Option[String] = {
+    val t = target.toLowerCase
+    names.find(_.toLowerCase.trim == t)
+      .orElse(names.find(_.toLowerCase.contains(t)))
+  }
+
+  private def entries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val out = mutable.Map.empty[String, Array[Byte]]
+    try {
+      var e: ZipEntry = zin.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) out(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    out.toMap
+  }
+
+  private val xif: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    // untrusted input: no DTDs, no external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** "B3" → 0-based column 1 (letters only; digits are the row). */
+  private[sources] def colOf(ref: String): Int = {
+    var c = 0
+    var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      c = c * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    c - 1
+  }
+
+  /** sharedStrings.xml → indexed strings; rich-text runs (`<r><t>`)
+    * concatenate like every reader does. */
+  private def parseSharedStrings(xml: Array[Byte]): Vector[String] = {
+    val r = xif.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val out = Vector.newBuilder[String]
+    var cur: StringBuilder = null
+    var inT = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "si" => cur = new StringBuilder
+              case "t" if cur != null => inT = true
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inT) cur.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "t" => inT = false
+              case "si" => out += cur.toString; cur = null
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    out.result()
+  }
+
+  /** One worksheet XML → dense grid (absent rows/cells become null so
+    * `_row` always equals the sheet row, as the cleaners' header
+    * offsets require). */
+  private def parseSheet(xml: Array[Byte],
+                         sst: Vector[String]): Vector[Vector[String]] = {
+    val r = xif.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val cells = mutable.Map.empty[(Int, Int), String]
+    var maxRow = -1
+    var maxCol = -1
+    var row = -1      // 0-based sheet row of the current <row>
+    var col = -1      // 0-based column of the current <c>
+    var cellType = ""
+    var inV = false
+    var inIsT = false
+    val text = new StringBuilder
+    def put(v: String): Unit = {
+      val value = cellType match {
+        case "s" => sst(v.trim.toInt)
+        case "b" => if (v.trim == "1") "TRUE" else "FALSE"
+        case _ => v
+      }
+      cells((row, col)) = value
+      if (row > maxRow) maxRow = row
+      if (col > maxCol) maxCol = col
+    }
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "row" =>
+                val ra = r.getAttributeValue(null, "r")
+                row = if (ra != null) ra.toInt - 1 else row + 1
+                col = -1
+              case "c" =>
+                val ra = r.getAttributeValue(null, "r")
+                col = if (ra != null) colOf(ra) else col + 1
+                val t = r.getAttributeValue(null, "t")
+                cellType = if (t == null) "" else t
+              case "v" => inV = true; text.setLength(0)
+              // inline strings accumulate across rich-text runs: reset
+              // at <is>, append per <t>, emit at </is>
+              case "is" => text.setLength(0)
+              case "t" if cellType == "inlineStr" => inIsT = true
+              case _ => ()
+            }
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inV || inIsT) text.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "v" if inV => inV = false; put(text.toString)
+              case "t" if inIsT => inIsT = false
+              case "is" if cellType == "inlineStr" => put(text.toString)
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    Vector.tabulate(maxRow + 1, maxCol + 1)((ri, ci) =>
+      cells.getOrElse((ri, ci), null))
+  }
+
+  /** Parse a whole workbook: workbook.xml gives sheet names + r:ids,
+    * the .rels part maps r:ids to worksheet paths. */
+  def read(bytes: Array[Byte]): Workbook = {
+    val parts = entries(bytes)
+    val sst = parts.get("xl/sharedStrings.xml")
+      .map(parseSharedStrings).getOrElse(Vector.empty)
+    // rels: rId -> target (relative to xl/ unless absolute)
+    val rels = mutable.Map.empty[String, String]
+    parts.get("xl/_rels/workbook.xml.rels").foreach { relXml =>
+      val r = xif.createXMLStreamReader(new ByteArrayInputStream(relXml))
+      try {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship") {
+            val id = r.getAttributeValue(null, "Id")
+            val tgt = r.getAttributeValue(null, "Target")
+            if (id != null && tgt != null)
+              rels(id) =
+                if (tgt.startsWith("/")) tgt.drop(1) else s"xl/$tgt"
+          }
+        }
+      } finally r.close()
+    }
+    // workbook.xml: ordered (name, rId)
+    val sheets = Vector.newBuilder[(String, String)]
+    val wb = parts.getOrElse("xl/workbook.xml",
+      sys.error("not an xlsx: no xl/workbook.xml"))
+    val wr = xif.createXMLStreamReader(new ByteArrayInputStream(wb))
+    try {
+      while (wr.hasNext) {
+        if (wr.next() == XMLStreamConstants.START_ELEMENT &&
+            wr.getLocalName == "sheet") {
+          val name = wr.getAttributeValue(null, "name")
+          // r:id is namespaced; scan attributes by local name
+          val rid = (0 until wr.getAttributeCount)
+            .find(i => wr.getAttributeLocalName(i) == "id")
+            .map(wr.getAttributeValue)
+            .getOrElse(sys.error(s"sheet '$name' has no r:id"))
+          sheets += ((name, rid))
+        }
+      }
+    } finally wr.close()
+    Workbook(sheets.result().map { case (name, rid) =>
+      val path = rels.getOrElse(rid, sys.error(s"no rel for $rid"))
+      name -> parseSheet(parts.getOrElse(path,
+        sys.error(s"missing part $path")), sst)
+    })
+  }
+
+  // ----------------------------------------------------------- write
+  private def xmlEscape(s: String): String = s.flatMap {
+    case '&' => "&amp;"
+    case '<' => "&lt;"
+    case '>' => "&gt;"
+    case '"' => "&quot;"
+    case c => c.toString
+  }
+
+  private val NumberRe = "-?[0-9]+(\\.[0-9]+)?".r
+
+  /** Minimal single-part-per-sheet writer: numbers (numeric types or
+    * plain-decimal strings) as `t="n"`, everything else as inline
+    * strings — self-contained, opens in Excel/pandas/POI. */
+  def write(sheets: Seq[(String, Seq[Seq[Any]])], out: OutputStream): Unit = {
+    val z = new ZipOutputStream(out)
+    def part(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    val decl = "<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>"
+    val n = sheets.size
+    try {
+      part("[Content_Types].xml", decl +
+        "<Types xmlns=\"http://schemas.openxmlformats.org/package/2006/content-types\">" +
+        "<Default Extension=\"rels\" ContentType=\"application/vnd.openxmlformats-package.relationships+xml\"/>" +
+        "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+        "<Override PartName=\"/xl/workbook.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml\"/>" +
+        (1 to n).map(i =>
+          s"<Override PartName=\"/xl/worksheets/sheet$i.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml\"/>")
+          .mkString + "</Types>")
+      part("_rels/.rels", decl +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+        "<Relationship Id=\"rId1\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument\" Target=\"xl/workbook.xml\"/>" +
+        "</Relationships>")
+      part("xl/workbook.xml", decl +
+        "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
+        "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\"><sheets>" +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${xmlEscape(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString + "</sheets></workbook>")
+      part("xl/_rels/workbook.xml.rels", decl +
+        "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+        (1 to n).map(i =>
+          s"<Relationship Id=\"rId$i\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet\" Target=\"worksheets/sheet$i.xml\"/>")
+          .mkString + "</Relationships>")
+      sheets.zipWithIndex.foreach { case ((_, rows), si) =>
+        val body = new StringBuilder(decl)
+        body.append("<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
+        rows.zipWithIndex.foreach { case (cells, ri) =>
+          body.append(s"""<row r="${ri + 1}">""")
+          cells.zipWithIndex.foreach { case (cell, ci) =>
+            val ref = s"${colLetters(ci)}${ri + 1}"
+            cell match {
+              case null | "" => () // sparse: omit empty cells
+              case v: Double =>
+                body.append(s"""<c r="$ref"><v>$v</v></c>""")
+              case v @ (_: Int | _: Long | _: java.math.BigDecimal) =>
+                body.append(s"""<c r="$ref"><v>$v</v></c>""")
+              case v: String if NumberRe.matches(v) =>
+                body.append(s"""<c r="$ref"><v>$v</v></c>""")
+              case v =>
+                body.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v.toString)}</t></is></c>""")
+            }
+          }
+          body.append("</row>")
+        }
+        body.append("</sheetData></worksheet>")
+        part(s"xl/worksheets/sheet${si + 1}.xml", body.toString)
+      }
+    } finally z.close()
+  }
+
+  private[sources] def colLetters(c0: Int): String = {
+    var c = c0 + 1
+    val sb = new StringBuilder
+    while (c > 0) {
+      val rem = (c - 1) % 26
+      sb.insert(0, ('A' + rem).toChar)
+      c = (c - 1) / 26
+    }
+    sb.toString
+  }
+
+  def writeBytes(sheets: Seq[(String, Seq[Seq[Any]])]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    write(sheets, bos)
+    bos.toByteArray
+  }
+
+  /** S13 edge export: one mart DataFrame → one-sheet workbook with a
+    * header row. Edge marts are small, human-facing reports (the
+    * reference writes them with pandas.to_excel), so the bounded
+    * collect here is the contract, not a scale hazard. */
+  def writeSheetFile(df: DataFrame, sheetName: String,
+                     path: String): Unit = {
+    val header: Seq[Any] = df.columns.toSeq
+    val rows = df.collect().toSeq.map(_.toSeq.map {
+      case null => null
+      case v => v
+    })
+    val fos = new java.io.FileOutputStream(path)
+    try write(Seq(sheetName -> (header +: rows)), fos)
+    finally fos.close()
+  }
+
+  // ------------------------------------------------- bronze grid read
+  /** S6 bronze reader: every .xlsx under `path` → the row-indexed raw
+    * grid `(\_file, \_row, \_c0.._cN)` of the sheet matching
+    * `sheetTarget` (reference lookup rules). Parsing runs inside
+    * executors off the `binaryFile` source — files parallelize across
+    * the cluster; only the max column count (one tiny agg) reaches the
+    * driver, to fix the bronze schema width. */
+  def readGrid(spark: SparkSession, path: String,
+               sheetTarget: String): DataFrame = {
+    import spark.implicits._
+    val raw = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select($"path", $"content")
+      .as[(String, Array[Byte])]
+    val grids = raw.flatMap { case (file, bytes) =>
+      val wb = read(bytes)
+      val sheet = findSheet(wb.sheetNames, sheetTarget).getOrElse(
+        sys.error(s"Sheet like '$sheetTarget' not found in $file. " +
+          s"Available: ${wb.sheetNames.mkString(", ")}"))
+      wb.grid(sheet).zipWithIndex.map { case (cells, i) =>
+        (file, i.toLong, cells)
+      }
+    }.toDF("_file", "_row", "cells").cache()
+    val nCols = grids.agg(max(size($"cells"))).head().getInt(0)
+    (0 until nCols).foldLeft(grids) { (d, i) =>
+      d.withColumn(s"_c$i", $"cells".getItem(i))
+    }.drop("cells")
+  }
+}

@@ -1,0 +1,203 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dependency-free xlsx reader/writer (S6/S13): round trips, a
+  * hand-authored shared-strings workbook (the shape pandas/openpyxl
+  * and Wansoft exports produce), reference sheet-finder rules, and the
+  * bronze e2e into PaymentsCleaner. */
+class XlsxSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .getOrCreate()
+
+  test("writer → reader round trip preserves strings, numbers, gaps") {
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq("Reporte de pagos", null, "Café & <Té>"),
+      Seq(),                                  // empty row
+      Seq("Fecha", "Total", "Nota"),
+      Seq("15/01/2025", 1234.56, "año \"raro\""),
+      Seq("2025-01-16", "5,000.00", null))    // EU money stays a string
+    val bytes = Xlsx.writeBytes(Seq("Hoja1" -> rows))
+    val wb = Xlsx.read(bytes)
+    assert(wb.sheetNames == Seq("Hoja1"))
+    val g = wb.grid("Hoja1")
+    assert(g(0)(0) == "Reporte de pagos")
+    assert(g(0)(2) == "Café & <Té>")
+    assert(g(1).forall(_ == null))            // gap row dense-filled
+    assert(g(3)(1) == "1234.56")              // number round trips
+    assert(g(3)(2) == "año \"raro\"")
+    assert(g(4)(1) == "5,000.00")             // grouped money stays text
+    assert(g(4)(2) == null)
+  }
+
+  test("reads shared strings, sparse refs, booleans, rich text") {
+    // hand-built workbook exercising what OUR writer never emits:
+    // sharedStrings (incl. a rich-text run), skipped rows/cells via
+    // explicit refs, booleans, and an absolute rel target
+    def z(parts: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zo = new java.util.zip.ZipOutputStream(bos)
+      parts.foreach { case (n, body) =>
+        zo.putNextEntry(new java.util.zip.ZipEntry(n))
+        zo.write(body.getBytes("UTF-8"))
+        zo.closeEntry()
+      }
+      zo.close()
+      bos.toByteArray
+    }
+    val bytes = z(
+      "xl/workbook.xml" ->
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+             xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           <sheets><sheet name="Detalle por Forma de Pago" sheetId="1" r:id="rId1"/></sheets>
+           </workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           <Relationship Id="rId1" Type="w" Target="/xl/worksheets/sheet1.xml"/>
+           </Relationships>""",
+      "xl/sharedStrings.xml" ->
+        """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+           <si><t>Forma de pago</t></si>
+           <si><r><t>Tarjeta </t></r><r><t>Crédito</t></r></si>
+           <si><t xml:space="preserve"> spaced </t></si>
+           </sst>""",
+      "xl/worksheets/sheet1.xml" ->
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+           <row r="2"><c r="B2" t="s"><v>0</v></c><c r="D2"><v>42</v></c></row>
+           <row r="4"><c r="A4" t="s"><v>1</v></c><c r="B4" t="b"><v>1</v></c>
+             <c r="C4" t="s"><v>2</v></c><c r="D4" t="inlineStr"><is><t>in</t><t>line</t></is></c></row>
+           </sheetData></worksheet>""")
+    val wb = Xlsx.read(bytes)
+    val g = wb.grid("Detalle por Forma de Pago")
+    assert(g.length == 4)                       // dense to max row 4
+    assert(g(0).forall(_ == null))              // row 1 absent in xml
+    assert(g(1)(1) == "Forma de pago")          // B2 shared string
+    assert(g(1)(3) == "42")                     // D2 number
+    assert(g(2).forall(_ == null))              // row 3 absent
+    assert(g(3)(0) == "Tarjeta Crédito")        // rich-text concat
+    assert(g(3)(1) == "TRUE")                   // boolean
+    assert(g(3)(2) == " spaced ")               // xml:space preserved
+    assert(g(3)(3) == "inline")                 // inline runs concat
+  }
+
+  test("sheet finder: exact case-insensitive beats substring") {
+    val names = Seq("Resumen", "detalle por forma de pago ",
+      "Detalle por forma de pago (2)")
+    // exact (trimmed, case-insensitive) wins over the substring hit
+    assert(Xlsx.findSheet(names, "Detalle por forma de pago")
+      .contains("detalle por forma de pago "))
+    assert(Xlsx.findSheet(names, "forma de pago")
+      .contains("detalle por forma de pago "))
+    assert(Xlsx.findSheet(names, "Pagos Eliminados").isEmpty)
+  }
+
+  test("column letters round trip") {
+    for (c <- Seq(0, 1, 25, 26, 27, 51, 52, 701, 702))
+      assert(Xlsx.colOf(Xlsx.colLetters(c) + "1") == c)
+  }
+
+  test("bronze grid e2e: xlsx file → readGrid → PaymentsCleaner") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_bronze")
+    val rows: Seq[Seq[Any]] = Seq(
+      Seq("Reporte de pagos"),
+      Seq(),
+      Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total",
+        "Propina", "Total", "Cajero"),
+      Seq("2025-01-15", "1001", "Efectivo", "25.00", "5,000.00",
+        "10.00", "1.234,56", "Juan"),
+      Seq("15/01/2025", "1002", "Tarjeta Crédito ", "25.00",
+        "5,000.00", "5.00", "(100.00)", "Juan"),
+      Seq(),
+      Seq("", "Total general"))
+    val f = dir.resolve("export.xlsx")
+    val fos = new java.io.FileOutputStream(f.toFile)
+    try Xlsx.write(Seq(
+      "Resumen" -> Seq(Seq("ignored")),
+      "Detalle por forma de pago" -> rows), fos)
+    finally fos.close()
+    val grid = Xlsx.readGrid(s, dir.toString, "detalle por forma")
+      .drop("_file")
+    val out = graft.pos.staging.PaymentsCleaner.clean(grid, "Kavia_OLD")
+    val got = out.orderBy(out("order_index")).collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[String]("sucursal") == "Kavia")
+    assert(got(0).getAs[Long]("order_index") == 1001L)
+    assert(got(0).getAs[Double]("day_total") == 5000.0)
+    assert(got(0).getAs[Double]("ticket_total") == 1234.56)
+    assert(got(1).getAs[java.sql.Date]("operating_date").toString
+      == "2025-01-15")
+    assert(got(1).getAs[Double]("ticket_total") == -100.0)
+    assert(got(1).getAs[String]("payment_method") == "Tarjeta Crédito")
+  }
+
+  test("PaymentsXlsx.clean: full workbook flow incl. eliminations sheet") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_full")
+    val detail: Seq[Seq[Any]] = Seq(
+      Seq("Reporte de pagos"),
+      Seq(),
+      Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total",
+        "Propina", "Total", "Cajero"),
+      Seq("2025-01-15", "1001", "Efectivo", "25.00", "5,000.00",
+        "10.00", "1.234,56", "Juan"),
+      Seq("15/01/2025", "1002", "Tarjeta", "25.00",
+        "5,000.00", "5.00", "(100.00)", "Juan"))
+    // eliminations: junk above, header with "Fecha de operación" in
+    // the B..L block, one matching and one non-matching record
+    val elim: Seq[Seq[Any]] = Seq(
+      Seq("Pagos eliminados del periodo"),
+      Seq(),
+      Seq(null, "Fecha de operación", "Orden", "Forma de pago"),
+      Seq(null, "2025-01-15", "1002", "Efectivo"),
+      Seq(null, "2025-01-20", "9999", "Efectivo"))
+    val f = dir.resolve("export.xlsx")
+    val fos = new java.io.FileOutputStream(f.toFile)
+    try Xlsx.write(Seq(
+      "Detalle por forma de pago" -> detail,
+      "Pagos Eliminados" -> elim), fos)
+    finally fos.close()
+    val out = graft.pos.staging.PaymentsXlsx.clean(s, dir.toString, "Kavia")
+    val flags = out.select("order_index", "elimination_present")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1001L -> false, 1002L -> true))
+  }
+
+  test("PaymentsXlsx.clean: workbook without eliminations sheet") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_noelim")
+    val detail: Seq[Seq[Any]] = Seq(
+      Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total"),
+      Seq("2025-01-15", "1001", "Efectivo", "25.00", "100.00"))
+    val f = dir.resolve("export.xlsx")
+    val fos = new java.io.FileOutputStream(f.toFile)
+    try Xlsx.write(Seq("Detalle por forma de pago" -> detail), fos)
+    finally fos.close()
+    val out = graft.pos.staging.PaymentsXlsx.clean(s, dir.toString, "K")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    assert(!rows(0).getAs[Boolean]("elimination_present"))
+  }
+
+  test("S13 edge export: mart DataFrame → xlsx → re-read") {
+    val s = spark
+    import s.implicits._
+    val mart = Seq(("2025-01-15", "Kavia", 5000.0, 12L),
+      ("2025-01-16", "Marina", 61234.5, 9L))
+      .toDF("fecha", "sucursal", "ingresos", "tickets")
+    val f = java.nio.file.Files.createTempFile("mart", ".xlsx")
+    Xlsx.writeSheetFile(mart, "Pagos Diarios", f.toString)
+    val g = Xlsx.read(java.nio.file.Files.readAllBytes(f))
+      .grid("Pagos Diarios")
+    assert(g(0) == Vector("fecha", "sucursal", "ingresos", "tickets"))
+    assert(g(1) == Vector("2025-01-15", "Kavia", "5000.0", "12"))
+    assert(g(2)(2) == "61234.5")
+  }
+}
