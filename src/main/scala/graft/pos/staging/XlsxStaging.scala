@@ -63,3 +63,26 @@ object PaymentsXlsx {
       .na.drop("all")
   }
 }
+
+/** Sales workbooks: sheet "Detalle de Ventas" by the same lookup rule
+  * (sales_cleaner.py:366-371); the cleaner then does its own header
+  * scan and top-left sucursal parse over the grid. */
+object SalesXlsx {
+  def clean(spark: SparkSession, path: String,
+            sucursalHint: Option[String] = None): DataFrame =
+    SalesCleaner.clean(
+      Xlsx.readGrid(spark, path, "Detalle de Ventas").drop("_file"),
+      sucursalHint)
+}
+
+/** Transfers workbooks: EXACT (case-sensitive) sheet "Transferencias",
+  * else the workbook's FIRST sheet — a deliberately different rule
+  * than the other cleaners (transfer_cleaner.py:143-149). */
+object TransfersXlsx {
+  def clean(spark: SparkSession, path: String): DataFrame =
+    TransfersCleaner.clean(
+      Xlsx.readGridWith(spark, path,
+        names => if (names.contains("Transferencias")) "Transferencias"
+                 else names.head)
+        .drop("_file"))
+}

@@ -334,7 +334,17 @@ object Xlsx {
     * the cluster; only the max column count (one tiny agg) reaches the
     * driver, to fix the bronze schema width. */
   def readGrid(spark: SparkSession, path: String,
-               sheetTarget: String): DataFrame = {
+               sheetTarget: String): DataFrame =
+    readGridWith(spark, path, names => findSheet(names, sheetTarget)
+      .getOrElse(sys.error(s"Sheet like '$sheetTarget' not found. " +
+        s"Available: ${names.mkString(", ")}")))
+
+  /** As [[readGrid]] but with a caller-supplied (serializable) sheet
+    * chooser — the transfers flow, for instance, wants exact
+    * "Transferencias" else the FIRST sheet
+    * (transfer_cleaner.py:144). */
+  def readGridWith(spark: SparkSession, path: String,
+                   choose: Seq[String] => String): DataFrame = {
     import spark.implicits._
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.xlsx")
@@ -343,10 +353,7 @@ object Xlsx {
       .as[(String, Array[Byte])]
     val grids = raw.flatMap { case (file, bytes) =>
       val wb = read(bytes)
-      val sheet = findSheet(wb.sheetNames, sheetTarget).getOrElse(
-        sys.error(s"Sheet like '$sheetTarget' not found in $file. " +
-          s"Available: ${wb.sheetNames.mkString(", ")}"))
-      wb.grid(sheet).zipWithIndex.map { case (cells, i) =>
+      wb.grid(choose(wb.sheetNames)).zipWithIndex.map { case (cells, i) =>
         (file, i.toLong, cells)
       }
     }.toDF("_file", "_row", "cells").cache()

@@ -186,6 +186,50 @@ class XlsxSpec extends AnyFunSuite {
     assert(!rows(0).getAs[Boolean]("elimination_present"))
   }
 
+  test("SalesXlsx + TransfersXlsx: sheet rules and cleaner e2e") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_sales")
+    val sales: Seq[Seq[Any]] = Seq(
+      Seq("Reporte"),
+      Seq("Sucursal: Plaza-Nativa"),
+      Seq("Día", "Fecha de operación", "Orden", "Grupo",
+        "¿Es modificador?", "Cantidad", "Subtotal", "IVA", "Total",
+        "Subtotal", "IVA", "Total"),
+      Seq("Miércoles", "15/01/2025", "1001", "CAFE", "No",
+        "1", "100.00", "16.00", "116.00", "45.00", "7.20", "52.20"))
+    val sf = dir.resolve("ventas.xlsx")
+    val fos = new java.io.FileOutputStream(sf.toFile)
+    try Xlsx.write(Seq("detalle de ventas " -> sales), fos)
+    finally fos.close()
+    val sOut = graft.pos.staging.SalesXlsx.clean(s, dir.toString)
+    val sRows = sOut.collect()
+    assert(sRows.length == 1)
+    assert(sRows(0).getAs[String]("sucursal") == "Plaza Nativa")
+    assert(sRows(0).getAs[Double]("subtotal_item") == 45.0)
+
+    // transfers: no "Transferencias" sheet → FIRST sheet wins
+    val tDir = java.nio.file.Files.createTempDirectory("xlsx_transf")
+    val transfers: Seq[Seq[Any]] = Seq(
+      Seq("Transferencias entre almacenes"),
+      Seq("Orden", "Almacén origen", "Sucursal destino",
+        "Almacén destino", "Fecha", "Estatus", "Cantidad",
+        "Departamento", "Clave", "Producto", "Presentación", "Costo",
+        "IVA", "IEPS", "Costo", "IVA", "IEPS"),
+      Seq("T-1001", "ALMACEN GENERAL", "PANEM - HOTEL KAVIA N",
+        "ALMACEN KAVIA", "2025-09-08", "Enviada", "12", "ABARROTES",
+        "P001", "Harina 10kg", "Saco", "480.00", "76.80", "0.00",
+        "40.00", "6.40", "0.00"))
+    val tf = tDir.resolve("transfer.xlsx")
+    val tfs = new java.io.FileOutputStream(tf.toFile)
+    try Xlsx.write(Seq("Hoja1" -> transfers), tfs)
+    finally tfs.close()
+    val tOut = graft.pos.staging.TransfersXlsx.clean(s, tDir.toString)
+    val tRows = tOut.collect()
+    assert(tRows.length == 1)
+    assert(tRows(0).getAs[Double]("costo") == 480.0)
+    assert(tRows(0).getAs[Double]("iva_total") == 12.0 * 6.4)
+  }
+
   test("S13 edge export: mart DataFrame → xlsx → re-read") {
     val s = spark
     import s.implicits._
