@@ -51,9 +51,13 @@ object CorpusOps {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
       .localCheckpoint()
+    // no iteration cap: every round strictly decreases at least one
+    // label or sets changed = 0, and labels are bounded below by the
+    // component min, so termination is guaranteed in ≤ diameter
+    // rounds — a cap would silently emit split clusters on long
+    // near-dup chains instead
     var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst"))
@@ -70,7 +74,6 @@ object CorpusOps {
         .localCheckpoint()
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.select(col("doc_id"), col("comp"))
-      iter += 1
     }
     val sizes = labels.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

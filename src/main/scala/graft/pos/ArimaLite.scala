@@ -404,12 +404,14 @@ object ArimaLite {
     // could only trade that exactness against the startup transient
     if (fit.sigma2 <= 1e-10) return fit
     val x0 = fit.intercept +: (fit.coef ++ fit.maCoef)
-    val best = nelderMead(cssSse(w, fit.arLags, fit.maLags, _), x0, maxIter)
     val pMax = if (fit.arLags.isEmpty) 0 else fit.arLags.max
     val qMax = if (fit.maLags.isEmpty) 0 else fit.maLags.max
     val n = w.length - (math.max(pMax, qMax) + qMax)
     val k = x0.length
+    // sample-size guard BEFORE the descent — too-short series would
+    // pay hundreds of objective evaluations for a discarded result
     if (n <= k + 2) return fit
+    val best = nelderMead(cssSse(w, fit.arLags, fit.maLags, _), x0, maxIter)
     val sse = cssSse(w, fit.arLags, fit.maLags, best)
     val sigma2 = math.max(sse / n, 1e-12)
     val refined = fit.copy(

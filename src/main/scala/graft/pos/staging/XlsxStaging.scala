@@ -15,27 +15,42 @@ import org.apache.spark.sql.functions._
   */
 object PaymentsXlsx {
 
-  /** Clean every payments workbook under `path`. */
+  /** Clean every payments workbook under `path` and union the results.
+    * Each workbook is cleaned SEPARATELY — header offsets, the modal
+    * sucursal fallback, and the eliminations sheet are per-workbook
+    * facts, so a union of raw grids would smear one file's header
+    * index onto another's rows. The per-file driver loop mirrors the
+    * reference's one-call-per-export flow; the file list is bounded
+    * metadata (daily exports), never cell data. */
   def clean(spark: SparkSession, path: String, sucursalHint: String,
             chunkStart: Option[String] = None,
-            chunkEnd: Option[String] = None): DataFrame = {
-    val grid = Xlsx.readGrid(spark, path, "Detalle por forma de pago")
-      .drop("_file")
-    PaymentsCleaner.clean(grid, sucursalHint,
-      eliminations = eliminations(spark, path),
-      chunkStart = chunkStart, chunkEnd = chunkEnd)
+            chunkEnd: Option[String] = None): DataFrame =
+    perFile(spark, path) { f =>
+      val grid = Xlsx.readGrid(spark, f, "Detalle por forma de pago")
+        .drop("_file")
+      PaymentsCleaner.clean(grid, sucursalHint,
+        eliminations = eliminations(spark, f),
+        chunkStart = chunkStart, chunkEnd = chunkEnd)
+    }
+
+  private[staging] def perFile(spark: SparkSession, path: String)(
+      one: String => DataFrame): DataFrame = {
+    val files = Xlsx.listFiles(spark, path)
+    if (files.isEmpty)
+      throw new IllegalArgumentException(s"no .xlsx workbooks under $path")
+    files.map(one).reduce(_.unionByName(_))
   }
 
-  /** "Pagos Eliminados" sheet → (Fecha de operación, Orden) DataFrame,
-    * or None when the sheet (or its required columns) is absent — the
-    * reference logs and continues without the flag
-    * (payments_cleaner.py:306-420: header row = first of the top 40
-    * containing "Fecha de operación", else row 6; data block = columns
-    * B..L below it). */
-  def eliminations(spark: SparkSession, path: String)
+  /** One workbook's "Pagos Eliminados" sheet → (Fecha de operación,
+    * Orden) DataFrame, or None when the sheet (or its required
+    * columns) is absent — the reference logs and continues without the
+    * flag (payments_cleaner.py:306-420: header row = first of the top
+    * 40 containing "Fecha de operación", else row 6; data block =
+    * columns B..L below it). */
+  def eliminations(spark: SparkSession, file: String)
       : Option[DataFrame] = {
     val grid =
-      try Xlsx.readGrid(spark, path, "Pagos Eliminados")
+      try Xlsx.readGrid(spark, file, "Pagos Eliminados")
       catch { case _: Exception => return None }
     val cellCols = grid.columns.filter(_.startsWith("_c"))
     // block B..L = _c1.._c11 (payments_cleaner.py:339)
@@ -70,9 +85,11 @@ object PaymentsXlsx {
 object SalesXlsx {
   def clean(spark: SparkSession, path: String,
             sucursalHint: Option[String] = None): DataFrame =
-    SalesCleaner.clean(
-      Xlsx.readGrid(spark, path, "Detalle de Ventas").drop("_file"),
-      sucursalHint)
+    PaymentsXlsx.perFile(spark, path) { f =>
+      SalesCleaner.clean(
+        Xlsx.readGrid(spark, f, "Detalle de Ventas").drop("_file"),
+        sucursalHint)
+    }
 }
 
 /** Transfers workbooks: EXACT (case-sensitive) sheet "Transferencias",
@@ -80,9 +97,11 @@ object SalesXlsx {
   * than the other cleaners (transfer_cleaner.py:143-149). */
 object TransfersXlsx {
   def clean(spark: SparkSession, path: String): DataFrame =
-    TransfersCleaner.clean(
-      Xlsx.readGridWith(spark, path,
-        names => if (names.contains("Transferencias")) "Transferencias"
-                 else names.head)
-        .drop("_file"))
+    PaymentsXlsx.perFile(spark, path) { f =>
+      TransfersCleaner.clean(
+        Xlsx.readGridWith(spark, f,
+          names => if (names.contains("Transferencias")) "Transferencias"
+                   else names.head)
+          .drop("_file"))
+    }
 }

@@ -275,7 +275,9 @@ object Xlsx {
             val ref = s"${colLetters(ci)}${ri + 1}"
             cell match {
               case null | "" => () // sparse: omit empty cells
-              case v: Double =>
+              // NaN/Infinity are not valid numeric cells — Excel would
+              // flag the workbook for repair; write them as text
+              case v: Double if java.lang.Double.isFinite(v) =>
                 body.append(s"""<c r="$ref"><v>$v</v></c>""")
               case v @ (_: Int | _: Long | _: java.math.BigDecimal) =>
                 body.append(s"""<c r="$ref"><v>$v</v></c>""")
@@ -341,8 +343,12 @@ object Xlsx {
 
   /** As [[readGrid]] but with a caller-supplied (serializable) sheet
     * chooser — the transfers flow, for instance, wants exact
-    * "Transferencias" else the FIRST sheet
-    * (transfer_cleaner.py:144). */
+    * "Transferencias" else the FIRST sheet (transfer_cleaner.py:144).
+    *
+    * Two-phase like the reference's pandas read: a first lightweight
+    * pass fixes the schema width (max column count), the second
+    * delivers the cells — no caching, so nothing stays pinned in
+    * executor storage after the read. */
   def readGridWith(spark: SparkSession, path: String,
                    choose: Seq[String] => String): DataFrame = {
     import spark.implicits._
@@ -356,10 +362,25 @@ object Xlsx {
       wb.grid(choose(wb.sheetNames)).zipWithIndex.map { case (cells, i) =>
         (file, i.toLong, cells)
       }
-    }.toDF("_file", "_row", "cells").cache()
-    val nCols = grids.agg(max(size($"cells"))).head().getInt(0)
+    }.toDF("_file", "_row", "cells")
+    val nCols = Option(grids.agg(max(size($"cells"))).head().get(0))
+      .map(_.asInstanceOf[Int])
+      .getOrElse(throw new IllegalArgumentException(
+        s"no .xlsx workbooks (or only empty sheets) under $path"))
     (0 until nCols).foldLeft(grids) { (d, i) =>
       d.withColumn(s"_c$i", $"cells".getItem(i))
     }.drop("cells")
+  }
+
+  /** The .xlsx files under `path`, for flows that must process each
+    * workbook separately (header rows, embedded metadata, and
+    * eliminations are PER-WORKBOOK facts — a union of grids would
+    * smear one file's header offset onto another's rows). */
+  def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xlsx")
+      .load(path)
+      .select($"path").as[String].collect().toSeq.sorted
   }
 }

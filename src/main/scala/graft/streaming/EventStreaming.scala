@@ -129,82 +129,14 @@ object EventStreaming {
     * the v1 path above. State lives in the RocksDB state store
     * (required by this API), so per-key state scales far past heap.
     * Data-driven closes (a later event beyond the gap) behave exactly
-    * like [[sessionize]]. */
+    * like [[sessionize]].
+    *
+    * Extends `StatefulProcessorWithInitialState` (an IS-A of plain
+    * `StatefulProcessor`), so the SAME class serves both the cold
+    * start ([[sessionizeTws]]) and the batch-cutover bootstrap
+    * ([[sessionizeBootstrapped]]) — bootstrapped keys load their open
+    * session and arm its idle timer before the first micro-batch. */
   final class SessionProcessor(gapMillis: Long)
-      extends StatefulProcessor[Long, Event, Session] {
-
-    @transient private var state: ValueState[SessionState] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState("session",
-        Encoders.product[SessionState], TTLConfig.NONE)
-
-    private def toSession(key: Long, s: SessionState): Session =
-      Session(key, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
-
-    override def handleInputRows(key: Long, rows: Iterator[Event],
-                                 tv: TimerValues): Iterator[Session] = {
-      val sorted = rows.toSeq.sortBy(_.ts.getTime)
-      var cur = if (state.exists) Some(state.get) else None
-      val closed = scala.collection.mutable.ListBuffer.empty[Session]
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.lastSeen <= gapMillis =>
-            cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
-              nEvents = s.nEvents + 1,
-              totalValue = s.totalValue + e.value))
-          case Some(s) =>
-            closed += toSession(key, s)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur.foreach { st =>
-        state.update(st)
-        // one live timer per key: re-arm at the new idle deadline
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
-        getHandle.registerTimer(st.lastSeen + gapMillis)
-      }
-      closed.iterator
-    }
-
-    override def handleExpiredTimer(key: Long, tv: TimerValues,
-                                    info: ExpiredTimerInfo)
-        : Iterator[Session] =
-      if (state.exists &&
-          state.get.lastSeen + gapMillis <= info.getExpiryTimeInMs) {
-        val s = state.get
-        state.clear()
-        Iterator.single(toSession(key, s))
-      } else Iterator.empty
-  }
-
-  /** [[SessionProcessor]] wired to a watermarked stream. `watermark`
-    * bounds how late events may arrive; the idle-timeout timers fire
-    * off the same watermark clock. */
-  def sessionizeTws(events: Dataset[Event],
-                    gapMillis: Long = 30L * 60 * 1000,
-                    watermark: String = "0 seconds"): Dataset[Session] = {
-    import events.sparkSession.implicits._
-    events
-      .withWatermark("ts", watermark)
-      .groupByKey(_.user_id)
-      .transformWithState(new SessionProcessor(gapMillis),
-        TimeMode.EventTime(), OutputMode.Append())
-  }
-
-  /** [[SessionProcessor]] with an INITIAL-STATE bootstrap
-    * (`StatefulProcessorWithInitialState`): open sessions computed by
-    * a batch backfill are loaded into the state store before the first
-    * micro-batch, so a pipeline can cut over from batch sessionization
-    * to the stream without losing in-flight sessions or re-reading
-    * history. Each bootstrapped key also arms its idle timer, so a
-    * session that never sees another event still closes when the
-    * watermark passes its deadline. */
-  final class BootstrappedSessionProcessor(gapMillis: Long)
       extends StatefulProcessorWithInitialState[
         Long, Event, Session, SessionState] {
 
@@ -218,6 +150,7 @@ object EventStreaming {
       Session(key, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
 
+    /** One live timer per key, at the current idle deadline. */
     private def armTimer(deadline: Long): Unit = {
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(deadline)
@@ -266,11 +199,27 @@ object EventStreaming {
       } else Iterator.empty
   }
 
-  /** [[BootstrappedSessionProcessor]] wired to a watermarked stream.
+  /** [[SessionProcessor]] wired to a watermarked stream. `watermark`
+    * bounds how late events may arrive; the idle-timeout timers fire
+    * off the same watermark clock. */
+  def sessionizeTws(events: Dataset[Event],
+                    gapMillis: Long = 30L * 60 * 1000,
+                    watermark: String = "0 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[SessionProcessor]] with its INITIAL-STATE bootstrap wired in:
     * `initial` carries (user_id, open-session state) rows from the
     * batch backfill — e.g. the still-open tail of
     * `sessionize(history, emitOpen = false)`'s state, or a snapshot
-    * table the batch job wrote at cutover. */
+    * table the batch job wrote at cutover — loaded into the state
+    * store (timers armed) before the first micro-batch, so the
+    * batch-to-stream cutover loses no in-flight sessions. */
   def sessionizeBootstrapped(events: Dataset[Event],
                              initial: Dataset[(Long, SessionState)],
                              gapMillis: Long = 30L * 60 * 1000,
@@ -280,7 +229,7 @@ object EventStreaming {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .transformWithState(new BootstrappedSessionProcessor(gapMillis),
+      .transformWithState(new SessionProcessor(gapMillis),
         TimeMode.EventTime(), OutputMode.Append(),
         initial.groupByKey(_._1).mapValues(_._2))
   }

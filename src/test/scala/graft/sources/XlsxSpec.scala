@@ -230,6 +230,37 @@ class XlsxSpec extends AnyFunSuite {
     assert(tRows(0).getAs[Double]("iva_total") == 12.0 * 6.4)
   }
 
+  test("multi-workbook dir: per-file headers and eliminations stay separate") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_multi")
+    // file A: header on sheet row 3, has an eliminations sheet
+    val a: Seq[Seq[Any]] = Seq(
+      Seq("Reporte"), Seq(),
+      Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total"),
+      Seq("2025-01-15", "1001", "Efectivo", "1.00", "100.00"))
+    val aElim: Seq[Seq[Any]] = Seq(
+      Seq(null, "Fecha de operación", "Orden"),
+      Seq(null, "2025-01-15", "1001"))
+    // file B: header on sheet row 1 (no junk above), NO eliminations
+    val b: Seq[Seq[Any]] = Seq(
+      Seq("Fecha", "Orden", "Forma de pago", "Propina", "Total"),
+      Seq("2025-01-16", "2002", "Tarjeta", "2.00", "200.00"))
+    def writeWb(name: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
+      val fos = new java.io.FileOutputStream(dir.resolve(name).toFile)
+      try Xlsx.write(sheets, fos) finally fos.close()
+    }
+    writeWb("a.xlsx", Seq("Detalle por forma de pago" -> a,
+      "Pagos Eliminados" -> aElim))
+    writeWb("b.xlsx", Seq("Detalle por forma de pago" -> b))
+    val out = graft.pos.staging.PaymentsXlsx.clean(s, dir.toString, "K")
+    val rows = out.collect().map(r =>
+      (r.getAs[Long]("order_index"), r.getAs[Double]("day_total"),
+        r.getAs[Boolean]("elimination_present"))).sortBy(_._1)
+    // both files' fact rows survive their own header offsets, and
+    // file A's eliminations flag only file A's order
+    assert(rows.toSeq == Seq((1001L, 100.0, true), (2002L, 200.0, false)))
+  }
+
   test("S13 edge export: mart DataFrame → xlsx → re-read") {
     val s = spark
     import s.implicits._
