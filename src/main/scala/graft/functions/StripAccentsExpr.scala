@@ -84,6 +84,54 @@ case class ParseMoney(child: Expression) extends UnaryExpression {
   override def prettyName: String = "parse_money"
 }
 
+/** Native SimHash kernel (the LLM-dedup hot path): one pass over the
+  * pre-hashed token array updating 32 bit-counters, instead of the 32
+  * separate `aggregate(...)` folds the composed-expression spelling
+  * needs (each fold re-walks the whole array). Bit-exact with the
+  * DuckDB oracle's fold arithmetic: per bit, sign of Σ(2·bit−1). */
+object SimHashUtil {
+  def simhash32(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    val acc = new Array[Long](32)
+    var i = 0
+    while (i < n) {
+      val x = arr.getLong(i)
+      var b = 0
+      while (b < 32) {
+        acc(b) += 2L * ((x >> b) & 1L) - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 32) {
+      if (acc(b) > 0L) r |= (1L << b)
+      b += 1
+    }
+    r
+  }
+}
+
+/** `simhash32_native(array<bigint>)` → bigint: SimHash of a pre-hashed
+  * token array as ONE codegen'd call — replaces 32 higher-order folds
+  * in q59/q60/q83's signature stage. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHashUtil.simhash32(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHashUtil.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : SimHash32 = copy(child = newChild)
+  override def prettyName: String = "simhash32"
+}
+
 /** Optimizer rule: collapse nested idempotent normalizers —
   * `strip_accents(strip_accents(x))` ⇒ `strip_accents(x)` (NFD +
   * mark-strip is idempotent). A tiny example of the
@@ -112,6 +160,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ParseMoney].getName,
         "parse_money_native"),
       (children: Seq[Expression]) => ParseMoney(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32_native"),
+      new ExpressionInfo(classOf[SimHash32].getName,
+        "simhash32_native"),
+      (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectOptimizerRule(_ => CollapseIdempotentStripAccents)
   }
 }

@@ -166,16 +166,10 @@ object DedupOps {
 
   // ------------------------------------------------------------ SimHash
   /** 32-bit SimHash per doc: per bit, the sign of the sum of ±1 votes
-    * from every token hash — computed as 32 in-row array folds (no
-    * explode, no shuffle, fully codegen'd). */
-  /** Folds over a PRE-HASHED token array (`hashesCol`) so each token
-    * is hashed once, not once per bit. */
-  private def simhashExpr(hashesCol: String): String =
-    (0 until 32).map { b =>
-      s"""(CASE WHEN aggregate($hashesCol, CAST(0 AS BIGINT),
-            (acc, x) -> acc + (2 * (shiftright(x, $b) & 1) - 1)) > 0
-          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
-    }.mkString(" + ")
+    * from every token hash — computed by the native `simhash32_native`
+    * Catalyst expression (ONE codegen'd pass over the pre-hashed token
+    * array; the composed-expression spelling needed 32 separate folds,
+    * each re-walking the array). No explode, no shuffle. */
   private def simhashSql: String = {
     val h = s"((CAST(greatest(unicode(x), 0) * 131 + length(x) AS BIGINT) * 2654435761) & 4294967295)"
     (0 until 32).map { b =>
@@ -193,7 +187,7 @@ object DedupOps {
              (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
                & 4294967295)"""))
       .select($"doc_id",
-        expr(simhashExpr("thm")).as("simhash"))
+        expr("simhash32_native(thm)").as("simhash"))
   }
   val o59: String = s"""
     SELECT doc_id, ${simhashSql} AS simhash

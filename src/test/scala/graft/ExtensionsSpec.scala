@@ -17,6 +17,28 @@ class ExtensionsSpec extends AnyFunSuite {
     .withExtensions(new GraftExtensions)
     .getOrCreate()
 
+  test("simhash32_native matches the 32-fold composed spelling") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val composed = (0 until 32).map { b =>
+      s"""(CASE WHEN aggregate(h, CAST(0 AS BIGINT),
+            (acc, x) -> acc + (2 * (shiftright(x, $b) & 1) - 1)) > 0
+          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" + ")
+    val df = Seq(
+      Seq(7L, 2654435761L, 40L, 1L << 31),
+      Seq(0L),
+      Seq.empty[Long]
+    ).toDF("h")
+      .select(expr("simhash32_native(h)").as("native"),
+        expr(composed).as("composed"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native ${r.getLong(0)} vs composed ${r.getLong(1)}"))
+    // empty array → no votes → 0
+    assert(df.collect().last.getLong(0) == 0L)
+  }
+
   test("strip_accents_native resolves, matches UDF semantics, codegens") {
     val s = spark
     import s.implicits._
