@@ -178,15 +178,107 @@ object EventOps {
         AS w2_pct
     FROM flags GROUP BY cohort_day"""
 
+  // ------------------------------------------------------ as-of join
+  /** AS-OF join (each purchase matched to the user's latest signup at
+    * or before it) spelled the scale-correct way: UNION the two sides,
+    * ONE shuffle on the key, and a running `last(ignoreNulls)` window
+    * carries the reference value forward — no join, no per-row rank
+    * filter, no candidate explosion. Equal timestamps resolve
+    * reference-first (is_ref desc in the sort), giving ≤ ("at or
+    * before") semantics deterministically on both engines. The
+    * standard custom-operator ask Spark has no built-in for. */
+  val q94AsofJoin: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val refs = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id", lit(1L).as("is_ref"),
+        $"value".as("ref_value"))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id", lit(0L).as("is_ref"),
+        lit(null).cast("double").as("ref_value"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_ref".desc, $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    refs.unionByName(facts)
+      .withColumn("signup_value", last($"ref_value", true).over(w))
+      .withColumn("signup_ts_us",
+        last(when($"is_ref" === 1, unix_micros($"ts")), true).over(w))
+      .filter($"is_ref" === 0)
+      .select($"event_id", $"user_id",
+        unix_micros($"ts").as("ts_us"),
+        $"signup_value", $"signup_ts_us",
+        (unix_micros($"ts") - $"signup_ts_us").as("us_since_signup"))
+  }
+  val o94 = """
+    WITH both_sides AS (
+      SELECT user_id, ts, event_id, 1 AS is_ref, value AS ref_value
+      FROM events WHERE event_type = 'signup'
+      UNION ALL
+      SELECT user_id, ts, event_id, 0 AS is_ref, NULL AS ref_value
+      FROM events WHERE event_type = 'purchase'),
+    carried AS (
+      SELECT *,
+        last_value(ref_value IGNORE NULLS) OVER w AS signup_value,
+        last_value(CASE WHEN is_ref = 1 THEN epoch_us(ts) END
+          IGNORE NULLS) OVER w AS signup_ts_us
+      FROM both_sides
+      WINDOW w AS (PARTITION BY user_id
+        ORDER BY ts, is_ref DESC, event_id ROWS UNBOUNDED PRECEDING))
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+      signup_value, signup_ts_us,
+      epoch_us(ts) - signup_ts_us AS us_since_signup
+    FROM carried WHERE is_ref = 0"""
+
+  // ------------------------------------------------- rolling median
+  /** Exact 7-day rolling MEDIAN of daily per-type revenue — the
+    * robust-trend operator percentile_approx cannot oracle (its sketch
+    * is implementation-defined). Exact spelling: the window frame is
+    * at most 7 rows, so collect → sort → lower-middle element is both
+    * cheap and engine-identical; revenue goes through cents so the
+    * medians are exact integers. */
+  val q95RollingMedian: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("d"))
+      .agg((sum($"value".cast("decimal(28,2)")) * 100).cast("long")
+        .as("daily_cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", array_sort(collect_list($"daily_cents").over(w)))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("d"),
+        $"daily_cents",
+        element_at($"arr", expr("int((size(arr) + 1) div 2)"))
+          .as("med7_cents"))
+  }
+  val o95 = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)
+          AS daily_cents
+      FROM events GROUP BY 1, 2),
+    windowed AS (
+      SELECT event_type, d, daily_cents,
+        list_sort(list(daily_cents) OVER (PARTITION BY event_type
+          ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM daily)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, daily_cents,
+      arr[(len(arr) + 1) // 2] AS med7_cents
+    FROM windowed"""
+
   val queries: Map[String, Q] = Map(
     "q77_json_extract" -> q77JsonExtract,
     "q78_sessionize_batch" -> q78SessionizeBatch,
     "q92_funnel" -> q92Funnel,
-    "q93_cohort_retention" -> q93CohortRetention)
+    "q93_cohort_retention" -> q93CohortRetention,
+    "q94_asof_join" -> q94AsofJoin,
+    "q95_rolling_median" -> q95RollingMedian)
 
   val oracles: Map[String, String] = Map(
     "q77_json_extract" -> o77,
     "q78_sessionize_batch" -> o78,
     "q92_funnel" -> o92,
-    "q93_cohort_retention" -> o93)
+    "q93_cohort_retention" -> o93,
+    "q94_asof_join" -> o94,
+    "q95_rolling_median" -> o95)
 }
