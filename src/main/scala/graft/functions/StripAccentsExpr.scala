@@ -166,5 +166,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash32_native"),
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectOptimizerRule(_ => CollapseIdempotentStripAccents)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -421,7 +421,36 @@ object CorpusOps {
         / CAST(corpus_tokens AS DOUBLE)) AS weight
     FROM per_lang, tot"""
 
+  // ------------------------------------------------- length histogram
+  /** Corpus profiling histogram: fixed-width bins over document length
+    * (100-char bins, top bin open) with count and share — the
+    * distribution census a curation pipeline renders before choosing
+    * its length filters. Integer binning (`div` + `least`) so both
+    * engines bucket identically; one map-side-combined aggregate. */
+  val q96LengthHistogram: Q = (s, d) => {
+    val total = Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_total"))
+    Tables.documents(s, d)
+      .withColumn("bin", expr("least(n_chars div 100, 9)").cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(broadcast(total))
+      .select(col("bin"), (col("bin") * 100).as("lo_chars"),
+        col("n_docs"),
+        (col("n_docs").cast("double") * 100.0
+          / col("n_total").cast("double")).as("pct"))
+  }
+  val o96: String = """
+    WITH binned AS (
+      SELECT least(n_chars // 100, 9) AS bin, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_total FROM documents)
+    SELECT bin, bin * 100 AS lo_chars, n_docs,
+      CAST(n_docs AS DOUBLE) * 100.0 / CAST(n_total AS DOUBLE) AS pct
+    FROM binned, tot"""
+
   val queries: Map[String, Q] = Map(
+    "q96_length_histogram" -> q96LengthHistogram,
     "q83_dup_clusters" -> q83DupClusters,
     "q85_tfidf_topk" -> q85TfIdf,
     "q86_stratified_sample" -> q86StratifiedSample,
@@ -431,6 +460,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q96_length_histogram" -> o96,
     "q83_dup_clusters" -> o83,
     "q85_tfidf_topk" -> o85,
     "q86_stratified_sample" -> o86,

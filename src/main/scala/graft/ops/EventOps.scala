@@ -229,6 +229,27 @@ object EventOps {
       epoch_us(ts) - signup_ts_us AS us_since_signup
     FROM carried WHERE is_ref = 0"""
 
+  /** The SAME as-of semantics through the engine's CUSTOM PHYSICAL
+    * OPERATOR (`graft.plans.AsOfJoinExec` — LogicalPlan + Strategy +
+    * SparkPlan via GraftExtensions): co-partitioned forward merge,
+    * O(left+right) per partition, no window state. Hash-checked
+    * against the identical DuckDB oracle as q94, so the custom
+    * operator itself sits under the correctness gate. */
+  val q97AsofNative: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val refs = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value".as("signup_value"),
+        unix_micros($"ts").as("signup_ts_us"))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    graft.plans.AsOf.join(facts, refs, "user_id", "ts",
+        Seq("signup_value", "signup_ts_us"))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"signup_value", $"signup_ts_us",
+        (unix_micros($"ts") - $"signup_ts_us").as("us_since_signup"))
+  }
+
   // ------------------------------------------------- rolling median
   /** Exact 7-day rolling MEDIAN of daily per-type revenue — the
     * robust-trend operator percentile_approx cannot oracle (its sketch
@@ -272,7 +293,8 @@ object EventOps {
     "q92_funnel" -> q92Funnel,
     "q93_cohort_retention" -> q93CohortRetention,
     "q94_asof_join" -> q94AsofJoin,
-    "q95_rolling_median" -> q95RollingMedian)
+    "q95_rolling_median" -> q95RollingMedian,
+    "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
     "q77_json_extract" -> o77,
@@ -280,5 +302,6 @@ object EventOps {
     "q92_funnel" -> o92,
     "q93_cohort_retention" -> o93,
     "q94_asof_join" -> o94,
-    "q95_rolling_median" -> o95)
+    "q95_rolling_median" -> o95,
+    "q97_asof_native" -> o94)
 }
