@@ -74,11 +74,24 @@ object AsOf {
   }
 }
 
-/** Planner rule: the logical node lowers 1:1 to [[AsOfJoinExec]]. */
+/** Planner rule with a COST-BASED physical choice, mirroring Spark's
+  * broadcast-vs-merge join selection: a right side under the
+  * autoBroadcastJoinThreshold plans as [[BroadcastAsOfJoinExec]]
+  * (zero shuffles, zero sorts — the reference timeline ships to every
+  * executor as a per-key sorted index), anything bigger as the
+  * co-partitioned merge [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt, rv) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      val exec =
+        if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+          BroadcastAsOfJoinExec(planLater(l), planLater(r),
+            lk, rk, lt, rt, rv)
+        else
+          AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, rv)
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -171,5 +184,87 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast variant for a small reference side (the dimension /
+  * price-timeline case): the whole right side collects ONCE, builds a
+  * per-key time-sorted index, and ships to executors — the left side
+  * keeps its partitioning and ordering untouched (no exchange, no
+  * sort on either side), each left row resolves by binary search.
+  * Exactly the asymmetry BroadcastHashJoin exploits, for as-of
+  * semantics. */
+final case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                                       leftKey: Attribute,
+                                       rightKey: Attribute,
+                                       leftTime: Attribute,
+                                       rightTime: Attribute,
+                                       rightValues: Seq[Attribute])
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rKey = BindReferences.bindReference(
+      rightKey: org.apache.spark.sql.catalyst.expressions.Expression,
+      right.output)
+    val rTime = BindReferences.bindReference(
+      rightTime: org.apache.spark.sql.catalyst.expressions.Expression,
+      right.output)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val rValueProj = UnsafeProjection.create(rightValues, right.output)
+    // driver-side build: key → (times sorted asc, values aligned)
+    val index: Map[Any, (Array[Any], Array[InternalRow])] =
+      right.executeCollect()
+        .map(r => (rKey.eval(r), rTime.eval(r), rValueProj(r).copy()))
+        .groupBy(_._1)
+        .map { case (k, rows) =>
+          val sorted = rows.sortWith((a, b) => timeOrd.compare(a._2, b._2) < 0)
+          k -> (sorted.map(_._2), sorted.map(_._3
+            : InternalRow))
+        }
+    val bcast = sparkContext.broadcast(index)
+    val lKeyAttr = leftKey
+    val lTimeAttr = leftTime
+    val leftOutput = left.output
+    val outputAttrs = output
+    val nValues = rightValues.length
+    left.execute().mapPartitions { iter =>
+      val lKey = BindReferences.bindReference(
+        lKeyAttr: org.apache.spark.sql.catalyst.expressions.Expression,
+        leftOutput)
+      val lTime = BindReferences.bindReference(
+        lTimeAttr: org.apache.spark.sql.catalyst.expressions.Expression,
+        leftOutput)
+      val outProj = UnsafeProjection.create(outputAttrs, outputAttrs)
+      val nulls = new GenericInternalRow(nValues)
+      val joined = new JoinedRow
+      val idx = bcast.value
+      iter.map { lRow =>
+        val matched = idx.get(lKey.eval(lRow)) match {
+          case Some((times, values)) =>
+            val t = lTime.eval(lRow)
+            // greatest index with times(i) <= t
+            var lo = 0
+            var hi = times.length - 1
+            var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
+              else hi = mid - 1
+            }
+            if (ans >= 0) values(ans) else nulls
+          case None => nulls
+        }
+        outProj(joined(lRow, matched))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
 }

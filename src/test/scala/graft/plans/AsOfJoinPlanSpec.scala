@@ -45,18 +45,60 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
     assert(custom == expected)
   }
 
-  test("plan: AsOfJoinExec with exchanges and (key, time) sorts") {
+  /** Run `body` with the broadcast threshold pinned, restoring after. */
+  private def withThreshold[A](v: String)(body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    spark.conf.set(key, v)
+    try body finally spark.conf.set(key, saved)
+  }
+
+  test("plan: merge exec with exchanges and (key, time) sorts") {
+    val s = spark
+    import s.implicits._
+    withThreshold("-1") { // disable broadcast → co-partitioned merge
+      val facts = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "t", "x")
+        .repartition(4)
+      val refs = Seq((1L, 3L, 100.0)).toDF("k", "t", "v").repartition(3)
+      val df = AsOf.join(facts, refs, "k", "t", Seq("v"))
+      df.collect() // finalize (AQE resolves the plan on execution)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan) // nodeName drops "Exec"
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2, plan)
+      assert("Sort \\[k".r.findAllIn(plan).size >= 2, plan)
+    }
+  }
+
+  test("plan: small right side broadcasts — zero exchanges, zero sorts") {
     val s = spark
     import s.implicits._
     val facts = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "t", "x")
-      .repartition(4)
-    val refs = Seq((1L, 3L, 100.0)).toDF("k", "t", "v").repartition(3)
+    val refs = Seq((1L, 3L, 100.0), (1L, 8L, 200.0)).toDF("k", "t", "v")
     val df = AsOf.join(facts, refs, "k", "t", Seq("v"))
-    df.collect() // finalize (AQE resolves the plan on execution)
+    val rows = df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(3)) null else r.getDouble(3))).toSet
+    assert(rows == Set((1L, 200.0), (2L, null))) // latest ≤ t wins
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"), plan) // nodeName drops "Exec"
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size >= 2, plan)
-    assert("Sort \\[k".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("BroadcastAsOfJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort ["), plan)
+  }
+
+  test("broadcast and merge paths agree on events data") {
+    val s = spark
+    import s.implicits._
+    val ev = graft.Tables.events(s, "/root/testdata/sf0.001")
+    val refs = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value".as("sv"))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    def run() = AsOf.join(facts, refs, "user_id", "ts", Seq("sv"))
+      .select($"event_id", $"sv").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val viaBroadcast = withThreshold("10485760") { run() }
+    val viaMerge = withThreshold("-1") { run() }
+    assert(viaBroadcast == viaMerge && viaBroadcast.nonEmpty)
   }
 
   test("edges: no earlier ref → nulls; equal timestamp matches; last wins") {
