@@ -95,6 +95,11 @@ object SimHashUtil {
     val acc = new Array[Long](32)
     var i = 0
     while (i < n) {
+      // a NULL element null-poisons every bit's vote sum in the
+      // composed aggregate() spelling (and the DuckDB oracle), making
+      // every CASE yield 0 — match that exactly instead of reading the
+      // null slot as value 0
+      if (arr.isNullAt(i)) return 0L
       val x = arr.getLong(i)
       var b = 0
       while (b < 32) {

@@ -428,13 +428,15 @@ object CorpusOps {
     * its length filters. Integer binning (`div` + `least`) so both
     * engines bucket identically; one map-side-combined aggregate. */
   val q96LengthHistogram: Q = (s, d) => {
-    val total = Tables.documents(s, d)
-      .agg(count(lit(1)).as("n_total"))
-    Tables.documents(s, d)
+    val binned = Tables.documents(s, d)
       .withColumn("bin", expr("least(n_chars div 100, 9)").cast("long"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"))
-      .join(broadcast(total))
+    // total = sum over the (tiny) binned census — NOT a second scan of
+    // the documents table
+    binned
+      .join(broadcast(binned.agg(
+        sum(col("n_docs")).cast("long").as("n_total"))))
       .select(col("bin"), (col("bin") * 100).as("lo_chars"),
         col("n_docs"),
         (col("n_docs").cast("double") * 100.0

@@ -229,18 +229,21 @@ object EventOps {
       epoch_us(ts) - signup_ts_us AS us_since_signup
     FROM carried WHERE is_ref = 0"""
 
-  /** The SAME as-of semantics through the engine's CUSTOM PHYSICAL
-    * OPERATOR (`graft.plans.AsOfJoinExec` — LogicalPlan + Strategy +
-    * SparkPlan via GraftExtensions): co-partitioned forward merge,
-    * O(left+right) per partition, no window state. Hash-checked
-    * against the identical DuckDB oracle as q94, so the custom
-    * operator itself sits under the correctness gate. */
+  /** As-of semantics through the engine's CUSTOM PHYSICAL OPERATOR
+    * (`graft.plans.AsOfJoinExec` — LogicalPlan + cost-based Strategy +
+    * merge/broadcast SparkPlans via GraftExtensions). The reference
+    * side pre-aggregates to one row per (user, ts) — max value — so
+    * the operator's pick among equal-time refs is deterministic by
+    * construction; the oracle is DuckDB's own native ASOF LEFT JOIN
+    * over the identically pre-aggregated refs, putting the custom
+    * operator itself under the correctness gate. */
   val q97AsofNative: Q = (s, d) => {
     import s.implicits._
     val ev = Tables.events(s, d)
     val refs = ev.filter($"event_type" === "signup")
-      .select($"user_id", $"ts", $"value".as("signup_value"),
-        unix_micros($"ts").as("signup_ts_us"))
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("signup_value"))
+      .withColumn("signup_ts_us", unix_micros($"ts"))
     val facts = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"event_id")
     graft.plans.AsOf.join(facts, refs, "user_id", "ts",
@@ -249,6 +252,19 @@ object EventOps {
         $"signup_value", $"signup_ts_us",
         (unix_micros($"ts") - $"signup_ts_us").as("us_since_signup"))
   }
+  val o97 = """
+    WITH refs AS (
+      SELECT user_id, ts, MAX(value) AS signup_value,
+             epoch_us(ts) AS signup_ts_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts),
+    facts AS (
+      SELECT user_id, ts, event_id
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, epoch_us(f.ts) AS ts_us,
+      r.signup_value, r.signup_ts_us,
+      epoch_us(f.ts) - r.signup_ts_us AS us_since_signup
+    FROM facts f ASOF LEFT JOIN refs r
+      ON f.user_id = r.user_id AND f.ts >= r.ts"""
 
   // ------------------------------------------------- rolling median
   /** Exact 7-day rolling MEDIAN of daily per-type revenue — the
@@ -303,5 +319,5 @@ object EventOps {
     "q93_cohort_retention" -> o93,
     "q94_asof_join" -> o94,
     "q95_rolling_median" -> o95,
-    "q97_asof_native" -> o94)
+    "q97_asof_native" -> o97)
 }

@@ -9,6 +9,13 @@ object GraftPlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's name resolver (case-insensitive under the default
+    * spark.sql.caseSensitive=false) — custom DSLs should resolve
+    * column names exactly like the analyzer does. */
+  def resolver(spark: SparkSession): (String, String) => Boolean =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.conf.resolver
+
   /** Self-join attribute dedup for CUSTOM binary nodes: the analyzer's
     * `DeduplicateRelations` only rewrites node shapes it knows, so a
     * custom operator whose two children share lineage (both derived

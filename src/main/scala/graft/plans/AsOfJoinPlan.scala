@@ -65,8 +65,12 @@ object AsOf {
     // table) → rewrite the right side's exprIds like a self-join
     val rp = org.apache.spark.sql.GraftPlanBridge.dedupRight(
       lp, right.queryExecution.analyzed)
+    // resolve names the way the analyzer would (case-insensitive by
+    // default), not by raw string equality
+    val resolve = org.apache.spark.sql.GraftPlanBridge
+      .resolver(left.sparkSession)
     def attr(p: LogicalPlan, n: String): Attribute =
-      p.output.find(_.name == n).getOrElse(
+      p.output.find(a => resolve(a.name, n)).getOrElse(
         sys.error(s"as-of join: no column '$n' in ${p.output.map(_.name)}"))
     org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession,
       AsOfJoin(lp, rp, attr(lp, key), attr(rp, key),
@@ -151,33 +155,50 @@ final case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val rBuf = rIter.buffered
       // last right row (key + projected values) with time <= current
-      // left time; candValues is a COPY — unsafe row buffers are reused
+      // left time; BOTH the key and the values are COPIES — unsafe
+      // shuffle rows (and UTF8String keys pointing into them) are
+      // reused buffers that mutate when the iterator advances
       var candKey: Any = null
       var hasCand = false
       var candValues: InternalRow = null
+      // a NULL key or time never matches (SQL join semantics — the
+      // interpreted ordering would otherwise unbox NULL to 0 and
+      // silently join NULL-key facts to key-0 refs); sorted input
+      // puts right-side NULLs first, so they drain up front
       lIter.map { lRow =>
         val k = lKey.eval(lRow)
         val t = lTime.eval(lRow)
-        // drop candidate from a previous key group
-        if (hasCand && keyOrd.compare(candKey, k) != 0) {
-          hasCand = false; candValues = null
+        if (k == null || t == null) {
+          outProj(joined(lRow, nulls))
+        } else {
+          // drop candidate from a previous key group
+          if (hasCand && keyOrd.compare(candKey, k) != 0) {
+            hasCand = false; candValues = null
+          }
+          // advance the right side: discard earlier/NULL keys, absorb
+          // rows of this key with time <= left time (the LAST wins)
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rRow = rBuf.head
+            val rk = rKey.eval(rRow)
+            if (rk == null) { rBuf.next() }
+            else {
+              val c = keyOrd.compare(rk, k)
+              if (c < 0) { rBuf.next() }
+              else if (c == 0) {
+                val rt = rTime.eval(rRow)
+                if (rt == null) { rBuf.next() }
+                else if (timeOrd.compare(rt, t) <= 0) {
+                  candKey = InternalRow.copyValue(rk)
+                  candValues = rValueProj(rRow).copy()
+                  hasCand = true
+                  rBuf.next()
+                } else advancing = false
+              } else advancing = false
+            }
+          }
+          outProj(joined(lRow, if (hasCand) candValues else nulls))
         }
-        // advance the right side: discard earlier keys, absorb rows of
-        // this key whose time is <= left time (the LAST one wins)
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val rRow = rBuf.head
-          val rk = rKey.eval(rRow)
-          val c = keyOrd.compare(rk, k)
-          if (c < 0) { rBuf.next() }
-          else if (c == 0 && timeOrd.compare(rTime.eval(rRow), t) <= 0) {
-            candKey = rk
-            candValues = rValueProj(rRow).copy()
-            hasCand = true
-            rBuf.next()
-          } else advancing = false
-        }
-        outProj(joined(lRow, if (hasCand) candValues else nulls))
       }
     }
   }
@@ -216,10 +237,13 @@ final case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       right.output)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val rValueProj = UnsafeProjection.create(rightValues, right.output)
-    // driver-side build: key → (times sorted asc, values aligned)
+    // driver-side build: key → (times sorted asc, values aligned);
+    // NULL keys/times never match (SQL join semantics) so they are
+    // excluded from the index
     val index: Map[Any, (Array[Any], Array[InternalRow])] =
       right.executeCollect()
         .map(r => (rKey.eval(r), rTime.eval(r), rValueProj(r).copy()))
+        .filter(x => x._1 != null && x._2 != null)
         .groupBy(_._1)
         .map { case (k, rows) =>
           val sorted = rows.sortWith((a, b) => timeOrd.compare(a._2, b._2) < 0)
@@ -244,21 +268,23 @@ final case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       val idx = bcast.value
       iter.map { lRow =>
-        val matched = idx.get(lKey.eval(lRow)) match {
-          case Some((times, values)) =>
-            val t = lTime.eval(lRow)
-            // greatest index with times(i) <= t
-            var lo = 0
-            var hi = times.length - 1
-            var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
-              else hi = mid - 1
-            }
-            if (ans >= 0) values(ans) else nulls
-          case None => nulls
-        }
+        val t = lTime.eval(lRow)
+        val matched =
+          if (t == null) nulls // NULL time never matches
+          else idx.get(lKey.eval(lRow)) match {
+            case Some((times, values)) =>
+              // greatest index with times(i) <= t
+              var lo = 0
+              var hi = times.length - 1
+              var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(times(mid), t) <= 0) { ans = mid; lo = mid + 1 }
+                else hi = mid - 1
+              }
+              if (ans >= 0) values(ans) else nulls
+            case None => nulls
+          }
         outProj(joined(lRow, matched))
       }
     }

@@ -121,6 +121,44 @@ class AsOfJoinPlanSpec extends AnyFunSuite {
       103L -> null))
   }
 
+  test("string keys survive buffer reuse; NULL keys/times never match") {
+    val s = spark
+    import s.implicits._
+    // string keys: the merge path's candidate key must be a COPY, or
+    // the reused unsafe shuffle row mutates it between left rows
+    val facts = Seq(
+      (Some("a"), Some(10L), 1L), (Some("a"), Some(30L), 2L),
+      (Some("b"), Some(30L), 3L), (None, Some(30L), 4L),
+      (Some("c"), None, 5L))
+      .toDF("k", "t", "fact_id")
+    val refs = Seq(
+      (Some("a"), Some(5L), 1.0), (Some("b"), Some(20L), 2.0),
+      (None, Some(1L), 9.0), (Some("c"), None, 8.0),
+      (Some("c"), Some(1L), 3.0))
+      .toDF("k", "t", "v")
+    def run() = graft.plans.AsOf.join(facts, refs, "k", "t", Seq("v"))
+      .select($"fact_id", $"v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val expected = Map[Long, Any](1L -> 1.0, 2L -> 1.0, 3L -> 2.0,
+      4L -> null, // NULL fact key matches nothing (not key "a"/"b")
+      5L -> null) // NULL fact time matches nothing
+    val viaMerge = withThreshold("-1") { run() }
+    val viaBcast = withThreshold("10485760") { run() }
+    assert(viaMerge == expected, viaMerge)
+    assert(viaBcast == expected, viaBcast)
+  }
+
+  test("column names resolve case-insensitively like the analyzer") {
+    val s = spark
+    import s.implicits._
+    val facts = Seq((1L, 10L)).toDF("K", "T")
+    val refs = Seq((1L, 5L, 2.5)).toDF("k", "t", "V")
+    val rows = graft.plans.AsOf.join(facts, refs, "k", "T", Seq("v"))
+      .collect()
+    assert(rows.length == 1 && rows(0).getDouble(2) == 2.5)
+  }
+
   test("left output passes through untouched (column pruning safe)") {
     val s = spark
     import s.implicits._
