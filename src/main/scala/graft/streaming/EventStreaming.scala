@@ -322,4 +322,29 @@ object EventStreaming {
       .transformWithState(new ChannelSessionProcessor(gapMillis),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** STREAM-STREAM interval join: each purchase enriched with the same
+    * user's signup inside the trailing `lookback` — the streaming
+    * attribution join. Both sides carry watermarks and the join
+    * condition bounds event time on both ends, so Spark can EXPIRE
+    * buffered state (an unbounded-condition stream-stream join would
+    * grow state forever — the interval bound is what makes this run
+    * indefinitely on a cluster). */
+  def purchaseAttribution(events: DataFrame,
+                          lookback: String = "7 days",
+                          watermark: String = "1 hour"): DataFrame = {
+    import events.sparkSession.implicits._
+    val purchases = events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"),
+        $"value".as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val signups = events.filter($"event_type" === "signup")
+      .select($"user_id", $"ts".as("s_ts"), $"value".as("signup_value"))
+      .withWatermark("s_ts", watermark)
+    purchases.as("p").join(signups.as("s"),
+      expr(s"""p.user_id = s.user_id AND
+               s_ts <= p_ts AND s_ts >= p_ts - INTERVAL $lookback"""))
+      .select($"p.user_id", $"purchase_id", $"p_ts",
+        $"purchase_value", $"s_ts", $"signup_value")
+  }
 }

@@ -237,6 +237,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join attributes purchases to signups") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreaming.Event]
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 08:00:00"), 1, "signup", 5.0),
+      // purchase 2 days after signup → inside the 7-day lookback
+      EventStreaming.Event(2, ts("2024-01-03 09:00:00"), 1, "purchase", 40.0),
+      // user 2 purchases with NO signup → not emitted (inner join)
+      EventStreaming.Event(3, ts("2024-01-03 10:00:00"), 2, "purchase", 7.0),
+      // user 3's signup is 30 days before the purchase → outside window
+      EventStreaming.Event(4, ts("2023-12-04 08:00:00"), 3, "signup", 1.0),
+      EventStreaming.Event(5, ts("2024-01-03 11:00:00"), 3, "purchase", 9.0))
+    val q = EventStreaming.purchaseAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows(0).getAs[Long]("user_id") == 1)
+      assert(rows(0).getAs[Double]("purchase_value") == 40.0)
+      assert(rows(0).getAs[Double]("signup_value") == 5.0)
+    } finally q.stop()
+  }
+
   test("sessionize: inactivity gap splits sessions within a batch") {
     val s = spark
     import s.implicits._
