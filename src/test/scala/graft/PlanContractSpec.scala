@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape CONTRACTS for scale-critical queries: these assertions
+  * pin the physical properties the 100 TB design depends on, so a
+  * future edit that silently loses a pushdown, a broadcast, or the
+  * custom operator fails here instead of in production. */
+class PlanContractSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .getOrCreate()
+
+  /** Final (AQE-resolved) plan string of a registered query. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filters reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(!p.contains("PushedFilters: []"), p.take(2000))
+  }
+
+  test("q89: eval shingle set broadcasts; corpus side never shuffles to it") {
+    val p = plan("q89_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q97: the custom as-of operator is actually planned") {
+    val p = plan("q97_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+  }
+
+  test("no query plans a cartesian product or unintended broadcast NLJ") {
+    // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
+    // (constant-size broadcast side); q12's validity-window range join
+    // is non-equi with a broadcast dimension (the intended range-join
+    // plan); q65/q84/q90/q91/q96 cross-join a SINGLE broadcast row
+    // (packed centroids / totals) by construction
+    // q18/q92 cross-join one-row aggregates (census scalars)
+    val intendedNlj = Set("q12_range_join", "q62_knn_brute",
+      "q65_ivf_assign", "q84_semantic_dedup", "q90_mixture_weights",
+      "q91_semdedup_centroid", "q96_length_histogram",
+      "q18_qa_summary", "q92_funnel")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!intendedNlj(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unintended broadcast nested-loop join")
+    }
+  }
+}
