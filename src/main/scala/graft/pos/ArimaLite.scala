@@ -391,6 +391,115 @@ object ArimaLite {
     simplex.head._1
   }
 
+  // ------------------------------------------------- exact Kalman MLE
+  /** Exact Gaussian log-likelihood of a subset-lag ARMA(+intercept)
+    * via the Kalman filter on Harvey's state-space form — the same
+    * objective statsmodels' SARIMAX maximizes (concentrated σ²),
+    * closing the OLS/CSS-vs-MLE gap exactly. Subset lags expand to a
+    * dense lag polynomial with zeros; state dim m = max(p, q+1); the
+    * stationary initial covariance solves the m²×m² Lyapunov system
+    * (I − T⊗T)vec(P₀)=vec(RR′). Non-stationary parameter points (unit
+    * AR sum, Lyapunov failure, F ≤ 0) score −∞ so the optimizer walks
+    * back inside the stationary region. */
+  def kalmanLogLik(w: Array[Double], arLags: Array[Int],
+                   maLags: Array[Int], params: Array[Double]): Double =
+    kalman(w, arLags, maLags, params)._1
+
+  /** (log-likelihood, concentrated σ̂²). */
+  private def kalman(w: Array[Double], arLags: Array[Int],
+                     maLags: Array[Int], params: Array[Double])
+      : (Double, Double) = {
+    val fail = (Double.NegativeInfinity, Double.NaN)
+    val pMax = if (arLags.isEmpty) 0 else arLags.max
+    val qMax = if (maLags.isEmpty) 0 else maLags.max
+    val m = math.max(pMax, qMax + 1)
+    val phi = new Array[Double](m) // dense φ_1..m (zeros off-lag)
+    for (i <- arLags.indices) phi(arLags(i) - 1) = params(1 + i)
+    val theta = new Array[Double](m) // dense θ_1..m-1 at positions 1..
+    for (j <- maLags.indices if maLags(j) < m)
+      theta(maLags(j)) = params(1 + arLags.length + j)
+    val r = new Array[Double](m); r(0) = 1.0
+    for (i <- 1 until m) r(i) = theta(i)
+    val phiSum = phi.sum
+    if (math.abs(1.0 - phiSum) < 1e-8) return Double.NegativeInfinity
+    val mu = params(0) / (1.0 - phiSum)
+    // T row i = φ_{i+1}·e0 + shift: T(i)(0)=phi(i), T(i)(i+1)=1
+    def mulT(p: Array[Array[Double]]): Array[Array[Double]] =
+      Array.tabulate(m, m) { (i, j) =>
+        phi(i) * p(0)(j) + (if (i < m - 1) p(i + 1)(j) else 0.0)
+      }
+    def mulTRight(p: Array[Array[Double]]): Array[Array[Double]] =
+      Array.tabulate(m, m) { (i, j) =>
+        phi(j) * p(i)(0) + (if (j < m - 1) p(i)(j + 1) else 0.0)
+      }
+    // stationary P0: (I - T⊗T) vec(P) = vec(RR')
+    val dim = m * m
+    val a0 = Array.tabulate(dim, dim) { (row, colIdx) =>
+      val (i, j) = (row / m, row % m)
+      val (k, l) = (colIdx / m, colIdx % m)
+      val tik = if (k == 0) phi(i) else if (k == i + 1) 1.0 else 0.0
+      val tjl = if (l == 0) phi(j) else if (l == j + 1) 1.0 else 0.0
+      (if (row == colIdx) 1.0 else 0.0) - tik * tjl
+    }
+    val b0 = Array.tabulate(dim)(x => r(x / m) * r(x % m))
+    val p0vec = solve(a0, b0).getOrElse(return Double.NegativeInfinity)
+    var p = Array.tabulate(m, m)((i, j) => p0vec(i * m + j))
+    if (p(0)(0) <= 0 || !java.lang.Double.isFinite(p(0)(0)))
+      return Double.NegativeInfinity
+    val a = new Array[Double](m)
+    var sumLogF = 0.0
+    var ssq = 0.0
+    for (t <- w.indices) {
+      val f = p(0)(0)
+      if (f <= 1e-300 || !java.lang.Double.isFinite(f))
+        return Double.NegativeInfinity
+      val v = w(t) - mu - a(0)
+      sumLogF += math.log(f)
+      ssq += v * v / f
+      // a' = T a + (T P e0) v / F ; P' = T P T' + RR' − (TPe0)(TPe0)'/F
+      val tp = mulT(p)
+      val k = Array.tabulate(m)(i => tp(i)(0) / f)
+      val ta = Array.tabulate(m)(i =>
+        phi(i) * a(0) + (if (i < m - 1) a(i + 1) else 0.0))
+      for (i <- 0 until m) a(i) = ta(i) + k(i) * v
+      val tpt = mulTRight(tp)
+      p = Array.tabulate(m, m)((i, j) =>
+        tpt(i)(j) + r(i) * r(j) - k(i) * f * k(j))
+    }
+    val n = w.length
+    val sigma2 = ssq / n
+    if (sigma2 <= 0 || !java.lang.Double.isFinite(sigma2))
+      Double.NegativeInfinity
+    else
+      -0.5 * n * (math.log(2 * math.Pi) + 1.0 + math.log(sigma2)) -
+        0.5 * sumLogF
+  }
+
+  /** Exact-MLE refinement from a CSS/HR warm start: Nelder–Mead
+    * maximizing the Kalman likelihood. Keeps the warm start when the
+    * start itself is outside the stationary region (the filter scores
+    * it −∞ — the reference runs enforce_stationarity=False and
+    * tolerates such fits too) or when refinement does not improve the
+    * exact likelihood. */
+  def refineMle(w: Array[Double], fit: LagFit,
+                maxIter: Int = 300): LagFit = {
+    if (fit.sigma2 <= 1e-10) return fit
+    val x0 = fit.intercept +: (fit.coef ++ fit.maCoef)
+    val ll0 = kalmanLogLik(w, fit.arLags, fit.maLags, x0)
+    if (!java.lang.Double.isFinite(ll0)) return fit
+    val best = nelderMead(
+      ps => -kalmanLogLik(w, fit.arLags, fit.maLags, ps), x0, maxIter)
+    val ll1 = kalmanLogLik(w, fit.arLags, fit.maLags, best)
+    if (!java.lang.Double.isFinite(ll1) || ll1 < ll0) return fit
+    val k = x0.length
+    val refined = fit.copy(
+      coef = best.slice(1, 1 + fit.arLags.length),
+      maCoef = best.slice(1 + fit.arLags.length, k),
+      intercept = best(0),
+      aic = -2.0 * ll1 + 2.0 * (k + 1))
+    refined.copy(resid = residualsLags(w, refined))
+  }
+
   /** Refine a Hannan–Rissanen OLS fit by minimizing the true CSS
     * objective from the OLS point (two-stage HR is consistent but not
     * efficient — its MA coefficients regress on ESTIMATED residuals;
