@@ -178,7 +178,9 @@ object CorpusOps {
     Tables.documents(s, d)
       .withColumn("target_pct", target)
       .withColumn("keep",
-        when(pmod(col("doc_id") * lit(2654435761L), lit(100))
+        // mod-prime reduce before the multiply (Int64-safe at any id)
+        when(pmod(pmod(col("doc_id"), lit(1000000007L)) *
+          lit(2654435761L), lit(100))
           < col("target_pct"), 1L).otherwise(0L))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
@@ -199,7 +201,7 @@ object CorpusOps {
         CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 25
              WHEN lang = 'fr' THEN 40 WHEN lang = 'de' THEN 60
              ELSE 80 END AS target_pct,
-        CASE WHEN (doc_id * 2654435761) % 100 <
+        CASE WHEN ((doc_id % 1000000007) * 2654435761) % 100 <
           (CASE WHEN lang = 'en' THEN 10 WHEN lang = 'es' THEN 25
                 WHEN lang = 'fr' THEN 40 WHEN lang = 'de' THEN 60
                 ELSE 80 END) THEN 1 ELSE 0 END AS keep

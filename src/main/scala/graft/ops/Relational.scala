@@ -291,12 +291,15 @@ object Relational {
   val q15SampleDet: Q = (s, d) => {
     import s.implicits._
     Tables.customer(s, d)
-      .filter(($"c_custkey" * lit(2654435761L)) % 100 < 5)
+      // mod-prime reduce BEFORE the multiply — key·A overflows Int64
+      // for keys ≥ ~3.47e9; p·A fits (identical bits for keys < p)
+      .filter((pmod($"c_custkey", lit(1000000007L)) *
+        lit(2654435761L)) % 100 < 5)
       .select($"c_custkey", $"c_name", $"c_acctbal")
   }
   val o15 = """
     SELECT c_custkey, c_name, c_acctbal FROM customer
-    WHERE (c_custkey * 2654435761) % 100 < 5"""
+    WHERE ((c_custkey % 1000000007) * 2654435761) % 100 < 5"""
 
   // ---------------------------------------------------------------- U3/U5
   /** Ordered top-K with total tie-break (U3 ordered output + U5 limit). */

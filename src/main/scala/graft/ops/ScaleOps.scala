@@ -91,8 +91,11 @@ object ScaleOps {
 
   val q81SeededSample: Q = (s, d) => {
     import s.implicits._
-    val h1 = ($"c_custkey" * lit(2654435761L) + lit(SampleSeed * 40503L)) %
-      lit(1000000007L)
+    // key is reduced mod-prime BEFORE the multiply: p·A ≈ 2.65e18 fits
+    // Int64, whereas key·A would overflow for keys ≥ ~3.47e9 (an
+    // ANSI-mode runtime error exactly at the scale this protects)
+    val h1 = (pmod($"c_custkey", lit(1000000007L)) * lit(2654435761L) +
+      lit(SampleSeed * 40503L)) % lit(1000000007L)
     val h2 = (h1 * lit(2654435761L)) % lit(1000000007L)
     Tables.customer(s, d)
       .filter(h2 % 100 < 5)
@@ -100,7 +103,8 @@ object ScaleOps {
   }
   val o81: String = s"""
     SELECT c_custkey, c_name, c_acctbal FROM customer
-    WHERE (((c_custkey * 2654435761 + ${SampleSeed * 40503L}) % 1000000007)
+    WHERE ((((c_custkey % 1000000007) * 2654435761
+             + ${SampleSeed * 40503L}) % 1000000007)
             * 2654435761) % 1000000007 % 100 < 5"""
 
   val queries: Map[String, Q] = Map(

@@ -421,7 +421,7 @@ object ArimaLite {
     val r = new Array[Double](m); r(0) = 1.0
     for (i <- 1 until m) r(i) = theta(i)
     val phiSum = phi.sum
-    if (math.abs(1.0 - phiSum) < 1e-8) return Double.NegativeInfinity
+    if (math.abs(1.0 - phiSum) < 1e-8) return fail
     val mu = params(0) / (1.0 - phiSum)
     // T row i = φ_{i+1}·e0 + shift: T(i)(0)=phi(i), T(i)(i+1)=1
     def mulT(p: Array[Array[Double]]): Array[Array[Double]] =
@@ -442,17 +442,17 @@ object ArimaLite {
       (if (row == colIdx) 1.0 else 0.0) - tik * tjl
     }
     val b0 = Array.tabulate(dim)(x => r(x / m) * r(x % m))
-    val p0vec = solve(a0, b0).getOrElse(return Double.NegativeInfinity)
+    val p0vec = solve(a0, b0).getOrElse(return fail)
     var p = Array.tabulate(m, m)((i, j) => p0vec(i * m + j))
     if (p(0)(0) <= 0 || !java.lang.Double.isFinite(p(0)(0)))
-      return Double.NegativeInfinity
+      return fail
     val a = new Array[Double](m)
     var sumLogF = 0.0
     var ssq = 0.0
     for (t <- w.indices) {
       val f = p(0)(0)
       if (f <= 1e-300 || !java.lang.Double.isFinite(f))
-        return Double.NegativeInfinity
+        return fail
       val v = w(t) - mu - a(0)
       sumLogF += math.log(f)
       ssq += v * v / f
@@ -469,10 +469,10 @@ object ArimaLite {
     val n = w.length
     val sigma2 = ssq / n
     if (sigma2 <= 0 || !java.lang.Double.isFinite(sigma2))
-      Double.NegativeInfinity
+      fail
     else
-      -0.5 * n * (math.log(2 * math.Pi) + 1.0 + math.log(sigma2)) -
-        0.5 * sumLogF
+      (-0.5 * n * (math.log(2 * math.Pi) + 1.0 + math.log(sigma2)) -
+        0.5 * sumLogF, sigma2)
   }
 
   /** Exact-MLE refinement from a CSS/HR warm start: Nelder–Mead
@@ -489,13 +489,15 @@ object ArimaLite {
     if (!java.lang.Double.isFinite(ll0)) return fit
     val best = nelderMead(
       ps => -kalmanLogLik(w, fit.arLags, fit.maLags, ps), x0, maxIter)
-    val ll1 = kalmanLogLik(w, fit.arLags, fit.maLags, best)
+    val (ll1, sigma2) = kalman(w, fit.arLags, fit.maLags, best)
     if (!java.lang.Double.isFinite(ll1) || ll1 < ll0) return fit
     val k = x0.length
     val refined = fit.copy(
       coef = best.slice(1, 1 + fit.arLags.length),
       maCoef = best.slice(1 + fit.arLags.length, k),
       intercept = best(0),
+      sigma2 = if (java.lang.Double.isFinite(sigma2)) sigma2
+               else fit.sigma2,
       aic = -2.0 * ll1 + 2.0 * (k + 1))
     refined.copy(resid = residualsLags(w, refined))
   }

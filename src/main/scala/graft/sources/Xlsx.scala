@@ -228,10 +228,8 @@ object Xlsx {
     case c => c.toString
   }
 
-  private val NumberRe = "-?[0-9]+(\\.[0-9]+)?".r
-
-  /** Minimal single-part-per-sheet writer: numbers (numeric types or
-    * plain-decimal strings) as `t="n"`, everything else as inline
+  /** Minimal single-part-per-sheet writer: numeric JVM types as
+    * `t="n"`, everything else (all strings included) as inline
     * strings — self-contained, opens in Excel/pandas/POI. */
   def write(sheets: Seq[(String, Seq[Seq[Any]])], out: OutputStream): Unit = {
     val z = new ZipOutputStream(out)
@@ -274,14 +272,18 @@ object Xlsx {
           cells.zipWithIndex.foreach { case (cell, ci) =>
             val ref = s"${colLetters(ci)}${ri + 1}"
             cell match {
-              case null | "" => () // sparse: omit empty cells
+              case null => () // sparse: omit only true nulls
               // NaN/Infinity are not valid numeric cells — Excel would
-              // flag the workbook for repair; write them as text
+              // flag the workbook for repair; write them as text.
+              // Strings are ALWAYS text (pandas.to_excel parity): a
+              // numeric cell for "007" or a 20-digit order id would
+              // lose leading zeros / precision on round trip.
               case v: Double if java.lang.Double.isFinite(v) =>
                 body.append(s"""<c r="$ref"><v>$v</v></c>""")
-              case v @ (_: Int | _: Long | _: java.math.BigDecimal) =>
+              case v: Float if java.lang.Float.isFinite(v) =>
                 body.append(s"""<c r="$ref"><v>$v</v></c>""")
-              case v: String if NumberRe.matches(v) =>
+              case v @ (_: Int | _: Long | _: Short | _: Byte |
+                        _: java.math.BigDecimal | _: BigDecimal) =>
                 body.append(s"""<c r="$ref"><v>$v</v></c>""")
               case v =>
                 body.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v.toString)}</t></is></c>""")
@@ -345,10 +347,12 @@ object Xlsx {
     * chooser — the transfers flow, for instance, wants exact
     * "Transferencias" else the FIRST sheet (transfer_cleaner.py:144).
     *
-    * Two-phase like the reference's pandas read: a first lightweight
-    * pass fixes the schema width (max column count), the second
-    * delivers the cells — no caching, so nothing stays pinned in
-    * executor storage after the read. */
+    * Two-phase like the reference's pandas read: the schema width (max
+    * column count) is fixed first, then the cells are delivered. The
+    * parsed grid is localCheckpointed so the zip+StAX parse runs ONCE
+    * per workbook — the width agg and the downstream read both hit
+    * executor storage (MEMORY_AND_DISK, freed when the plan is GC'd),
+    * not a second parse. */
   def readGridWith(spark: SparkSession, path: String,
                    choose: Seq[String] => String): DataFrame = {
     import spark.implicits._
@@ -362,7 +366,7 @@ object Xlsx {
       wb.grid(choose(wb.sheetNames)).zipWithIndex.map { case (cells, i) =>
         (file, i.toLong, cells)
       }
-    }.toDF("_file", "_row", "cells")
+    }.toDF("_file", "_row", "cells").localCheckpoint()
     val nCols = Option(grids.agg(max(size($"cells"))).head().get(0))
       .map(_.asInstanceOf[Int])
       .getOrElse(throw new IllegalArgumentException(

@@ -255,22 +255,45 @@ object EventStreaming {
       extends StatefulProcessor[Long, Event, ChannelSession] {
 
     @transient private var state: MapState[String, SessionState] = _
+    @transient private var armed: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       state = getHandle.getMapState("channel_sessions",
         Encoders.STRING, Encoders.product[SessionState], TTLConfig.NONE)
+      armed = getHandle.getValueState("armed_deadline",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     private def toSession(key: Long, ch: String,
                           s: SessionState): ChannelSession =
       ChannelSession(key, ch, new java.sql.Timestamp(s.start),
         new java.sql.Timestamp(s.lastSeen), s.nEvents, s.totalValue)
 
-    /** One live timer per key, at the earliest open-session deadline. */
-    private def rearm(): Unit = {
-      getHandle.listTimers().foreach(getHandle.deleteTimer)
-      val deadlines = state.values().map(_.lastSeen + gapMillis)
-      if (deadlines.nonEmpty)
+    /** One live timer per key at the EXACT earliest open deadline,
+      * tracked incrementally in `armed` so the input path never scans
+      * the whole map (the point of MapState for hot users). A touched
+      * channel can only LOWER the min (handled in O(1) by
+      * [[pullEarlier]]) — unless it was itself the min-holder, which
+      * the per-entry read detects (its old deadline == the armed
+      * timer); only then does [[rearmExact]] rescan. So the full scan
+      * runs once per gap expiry or min-holder extension, not once per
+      * input batch. */
+    private def pullEarlier(candidate: Long): Unit =
+      if (!armed.exists || candidate < armed.get) {
+        if (armed.exists) getHandle.deleteTimer(armed.get)
+        getHandle.registerTimer(candidate)
+        armed.update(candidate)
+      }
+
+    private def rearmExact(): Unit = {
+      val deadlines = state.values().map(_.lastSeen + gapMillis).toSeq
+      if (deadlines.isEmpty) {
+        if (armed.exists) { getHandle.deleteTimer(armed.get); armed.clear() }
+      } else if (!armed.exists || armed.get != deadlines.min) {
+        if (armed.exists) getHandle.deleteTimer(armed.get)
         getHandle.registerTimer(deadlines.min)
+        armed.update(deadlines.min)
+      }
     }
 
     override def handleInputRows(key: Long, rows: Iterator[Event],
@@ -278,10 +301,16 @@ object EventStreaming {
         : Iterator[ChannelSession] = {
       val closed =
         scala.collection.mutable.ListBuffer.empty[ChannelSession]
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      var minHolderMoved = false
+      val armedAt = if (armed.exists) armed.get else Long.MinValue
       rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val ch = e.event_type
         val t = e.ts.getTime
-        val next = Option(state.getValue(ch)) match {
+        val old = Option(state.getValue(ch))
+        if (old.exists(_.lastSeen + gapMillis == armedAt))
+          minHolderMoved = true
+        val next = old match {
           case Some(s) if t - s.lastSeen <= gapMillis =>
             s.copy(lastSeen = math.max(s.lastSeen, t),
               nEvents = s.nEvents + 1, totalValue = s.totalValue + e.value)
@@ -292,20 +321,35 @@ object EventStreaming {
             SessionState(t, t, 1, e.value)
         }
         state.updateValue(ch, next)
+        touched += ch
       }
-      rearm()
+      if (minHolderMoved) rearmExact()
+      else if (touched.nonEmpty) {
+        // min over the FINAL deadlines of touched channels (per-entry
+        // reads — intermediate deadlines within the batch are stale)
+        val finals = touched.iterator
+          .flatMap(ch => Option(state.getValue(ch)))
+          .map(_.lastSeen + gapMillis)
+        if (finals.nonEmpty) pullEarlier(finals.min)
+      }
       closed.iterator
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
                                     info: ExpiredTimerInfo)
         : Iterator[ChannelSession] = {
-      val expired = state.iterator()
-        .filter { case (_, s) =>
+      // the one place the map is scanned whole — once per gap expiry
+      val (expired, live) = state.iterator().toSeq
+        .partition { case (_, s) =>
           s.lastSeen + gapMillis <= info.getExpiryTimeInMs }
-        .toSeq
       expired.foreach { case (ch, _) => state.removeKey(ch) }
-      rearm()
+      if (armed.exists && armed.get == info.getExpiryTimeInMs)
+        armed.clear()
+      if (live.nonEmpty)
+        pullEarlier(live.map(_._2.lastSeen + gapMillis).min)
+      else if (armed.exists && armed.get != info.getExpiryTimeInMs) {
+        getHandle.deleteTimer(armed.get); armed.clear()
+      }
       expired.iterator.map { case (ch, s) => toSession(key, ch, s) }
     }
   }
