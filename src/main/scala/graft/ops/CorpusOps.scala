@@ -40,11 +40,14 @@ object CorpusOps {
     * curation pipeline actually needs (which canonical doc represents
     * each cluster, and how big the cluster is).
     */
-  val q83DupClusters: Q = (s, d) => {
-    val pairs = DedupOps.q60SimHashPairs(s, d)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    // symmetric edge list, materialized once (the LSH candidate
-    // generation is the expensive part — never recomputed per round)
+  /** Min-label propagation over an undirected `(src, dst)` edge list →
+    * `(doc_id, comp)` labels, comp = min reachable id. Shared by q83
+    * (single-signal edges) and q98 (union-of-evidence edges). The
+    * symmetric edge list is materialized once (candidate generation is
+    * the expensive part — never recomputed per round); every round
+    * ends in `localCheckpoint` so lineage stays O(1) deep (on a
+    * cluster: `checkpoint` to reliable storage). */
+  private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
@@ -75,6 +78,12 @@ object CorpusOps {
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.select(col("doc_id"), col("comp"))
     }
+    labels
+  }
+
+  val q83DupClusters: Q = (s, d) => {
+    val labels = connectedComponents(DedupOps.q60SimHashPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val sizes = labels.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.select(col("doc_id"), col("comp").as("cluster_id"))
@@ -453,8 +462,213 @@ object CorpusOps {
       CAST(n_docs AS DOUBLE) * 100.0 / CAST(n_total AS DOUBLE) AS pct
     FROM binned, tot"""
 
+  // --------------------------------------- union-of-evidence clusters
+  /** Duplicate clusters over the UNION of all three near-dup signals:
+    * SimHash Hamming pairs (q60 — token-level edits), n-gram Jaccard
+    * pairs (q58 — shingle overlap), and embedding-cosine pairs (q64 —
+    * semantic paraphrase). Each signal has blind spots; a paraphrased
+    * document shares no shingles but sits next to its source in
+    * embedding space, while a near-verbatim copy with one shuffled
+    * paragraph is the reverse — union-of-evidence is how production
+    * corpus dedup (e.g. the Gopher/FineWeb-style pipelines) composes
+    * them. Emits per-doc cluster membership plus `n_signals`, the
+    * count of DISTINCT evidence kinds inside the cluster — a 3-signal
+    * cluster is a confident kill, a 1-signal singleton pair is review
+    * material.
+    *
+    * 100 TB design: each edge source is already bucketed/banded (never
+    * all-pairs); the union is materialized once (`localCheckpoint`)
+    * and consumed by both the CC loop and the signal census, so the
+    * three expensive candidate generations run exactly once. The CC
+    * loop shuffles only (doc_id, comp) pairs — never text. */
+  val q98UnionDupClusters: Q = (s, d) => {
+    val sim = DedupOps.q60SimHashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit("simhash").as("kind"))
+    val jac = DedupOps.q58JaccardPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit("jaccard").as("kind"))
+    val emb = VectorOps.q64CosineNearDup(s, d)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        lit("embedding").as("kind"))
+    val ev = sim.unionByName(jac).unionByName(emb).localCheckpoint()
+    val labels = connectedComponents(
+      ev.select(col("doc_a").as("src"), col("doc_b").as("dst")).distinct())
+    val sizes = labels.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val kinds = ev
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(countDistinct(col("kind")).as("n_signals"))
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .join(kinds, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("n_signals"))
+  }
+  val o98: String = s"""
+    WITH RECURSIVE
+    sim AS (${DedupOps.o60}),
+    jac AS (${DedupOps.o58}),
+    emb AS (${VectorOps.o64}),
+    ev AS (
+      SELECT doc_a, doc_b, 'simhash' AS kind FROM sim
+      UNION ALL
+      SELECT doc_a, doc_b, 'jaccard' AS kind FROM jac
+      UNION ALL
+      SELECT id_a AS doc_a, id_b AS doc_b, 'embedding' AS kind FROM emb),
+    uedges AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM ev
+               UNION
+               SELECT DISTINCT doc_b AS src, doc_a AS dst FROM ev),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM uedges
+      UNION
+      SELECT reach.doc_id, uedges.dst
+      FROM reach JOIN uedges ON uedges.src = reach.r),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY cluster_id),
+    kinds AS (SELECT c.cluster_id, COUNT(DISTINCT ev.kind) AS n_signals
+              FROM ev JOIN comp c ON c.doc_id = ev.doc_a
+              GROUP BY c.cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size, k.n_signals
+    FROM comp c
+    JOIN sizes s USING (cluster_id)
+    JOIN kinds k USING (cluster_id)"""
+
+  // ------------------------------------------------------ chunking
+  private val ChunkSize = 50
+  private val ChunkStride = 40
+
+  /** Sliding-window document chunking: fixed `ChunkSize`-token windows
+    * every `ChunkStride` tokens (10-token overlap) — the standard prep
+    * step that turns variable-length documents into training-sized
+    * pieces while the overlap preserves cross-boundary context.
+    *
+    * 100 TB design: pure per-row compute — tokenize once, explode only
+    * the chunk INDEX (sequence + slice), so the shuffle-free plan
+    * emits chunks at scan parallelism; no window, no shuffle, no UDF
+    * (all codegen'd array expressions). Chunk count per doc is
+    * ⌈n/stride⌉ — output is a bounded ~1.25× inflation of the corpus,
+    * not quadratic. */
+  val q99ChunkDocs: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+      .withColumn("ct",
+        expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        array_join(col("ct"), " ").as("chunk_text"))
+  }
+  val o99: String = s"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ex AS (
+      SELECT doc_id, t,
+        unnest(generate_series(0, (len(t) - 1) // $ChunkStride)) AS chunk_id
+      FROM base)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      CAST(len(t[chunk_id * $ChunkStride + 1 :
+                 chunk_id * $ChunkStride + $ChunkSize]) AS BIGINT) AS n_tokens,
+      array_to_string(t[chunk_id * $ChunkStride + 1 :
+                        chunk_id * $ChunkStride + $ChunkSize], ' ')
+        AS chunk_text
+    FROM ex"""
+
+  // ----------------------------------------------- blocklist redaction
+  /** Blocklist term redaction census: word-boundary regex over a term
+    * blocklist (the shape of PII masking / banned-term scrubbing in a
+    * curation pipeline — swap the alternation for emails/phones/IDs in
+    * production), reported per source as docs hit, total hits, and the
+    * corpus size after `[REDACTED]` substitution.
+    *
+    * 100 TB design: per-row regex (RE2-class alternation) then one
+    * map-side-combined census keyed on `source` — no shuffle of text,
+    * no UDF. The redacted corpus itself would be written by the same
+    * per-row projection at scan parallelism. */
+  private val Blocklist = "\\b(customer|vector|spark)\\b"
+
+  val q100RedactBlocklist: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("n_hits",
+        size(regexp_extract_all(col("text"), lit(Blocklist), lit(0)))
+          .cast("long"))
+      .withColumn("red_len",
+        length(regexp_replace(col("text"), Blocklist, "[REDACTED]"))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_docs_hit"),
+        sum(col("n_hits")).cast("long").as("n_hits"),
+        sum(col("red_len")).cast("long").as("redacted_chars"))
+  }
+  val o100: String = s"""
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN len(regexp_extract_all(text, '$Blocklist')) > 0
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+      CAST(SUM(len(regexp_extract_all(text, '$Blocklist'))) AS BIGINT)
+        AS n_hits,
+      CAST(SUM(length(regexp_replace(text, '$Blocklist', '[REDACTED]', 'g')))
+        AS BIGINT) AS redacted_chars
+    FROM documents GROUP BY source"""
+
+  // ------------------------------------------------- length quantiles
+  /** Exact per-language length quantiles (p25/p50/p75/p90) via the
+    * rank spelling: row_number over (n_chars, doc_id) within each
+    * language, pick the element at rank ⌈q·n⌉ — percentile_disc
+    * semantics written identically in both engines (their built-in
+    * quantile functions interpolate differently, the DISCRETE rank
+    * pick is bit-free: every output is an actual integer from the
+    * data).
+    *
+    * 100 TB design: one shuffle on `lang` for the window, integer-only
+    * comparisons after it. At petabyte scale the same census runs on a
+    * pre-bucketed histogram (q96) instead of a full sort — the exact
+    * spelling here is the oracle-checkable tier. */
+  val q101LengthQuantiles: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    def pick(q: Double, as: String) =
+      max(when(col("rn") === ceil(lit(q) * col("n")).cast("long"),
+        col("n_chars"))).as(as)
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1))
+        .over(Window.partitionBy(col("lang"))).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        pick(0.25, "p25"), pick(0.5, "p50"),
+        pick(0.75, "p75"), pick(0.9, "p90"),
+        max(col("n_chars")).as("max_chars"))
+  }
+  val o101: String = """
+    WITH r AS (
+      SELECT lang, n_chars, doc_id,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY n_chars ASC, doc_id ASC) AS rn,
+        COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs,
+      MIN(n_chars) AS min_chars,
+      MAX(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+          THEN n_chars END) AS p25,
+      MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+          THEN n_chars END) AS p50,
+      MAX(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+          THEN n_chars END) AS p75,
+      MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+          THEN n_chars END) AS p90,
+      MAX(n_chars) AS max_chars
+    FROM r GROUP BY lang"""
+
   val queries: Map[String, Q] = Map(
     "q96_length_histogram" -> q96LengthHistogram,
+    "q98_union_dup_clusters" -> q98UnionDupClusters,
+    "q99_chunk_docs" -> q99ChunkDocs,
+    "q100_redact_blocklist" -> q100RedactBlocklist,
+    "q101_length_quantiles" -> q101LengthQuantiles,
     "q83_dup_clusters" -> q83DupClusters,
     "q85_tfidf_topk" -> q85TfIdf,
     "q86_stratified_sample" -> q86StratifiedSample,
@@ -465,6 +679,10 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q96_length_histogram" -> o96,
+    "q98_union_dup_clusters" -> o98,
+    "q99_chunk_docs" -> o99,
+    "q100_redact_blocklist" -> o100,
+    "q101_length_quantiles" -> o101,
     "q83_dup_clusters" -> o83,
     "q85_tfidf_topk" -> o85,
     "q86_stratified_sample" -> o86,

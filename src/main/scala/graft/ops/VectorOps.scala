@@ -414,8 +414,125 @@ object VectorOps {
                 x -> abs(CAST(x AS DOUBLE)))) AS m
             FROM embeddings))"""
 
+  // ------------------------------------------------- Lloyd iteration
+  /** One full Lloyd (k-means) iteration over the corpus: assign every
+    * vector to its nearest current centroid (q65's in-row argmin
+    * against one broadcast centroid row), then re-center each cell as
+    * the element-wise mean of its members, and report per cell the
+    * population, the inertia (sum of squared member distances — the
+    * k-means objective), and the centroid movement (L2 old→new — the
+    * convergence signal a training loop thresholds on). This is the
+    * iterate the IVF coarse-quantizer training (q65) runs to fixpoint.
+    *
+    * 100 TB design: the assignment is one broadcast-join pass with
+    * in-row folds (no posexplode, nothing shuffled); it is
+    * materialized ONCE (`localCheckpoint` — a real pipeline persists
+    * the assignment between the assign and update passes) and feeds
+    * both the census and the re-center. The update aggregate is the
+    * only explode, map-side-combined down to k×64 groups. All sums
+    * that cross rows go through exact decimals, so every double is
+    * order-independent and bit-identical cross-engine. */
+  val q102LloydStep: Q = (s, d) => {
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val centroids = dims.groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+    val packedPer = centroids.groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
+    val packed = packedPer
+      .agg(array_sort(collect_list(struct($"c_label", $"carr")))
+        .as("cents"))
+    val assigned = Tables.embeddings(s, d)
+      .join(broadcast(packed))
+      .withColumn("a", expr(
+        """array_min(transform(cents, ct -> named_struct(
+             'd2', aggregate(
+                     zip_with(embedding, ct.carr, (x, c) ->
+                       (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+             'c_label', ct.c_label)))"""))
+      .select($"vec_id", $"embedding",
+        $"a.c_label".as("cell"), $"a.d2".as("d2"))
+      .localCheckpoint()
+    val census = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"d2".cast("decimal(30,8)")).cast("double").as("inertia"))
+    val newc = assigned
+      .select($"cell", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+      .groupBy($"cell", $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"cell")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"cell", expr("transform(pc, x -> x.c)").as("narr"))
+    census
+      .join(newc, Seq("cell"))
+      .join(broadcast(packedPer.select($"c_label".as("cell"), $"carr")),
+        Seq("cell"))
+      .withColumn("movement", sqrt(expr(
+        """aggregate(zip_with(carr, narr, (o, n) -> (o - n) * (o - n)),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")))
+      .select($"cell", $"n_vecs", $"inertia", $"movement")
+  }
+  val o102: String = s"""
+    WITH dims AS (
+      SELECT label, g.pos AS pos,
+             CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    centroids AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (
+      SELECT c_label, list(c ORDER BY pos) AS carr
+      FROM centroids GROUP BY c_label),
+    dist AS (
+      SELECT em.vec_id, em.embedding, ca.c_label,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, 64), i ->
+                   (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i])
+                     * (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i]))),
+               (acc, x) -> acc + x) AS d2
+      FROM embeddings em, carr ca),
+    a AS (
+      SELECT vec_id, embedding, c_label AS cell, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, c_label ASC) AS rn
+        FROM dist)
+      WHERE rn = 1),
+    census AS (
+      SELECT cell, COUNT(*) AS n_vecs,
+        CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) AS inertia
+      FROM a GROUP BY cell),
+    ndims AS (
+      SELECT cell, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM a, (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    newc AS (
+      SELECT cell, pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM ndims GROUP BY 1, 2),
+    narr AS (SELECT cell, list(c ORDER BY pos) AS narr
+             FROM newc GROUP BY cell)
+    SELECT census.cell, census.n_vecs, census.inertia,
+      sqrt(list_reduce(
+        list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64), i ->
+            (ca.carr[i] - na.narr[i]) * (ca.carr[i] - na.narr[i]))),
+        (acc, x) -> acc + x)) AS movement
+    FROM census
+    JOIN narr na USING (cell)
+    JOIN carr ca ON ca.c_label = census.cell"""
+
   val queries: Map[String, Q] = Map(
     "q61_norm_stats" -> q61NormStats,
+    "q102_lloyd_step" -> q102LloydStep,
     "q62_knn_brute" -> q62KnnBrute,
     "q63_ann_bucketed" -> q63AnnBucketed,
     "q64_cosine_neardup" -> q64CosineNearDup,
@@ -432,5 +549,6 @@ object VectorOps {
     "q63_ann_bucketed" -> o63,
     "q64_cosine_neardup" -> o64,
     "q65_ivf_assign" -> o65,
-    "q66_quantize_int8" -> o66)
+    "q66_quantize_int8" -> o66,
+    "q102_lloyd_step" -> o102)
 }
