@@ -143,7 +143,7 @@ object TextOps {
     * prime — the content key shared by q53, the dedup shuffles in
     * q55/q82, and the incremental-dedup semi-join in q87 (an 8-byte
     * key instead of the full document body). */
-  private[ops] def fingerprintCol: Column =
+  private[graft] def fingerprintCol: Column =
     expr("aggregate(transform(split(text, ' '), " +
       "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")

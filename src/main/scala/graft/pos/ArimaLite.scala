@@ -598,13 +598,15 @@ object ArimaLite {
     // walk the AIC order, first fit whose forecast stays inside the
     // observed envelope wins (degenerate σ²-floor ties can put an
     // explosive recursion first); nothing sane → series-mean fallback.
-    // Each candidate is CSS-refined from its OLS warm start before
-    // forecasting — the iterator is lazy, so only candidates actually
-    // reached pay the refinement.
+    // Each candidate runs the statsmodels estimation ladder from its
+    // OLS warm start — CSS descent, then exact Kalman MLE (refineMle
+    // keeps the CSS fit when the point is non-stationary or MLE does
+    // not improve the exact likelihood) — and the iterator is lazy,
+    // so only candidates actually reached pay the refinement.
     val raw = selectSeasonalAll(y).iterator
       .map { fit =>
         val w = diffChain(y, fit.d, fit.sD, fit.s)._1
-        forecastLagFit(y, refineCss(w, fit), h)
+        forecastLagFit(y, refineMle(w, refineCss(w, fit)), h)
       }
       .find(_.forall(v => java.lang.Double.isFinite(v) &&
         v >= lo && v <= hi))

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming faces of the corpus-curation tier: the intake path of an
+  * LLM data pipeline, where documents arrive continuously and exact
+  * dedup must happen before anything expensive (shingling, embedding)
+  * runs on a duplicate.
+  *
+  * All dedup state is keyed on the 8-byte content fingerprint
+  * (`TextOps.fingerprintCol`, the same key the batch tier uses in
+  * q53/q55/q87) — the state store holds fingerprints, never document
+  * bodies, so state size is rows × ~16 bytes regardless of document
+  * length. That key discipline is what lets the same pipeline run at
+  * 100 TB/day intake: the dedup shuffle and the state store both move
+  * 8-byte keys.
+  */
+object CorpusStreaming {
+
+  /** A document on the intake stream: event time + the batch schema. */
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp,
+                            text: String, source: String)
+
+  /** Adds the content fingerprint column `fp` (identical to the batch
+    * q53 key, so batch snapshots and stream state interoperate). */
+  def withFingerprint(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", graft.ops.TextOps.fingerprintCol)
+
+  /** STREAMING exact dedup: drop any document whose fingerprint was
+    * already seen within the watermark horizon —
+    * `dropDuplicatesWithinWatermark`, the engine-managed spelling: the
+    * state store keeps one entry per fingerprint and EXPIRES it once
+    * the watermark passes, so state is bounded by the dedup horizon
+    * instead of growing with the corpus forever (plain
+    * `dropDuplicates` on a stream never forgets — unusable at 100 TB).
+    * Duplicates BEYOND the horizon are the batch tier's job (q87
+    * against the corpus snapshot). */
+  def dedupStream(docs: Dataset[DocEvent],
+                  watermark: String = "1 hour"): DataFrame =
+    withFingerprint(docs.toDF())
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Streaming twin of q87 incremental dedup: the intake stream
+    * LEFT-ANTI joined on fingerprint against the corpus snapshot's
+    * fingerprint set — only genuinely novel documents pass. The
+    * snapshot side is a static table: Spark re-plans it per
+    * micro-batch, and because only the 8-byte `fp` column is read it
+    * broadcasts (or bucket-joins at snapshot scale) without ever
+    * shipping text. Compose after [[dedupStream]] so within-horizon
+    * dups never even reach the snapshot join. */
+  def dedupAgainstSnapshot(docs: DataFrame,
+                           snapshotFps: DataFrame): DataFrame =
+    docs.join(snapshotFps.select(col("fp")).distinct(), Seq("fp"),
+      "left_anti")
+
+  /** Per-source intake census over the deduped stream: docs admitted
+    * per (window, source) — the monitoring mart an intake pipeline
+    * alerts on when a source's novel-document rate collapses (all
+    * dups = a stuck crawler re-sending yesterday's shard). */
+  def intakeCensus(deduped: DataFrame,
+                   windowLen: String = "1 hour"): DataFrame =
+    deduped
+      .groupBy(window(col("ts"), windowLen), col("source"))
+      .agg(count(lit(1)).as("n_new_docs"),
+        sum(length(col("text"))).as("n_chars"))
+      .select(col("window.start").as("window_start"),
+        col("source"), col("n_new_docs"), col("n_chars"))
+}

@@ -88,6 +88,38 @@ class ArimaSpec extends AnyFunSuite {
       s"theta=${css.maCoef(0)}")
   }
 
+  test("Kalman MLE refinement improves the exact likelihood over CSS") {
+    // same planted ARMA(1,1); the exact Gaussian likelihood (Kalman
+    // filter, what statsmodels' SARIMAX maximizes) must not get worse
+    // under refineMle, and should strictly improve from the raw HR fit
+    val rnd = new scala.util.Random(3)
+    val n = 600
+    val y = new Array[Double](n)
+    var ePrev = 0.0
+    for (t <- 1 until n) {
+      val e = rnd.nextGaussian()
+      y(t) = 0.6 * y(t - 1) + e + 0.5 * ePrev
+      ePrev = e
+    }
+    def ll(f: ArimaLite.LagFit): Double =
+      ArimaLite.kalmanLogLik(y, f.arLags, f.maLags,
+        f.intercept +: (f.coef ++ f.maCoef))
+    val hr = ArimaLite.fitLags(y, Array(1), Array(1)).get
+    val css = ArimaLite.refineCss(y, hr)
+    val mle = ArimaLite.refineMle(y, css)
+    assert(java.lang.Double.isFinite(ll(mle)))
+    assert(ll(mle) >= ll(css) - 1e-9,
+      s"mle ${ll(mle)} < css ${ll(css)}")
+    assert(ll(mle) >= ll(hr) - 1e-9, s"mle ${ll(mle)} < hr ${ll(hr)}")
+    // refined parameters still sit at the planted truth
+    assert(math.abs(mle.coef(0) - 0.6) < 0.15, s"phi=${mle.coef(0)}")
+    assert(mle.maCoef(0) > 0.2 && mle.maCoef(0) < 0.8,
+      s"theta=${mle.maCoef(0)}")
+    // and the concentrated sigma^2 was carried into the fit
+    assert(mle.sigma2 > 0.5 && mle.sigma2 < 2.0,
+      s"sigma2=${mle.sigma2}")
+  }
+
   test("seasonal grid recovers a planted weekly pattern plain ARMA misses") {
     // strong 7-day profile + noise; 20 full weeks of observations
     val profile = Array(520.0, 80.0, 90.0, 110.0, 130.0, 260.0, 400.0)

@@ -288,4 +288,86 @@ class StreamingSpec extends AnyFunSuite {
         .startsWith("2024-01-01 10:10"))
     } finally q.stop()
   }
+
+  test("streaming exact dedup: within-horizon dups dropped, state expires") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), "a b c", "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:05:00"), "a b c", "s0"),
+      CorpusStreaming.DocEvent(3, ts("2024-01-01 10:06:00"), "x y z", "s1"))
+    val q = CorpusStreaming.dedupStream(input.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("intake")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // doc 2 has doc 1's fingerprint → dropped; emission is immediate
+      assert(spark.table("intake").collect()
+        .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+      // push the watermark far past the horizon → fp state expires
+      input.addData(CorpusStreaming.DocEvent(
+        9, ts("2024-01-01 12:00:00"), "advancer", "s0"))
+      q.processAllAvailable()
+      // the same content arriving AFTER the horizon is admitted again
+      // (beyond-horizon dups are the batch snapshot tier's job)
+      input.addData(CorpusStreaming.DocEvent(
+        4, ts("2024-01-01 12:01:00"), "a b c", "s0"))
+      q.processAllAvailable()
+      assert(spark.table("intake").collect()
+        .map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 9L, 4L))
+    } finally q.stop()
+  }
+
+  test("stream-static snapshot dedup passes only novel fingerprints") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus snapshot already contains "a b c"
+    val snapshot = CorpusStreaming.withFingerprint(
+      Seq((100L, "a b c")).toDF("doc_id", "text")).select($"fp")
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), "a b c", "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:01:00"), "new stuff", "s0"))
+    val q = CorpusStreaming.dedupAgainstSnapshot(
+      CorpusStreaming.withFingerprint(input.toDF()), snapshot)
+      .writeStream.format("memory").queryName("novel")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("novel").collect().map(_.getAs[Long]("doc_id"))
+      assert(ids.toSeq == Seq(2L), ids.mkString(","))
+    } finally q.stop()
+  }
+
+  test("intake census aggregates the deduped stream per window+source") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), "a b c", "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:05:00"), "a b c", "s0"),
+      CorpusStreaming.DocEvent(3, ts("2024-01-01 10:06:00"), "x y z", "s1"))
+    val q = CorpusStreaming.intakeCensus(
+      CorpusStreaming.dedupStream(input.toDS(), "0 seconds"))
+      .writeStream.format("memory").queryName("census")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // close the 10:00 window (watermark must pass 11:00)
+      input.addData(CorpusStreaming.DocEvent(
+        9, ts("2024-01-01 11:30:00"), "closer", "s9"))
+      q.processAllAvailable()
+      val rows = spark.table("census").collect()
+        .map(r => (r.getAs[String]("source"),
+          r.getAs[Long]("n_new_docs"), r.getAs[Long]("n_chars")))
+        .toSet
+      // dup doc 2 never reaches the census
+      assert(rows == Set(("s0", 1L, 5L), ("s1", 1L, 5L)),
+        rows.mkString(";"))
+    } finally q.stop()
+  }
 }
