@@ -663,12 +663,130 @@ object CorpusOps {
       MAX(n_chars) AS max_chars
     FROM r GROUP BY lang"""
 
+  // ---------------------------------------------- fixed-N per stratum
+  /** Exactly-N-per-stratum sampling: the top `SampleN` docs per
+    * language by a seeded Knuth-mix hash order — "give me exactly 25
+    * docs per language", the eval-set construction primitive (q86 is
+    * the RATE variant; a rate cannot promise a count). Deterministic
+    * under any partitioning and reproducible by any engine.
+    *
+    * 100 TB design: one shuffle on `lang` for the per-stratum window;
+    * the sort is on the 8-byte hash, never text. At extreme stratum
+    * sizes the same selection runs as a two-pass threshold (sample the
+    * hash distribution, take hash < t, exact-trim the boundary) — the
+    * window spelling is the oracle-checkable tier. */
+  private val SampleN = 25
+
+  val q103FixedStratum: Q = (s, d) => {
+    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L)
+      + lit(9176L), lit(1000000007L))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .withColumn("h", h)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= SampleN)
+      .select(col("lang"), col("rn"), col("doc_id"), col("source"))
+  }
+  val o103: String = s"""
+    SELECT lang, rn, doc_id, source FROM (
+      SELECT lang, doc_id, source,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY ((doc_id % 1000000007) * 2654435761 + 9176)
+                     % 1000000007 ASC, doc_id ASC) AS BIGINT) AS rn
+      FROM documents)
+    WHERE rn <= $SampleN"""
+
+  // ------------------------------------------------- vocabulary census
+  /** Corpus heavy hitters: the top-5 tokens per language by frequency
+    * with share-of-corpus — the vocabulary census a curation run reads
+    * before choosing stop-lists, blocklists (q100), and the df-cap in
+    * q58. q85 is the per-DOC relevance view; this is the corpus-level
+    * frequency view.
+    *
+    * 100 TB design: explode → count keyed on (lang, token) with
+    * map-side partial combine (hot tokens collapse in the combiner —
+    * the same property that makes word-count scale), then a top-k
+    * window over the tiny per-language census, never over rows. */
+  val q104HeavyHitters: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("term").asc)
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("n")).cast("long").as("n_total"))
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .join(totals, Seq("lang"))
+      .select(col("lang"), col("rank"), col("term"), col("n"),
+        (col("n").cast("double") * 100.0
+          / col("n_total").cast("double")).as("pct"))
+  }
+  val o104: String = """
+    WITH counts AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    c AS (SELECT lang, term, COUNT(*) AS n FROM counts GROUP BY 1, 2),
+    totals AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_total
+               FROM c GROUP BY lang),
+    ranked AS (
+      SELECT lang, term, n,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+      FROM c)
+    SELECT r.lang, r.rank, r.term, r.n,
+      CAST(r.n AS DOUBLE) * 100.0 / CAST(t.n_total AS DOUBLE) AS pct
+    FROM ranked r JOIN totals t ON r.lang = t.lang
+    WHERE r.rank <= 5"""
+
+  // ------------------------------------------------ train/val/test split
+  /** Deterministic train/val/test assignment (80/10/10 by a seeded
+    * doc-id hash) with the per-language census — the split must be a
+    * PURE function of the document id so re-runs, other engines, and
+    * incremental additions all agree on membership (a `rand()` split
+    * reshuffles documents between train and test across runs: eval
+    * contamination by nondeterminism).
+    *
+    * 100 TB design: per-row expression then one combined census
+    * aggregate — the split column would be written into the corpus
+    * partitioning (`partitionBy(split)`) by the same projection. */
+  val q105SplitCensus: Q = (s, d) => {
+    val bucket = pmod(pmod(col("doc_id"), lit(1000000007L))
+      * lit(2654435761L) + lit(5851L), lit(1000000007L)) % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars"))
+  }
+  val o105: String = """
+    SELECT lang, split, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM (
+      SELECT lang, n_chars,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_chars,
+          (((doc_id % 1000000007) * 2654435761 + 5851) % 1000000007)
+            % 100 AS b
+        FROM documents))
+    GROUP BY lang, split"""
+
   val queries: Map[String, Q] = Map(
     "q96_length_histogram" -> q96LengthHistogram,
     "q98_union_dup_clusters" -> q98UnionDupClusters,
     "q99_chunk_docs" -> q99ChunkDocs,
     "q100_redact_blocklist" -> q100RedactBlocklist,
     "q101_length_quantiles" -> q101LengthQuantiles,
+    "q103_fixed_stratum" -> q103FixedStratum,
+    "q104_heavy_hitters" -> q104HeavyHitters,
+    "q105_split_census" -> q105SplitCensus,
     "q83_dup_clusters" -> q83DupClusters,
     "q85_tfidf_topk" -> q85TfIdf,
     "q86_stratified_sample" -> q86StratifiedSample,
@@ -683,6 +801,9 @@ object CorpusOps {
     "q99_chunk_docs" -> o99,
     "q100_redact_blocklist" -> o100,
     "q101_length_quantiles" -> o101,
+    "q103_fixed_stratum" -> o103,
+    "q104_heavy_hitters" -> o104,
+    "q105_split_census" -> o105,
     "q83_dup_clusters" -> o83,
     "q85_tfidf_topk" -> o85,
     "q86_stratified_sample" -> o86,

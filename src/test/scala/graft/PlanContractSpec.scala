@@ -41,17 +41,34 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("AsOfJoin"), p.take(2000))
   }
 
+  test("q99: chunking is shuffle-free (explode of the chunk index only)") {
+    // the only allowed exchange is Tables.t's round-robin fan-out of
+    // the single-row-group test file — no keyed shuffle (no groupBy /
+    // join / window key ever partitions this plan)
+    val p = plan("q99_chunk_docs")
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("q102: the Lloyd update aggregate is map-side combined") {
+    // the re-center explode must partial-aggregate before its exchange
+    // (k×64 groups cross the wire, not N×64 rows)
+    val p = plan("q102_lloyd_step")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("no query plans a cartesian product or unintended broadcast NLJ") {
     // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
     // (constant-size broadcast side); q12's validity-window range join
     // is non-equi with a broadcast dimension (the intended range-join
-    // plan); q65/q84/q90/q91/q96 cross-join a SINGLE broadcast row
-    // (packed centroids / totals) by construction
+    // plan); q65/q84/q90/q91/q96/q102 cross-join a SINGLE broadcast
+    // row (packed centroids / totals) by construction
     // q18/q92 cross-join one-row aggregates (census scalars)
     val intendedNlj = Set("q12_range_join", "q62_knn_brute",
       "q65_ivf_assign", "q84_semantic_dedup", "q90_mixture_weights",
       "q91_semdedup_centroid", "q96_length_histogram",
-      "q18_qa_summary", "q92_funnel")
+      "q18_qa_summary", "q92_funnel", "q102_lloyd_step")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
