@@ -172,5 +172,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectOptimizerRule(_ => CollapseIdempotentStripAccents)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

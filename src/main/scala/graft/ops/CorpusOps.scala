@@ -778,6 +778,27 @@ object CorpusOps {
         FROM documents))
     GROUP BY lang, split"""
 
+  // --------------------------------------------- native top-k operator
+  /** The custom two-phase TOP-K physical operator (`plans/TopKPlan`)
+    * on the longest-documents-per-language ask: partial k-bounded
+    * heaps before the shuffle (≤ partitions×groups×k rows cross the
+    * wire), heap merge + k-element sort after — never a full partition
+    * sort, unlike the `row_number` window spelling (q103/q104's shape).
+    * Same DuckDB oracle as the window spelling, so the operator's
+    * semantics are pinned row-for-row. */
+  val q108TopKNative: Q = (s, d) =>
+    graft.plans.TopK.perGroup(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars")),
+      Seq("lang"), Seq(("n_chars", true), ("doc_id", false)), 3)
+  val o108: String = """
+    SELECT doc_id, lang, n_chars, rank FROM (
+      SELECT doc_id, lang, n_chars,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM documents)
+    WHERE rank <= 3"""
+
   val queries: Map[String, Q] = Map(
     "q96_length_histogram" -> q96LengthHistogram,
     "q98_union_dup_clusters" -> q98UnionDupClusters,
@@ -787,6 +808,7 @@ object CorpusOps {
     "q103_fixed_stratum" -> q103FixedStratum,
     "q104_heavy_hitters" -> q104HeavyHitters,
     "q105_split_census" -> q105SplitCensus,
+    "q108_topk_native" -> q108TopKNative,
     "q83_dup_clusters" -> q83DupClusters,
     "q85_tfidf_topk" -> q85TfIdf,
     "q86_stratified_sample" -> q86StratifiedSample,
@@ -804,6 +826,7 @@ object CorpusOps {
     "q103_fixed_stratum" -> o103,
     "q104_heavy_hitters" -> o104,
     "q105_split_census" -> o105,
+    "q108_topk_native" -> o108,
     "q83_dup_clusters" -> o83,
     "q85_tfidf_topk" -> o85,
     "q86_stratified_sample" -> o86,

@@ -131,6 +131,11 @@ object DedupOps {
       .agg(count(lit(1)).as("df"))
       .filter($"df" <= MaxShingleDf)
       .select($"sh")
+    // the capped posting list feeds three consumers (sizes, both self-
+    // join sides); exchange reuse dedupes the join sides, and a
+    // measured localCheckpoint here was a net LOSS at bench scale
+    // (materialization cost > the one recomputed explode) — at real
+    // corpus scale persist() this frame instead
     val sh = exploded.join(kept, Seq("sh"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     sh.as("a")
@@ -228,8 +233,57 @@ object DedupOps {
     SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
 
+  // ----------------------------------------- MinHash estimator audit
+  /** MinHash-estimated Jaccard vs EXACT Jaccard on the verified q58
+    * pairs: the estimate is the fraction of agreeing signature slots
+    * (the Broder property E[match] = J), reported with its absolute
+    * error — the calibration audit that justifies trusting signatures
+    * instead of shingle sets at scale (where exact J is unaffordable
+    * corpus-wide and only ever computed on candidate pairs like
+    * these).
+    *
+    * 100 TB design: the signature table is 4×8 bytes per doc; the join
+    * here is driven by the (already bounded) verified-pair set, so the
+    * audit costs two broadcast-scale hash joins on doc ids. */
+  val q107MinhashEstimate: Q = (s, d) => {
+    import s.implicits._
+    val sig = q56MinHash(s, d)
+    val est = (0 until 4).map(j =>
+      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 4.0
+    q58JaccardPairs(s, d)
+      .join(sig.select($"doc_id".as("doc_a"), $"mh0".as("a_mh0"),
+        $"mh1".as("a_mh1"), $"mh2".as("a_mh2"), $"mh3".as("a_mh3")),
+        Seq("doc_a"))
+      .join(sig.select($"doc_id".as("doc_b"), $"mh0".as("b_mh0"),
+        $"mh1".as("b_mh1"), $"mh2".as("b_mh2"), $"mh3".as("b_mh3")),
+        Seq("doc_b"))
+      .withColumn("est_jaccard", est)
+      .withColumn("abs_err", abs($"jaccard" - $"est_jaccard"))
+      .select($"doc_a", $"doc_b", $"jaccard", $"est_jaccard", $"abs_err")
+  }
+  val o107: String = s"""
+    WITH sig AS (${o56}),
+    pairs AS (${o58})
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+      CAST((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+          + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+          + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+          + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0
+        AS est_jaccard,
+      abs(p.jaccard -
+        CAST((CASE WHEN a.mh0 = b.mh0 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh1 = b.mh1 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh2 = b.mh2 THEN 1 ELSE 0 END
+            + CASE WHEN a.mh3 = b.mh3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0)
+        AS abs_err
+    FROM pairs p
+    JOIN sig a ON a.doc_id = p.doc_a
+    JOIN sig b ON b.doc_id = p.doc_b"""
+
   val queries: Map[String, Q] = Map(
     "q56_minhash" -> q56MinHash,
+    "q107_minhash_estimate" -> q107MinhashEstimate,
     "q57_lsh_buckets" -> q57LshBuckets,
     "q58_jaccard_pairs" -> q58JaccardPairs,
     "q59_simhash" -> q59SimHash,
@@ -237,6 +291,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q56_minhash" -> o56,
+    "q107_minhash_estimate" -> o107,
     "q57_lsh_buckets" -> o57,
     "q58_jaccard_pairs" -> o58,
     "q59_simhash" -> o59,

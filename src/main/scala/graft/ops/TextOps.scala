@@ -269,8 +269,49 @@ object TextOps {
       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM survivors GROUP BY lang"""
 
+  // ---------------------------------------------- subword token census
+  /** BPE-ish token accounting per language: whitespace tokens, regex
+    * tokens (word / number / punctuation runs — the pre-tokenizer
+    * split every BPE family applies first), and a subword-count
+    * estimate of ⌈len/4⌉ per regex token (the ~4-chars-per-token rule
+    * of thumb used for budget planning) — the three numbers a training
+    * budget is quoted in. All integer arithmetic, summed per language.
+    *
+    * 100 TB design: per-row regex + array folds (codegen'd, no UDF),
+    * one map-side-combined census — the same shape as q50. */
+  private val PreTokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val q106SubwordCensus: Q = (s, d) => {
+    Tables.documents(s, d)
+      .withColumn("re_toks",
+        regexp_extract_all(col("text"), lit(PreTokRe), lit(0)))
+      .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_re", size(col("re_toks")).cast("long"))
+      .withColumn("n_sub", expr(
+        """aggregate(transform(re_toks,
+             t -> CAST((length(t) + 3) div 4 AS BIGINT)),
+           CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).cast("long").as("ws_tokens"),
+        sum(col("n_re")).cast("long").as("re_tokens"),
+        sum(col("n_sub")).cast("long").as("est_subwords"))
+  }
+  val o106: String = s"""
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      CAST(SUM(len(regexp_extract_all(text, '$PreTokRe'))) AS BIGINT)
+        AS re_tokens,
+      CAST(SUM(list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(regexp_extract_all(text, '$PreTokRe'),
+            t -> CAST((length(t) + 3) // 4 AS BIGINT))),
+        (a, x) -> a + x)) AS BIGINT) AS est_subwords
+    FROM documents GROUP BY lang"""
+
   val queries: Map[String, Q] = Map(
     "q82_curation" -> q82Curation,
+    "q106_subword_census" -> q106SubwordCensus,
     "q50_token_stats" -> q50TokenStats,
     "q51_quality_score" -> q51QualityScore,
     "q52_lang_id" -> q52LangId,
@@ -280,6 +321,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q82_curation" -> o82,
+    "q106_subword_census" -> o106,
     "q50_token_stats" -> o50,
     "q51_quality_score" -> o51,
     "q52_lang_id" -> o52,

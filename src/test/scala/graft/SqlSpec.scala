@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The raw-SQL surface: tables registered by GraftSql are queryable
+  * with plain spark.sql, including the injected native expressions. */
+class SqlSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .getOrCreate()
+
+  test("join + aggregate over registered views") {
+    GraftSql.registerTables(spark, sf)
+    val rows = spark.sql("""
+      SELECT n.n_name, COUNT(*) AS n_customers,
+             SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS total_bal
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name ORDER BY n_customers DESC""").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      spark.table("customer").count())
+  }
+
+  test("native extension expressions are callable from SQL") {
+    GraftSql.registerTables(spark, sf)
+    // strip_accents_native: injected scalar expression
+    val r = spark.sql(
+      "SELECT strip_accents_native('Café São') AS s").head()
+    assert(r.getString(0) == "Cafe Sao")
+    // simhash32_native over a real column's token hashes
+    val n = spark.sql("""
+      SELECT simhash32_native(transform(split(text, ' '), x ->
+        (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
+          & 4294967295)) AS sh
+      FROM documents""").filter("sh IS NOT NULL").count()
+    assert(n == spark.table("documents").count())
+  }
+
+  test("windowed event analytics in one SQL statement") {
+    GraftSql.registerTables(spark, sf)
+    val rows = spark.sql("""
+      SELECT event_type, date_trunc('DAY', ts) AS day,
+             COUNT(*) AS n,
+             SUM(COUNT(*)) OVER (PARTITION BY event_type
+               ORDER BY date_trunc('DAY', ts)) AS running_n
+      FROM events GROUP BY 1, 2""").collect()
+    assert(rows.nonEmpty)
+  }
+}
