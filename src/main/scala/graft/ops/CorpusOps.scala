@@ -263,6 +263,55 @@ object CorpusOps {
       CAST(COUNT(*) - SUM(seen) AS BIGINT) AS n_new
     FROM incoming GROUP BY source"""
 
+  // ------------------------------- bloom-prefiltered incremental dedup
+  /** q87's incremental dedup with Spark's OWN bloom expressions on the
+    * front: the snapshot's fingerprint set is folded into one compact
+    * bloom filter (`bloom_filter_agg` — the build side of Spark's
+    * internal runtime row-level filters, exposed through
+    * GraftExtensions), collected as a few-KB binary, and probed per
+    * batch row as a LITERAL (`bloom_might_contain`). Rows the bloom
+    * clears are definitely novel (no false negatives) and skip the
+    * join entirely; only might-contain suspects pay the exact fp join.
+    * The bloom's false positives change only how many rows take the
+    * join path — the OUTPUT is bit-identical to q87's exact census,
+    * which is why the same oracle construction checks it.
+    *
+    * 100 TB design: this is the distributed-join prefilter pattern —
+    * the bloom build is one map-side-combined aggregate over 8-byte
+    * keys, the driver ships ~KBs, and the expensive shuffle join sees
+    * only the (tiny) suspect fraction of the intake instead of all of
+    * it. */
+  val q109BloomDedup: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("fp", TextOps.fingerprintCol)
+    val snapshot = docs.filter(col("doc_id") % 10 < 7)
+      .select(col("fp")).distinct()
+    val bloomBytes = snapshot
+      .agg(expr("bloom_filter_agg(fp)").as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    val mightContain = bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        bridge.expression(lit(bloomBytes)),
+        bridge.expression(col("fp"))))
+    val batch = docs.filter(col("doc_id") % 10 >= 7)
+      .withColumn("maybe_seen", mightContain)
+    // bloom-cleared rows never reach the join; suspects verify exactly
+    val cleared = batch.filter(!col("maybe_seen"))
+      .select(col("source"), lit(0L).as("seen"))
+    val verified = batch.filter(col("maybe_seen"))
+      .join(snapshot.withColumn("seen", lit(1L)), Seq("fp"), "left")
+      .select(col("source"), coalesce(col("seen"), lit(0L)).as("seen"))
+    cleared.unionByName(verified)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(col("seen")).cast("long").as("n_seen"),
+        (count(lit(1)) - sum(col("seen"))).cast("long").as("n_new"))
+  }
+  /** Same oracle construction as q87 — the bloom is a pure prefilter
+    * and must not change the census. */
+  val o109: String = o87
+
   // ------------------------------------------- repetition filter
   /** Gopher-style repetition quality gates: the fraction of a doc's
     * tokens that are repeats of an earlier token, and the share of its
@@ -809,6 +858,7 @@ object CorpusOps {
     "q104_heavy_hitters" -> q104HeavyHitters,
     "q105_split_census" -> q105SplitCensus,
     "q108_topk_native" -> q108TopKNative,
+    "q109_bloom_dedup" -> q109BloomDedup,
     "q83_dup_clusters" -> q83DupClusters,
     "q85_tfidf_topk" -> q85TfIdf,
     "q86_stratified_sample" -> q86StratifiedSample,
@@ -827,6 +877,7 @@ object CorpusOps {
     "q104_heavy_hitters" -> o104,
     "q105_split_census" -> o105,
     "q108_topk_native" -> o108,
+    "q109_bloom_dedup" -> o109,
     "q83_dup_clusters" -> o83,
     "q85_tfidf_topk" -> o85,
     "q86_stratified_sample" -> o86,

@@ -43,6 +43,22 @@ class SqlSpec extends AnyFunSuite {
     assert(n == spark.table("documents").count())
   }
 
+  test("bloom build + probe are callable from SQL (no false negatives)") {
+    GraftSql.registerTables(spark, sf)
+    spark.sql("""
+      SELECT bloom_filter_agg(CAST(doc_id AS BIGINT)) AS bf
+      FROM documents WHERE doc_id % 2 = 0""")
+      .createOrReplaceTempView("docbloom")
+    // every inserted key must probe true — blooms never false-negative
+    val missed = spark.sql("""
+      SELECT count(*) FROM documents
+      WHERE doc_id % 2 = 0
+        AND NOT bloom_might_contain((SELECT bf FROM docbloom),
+                                    CAST(doc_id AS BIGINT))""")
+      .head().getLong(0)
+    assert(missed == 0L)
+  }
+
   test("windowed event analytics in one SQL statement") {
     GraftSql.registerTables(spark, sf)
     val rows = spark.sql("""
