@@ -19,7 +19,8 @@ object SparkEntry {
       ops.DedupOps.queries ++ ops.VectorOps.queries ++
       ops.MartOps.queries ++ ops.MultiModal.queries ++
       ops.EventOps.queries ++ ops.ScaleOps.queries ++
-      ops.DomainParity.queries ++ ops.CorpusOps.queries
+      ops.DomainParity.queries ++ ops.CorpusOps.queries ++
+      ops.Scd2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
       ops.DedupOps.oracles ++ ops.VectorOps.oracles ++
       ops.MartOps.oracles ++ ops.MultiModal.oracles ++
       ops.EventOps.oracles ++ ops.ScaleOps.oracles ++
-      ops.DomainParity.oracles ++ ops.CorpusOps.oracles
+      ops.DomainParity.oracles ++ ops.CorpusOps.oracles ++
+      ops.Scd2.oracles
 }
