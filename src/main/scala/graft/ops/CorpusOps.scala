@@ -134,13 +134,14 @@ object CorpusOps {
     val tf = tok.filter(col("doc_id") % 20 === 0)
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfc, Seq("term"))
+    val scored = tf.join(dfc, Seq("term"))
       .withColumn("score",
         col("tf").cast("double") / sqrt(col("df").cast("double")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
+    // top-3 per doc through the custom two-phase heap operator
+    // (plans/TopKPlan) instead of a row_number window: thousands of
+    // doc groups, and the heap pass never sorts whole partitions
+    graft.plans.TopK.perGroup(scored, Seq("doc_id"),
+      Seq(("score", true), ("term", false)), 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("score"), col("rank"))
   }
