@@ -55,6 +55,32 @@ object CorpusStreaming {
     docs.join(snapshotFps.select(col("fp")).distinct(), Seq("fp"),
       "left_anti")
 
+  /** EXACTLY-ONCE file sink for the deduped intake: `foreachBatch`
+    * writing each micro-batch to its own `batch_id=N` directory with
+    * overwrite — after a crash, Structured Streaming REPLAYS the last
+    * uncommitted batch with the SAME id, so the rewrite lands on the
+    * same directory instead of duplicating rows. Idempotence by
+    * batch-id is the standard exactly-once contract for file/object
+    * stores (transactional sinks get it from the sink; plain parquet
+    * gets it from this layout). Downstream reads `outDir` recursively;
+    * at corpus scale the same writer also partitions by source/date
+    * inside each batch directory. */
+  def toIdempotentParquet(deduped: DataFrame, outDir: String,
+                          checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    deduped.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(batch, outDir, batchId)
+      }
+      .start()
+
+  /** The per-batch write — separated so replay semantics are testable
+    * (writing the same batchId twice must not duplicate rows). */
+  private[streaming] def writeBatch(batch: DataFrame, outDir: String,
+                                    batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+
   /** Per-source intake census over the deduped stream: docs admitted
     * per (window, source) — the monitoring mart an intake pipeline
     * alerts on when a source's novel-document rate collapses (all

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** Property-based invariants over randomized inputs — the cases
+  * hand-written fixtures don't reach: the custom top-k operator must
+  * agree with the window spelling on ANY data, the SCD2 merge must
+  * keep its history invariants under ANY snapshot, and the xlsx
+  * writer/reader must round-trip ANY grid of strings. */
+object EngineProperties extends Properties("engine") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10) // each trial runs Spark jobs
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .getOrCreate()
+
+  // ---------------------------------------------------------- top-k
+  private val topkRows: Gen[List[(Int, Int)]] =
+    Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(0, 4), Gen.choose(-50, 50))))
+
+  property("TopK.perGroup == row_number window, any data") =
+    Prop.forAllNoShrink(topkRows, Gen.choose(1, 5)) { (rows, k) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, v.toLong, i.toLong) }
+        .toDF("grp", "value", "id")
+      val ours = graft.plans.TopK
+        .perGroup(df, Seq("grp"), Seq(("value", true), ("id", false)), k)
+        .select("grp", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val w = Window.partitionBy($"grp")
+        .orderBy($"value".desc, $"id".asc)
+      val ref = df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select("grp", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      ours == ref
+    }
+
+  // ----------------------------------------------------------- SCD2
+  private val scdState: Gen[(Map[Int, Option[String]],
+                             Map[Int, Option[String]])] = {
+    val seg = Gen.option(Gen.oneOf("A", "B", "C"))
+    for {
+      curKeys <- Gen.someOf(0 to 9)
+      curSegs <- Gen.listOfN(curKeys.size, seg)
+      incKeys <- Gen.someOf(0 to 9)
+      incSegs <- Gen.listOfN(incKeys.size, seg)
+    } yield (curKeys.zip(curSegs).toMap, incKeys.zip(incSegs).toMap)
+  }
+
+  property("Scd2.merge invariants, any open-history + snapshot") =
+    Prop.forAllNoShrink(scdState) { case (cur, inc) =>
+      val s = spark
+      import s.implicits._
+      val current = cur.toSeq
+        .map { case (k, seg) => (k.toLong, seg.orNull, "2023-01-01",
+          null.asInstanceOf[String]) }
+        .toDF("k", "seg", "valid_from", "valid_to")
+      val incoming = inc.toSeq
+        .map { case (k, seg) => (k.toLong, seg.orNull) }
+        .toDF("k", "seg")
+      val out = ops.Scd2
+        .merge(current, incoming, "k", Seq("seg"), "2024-06-01")
+        .collect()
+        .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("seg")),
+          r.getAs[String]("valid_from"), r.getAs[String]("valid_to")))
+      val open = out.filter(_._4 == null)
+      // exactly the snapshot keys are open, each once, with its seg
+      open.map(r => r._1 -> r._2).toMap ==
+        inc.map { case (k, v) => k.toLong -> v } &&
+      open.length == inc.size &&
+      // keys absent from the snapshot only ever appear CLOSED
+      out.filter(r => !inc.contains(r._1.toInt)).forall(_._4 != null) &&
+      // nothing is ever lost: every current key still has >= 1 row
+      cur.keySet.forall(k => out.exists(_._1 == k.toLong))
+    }
+
+  // ----------------------------------------------------------- xlsx
+  private val cell: Gen[String] = Gen.oneOf(
+    Gen.const(null).map(_.asInstanceOf[String]),
+    Gen.oneOf("", " ", "0", "007", "café", "a&<b>\"c'", "=SUM(A1)",
+      "5,000.00", "año \t raro", "😀", "x" * 40),
+    Gen.alphaNumStr.map(_.take(20)))
+
+  private val grid: Gen[List[List[String]]] =
+    Gen.choose(0, 6).flatMap(r => Gen.listOfN(r,
+      Gen.choose(0, 5).flatMap(c => Gen.listOfN(c, cell))))
+
+  property("xlsx write → read round-trips any string grid") =
+    Prop.forAllNoShrink(grid) { g =>
+      val bytes = sources.Xlsx.writeBytes(
+        Seq("Hoja" -> g.map(_.map(x => x: Any))))
+      val back = sources.Xlsx.read(bytes).grid("Hoja")
+      // null cells are never written, so the sheet's width is the max
+      // LAST-NON-NULL index across rows; rows dense-fill to it, and
+      // trailing all-null ROWS store no cells at all
+      val effWidth =
+        (0 :: g.map(row => row.lastIndexWhere(_ != null) + 1)).max
+      val expected = g.map(row =>
+        (row ++ List.fill(math.max(0, effWidth - row.length))(null))
+          .take(effWidth))
+        .reverse.dropWhile(_.forall(_ == null)).reverse
+      val got = back.map(_.toList)
+      got == expected
+    }
+}

@@ -342,6 +342,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent parquet sink: batch replay never duplicates rows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("intake_out")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("intake_ckpt")
+      .toString
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), "a", "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:01:00"), "b", "s0"))
+    val q = CorpusStreaming.toIdempotentParquet(
+      CorpusStreaming.withFingerprint(input.toDF()), out, ckpt)
+    try {
+      q.processAllAvailable()
+      input.addData(CorpusStreaming.DocEvent(
+        3, ts("2024-01-01 10:02:00"), "c", "s1"))
+      q.processAllAvailable()
+      val once = spark.read.parquet(out)
+      assert(once.count() == 3)
+      // simulate the crash-replay of batch 0: same id, same rows →
+      // the overwrite lands on the same directory, still 3 rows
+      CorpusStreaming.writeBatch(
+        CorpusStreaming.withFingerprint(Seq(
+          (1L, ts("2024-01-01 10:00:00"), "a", "s0"),
+          (2L, ts("2024-01-01 10:01:00"), "b", "s0"))
+          .toDF("doc_id", "ts", "text", "source")), out, 0L)
+      assert(spark.read.parquet(out).count() == 3)
+      assert(spark.read.parquet(out)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("intake census aggregates the deduped stream per window+source") {
     val s = spark
     import s.implicits._
