@@ -28,6 +28,23 @@ class BucketedJoinSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
 
+    // when another suite creates the shared session first, the temp
+    // warehouse config above is ignored and ./spark-warehouse is used;
+    // a previous JVM's leftover table LOCATION then fails saveAsTable
+    // (the fresh in-memory catalog has no table to overwrite) — drop
+    // both name and location before writing
+    val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        new java.io.File(Option(wh.getPath).getOrElse("spark-warehouse")),
+        t)
+      if (dir.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(dir).deleteRecursively()
+      }
+    }
+
     Tables.orders(s, sf)
       .write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

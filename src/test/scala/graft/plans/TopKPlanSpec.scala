@@ -58,6 +58,57 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(all.filter(col("rank") === 1).count() == langs)
   }
 
+  test("optimizer rewrite plans the heap operator for window top-k SQL") {
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      graft.GraftSql.registerTables(spark, sf)
+      val sql = """
+        SELECT lang, doc_id, rn FROM (
+          SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 3"""
+      val df = spark.sql(sql)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKFinal"), p.take(2000))
+      assert(!p.contains("Window"), p.take(2000))
+      val rewritten = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val plain = spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(rewritten == plain)
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
+  test("rewrite leaves non-row_number and compound filters alone") {
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      graft.GraftSql.registerTables(spark, sf)
+      // rank() is not row_number (ties share ranks) — must keep Window
+      val rankDf = spark.sql("""
+        SELECT * FROM (
+          SELECT lang, doc_id, rank() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC) AS rn
+          FROM documents)
+        WHERE rn <= 3""")
+      assert(rankDf.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition"),
+        rankDf.queryExecution.optimizedPlan.toString.take(1500))
+      // a compound predicate is not a pure bound — must keep Window
+      val compound = spark.sql("""
+        SELECT * FROM (
+          SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 3 AND doc_id > 10""")
+      assert(compound.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition"),
+        compound.queryExecution.optimizedPlan.toString.take(1500))
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
   test("ascending order and multi-column groups work") {
     val ours = TopK.perGroup(docs.withColumn("b", col("doc_id") % 2),
       Seq("lang", "b"), Seq(("n_chars", false), ("doc_id", false)), 2)
