@@ -86,11 +86,84 @@ object MultiModal {
       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents GROUP BY source"""
 
+  // ------------------------------------------------- frame sampling
+  /** One sampled frame of a "video" payload. */
+  final case class VideoFrame(doc_id: Long, frame_idx: Long,
+                              frame_off: Long, frame_len: Long,
+                              frame_md5: String, lead_byte: Long)
+
+  private val FrameStride = 32
+  private val FrameLen = 16
+  private val MaxFrames = 4
+
+  object FrameSampler {
+    /** STUB frame extractor — stands in for video decode + frame
+      * sampling: up to `MaxFrames` fixed-stride byte windows per
+      * payload, each with deterministic pseudo-features (digest, lead
+      * byte). A real implementation seeks keyframes here; the row
+      * EXPLOSION SHAPE (1 payload → k frame rows), per-partition
+      * digest reuse, and bounded per-frame output are the real
+      * contract. */
+    def sampleStub(rows: Iterator[MediaRow]): Iterator[VideoFrame] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.flatMap { r =>
+        (0 until MaxFrames).iterator
+          .map(i => (i.toLong, i * FrameStride))
+          .takeWhile(_._2 < r.payload.length)
+          .map { case (i, off) =>
+            val len = math.min(FrameLen, r.payload.length - off)
+            val slice =
+              java.util.Arrays.copyOfRange(r.payload, off, off + len)
+            md.reset()
+            VideoFrame(r.doc_id, i, off.toLong, len.toLong,
+              md.digest(slice).map("%02x".format(_)).mkString,
+              (r.payload(off) & 0xff).toLong)
+          }
+      }
+    }
+  }
+
+  /** Frame-sampling pipeline: payload → per-partition frame extraction
+    * → one row per sampled frame. The oracle recomputes the same
+    * frames from the text (the corpus is ASCII, so byte offsets equal
+    * character offsets — a real video oracle would compare against a
+    * reference decoder instead).
+    *
+    * 100 TB design: frames explode at most `MaxFrames`× and carry
+    * `FrameLen`-byte digests, never payload bytes — the downstream
+    * (dedup on frame_md5, per-frame embedding) shuffles small rows
+    * while payloads stay columnar in the scan. */
+  val q111FrameSample: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        encode($"text", "UTF-8").as("payload"),
+        lit("video/fake").as("media_type"),
+        length($"text").cast("long").as("declared_len"))
+      .as[MediaRow]
+      .mapPartitions(FrameSampler.sampleStub)
+      .toDF()
+  }
+  val o111: String = s"""
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      CAST(frame_idx * $FrameStride AS BIGINT) AS frame_off,
+      CAST(least($FrameLen, length(text) - frame_idx * $FrameStride)
+        AS BIGINT) AS frame_len,
+      md5(substring(text, frame_idx * $FrameStride + 1, $FrameLen))
+        AS frame_md5,
+      CAST(unicode(substring(text, frame_idx * $FrameStride + 1, 1))
+        AS BIGINT) AS lead_byte
+    FROM (SELECT doc_id, text, unnest([0, 1, 2, 3]) AS frame_idx
+          FROM documents)
+    WHERE frame_idx * $FrameStride < length(text)"""
+
   val queries: Map[String, Q] = Map(
     "q75_media_features" -> q75MediaFeatures,
-    "q76_media_batch_stats" -> q76MediaBatchStats)
+    "q76_media_batch_stats" -> q76MediaBatchStats,
+    "q111_frame_sample" -> q111FrameSample)
 
   val oracles: Map[String, String] = Map(
     "q75_media_features" -> o75,
-    "q76_media_batch_stats" -> o76)
+    "q76_media_batch_stats" -> o76,
+    "q111_frame_sample" -> o111)
 }
