@@ -295,8 +295,12 @@ object CorpusOps {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         bridge.expression(lit(bloomBytes)),
         bridge.expression(col("fp"))))
+    // a NULL fingerprint probes to NULL, which would fail BOTH filters
+    // below and silently drop the row — treat it as a suspect so the
+    // exact join decides (NULL never matches there → counted as new,
+    // exactly like q87's left join)
     val batch = docs.filter(col("doc_id") % 10 >= 7)
-      .withColumn("maybe_seen", mightContain)
+      .withColumn("maybe_seen", coalesce(mightContain, lit(true)))
     // bloom-cleared rows never reach the join; suspects verify exactly
     val cleared = batch.filter(!col("maybe_seen"))
       .select(col("source"), lit(0L).as("seen"))

@@ -153,7 +153,8 @@ object MultiModal {
         AS frame_md5,
       CAST(unicode(substring(text, frame_idx * $FrameStride + 1, 1))
         AS BIGINT) AS lead_byte
-    FROM (SELECT doc_id, text, unnest([0, 1, 2, 3]) AS frame_idx
+    FROM (SELECT doc_id, text,
+            unnest([${(0 until MaxFrames).mkString(", ")}]) AS frame_idx
           FROM documents)
     WHERE frame_idx * $FrameStride < length(text)"""
 

@@ -41,19 +41,28 @@ object Scd2 {
     val closed = current.filter(col("valid_to").isNotNull)
       .select(outCols.map(col): _*)
     val open = current.filter(col("valid_to").isNull)
-    val j = open.as("o").join(incoming.as("i"),
-      col(s"o.$key") === col(s"i.$key"), "full_outer")
+    // NULL-SAFE key equality: a NULL business key is a key value like
+    // any other — a plain === would leave NULL-key rows matching
+    // nothing on either side of the full-outer join, and the
+    // case-filters below would then silently DROP them. Side presence
+    // is tested on explicit never-NULL markers (the key itself may be
+    // legitimately NULL even on a matched row).
+    val j = open.withColumn("_o_present", lit(true)).as("o")
+      .join(incoming.withColumn("_i_present", lit(true)).as("i"),
+        col(s"o.$key") <=> col(s"i.$key"), "full_outer")
+    // empty tracked list = key-presence-only SCD2 (rows never "change",
+    // only appear/disappear) — fold from true, reduce would throw
     val same = tracked.map(c => col(s"o.$c") <=> col(s"i.$c"))
-      .reduce(_ && _)
-    val oKey = col(s"o.$key")
-    val iKey = col(s"i.$key")
-    val keepOpen = j.filter(oKey.isNotNull && iKey.isNotNull && same)
+      .foldLeft(lit(true))(_ && _)
+    val oPresent = col("o._o_present").isNotNull
+    val iPresent = col("i._i_present").isNotNull
+    val keepOpen = j.filter(oPresent && iPresent && same)
       .select((col(s"o.$key") +: tracked.map(c => col(s"o.$c"))) ++
         Seq(col("o.valid_from"), col("o.valid_to")): _*)
-    val toClose = j.filter(oKey.isNotNull && (iKey.isNull || !same))
+    val toClose = j.filter(oPresent && (!iPresent || !same))
       .select((col(s"o.$key") +: tracked.map(c => col(s"o.$c"))) ++
         Seq(col("o.valid_from"), lit(effective).as("valid_to")): _*)
-    val toInsert = j.filter(iKey.isNotNull && (oKey.isNull || !same))
+    val toInsert = j.filter(iPresent && (!oPresent || !same))
       .select((col(s"i.$key") +: tracked.map(c => col(s"i.$c"))) ++
         Seq(lit(effective).as("valid_from"),
           lit(null).cast("string").as("valid_to")): _*)

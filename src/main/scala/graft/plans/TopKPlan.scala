@@ -56,8 +56,13 @@ object TopK {
     val resolve =
       org.apache.spark.sql.GraftPlanBridge.resolver(df.sparkSession)
     def attr(n: String): Attribute =
-      lp.output.find(a => resolve(a.name, n)).getOrElse(
-        sys.error(s"top-k: no column '$n' in ${lp.output.map(_.name)}"))
+      lp.output.filter(a => resolve(a.name, n)) match {
+        case Seq(a) => a
+        case Seq() =>
+          sys.error(s"top-k: no column '$n' in ${lp.output.map(_.name)}")
+        case many => // match Spark's own AMBIGUOUS_REFERENCE behavior
+          sys.error(s"top-k: ambiguous column '$n' (${many.size} matches)")
+      }
     val order = orderBy.map { case (n, desc) =>
       SortOrder(attr(n),
         if (desc) org.apache.spark.sql.catalyst.expressions.Descending
@@ -151,8 +156,13 @@ final case class TopKFinalExec(child: SparkPlan,
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  /** Empty keys = GLOBAL top-k: everything must land in one partition
+    * (AllTuples) — ClusteredDistribution rejects Nil clustering. The
+    * partial pass still bounds what that single partition receives. */
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(ClusteredDistribution(groupKeys))
+    if (groupKeys.isEmpty)
+      Seq(org.apache.spark.sql.catalyst.plans.physical.AllTuples)
+    else Seq(ClusteredDistribution(groupKeys))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOut = child.output

@@ -64,8 +64,10 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
     cond match {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k))
           if a.semanticEquals(rn) => Some(k)
+      // Int.MinValue - 1 would wrap to MaxValue and turn an
+      // always-false predicate into keep-everything
       case LessThan(a: Attribute, IntegerLiteral(k))
-          if a.semanticEquals(rn) => Some(k - 1)
+          if a.semanticEquals(rn) && k > Int.MinValue => Some(k - 1)
       case _ => None
     }
 

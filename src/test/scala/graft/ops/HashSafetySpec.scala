@@ -10,16 +10,23 @@ import org.scalatest.funsuite.AnyFunSuite
   * reaches. This pins the safe spelling against such keys. */
 class HashSafetySpec extends AnyFunSuite {
 
+  // same builder shape as every other suite — the JVM shares ONE
+  // session via getOrCreate, so a divergent master/extensions config
+  // here would either be ignored or poison later suites
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[2]")
-    .config("spark.sql.shuffle.partitions", "2")
-    .config("spark.sql.ansi.enabled", "true")
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   test("sampling hashes survive 100TB-scale ids under ANSI mode") {
     val s = spark
     import s.implicits._
+    val saved = spark.conf.getOption("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
     val ids = Seq(1L, 3_470_000_000L, 4_000_000_000L,
       Long.MaxValue / 2654435761L + 7L, 9_007_199_254_740_993L)
       .toDF("key")
@@ -39,5 +46,9 @@ class HashSafetySpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("overflow") ||
       ex.getCause != null, ex.getMessage)
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
   }
 }

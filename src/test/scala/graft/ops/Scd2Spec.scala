@@ -7,11 +7,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * attribute comparison and key disappearance. */
 class Scd2Spec extends AnyFunSuite {
 
+  // standard builder shape — the JVM shares ONE session via
+  // getOrCreate, so every suite must carry the extensions
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
@@ -42,6 +45,38 @@ class Scd2Spec extends AnyFunSuite {
       (2L, null, "2024-06-01", null),          // reinserted
       (3L, "B", "2023-01-01", "2024-06-01"),   // vanished → closed
       (4L, "D", "2024-06-01", null)))          // new key
+  }
+
+  test("NULL business keys are a key value, never silently dropped") {
+    val s = spark
+    import s.implicits._
+    val current = Seq(
+      (Option.empty[Long], "A", "2023-01-01",
+        null.asInstanceOf[String]))
+      .toDF("k", "seg", "valid_from", "valid_to")
+    val incoming = Seq((Option.empty[Long], "B")).toDF("k", "seg")
+    val out = Scd2.merge(current, incoming, "k", Seq("seg"), "2024-06-01")
+      .collect()
+      .map(r => (Option(r.getAs[java.lang.Long]("k")).map(_.toLong),
+        r.getAs[String]("seg"), r.getAs[String]("valid_to"))).toSet
+    // NULL key matched NULL key (null-safe): A closed, B opened
+    assert(out == Set(
+      (None, "A", "2024-06-01"),
+      (None, "B", null)))
+  }
+
+  test("empty tracked list = key-presence-only SCD2") {
+    val s = spark
+    import s.implicits._
+    val current = Seq((1L, "2023-01-01", null.asInstanceOf[String]),
+      (2L, "2023-01-01", null.asInstanceOf[String]))
+      .toDF("k", "valid_from", "valid_to")
+    val incoming = Seq(Tuple1(1L), Tuple1(3L)).toDF("k")
+    val out = Scd2.merge(current, incoming, "k", Seq(), "2024-06-01")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("valid_to"))).toSet
+    // 1 stays open, 2 closes, 3 inserts
+    assert(out == Set((1L, null), (2L, "2024-06-01"), (3L, null)))
   }
 
   test("every key has at most one open row after the merge") {

@@ -109,6 +109,34 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.topk.rewrite", "false")
   }
 
+  test("GLOBAL top-k (no group keys) plans AllTuples, not a crash") {
+    val ours = TopK.perGroup(docs, Seq(),
+      Seq(("n_chars", true), ("doc_id", false)), 5)
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ref = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ours == ref)
+    // and via the rewrite — the no-PARTITION-BY SQL idiom
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      graft.GraftSql.registerTables(spark, sf)
+      val df = spark.sql("""
+        SELECT doc_id, rn FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY n_chars DESC, doc_id ASC) AS rn
+          FROM documents)
+        WHERE rn <= 5""")
+      assert(df.collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+        .toSet == ref)
+      assert(df.queryExecution.executedPlan.toString
+        .contains("TopKFinal"))
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
   test("ascending order and multi-column groups work") {
     val ours = TopK.perGroup(docs.withColumn("b", col("doc_id") % 2),
       Seq("lang", "b"), Seq(("n_chars", false), ("doc_id", false)), 2)
