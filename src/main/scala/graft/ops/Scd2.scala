@@ -71,6 +71,42 @@ object Scd2 {
       .unionByName(toInsert.toDF(outCols: _*))
   }
 
+  /** STREAMING dimension maintenance: each micro-batch is a FULL
+    * snapshot of the dimension source (CDC-style partial batches would
+    * wrongly close absent keys — the caller owns that contract), and
+    * `foreachBatch` folds it into the history with [[merge]]. The
+    * write is versioned-then-swapped (`v<batchId>` → `current`) so a
+    * reader of `current` never races the rewrite, and a crash-replay
+    * of a batch regenerates the same version directory — idempotent by
+    * batch id like the intake sink. On a transactional table format
+    * this body becomes one MERGE INTO; plain parquet shows the logic.
+    */
+  def maintainDim(snapshots: DataFrame, dimDir: String,
+                  checkpointDir: String, key: String,
+                  tracked: Seq[String],
+                  effectiveOf: Long => String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    snapshots.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val currentPath = s"$dimDir/current"
+        val cur =
+          try spark.read.parquet(currentPath)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            // first batch: empty history with the output schema
+            batch.select((col(key) +: tracked.map(col)): _*)
+              .withColumn("valid_from", lit(null).cast("string"))
+              .withColumn("valid_to", lit(null).cast("string"))
+              .limit(0)
+          }
+        val merged = merge(cur, batch, key, tracked, effectiveOf(batchId))
+        merged.write.mode("overwrite").parquet(s"$dimDir/v$batchId")
+        spark.read.parquet(s"$dimDir/v$batchId")
+          .write.mode("overwrite").parquet(currentPath)
+      }
+      .start()
+
   // ----------------------------------------------------- oracle query
   /** q110: the merge over a deterministically synthesized history of
     * the `customer` dimension tracking `c_mktsegment`:

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor,
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
   StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues,
   ValueState}
 
@@ -364,6 +364,86 @@ object EventStreaming {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .transformWithState(new ChannelSessionProcessor(gapMillis),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class Burst(user_id: Long, burst_start: java.sql.Timestamp,
+                         burst_end: java.sql.Timestamp, n_events: Long)
+
+  /** Velocity/burst detector: alert when one user produces ≥ `n`
+    * events inside a trailing `windowMillis` — the fraud-check state
+    * shape. Per-user state is a `ListState` ring of recent event
+    * times, trimmed on every input (so it never exceeds `n−1`
+    * entries), plus one event-time timer at last-activity + window
+    * that clears an idle user's ring — idle users cost zero state.
+    * (A processing-time TTL would also GC the ring, but processing-
+    * time mode schedules a no-data micro-batch per trigger FOREVER —
+    * a livelock under processAllAvailable; the event-time timer only
+    * fires when the watermark moves.)
+    * Alert-and-reset: emitting a burst clears the ring, so a sustained
+    * flood alerts once per `n` events rather than once per event. */
+  final class BurstProcessor(n: Int, windowMillis: Long)
+      extends StatefulProcessor[Long, Event, Burst] {
+
+    @transient private var recent: ListState[Long] = _
+    @transient private var armed: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      recent = getHandle.getListState("recent_ts", Encoders.scalaLong,
+        TTLConfig.NONE)
+      armed = getHandle.getValueState("burst_gc", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[Burst] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      recent.get().foreach(buf += _)
+      val out = scala.collection.mutable.ListBuffer.empty[Burst]
+      var maxT = Long.MinValue
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        maxT = math.max(maxT, t)
+        buf += t
+        val cut = t - windowMillis
+        while (buf.nonEmpty && buf.head < cut) buf.remove(0)
+        if (buf.length >= n) {
+          out += Burst(key, new java.sql.Timestamp(buf.head),
+            new java.sql.Timestamp(t), buf.length.toLong)
+          buf.clear()
+        }
+      }
+      recent.clear()
+      if (buf.nonEmpty) recent.put(buf.toArray)
+      if (maxT != Long.MinValue) {
+        // single GC timer at last activity + window (always re-armed
+        // later, never earlier — safe to clear state when it fires)
+        if (armed.exists) getHandle.deleteTimer(armed.get)
+        getHandle.registerTimer(maxT + windowMillis)
+        armed.update(maxT + windowMillis)
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo)
+        : Iterator[Burst] = {
+      recent.clear(); armed.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[BurstProcessor]] wired to a watermarked stream (event-time
+    * mode: the GC timer fires off the watermark clock). */
+  def detectBursts(events: Dataset[Event], n: Int = 3,
+                   windowMillis: Long = 5L * 60 * 1000,
+                   watermark: String = "0 seconds")
+      : Dataset[Burst] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new BurstProcessor(n, windowMillis),
         TimeMode.EventTime(), OutputMode.Append())
   }
 

@@ -377,6 +377,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ListState burst detector alerts on event velocity and resets") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    // user 1: three events inside 5 min → burst; user 2: two events
+    // 30 min apart → never inside one window, no burst. Later phases
+    // use LATER timestamps — the 0-delay watermark advances to each
+    // batch's max and would drop backdated events as late.
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      EventStreaming.Event(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+      EventStreaming.Event(3, ts("2024-01-01 10:02:00"), 1, "click", 1.0),
+      EventStreaming.Event(4, ts("2024-01-01 10:00:00"), 2, "click", 1.0),
+      EventStreaming.Event(5, ts("2024-01-01 10:30:00"), 2, "click", 1.0))
+    val q = EventStreaming.detectBursts(input.toDS(), n = 3)
+      .writeStream.format("memory").queryName("bursts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("bursts").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows(0).getAs[Long]("user_id") == 1 &&
+        rows(0).getAs[Long]("n_events") == 3)
+      // the ring was cleared on alert: two MORE events alone must not
+      // re-alert (need a full n again), a third re-alerts
+      input.addData(
+        EventStreaming.Event(6, ts("2024-01-01 10:31:00"), 1, "click", 1.0),
+        EventStreaming.Event(7, ts("2024-01-01 10:32:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("bursts").count() == 1)
+      input.addData(
+        EventStreaming.Event(8, ts("2024-01-01 10:33:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("bursts").count() == 2)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("foreachBatch SCD2 maintenance evolves the dimension history") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = java.nio.file.Files.createTempDirectory("dim").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dim_ckpt").toString
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Scd2.maintainDim(
+      input.toDF().toDF("k", "seg"), dim, ckpt,
+      "k", Seq("seg"), id => s"2024-06-0${id + 1}")
+    try {
+      input.addData((1L, "A"), (2L, "B"))
+      q.processAllAvailable()
+      val v0 = spark.read.parquet(s"$dim/current").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
+          r.getAs[String]("valid_to"))).toSet
+      assert(v0 == Set((1L, "A", null), (2L, "B", null)))
+      // batch 1: key 1 changes segment, key 2 vanishes, key 3 appears
+      input.addData((1L, "Z"), (3L, "C"))
+      q.processAllAvailable()
+      val v1 = spark.read.parquet(s"$dim/current").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
+          r.getAs[String]("valid_to"))).toSet
+      assert(v1 == Set(
+        (1L, "A", "2024-06-02"), (1L, "Z", null),
+        (2L, "B", "2024-06-02"),
+        (3L, "C", null)), v1.mkString(";"))
+    } finally q.stop()
+  }
+
   test("intake census aggregates the deduped stream per window+source") {
     val s = spark
     import s.implicits._
