@@ -36,8 +36,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object RewriteWindowTopK extends Rule[LogicalPlan] {
 
   private def enabled: Boolean =
+    // tolerant parse: this rule runs in EVERY query's optimization,
+    // so a value like "1" must read as off, not throw from toBoolean
     org.apache.spark.sql.internal.SQLConf.get
-      .getConfString("spark.graft.topk.rewrite", "false").toBoolean
+      .getConfString("spark.graft.topk.rewrite", "false")
+      .trim.equalsIgnoreCase("true")
 
   /** The single-window-expression row_number shape, if eligible. */
   private object RowNumberWindow {

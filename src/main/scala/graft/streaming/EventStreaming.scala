@@ -404,23 +404,34 @@ object EventStreaming {
       rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
         maxT = math.max(maxT, t)
+        // keep the ring SORTED: a nonzero watermark delay admits
+        // cross-batch out-of-order events, and both the trim and the
+        // burst span below assume time order (the ring is ≤ n long,
+        // so the in-place sort is trivial)
         buf += t
-        val cut = t - windowMillis
+        if (buf.length > 1 && t < buf(buf.length - 2)) buf.sortInPlace()
+        // trim relative to the ring's NEWEST entry, not this event —
+        // an out-of-order arrival must not widen the window
+        val cut = buf.last - windowMillis
         while (buf.nonEmpty && buf.head < cut) buf.remove(0)
         if (buf.length >= n) {
           out += Burst(key, new java.sql.Timestamp(buf.head),
-            new java.sql.Timestamp(t), buf.length.toLong)
+            new java.sql.Timestamp(buf.last), buf.length.toLong)
           buf.clear()
         }
       }
       recent.clear()
       if (buf.nonEmpty) recent.put(buf.toArray)
       if (maxT != Long.MinValue) {
-        // single GC timer at last activity + window (always re-armed
-        // later, never earlier — safe to clear state when it fires)
-        if (armed.exists) getHandle.deleteTimer(armed.get)
-        getHandle.registerTimer(maxT + windowMillis)
-        armed.update(maxT + windowMillis)
+        // single GC timer at last activity + window, re-armed LATER
+        // only — an out-of-order batch (maxT below a previous batch's)
+        // must never pull the deadline earlier than live entries need
+        val dl = maxT + windowMillis
+        if (!armed.exists || dl > armed.get) {
+          if (armed.exists) getHandle.deleteTimer(armed.get)
+          getHandle.registerTimer(dl)
+          armed.update(dl)
+        }
       }
       out.iterator
     }

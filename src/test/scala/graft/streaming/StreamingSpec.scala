@@ -425,6 +425,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("burst detector handles out-of-order events under a lazy watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+    val q = EventStreaming.detectBursts(input.toDS(), n = 2,
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ooo_bursts")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // 10:04 arrives LATE but inside the watermark slack: it is 6 min
+      // before 10:10 — outside the 5-min window, so NO burst (an
+      // unsorted ring would have paired them start-after-end)
+      input.addData(
+        EventStreaming.Event(2, ts("2024-01-01 10:04:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("ooo_bursts").count() == 0)
+      // 10:08, also out of order, IS within 5 min of 10:10 → burst
+      // with a correctly ordered span
+      input.addData(
+        EventStreaming.Event(3, ts("2024-01-01 10:08:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("ooo_bursts").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows(0).getAs[java.sql.Timestamp]("burst_start").toString
+        .startsWith("2024-01-01 10:08"))
+      assert(rows(0).getAs[java.sql.Timestamp]("burst_end").toString
+        .startsWith("2024-01-01 10:10"))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("foreachBatch SCD2 maintenance evolves the dimension history") {
     val s = spark
     import s.implicits._
@@ -438,14 +482,14 @@ class StreamingSpec extends AnyFunSuite {
     try {
       input.addData((1L, "A"), (2L, "B"))
       q.processAllAvailable()
-      val v0 = spark.read.parquet(s"$dim/current").collect()
+      val v0 = graft.ops.Scd2.readDim(spark, dim).collect()
         .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
           r.getAs[String]("valid_to"))).toSet
       assert(v0 == Set((1L, "A", null), (2L, "B", null)))
       // batch 1: key 1 changes segment, key 2 vanishes, key 3 appears
       input.addData((1L, "Z"), (3L, "C"))
       q.processAllAvailable()
-      val v1 = spark.read.parquet(s"$dim/current").collect()
+      val v1 = graft.ops.Scd2.readDim(spark, dim).collect()
         .map(r => (r.getAs[Long]("k"), r.getAs[String]("seg"),
           r.getAs[String]("valid_to"))).toSet
       assert(v1 == Set(
