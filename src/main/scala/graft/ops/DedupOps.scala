@@ -120,28 +120,44 @@ object DedupOps {
     * cross join, no uncapped posting lists);
     * J = |A∩B| / |A∪B| over distinct df-capped shingles, threshold
     * 0.5. Sizes are computed AFTER the cap so the Jaccard denominator
-    * and numerator see the same sets. */
+    * and numerator see the same sets.
+    *
+    * Layout: ONE shingle-keyed shuffle builds the posting lists
+    * (`collect_list` per shingle, df cap as a size filter on the
+    * aggregated row), and candidate pairs are generated IN-ROW from
+    * each posting list — ≤ C(cap,2) structs per shingle, all codegen'd
+    * array expressions. This replaces the earlier posting-list hash
+    * SELF-join: the tokenize+shingle+explode subtree now feeds a
+    * single exchange that both consumers (pair generation, per-doc
+    * size census) reuse, and no join build side ever materializes.
+    * The df=1 shingles stay in the size census (they are part of the
+    * Jaccard denominator) but never reach pair generation. */
   val q58JaccardPairs: Q = (s, d) => {
     import s.implicits._
     val exploded = withShingles(Tables.documents(s, d))
       .select($"doc_id", explode(array_distinct($"shs")).as("sh"))
-    // df census has map-side partial combine — the hot shingle never
-    // skews this shuffle; it is then excluded from the self-join
-    val kept = exploded.groupBy($"sh")
-      .agg(count(lit(1)).as("df"))
-      .filter($"df" <= MaxShingleDf)
-      .select($"sh")
-    // the capped posting list feeds three consumers (sizes, both self-
-    // join sides); exchange reuse dedupes the join sides, and a
-    // measured localCheckpoint here was a net LOSS at bench scale
-    // (materialization cost > the one recomputed explode) — at real
-    // corpus scale persist() this frame instead
-    val sh = exploded.join(kept, Seq("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    sh.as("a")
-      .join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // one exchange on the shingle: df cap = size filter on the
+    // aggregated posting list (the hot shingle skews no join — its
+    // oversized row is dropped right after the aggregate)
+    val postings = exploded.groupBy($"sh")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") <= MaxShingleDf)
+    val sizes = postings
+      .select(explode($"docs").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // in-row pair generation over the SORTED posting list: i<j gives
+    // doc_a < doc_b directly (collect_list order is nondeterministic,
+    // the sort makes the emitted pairs engine-stable)
+    val pairs = postings
+      .filter(size($"docs") >= 2)
+      .withColumn("ds", sort_array($"docs"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               x -> named_struct('doc_a', element_at(ds, i),
+                                 'doc_b', x))))""")).as("pr"))
+    pairs
+      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
       .agg(count(lit(1)).as("i"))
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
