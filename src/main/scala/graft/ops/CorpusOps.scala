@@ -853,7 +853,234 @@ object CorpusOps {
       FROM documents)
     WHERE rank <= 3"""
 
+  // ------------------------------------------------ BPE merge step
+  /** One iteration of BPE tokenizer training: count every adjacent
+    * symbol pair across the corpus (weighted by word frequency) and
+    * emit the top-10 merge candidates — the inner loop of
+    * byte-pair-encoding vocab construction (q106 estimates subword
+    * COUNTS; this computes the actual merge table entry).
+    *
+    * 100 TB design: two-level combine — the word census collapses the
+    * corpus to its VOCABULARY first (hot words merge map-side; vocab
+    * is millions of rows where the corpus is billions), and the pair
+    * explode then runs over distinct words only, weighted by the
+    * census count. This is exactly how production BPE trainers scale:
+    * never re-scan the corpus per merge, re-derive pairs from the
+    * weighted vocab. The final top-10 window sorts the ~alphabet²
+    * pair census, not corpus rows. */
+  val q112BpeMerges: Q = (s, d) => {
+    val words = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(length(col("w")) >= 2)
+    val pairs = words
+      .select(col("n"), explode(expr(
+        """transform(sequence(1, length(w) - 1),
+             i -> concat(substring(w, i, 1), ' ', substring(w, i + 1, 1)))"""))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).cast("long").as("freq"))
+    // global window over the tiny pair census (≤ |alphabet|² rows),
+    // never over corpus rows
+    val w = Window.orderBy(col("freq").desc, col("pair").asc)
+    pairs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("rank"), col("pair"), col("freq"))
+  }
+  val o112: String = """
+    WITH wc AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    pairs AS (
+      SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, n
+      FROM (SELECT w, n, unnest(generate_series(1, length(w) - 1)) AS i
+            FROM wc WHERE length(w) >= 2)),
+    pf AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS freq
+           FROM pairs GROUP BY pair)
+    SELECT rank, pair, freq FROM (
+      SELECT CAST(row_number() OVER (ORDER BY freq DESC, pair ASC)
+        AS BIGINT) AS rank, pair, freq
+      FROM pf)
+    WHERE rank <= 10"""
+
+  // ------------------------------------------------ sequence packing
+  private val SeqBudget = 512
+
+  /** Training-sequence packing census: q99's sliding-window chunks are
+    * laid out per language in deterministic (doc_id, chunk_id) order,
+    * and consecutive chunks are packed into fixed `SeqBudget`-token
+    * training sequences by running-offset binning (a chunk belongs to
+    * the sequence its START offset falls in — greedy packing with
+    * boundary overflow, the standard pretraining layout). Emits the
+    * per-sequence fill census a data loader validates before training.
+    *
+    * 100 TB design: one shuffle on `lang` for the running-sum window
+    * (on a cluster the order key is the corpus shard sort order, so
+    * packing is shard-local and shuffle-free); everything after the
+    * cumsum is integer arithmetic and a map-side-combined census. */
+  val q114PackSequences: Q = (s, d) => {
+    val chunks = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+      .select(col("doc_id"), col("lang"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"))
+          .cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("seq_id",
+        expr(s"(cum - n_tokens) div $SeqBudget").cast("long"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .withColumn("fill_pct",
+        col("n_tokens").cast("double") * 100.0 / SeqBudget)
+  }
+  val o114: String = s"""
+    WITH chunks AS (
+      SELECT doc_id, lang, CAST(chunk_id AS BIGINT) AS chunk_id,
+        CAST(len(t[chunk_id * $ChunkStride + 1 :
+                  chunk_id * $ChunkStride + $ChunkSize]) AS BIGINT)
+          AS n_tokens
+      FROM (
+        SELECT doc_id, lang, t,
+          unnest(generate_series(0, (len(t) - 1) // $ChunkStride))
+            AS chunk_id
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+              FROM documents))),
+    cums AS (
+      SELECT lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang
+          ORDER BY doc_id ASC, chunk_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM chunks)
+    SELECT lang, CAST((cum - n_tokens) // $SeqBudget AS BIGINT) AS seq_id,
+      COUNT(*) AS n_chunks,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_tokens) AS DOUBLE) * 100.0 / $SeqBudget AS fill_pct
+    FROM cums GROUP BY 1, 2"""
+
+  // ------------------------------------------------ Zipf tail census
+  /** Vocabulary-tail profile per language: vocabulary size, hapax
+    * legomena (tokens seen exactly once — the noise tail a tokenizer
+    * vocab cut drops), and head coverage (share of all token
+    * occurrences taken by the top-100 types — the Zipf head). q104
+    * lists WHICH tokens dominate; this measures HOW MUCH head and tail
+    * there is, the two numbers a vocab-size / min-frequency decision
+    * reads.
+    *
+    * 100 TB design: the (lang, term) census map-side combines (hot
+    * tokens collapse in the combiner), the rank window runs over the
+    * per-language VOCAB census (not corpus rows), and the final
+    * aggregate is four integer sums + divisions at the end. */
+  val q115ZipfCensus: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n").desc, col("term").asc)
+    counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("vocab_size"),
+        sum(when(col("n") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(col("n")).cast("long").as("total_tokens"),
+        sum(when(col("rank") <= 100, col("n")).otherwise(0L)).cast("long")
+          .as("top100_tokens"))
+      .withColumn("hapax_pct",
+        col("n_hapax").cast("double") * 100.0
+          / col("vocab_size").cast("double"))
+      .withColumn("top100_coverage_pct",
+        col("top100_tokens").cast("double") * 100.0
+          / col("total_tokens").cast("double"))
+  }
+  val o115: String = """
+    WITH c AS (
+      SELECT lang, term, COUNT(*) AS n FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, n,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY n DESC, term ASC) AS BIGINT) AS rank
+      FROM c)
+    SELECT lang, COUNT(*) AS vocab_size,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      CAST(SUM(n) AS BIGINT) AS total_tokens,
+      CAST(SUM(CASE WHEN rank <= 100 THEN n ELSE 0 END) AS BIGINT)
+        AS top100_tokens,
+      CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) * 100.0
+        / CAST(COUNT(*) AS DOUBLE) AS hapax_pct,
+      CAST(SUM(CASE WHEN rank <= 100 THEN n ELSE 0 END) AS DOUBLE)
+        * 100.0 / CAST(SUM(n) AS DOUBLE) AS top100_coverage_pct
+    FROM ranked GROUP BY lang"""
+
+  // --------------------------------------- quality-weighted sampling
+  /** Importance sampling by quality: each document is kept with
+    * probability proportional to its q51 quality score, decided by a
+    * deterministic doc-id hash against ⌊quality·10⁴⌋ basis points —
+    * the "sample good data more" curation primitive (q86 rates by
+    * STRATUM; this rates by per-document SCORE), reproducible on any
+    * engine and any partitioning. The census reports achieved vs
+    * expected keep rates per language; expected is an exact integer
+    * sum of the basis-point thresholds.
+    *
+    * 100 TB design: keep/threshold are pure per-row expressions (the
+    * same projection writes the sampled corpus at scan parallelism);
+    * the only shuffle is the tiny per-language census. */
+  val q116QualitySample: Q = (s, d) => {
+    val thresholdBp =
+      floor(TextOps.qualityExpr * lit(10000.0)).cast("long")
+    val h = pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L)
+      + lit(7919L), lit(1000000007L)) % 10000
+    Tables.documents(s, d)
+      .withColumn("threshold_bp", thresholdBp)
+      .withColumn("keep",
+        when(h < col("threshold_bp"), 1L).otherwise(0L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("keep")).cast("long").as("n_kept"),
+        sum(col("threshold_bp")).cast("long").as("expected_bp"))
+      .withColumn("kept_pct",
+        col("n_kept").cast("double") * 100.0
+          / col("n_docs").cast("double"))
+      .withColumn("expected_pct",
+        col("expected_bp").cast("double")
+          / (col("n_docs").cast("double") * 100.0))
+  }
+  val o116: String = s"""
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(keep) AS BIGINT) AS n_kept,
+      CAST(SUM(threshold_bp) AS BIGINT) AS expected_bp,
+      CAST(SUM(keep) AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE)
+        AS kept_pct,
+      CAST(SUM(threshold_bp) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 100.0) AS expected_pct
+    FROM (
+      SELECT lang, threshold_bp,
+        CASE WHEN ((doc_id % 1000000007) * 2654435761 + 7919)
+                  % 1000000007 % 10000 < threshold_bp
+             THEN 1 ELSE 0 END AS keep
+      FROM (
+        SELECT lang, doc_id,
+          CAST(floor((${TextOps.qualitySql}) * 10000.0) AS BIGINT)
+            AS threshold_bp
+        FROM documents))
+    GROUP BY lang"""
+
   val queries: Map[String, Q] = Map(
+    "q112_bpe_merges" -> q112BpeMerges,
+    "q114_pack_sequences" -> q114PackSequences,
+    "q115_zipf_census" -> q115ZipfCensus,
+    "q116_quality_sample" -> q116QualitySample,
     "q96_length_histogram" -> q96LengthHistogram,
     "q98_union_dup_clusters" -> q98UnionDupClusters,
     "q99_chunk_docs" -> q99ChunkDocs,
@@ -873,6 +1100,10 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q112_bpe_merges" -> o112,
+    "q114_pack_sequences" -> o114,
+    "q115_zipf_census" -> o115,
+    "q116_quality_sample" -> o116,
     "q96_length_histogram" -> o96,
     "q98_union_dup_clusters" -> o98,
     "q99_chunk_docs" -> o99,

@@ -24,8 +24,9 @@ object TextOps {
   private val StopList = "'the','a','of','and','in','to'"
 
   /** Composite quality score in [0,1]: stop-ratio and length halves —
-    * ONE definition shared by q51 and the q82 curation capstone. */
-  private def qualityExpr: Column = {
+    * ONE definition shared by q51, the q82 curation capstone, and the
+    * q116 quality-weighted sampler. */
+  private[ops] def qualityExpr: Column = {
     val nTok = size(toks(col("text"))).cast("double")
     val nStop = expr(
       s"size(filter(split(text, ' '), t -> t IN ($StopList)))")
@@ -34,6 +35,14 @@ object TextOps {
       length(col("text")).cast("double") / 400.0)
     (nStop / nTok) * 0.5 + lenScore * 0.5
   }
+
+  /** DuckDB twin of [[qualityExpr]] — same operand order so every
+    * IEEE operation matches bit-for-bit. */
+  private[ops] val qualitySql: String =
+    s"""(CAST(len(list_filter(string_split(text, ' '),
+           t -> t IN ($StopList))) AS DOUBLE)
+         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.5
+       + least(1.0, CAST(length(text) AS DOUBLE) / 400.0) * 0.5"""
 
   // ------------------------------------------------------------ tokens
   /** Token counting + basic stats (the LLM-pipeline token counter;

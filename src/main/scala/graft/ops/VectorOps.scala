@@ -530,7 +530,84 @@ object VectorOps {
     JOIN narr na USING (cell)
     JOIN carr ca ON ca.c_label = census.cell"""
 
+  // ------------------------------------------- product quantization
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace
+  private val PqK = 16 // codes per subspace
+
+  /** Product-quantization encoding: the 64-dim embedding is split into
+    * `PqM` contiguous 8-dim subvectors and each is snapped to its
+    * nearest of `PqK` codebook entries (argmin L2, ties → lower code),
+    * emitting the 8-byte PQ code word plus the total quantization
+    * error — the memory layout behind IVF-PQ ANN indexes (q65 assigns
+    * the coarse cell; this is the residual-free fine code). The
+    * codebook here is the first `PqK` corpus vectors so both engines
+    * derive it identically; a production index trains it with q102's
+    * Lloyd iterate per subspace.
+    *
+    * 100 TB design: the codebook is a broadcast single-row literal
+    * (PqK×64 doubles); encoding is pure in-row nested folds — no
+    * explode, no shuffle, output at scan parallelism, exactly how a
+    * petabyte index build streams codes to disk. Cross-subspace error
+    * sums route through decimal(30,8) so the census is
+    * order-independent and hash-stable cross-engine. */
+  val q113PqEncode: Q = (s, d) => {
+    import s.implicits._
+    val codebook = Tables.embeddings(s, d)
+      .filter($"vec_id" < PqK)
+      .select($"vec_id".cast("int").as("code"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .agg(array_sort(collect_list(struct($"code", $"cvec"))).as("cb"))
+    val enc = Tables.embeddings(s, d)
+      .join(broadcast(codebook))
+      .withColumn("sub", expr(
+        s"""transform(sequence(0, ${PqM - 1}), s ->
+              array_min(transform(cb, c -> named_struct(
+                'd2', aggregate(
+                        zip_with(slice(embedding, s * $PqD + 1, $PqD),
+                                 slice(c.cvec, s * $PqD + 1, $PqD),
+                                 (x, y) -> (CAST(x AS DOUBLE) - y)
+                                           * (CAST(x AS DOUBLE) - y)),
+                        CAST(0 AS DOUBLE), (a, v) -> a + v),
+                'code', c.code))))"""))
+      .withColumn("err", expr(
+        """CAST(aggregate(sub, CAST(0 AS DECIMAL(30,8)),
+             (a, x) -> CAST(a + CAST(x.d2 AS DECIMAL(30,8))
+                            AS DECIMAL(30,8))) AS DOUBLE)"""))
+    def codeAt(i: Int) =
+      expr(s"element_at(sub, ${i + 1}).code").as(s"c$i")
+    enc.select(Seq($"vec_id", $"label") ++
+      (0 until PqM).map(codeAt) :+ $"err": _*)
+  }
+  val o113: String = s"""
+    WITH cb AS (
+      SELECT CAST(vec_id AS INT) AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < $PqK),
+    dist AS (
+      SELECT e.vec_id, e.label, g.s AS s, cb.code,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, $PqD), i ->
+            (CAST(e.embedding[s * $PqD + i] AS DOUBLE)
+               - cb.cvec[s * $PqD + i])
+            * (CAST(e.embedding[s * $PqD + i] AS DOUBLE)
+               - cb.cvec[s * $PqD + i]))),
+          (a, v) -> a + v) AS d2
+      FROM embeddings e,
+           (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) g, cb),
+    best AS (
+      SELECT vec_id, label, s, code, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2 ASC, code ASC) AS rn
+        FROM dist) WHERE rn = 1)
+    SELECT vec_id, label,
+      ${(0 until PqM).map(i =>
+        s"MAX(CASE WHEN s = $i THEN code END) AS c$i").mkString(",\n      ")},
+      CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) AS err
+    FROM best GROUP BY vec_id, label"""
+
   val queries: Map[String, Q] = Map(
+    "q113_pq_encode" -> q113PqEncode,
     "q61_norm_stats" -> q61NormStats,
     "q102_lloyd_step" -> q102LloydStep,
     "q62_knn_brute" -> q62KnnBrute,
@@ -542,6 +619,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q113_pq_encode" -> o113,
     "q84_semantic_dedup" -> o84,
     "q91_semdedup_centroid" -> o91,
     "q61_norm_stats" -> o61,

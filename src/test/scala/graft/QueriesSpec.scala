@@ -55,6 +55,69 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("l_linestatus", "A", "N", "R"))
   }
 
+  test("q112 BPE merge candidates are single-char pairs, ranked by freq") {
+    val rows = SparkEntry.queries("q112_bpe_merges")(spark, sf).collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 10L))
+    rows.foreach { r =>
+      val p = r.getAs[String]("pair").split(" ")
+      assert(p.length == 2 && p.forall(_.length == 1), s"bad pair: $r")
+    }
+    val byRank = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("freq"))
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q113 PQ codes are in range and codebook vectors encode losslessly") {
+    val rows = SparkEntry.queries("q113_pq_encode")(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      (0 until 8).foreach { i =>
+        val c = r.getAs[Int](s"c$i"); assert(c >= 0 && c < 16)
+      }
+      assert(r.getAs[Double]("err") >= 0.0)
+    }
+    // a codebook vector's nearest entry in every subspace is itself
+    rows.filter(_.getAs[Long]("vec_id") < 16)
+      .foreach(r => assert(r.getAs[Double]("err") == 0.0))
+  }
+
+  test("q114 packed sequences respect the token budget plus boundary spill") {
+    val rows = SparkEntry.queries("q114_pack_sequences")(spark, sf).collect()
+    // start-offset binning: a sequence holds < budget + one chunk
+    rows.foreach(r => assert(r.getAs[Long]("n_tokens") < 512 + 50))
+    val langs = rows.map(_.getAs[String]("lang")).distinct
+    langs.foreach { l =>
+      val ids = rows.filter(_.getAs[String]("lang") == l)
+        .map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head == 0L, s"$l does not start at sequence 0")
+      assert(ids.zip(ids.tail).forall { case (a, b) => b == a + 1 },
+        s"$l has sequence gaps")
+    }
+  }
+
+  test("q115 Zipf census invariants: hapax <= vocab, coverage <= 100") {
+    val rows = SparkEntry.queries("q115_zipf_census")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hapax") <= r.getAs[Long]("vocab_size"))
+      assert(r.getAs[Long]("top100_tokens") <= r.getAs[Long]("total_tokens"))
+      val cov = r.getAs[Double]("top100_coverage_pct")
+      assert(cov > 0.0 && cov <= 100.0)
+    }
+  }
+
+  test("q116 quality sampling keeps a subset tracking the expected rate") {
+    val rows = SparkEntry.queries("q116_quality_sample")(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs"); val k = r.getAs[Long]("n_kept")
+      assert(k >= 0 && k <= n)
+      val exp = r.getAs[Double]("expected_pct")
+      assert(exp >= 0.0 && exp <= 100.0)
+      // quality is bounded by 1 → threshold <= 10000 basis points
+      assert(r.getAs[Long]("expected_bp") <= 10000L * n)
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
