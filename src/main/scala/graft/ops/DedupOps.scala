@@ -216,24 +216,39 @@ object DedupOps {
 
   /** SimHash near-dup pairs: LSH on the two 16-bit halves (pairs must
     * agree on at least one half), then exact Hamming ≤ 2 verify —
-    * banded join, never quadratic. */
+    * banded, never quadratic.
+    *
+    * Layout (same as q58's): the signature table feeds ONE band-keyed
+    * exchange that aggregates each (band, half-value) bucket's posting
+    * list, and candidate pairs are generated IN-ROW from the sorted
+    * list — the earlier spelling self-joined the signature subtree
+    * twice (four plan copies of the SimHash computation); this one
+    * computes signatures once and never materializes a join build
+    * side. The `distinct` dedupes pairs that agree on BOTH halves. */
   val q60SimHashPairs: Q = (s, d) => {
     import s.implicits._
-    val sig = q59SimHash(s, d)
-    def band(df: DataFrame, e: String) = {
-      import df.sparkSession.implicits._
-      df.withColumn("bk", expr(e))
-    }
-    val hi = "CAST(simhash >> 16 AS BIGINT)"
-    val lo = "CAST(simhash & 65535 AS BIGINT)"
-    val cand = Seq(hi, lo).map { e =>
-      band(sig, e).as("a")
-        .join(band(sig, e).as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sa"), col("b.simhash").as("sb"))
-    }.reduce(_ unionByName _).distinct()
-    cand
+    val posts = q59SimHash(s, d)
+      .select($"doc_id", $"simhash", expr(
+        """explode(array(
+             named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
+             named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
+           AS b"""))
+      .groupBy($"b.band", $"b.bk")
+      .agg(sort_array(collect_list(struct($"doc_id", $"simhash")))
+        .as("ds"))
+      .filter(size($"ds") >= 2)
+    posts
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               x -> named_struct(
+                 'doc_a', element_at(ds, i).doc_id,
+                 'doc_b', x.doc_id,
+                 'sa', element_at(ds, i).simhash,
+                 'sb', x.simhash))))""")).as("pr"))
+      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
+        $"pr.sa".as("sa"), $"pr.sb".as("sb"))
+      .distinct()
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       .filter($"hamming" <= 2)
       .select($"doc_a", $"doc_b", $"hamming")
