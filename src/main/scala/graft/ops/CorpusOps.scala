@@ -328,8 +328,11 @@ object CorpusOps {
   val q109BloomDedup: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("fp", TextOps.fingerprintCol)
+    // materialize the distinct-fp snapshot ONCE: the bloom build (an
+    // eager driver action) and the exact verify join both read it —
+    // without this the scan+fingerprint+distinct subtree runs twice
     val snapshot = docs.filter(col("doc_id") % 10 < 7)
-      .select(col("fp")).distinct()
+      .select(col("fp")).distinct().localCheckpoint()
     val bloomBytes = snapshot
       .agg(expr("bloom_filter_agg(fp)").as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -342,8 +345,14 @@ object CorpusOps {
     // below and silently drop the row — treat it as a suspect so the
     // exact join decides (NULL never matches there → counted as new,
     // exactly like q87's left join)
+    // materialize the probed batch once, projected to 17 bytes/row
+    // (source, fp, flag — never the text): both the cleared and the
+    // verified branch read it, instead of each re-scanning and
+    // re-fingerprinting the intake
     val batch = docs.filter(col("doc_id") % 10 >= 7)
       .withColumn("maybe_seen", coalesce(mightContain, lit(true)))
+      .select(col("source"), col("fp"), col("maybe_seen"))
+      .localCheckpoint()
     // bloom-cleared rows never reach the join; suspects verify exactly
     val cleared = batch.filter(!col("maybe_seen"))
       .select(col("source"), lit(0L).as("seen"))
@@ -1119,7 +1128,66 @@ object CorpusOps {
         FROM documents))
     GROUP BY lang"""
 
+  // ------------------------------------------------ boilerplate census
+  private val BoilerDf = 50
+
+  /** Cross-document boilerplate detection (the CCNet/RefinedWeb
+    * line-dedup shape on shingles): a token-3-gram held by more than
+    * `BoilerDf` documents is corpus boilerplate (headers, footers,
+    * templates); each document is scored by the fraction of its
+    * distinct shingles that are boilerplate, with the keep flag a
+    * curation pass would gate on. Complements q88 (WITHIN-doc
+    * repetition) — this is the ACROSS-doc signal.
+    *
+    * 100 TB design: the shingle df census map-side combines (hot
+    * shingles collapse in the combiner — the census never skews); the
+    * boilerplate set (df > threshold) is a tiny tail of the census and
+    * BROADCASTS into a map-side semi-join against the exploded corpus,
+    * so the per-doc count is keyed on doc_id, which cannot skew. */
+  val q118BoilerplateCensus: Q = (s, d) => {
+    val sh = DedupOps.withShingles(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(col("shs"))).as("sh"))
+    val common = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > BoilerDf)
+      .select(col("sh"))
+    val perDoc = sh
+      .join(broadcast(common.withColumn("is_common", lit(1L))),
+        Seq("sh"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("is_common"), lit(0L))).cast("long")
+          .as("n_boiler"))
+    perDoc
+      .withColumn("boiler_frac",
+        col("n_boiler").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("keep",
+        when(col("boiler_frac") <= 0.3, 1L).otherwise(0L))
+  }
+  val o118: String = s"""
+    WITH sh0 AS (
+      SELECT DISTINCT doc_id, source, unnest(shs) AS sh
+      FROM (SELECT doc_id, source, ${DedupOps.shinglesSql} AS shs
+            FROM (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents))),
+    common AS (
+      SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) > $BoilerDf),
+    per_doc AS (
+      SELECT s.doc_id, s.source, COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN c.sh IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_boiler
+      FROM sh0 s LEFT JOIN common c ON s.sh = c.sh
+      GROUP BY s.doc_id, s.source)
+    SELECT doc_id, source, n_shingles, n_boiler,
+      CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+        AS boiler_frac,
+      CASE WHEN CAST(n_boiler AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+                <= 0.3 THEN 1 ELSE 0 END AS keep
+    FROM per_doc"""
+
   val queries: Map[String, Q] = Map(
+    "q118_boilerplate" -> q118BoilerplateCensus,
     "q112_bpe_merges" -> q112BpeMerges,
     "q114_pack_sequences" -> q114PackSequences,
     "q115_zipf_census" -> q115ZipfCensus,
@@ -1143,6 +1211,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q118_boilerplate" -> o118,
     "q112_bpe_merges" -> o112,
     "q114_pack_sequences" -> o114,
     "q115_zipf_census" -> o115,

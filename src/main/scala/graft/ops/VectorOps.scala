@@ -606,7 +606,235 @@ object VectorOps {
       CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) AS err
     FROM best GROUP BY vec_id, label"""
 
+  // ------------------------------------------------- IVF-PQ search
+  private val ProbeIds = Seq(7L, 113L, 229L, 331L, 443L)
+  private val NProbe = 2
+  private val AnnK = 10
+
+  /** End-to-end IVF-PQ approximate nearest-neighbor search with its
+    * recall audit — the capstone that composes the index pieces built
+    * separately: q65's coarse quantizer routes each of a CONSTANT
+    * probe set of queries to its `NProbe` nearest cells, q113's PQ
+    * codes give every candidate an 8-byte compressed representation,
+    * and the asymmetric distance (query subvector → candidate's
+    * codebook entry, the ADC of the PQ paper) ranks candidates without
+    * ever touching their full vectors. Reported per query against the
+    * exact brute-force top-10: candidates scanned, hits, recall@10 —
+    * the accuracy/cost trade every ANN deployment is judged on.
+    *
+    * 100 TB design: the index build (cell + codes per vector) is ONE
+    * corpus pass against two broadcast single-row literals, then
+    * materialized — a real pipeline persists it partitioned BY CELL so
+    * a probe reads only nprobe/k of the data (partition pruning does
+    * the candidate cut below for free). Probing broadcasts the tiny
+    * (query, cell) routing table; ADC is in-row against the broadcast
+    * codebook; per-query top-k goes through the two-phase heap
+    * operator, never a full sort. Cross-subspace ADC sums route
+    * through decimal(30,8) (order-independent, engine-exact); the
+    * ground-truth pass is the same constant-broadcast exact scan as
+    * q62. */
+  val q117IvfPqSearch: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    // coarse centroids (q65's construction) → one broadcast row
+    val packed = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+      .groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
+      .agg(array_sort(collect_list(struct($"c_label", $"carr")))
+        .as("cents"))
+      // single row, consumed by BOTH the index build and the query
+      // routing — materialize so the 64× posexplode aggregate behind
+      // it runs once
+      .localCheckpoint()
+    // PQ codebook (q113's construction) → one broadcast row
+    val codebook = emb.filter($"vec_id" < PqK)
+      .select($"vec_id".cast("int").as("code"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .agg(array_sort(collect_list(struct($"code", $"cvec"))).as("cb"))
+      .localCheckpoint() // consumed by the index build and the ADC pass
+    // index build: coarse cell + PQ code word per vector, one pass
+    val index = emb
+      .join(broadcast(packed)).join(broadcast(codebook))
+      .withColumn("cell", expr(
+        """array_min(transform(cents, ct -> named_struct(
+             'd2', aggregate(
+                     zip_with(embedding, ct.carr, (x, c) ->
+                       (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+                     CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+             'c_label', ct.c_label))).c_label"""))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${PqM - 1}), s ->
+              array_min(transform(cb, c -> named_struct(
+                'd2', aggregate(
+                        zip_with(slice(embedding, s * $PqD + 1, $PqD),
+                                 slice(c.cvec, s * $PqD + 1, $PqD),
+                                 (x, y) -> (CAST(x AS DOUBLE) - y)
+                                           * (CAST(x AS DOUBLE) - y)),
+                        CAST(0 AS DOUBLE), (a, v) -> a + v),
+                'code', c.code))).code)"""))
+      .select($"vec_id", $"cell", $"codes")
+      .localCheckpoint() // the persisted ANN index of a real pipeline
+    val qset = emb.filter($"vec_id".isin(ProbeIds: _*))
+      .select($"vec_id".as("query_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"))
+    // route each query to its NProbe nearest cells
+    val routed = qset.join(broadcast(packed))
+      .withColumn("probe", explode(expr(
+        s"""transform(slice(array_sort(transform(cents, ct ->
+              named_struct(
+                'd2', aggregate(
+                        zip_with(q_emb, ct.carr, (x, c) ->
+                          (x - c) * (x - c)),
+                        CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+                'c_label', ct.c_label))), 1, $NProbe),
+            x -> x.c_label)""")))
+      .select($"query_id", $"q_emb", $"probe".as("cell"))
+    // candidates = index entries in the probed cells (broadcast the
+    // tiny routing table; with a cell-partitioned index this is
+    // partition pruning)
+    val cand = index.join(broadcast(routed), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+    val nCand = cand.groupBy($"query_id")
+      .agg(count(lit(1)).as("n_candidates"))
+    // asymmetric distance: query subvector vs the candidate's codebook
+    // entry per subspace; decimal-routed cross-subspace sum
+    val adc = cand.join(broadcast(codebook))
+      .withColumn("adc", expr(
+        s"""CAST(aggregate(
+              transform(sequence(0, ${PqM - 1}), s ->
+                aggregate(
+                  zip_with(
+                    slice(q_emb, s * $PqD + 1, $PqD),
+                    slice(element_at(cb, element_at(codes, s + 1) + 1).cvec,
+                          s * $PqD + 1, $PqD),
+                    (x, y) -> (x - y) * (x - y)),
+                  CAST(0 AS DOUBLE), (a, v) -> a + v)),
+              CAST(0 AS DECIMAL(30,8)),
+              (a, x) -> CAST(a + CAST(x AS DECIMAL(30,8))
+                             AS DECIMAL(30,8))) AS DOUBLE)"""))
+    val annTop = graft.plans.TopK.perGroup(
+      adc.select($"query_id", $"vec_id", $"adc"),
+      Seq("query_id"), Seq(("adc", false), ("vec_id", false)), AnnK)
+    // exact ground truth: constant-size broadcast of the query set
+    val gt = graft.plans.TopK.perGroup(
+      emb.select($"vec_id",
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+        .join(broadcast(qset), $"vec_id" =!= $"query_id")
+        .withColumn("d2", expr(
+          """aggregate(zip_with(emb, q_emb, (x, y) -> (x - y) * (x - y)),
+               CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .select($"query_id", $"vec_id", $"d2"),
+      Seq("query_id"), Seq(("d2", false), ("vec_id", false)), AnnK)
+    val hits = annTop.select($"query_id", $"vec_id")
+      .join(gt.select($"query_id", $"vec_id"), Seq("query_id", "vec_id"))
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    nCand
+      .join(hits, Seq("query_id"), "left")
+      .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
+      .withColumn("recall",
+        $"n_hits".cast("double") / lit(AnnK.toDouble))
+      .select($"query_id", $"n_candidates", $"n_hits", $"recall")
+  }
+  val o117: String = {
+    val ids = ProbeIds.mkString(", ")
+    def l2(a: String, b: String, n: Int) =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, $n), i ->
+              ($a - $b) * ($a - $b))),
+          (acc, v) -> acc + v)"""
+    s"""
+    WITH dims AS (
+      SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    carr AS (
+      SELECT c_label, list(c ORDER BY pos) AS carr FROM (
+        SELECT label AS c_label, pos,
+               CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY 1, 2)
+      GROUP BY c_label),
+    cb AS (
+      SELECT CAST(vec_id AS INT) AS code,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings WHERE vec_id < $PqK),
+    assigned AS (
+      SELECT vec_id, c_label AS cell FROM (
+        SELECT e.vec_id, ca.c_label,
+          row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            ${l2("CAST(e.embedding[i] AS DOUBLE)", "ca.carr[i]", 64)} ASC,
+            ca.c_label ASC) AS rn
+        FROM embeddings e, carr ca)
+      WHERE rn = 1),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT e.vec_id, g.s AS s, cb.code,
+          row_number() OVER (PARTITION BY e.vec_id, g.s ORDER BY
+            ${l2(s"CAST(e.embedding[s * $PqD + i] AS DOUBLE)",
+                 s"cb.cvec[s * $PqD + i]", PqD)} ASC,
+            cb.code ASC) AS rn
+        FROM embeddings e,
+             (SELECT unnest(generate_series(0, ${PqM - 1})) AS s) g, cb)
+      WHERE rn = 1),
+    qset AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q_emb
+      FROM embeddings WHERE vec_id IN ($ids)),
+    routed AS (
+      SELECT query_id, q_emb, c_label AS cell FROM (
+        SELECT q.query_id, q.q_emb, ca.c_label,
+          row_number() OVER (PARTITION BY q.query_id ORDER BY
+            ${l2("q.q_emb[i]", "ca.carr[i]", 64)} ASC,
+            ca.c_label ASC) AS rn
+        FROM qset q, carr ca)
+      WHERE rn <= $NProbe),
+    cand AS (
+      SELECT r.query_id, r.q_emb, a.vec_id
+      FROM routed r JOIN assigned a ON a.cell = r.cell
+      WHERE a.vec_id <> r.query_id),
+    ncand AS (
+      SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1),
+    adc AS (
+      SELECT c.query_id, c.vec_id,
+        CAST(SUM(CAST(
+          ${l2(s"c.q_emb[k.s * $PqD + i]", s"cb.cvec[k.s * $PqD + i]", PqD)}
+          AS DECIMAL(30,8))) AS DOUBLE) AS adc
+      FROM cand c
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN cb ON cb.code = k.code
+      GROUP BY c.query_id, c.vec_id),
+    ann AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc ASC, vec_id ASC) AS rn
+        FROM adc)
+      WHERE rn <= $AnnK),
+    gt AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id, row_number() OVER (
+          PARTITION BY q.query_id ORDER BY
+            ${l2("CAST(e.embedding[i] AS DOUBLE)", "q.q_emb[i]", 64)} ASC,
+            e.vec_id ASC) AS rn
+        FROM embeddings e JOIN qset q ON e.vec_id <> q.query_id)
+      WHERE rn <= $AnnK),
+    hits AS (
+      SELECT a.query_id, COUNT(*) AS n_hits
+      FROM ann a JOIN gt ON gt.query_id = a.query_id
+                        AND gt.vec_id = a.vec_id
+      GROUP BY a.query_id)
+    SELECT n.query_id, n.n_candidates,
+      CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+      CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / ${AnnK.toDouble} AS recall
+    FROM ncand n LEFT JOIN hits h ON h.query_id = n.query_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q117_ivfpq_search" -> q117IvfPqSearch,
     "q113_pq_encode" -> q113PqEncode,
     "q61_norm_stats" -> q61NormStats,
     "q102_lloyd_step" -> q102LloydStep,
@@ -619,6 +847,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q117_ivfpq_search" -> o117,
     "q113_pq_encode" -> o113,
     "q84_semantic_dedup" -> o84,
     "q91_semdedup_centroid" -> o91,

@@ -118,6 +118,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q117 IVF-PQ search audits recall for every probe query") {
+    val rows = SparkEntry.queries("q117_ivfpq_search")(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_candidates") > 0)
+      val hits = r.getAs[Long]("n_hits")
+      assert(hits >= 0 && hits <= 10)
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(rec == hits / 10.0)
+    }
+  }
+
+  test("q118 boilerplate census covers every doc with a bounded fraction") {
+    val rows = SparkEntry.queries("q118_boilerplate")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val f = r.getAs[Double]("boiler_frac")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_shingles"))
+      assert(Set(0L, 1L)(r.getAs[Long]("keep")))
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
