@@ -38,7 +38,14 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
         // -1 sentinel: a failed query must not silently deflate the total
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // drop blocks leaked by eager localCheckpoints inside queries:
+        // without this, later queries pay GC/memory pressure for every
+        // earlier query's materializations (observed 4-5x inflation on
+        // otherwise sub-second queries late in the alphabet)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        (name, dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -53,14 +53,19 @@ object DedupOps {
     * construction used by every large-scale corpus dedup. */
   private val ab = Seq((37L, 17L), (101L, 89L), (8191L, 131L), (577L, 7L))
 
-  val q56MinHash: Q = (s, d) => {
-    import s.implicits._
-    val base = withShingles(Tables.documents(s, d))
-    ab.zipWithIndex.foldLeft(base) { case (df, ((a, b), j)) =>
+  /** Signature derivation from an already-shingled frame — split out
+    * so composites (q107) can share ONE shingle materialization
+    * between the signature and pair paths. */
+  private[ops] def minhashFrom(base: DataFrame): DataFrame = {
+    val s = ab.zipWithIndex.foldLeft(base) { case (df, ((a, b), j)) =>
       df.withColumn(s"mh$j",
         expr(s"array_min(transform(shs, x -> ($a * x + $b) % $P))"))
-    }.select($"doc_id", $"mh0", $"mh1", $"mh2", $"mh3")
+    }
+    s.select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
   }
+
+  val q56MinHash: Q = (s, d) =>
+    minhashFrom(withShingles(Tables.documents(s, d)))
   val o56: String = {
     val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
@@ -132,9 +137,15 @@ object DedupOps {
     * size census) reuse, and no join build side ever materializes.
     * The df=1 shingles stay in the size census (they are part of the
     * Jaccard denominator) but never reach pair generation. */
-  val q58JaccardPairs: Q = (s, d) => {
+  val q58JaccardPairs: Q = (s, d) =>
+    jaccardFrom(withShingles(Tables.documents(s, d)))
+
+  /** Pair derivation from an already-shingled frame (see
+    * [[minhashFrom]]). */
+  private[ops] def jaccardFrom(base: DataFrame): DataFrame = {
+    val s = base.sparkSession
     import s.implicits._
-    val exploded = withShingles(Tables.documents(s, d))
+    val exploded = base
       .select($"doc_id", explode(array_distinct($"shs")).as("sh"))
     // one exchange on the shingle: df cap = size filter on the
     // aggregated posting list (the hot shingle skews no join — its
@@ -278,17 +289,27 @@ object DedupOps {
     * audit costs two broadcast-scale hash joins on doc ids. */
   val q107MinhashEstimate: Q = (s, d) => {
     import s.implicits._
-    val sig = q56MinHash(s, d)
+    // ONE shingle materialization feeds both the signature table and
+    // the verified-pair derivation (a real pipeline persists the
+    // shingle table once and builds every index off it) — without
+    // this the expensive tokenize+shingle HOF pass runs twice
+    val base = withShingles(Tables.documents(s, d))
+      .select($"doc_id", $"shs").localCheckpoint()
+    val sig = minhashFrom(base)
     val est = (0 until 4).map(j =>
       when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / 4.0
-    q58JaccardPairs(s, d)
-      .join(sig.select($"doc_id".as("doc_a"), $"mh0".as("a_mh0"),
-        $"mh1".as("a_mh1"), $"mh2".as("a_mh2"), $"mh3".as("a_mh3")),
-        Seq("doc_a"))
-      .join(sig.select($"doc_id".as("doc_b"), $"mh0".as("b_mh0"),
-        $"mh1".as("b_mh1"), $"mh2".as("b_mh2"), $"mh3".as("b_mh3")),
-        Seq("doc_b"))
+    // the verified-pair set is bounded (near-dups, not corpus rows):
+    // materialize it once and BROADCAST it into both signature joins,
+    // so the full signature table streams map-side and is never
+    // shuffled
+    val pairs = jaccardFrom(base).localCheckpoint()
+    val withA = sig.select($"doc_id".as("doc_a"), $"mh0".as("a_mh0"),
+        $"mh1".as("a_mh1"), $"mh2".as("a_mh2"), $"mh3".as("a_mh3"))
+      .join(broadcast(pairs), Seq("doc_a"))
+    sig.select($"doc_id".as("doc_b"), $"mh0".as("b_mh0"),
+        $"mh1".as("b_mh1"), $"mh2".as("b_mh2"), $"mh3".as("b_mh3"))
+      .join(broadcast(withA), Seq("doc_b"))
       .withColumn("est_jaccard", est)
       .withColumn("abs_err", abs($"jaccard" - $"est_jaccard"))
       .select($"doc_a", $"doc_b", $"jaccard", $"est_jaccard", $"abs_err")
