@@ -170,6 +170,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash32].getName,
         "simhash32_native"),
       (children: Seq[Expression]) => SimHash32(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint64_native"),
+      new ExpressionInfo(classOf[Fingerprint64].getName,
+        "fingerprint64_native"),
+      (children: Seq[Expression]) => Fingerprint64(children.head)))
     // Spark ships bloom build/probe expressions for its own runtime
     // row-level filters but does not register them for users; expose
     // them so pipelines can build a compact pre-filter (e.g. the

@@ -152,7 +152,17 @@ object TextOps {
     * prime — the content key shared by q53, the dedup shuffles in
     * q55/q82, and the incremental-dedup semi-join in q87 (an 8-byte
     * key instead of the full document body). */
-  private[graft] def fingerprintCol: Column =
+  private[graft] def fingerprintCol: Column = {
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    bridge.column(graft.functions.Fingerprint64(
+      bridge.expression(col("text"))))
+  }
+
+  /** The composed higher-order spelling of [[fingerprintCol]] — kept
+    * as the parity witness the native kernel is property-tested
+    * against (interpreted lambdas per element; the native expression
+    * is the hot-path form). */
+  private[graft] def fingerprintColComposed: Column =
     expr("aggregate(transform(split(text, ' '), " +
       "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")

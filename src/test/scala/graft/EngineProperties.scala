@@ -48,6 +48,31 @@ object EngineProperties extends Properties("engine") {
       ours == ref
     }
 
+  // ----------------------------------------------- fingerprint kernel
+  // arbitrary unicode-ish text with spaces (including empty tokens,
+  // leading/trailing/double spaces, non-ASCII and non-BMP codepoints)
+  private val fpText: Gen[String] = {
+    val tok = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.const(""),
+      Gen.oneOf("é", "€", "中文", "😀", "a b".take(1)),
+      Gen.listOfN(3, Gen.choose(33.toChar, 0x2FF.toChar)).map(_.mkString))
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tok))
+      .map(_.mkString(" "))
+  }
+
+  property("fingerprint64_native == composed HOF spelling, any text") =
+    Prop.forAllNoShrink(Gen.listOfN(8, fpText)) { texts =>
+      val s = spark
+      import s.implicits._
+      val df = texts.toDF("text")
+      val got = df.select(graft.ops.TextOps.fingerprintCol.as("fp"))
+        .collect().map(_.getLong(0)).toSeq
+      val ref = df.select(graft.ops.TextOps.fingerprintColComposed.as("fp"))
+        .collect().map(_.getLong(0)).toSeq
+      got == ref
+    }
+
   // ----------------------------------------------------------- SCD2
   private val scdState: Gen[(Map[Int, Option[String]],
                              Map[Int, Option[String]])] = {
