@@ -44,6 +44,60 @@ object Fingerprint64Util {
   }
 }
 
+/** Native kernel for token-3-gram shingle hashes (the candidate key
+  * of q56/q57/q58/q82/q89/q107/q118): token hashes and the rolling
+  * 3-gram combine in ONE pass over the text, replacing a
+  * transform(split) plus two nested zip_with-over-slices whose
+  * interpreted lambdas allocate four intermediate arrays per row.
+  * Same bit contract as the composed spelling (pinned by a ScalaCheck
+  * property): token hash = first-codepoint·131 + codepoint-count,
+  * shingle = ((th₀·100003 + th₁) mod P ·100003 + th₂) mod P with
+  * P = 1e9+7; fewer than 3 tokens → empty array. DuckDB twin:
+  * [[graft.ops.DedupOps.shinglesSql]]. */
+object Shingles3Util {
+  private val Mod = 1000000007L
+
+  def shingles(s: UTF8String)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val parts = str.split(" ", -1)
+    val n = parts.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = parts(i)
+      val a = if (t.isEmpty) 0L else t.codePointAt(0).toLong
+      th(i) = a * 131L + t.codePointCount(0, t.length).toLong
+      i += 1
+    }
+    val m = math.max(n - 2, 0)
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      out(j) =
+        ((th(j) * 100003L + th(j + 1)) % Mod * 100003L + th(j + 2)) % Mod
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `shingles3_native(string)` → array<bigint>. */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Shingles3Util.shingles(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Shingles3Util.shingles($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Shingles3 = copy(child = newChild)
+  override def prettyName: String = "shingles3"
+}
+
 /** `fingerprint64_native(string)` → bigint — registered through
   * [[GraftExtensions]] and used directly (via the plan bridge) by
   * `TextOps.fingerprintCol`, so every dedup path shares the single

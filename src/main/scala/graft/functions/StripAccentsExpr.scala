@@ -171,6 +171,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash32_native"),
       (children: Seq[Expression]) => SimHash32(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("shingles3_native"),
+      new ExpressionInfo(classOf[Shingles3].getName,
+        "shingles3_native"),
+      (children: Seq[Expression]) => Shingles3(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("fingerprint64_native"),
       new ExpressionInfo(classOf[Fingerprint64].getName,
         "fingerprint64_native"),

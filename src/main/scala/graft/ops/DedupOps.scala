@@ -19,18 +19,25 @@ object DedupOps {
 
   private val P = 1000000007L
 
-  /** Adds `th` (per-token hash array, computed ONCE per row — split
-    * inside a lambda re-evaluates per element access, an O(tokens²)
-    * trap) and `shs` (token-3-gram shingle hashes, mod-reduced per
-    * combine so a*x in MinHash never overflows Int64 even for high
-    * code points). */
-  private[ops] def withShingles(df: DataFrame): DataFrame = df
+  /** Adds `shs` (token-3-gram shingle hashes, mod-reduced per combine
+    * so a*x in MinHash never overflows Int64 even for high code
+    * points) via the native one-pass [[graft.functions.Shingles3]]
+    * kernel. */
+  private[graft] def withShingles(df: DataFrame): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    df.withColumn("shs", bridge.column(graft.functions.Shingles3(
+      bridge.expression(col("text")))))
+  }
+
+  /** The composed spelling of [[withShingles]] — kept as the parity
+    * witness the native one-pass kernel is property-tested against.
+    * zip_with over slices, NOT element_at(th, i) in a lambda: a lambda
+    * body referencing a derived column re-inlines its whole expression
+    * per ELEMENT after projection collapse (O(tokens²) interpreted
+    * evals/row); slice() arguments evaluate once per row. */
+  private[graft] def withShinglesComposed(df: DataFrame): DataFrame = df
     .withColumn("th", expr(
       "transform(split(text, ' '), x -> CAST(ascii(x) * 131 + length(x) AS BIGINT))"))
-    // zip_with over slices, NOT element_at(th, i) in a lambda: a lambda
-    // body referencing a derived column re-inlines its whole expression
-    // per ELEMENT after projection collapse (O(tokens²) interpreted
-    // evals/row); slice() arguments evaluate once per row.
     .withColumn("shs", expr(
       s"""zip_with(
            zip_with(slice(th, 1, greatest(size(th) - 2, 0)),

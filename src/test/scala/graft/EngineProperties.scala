@@ -73,6 +73,17 @@ object EngineProperties extends Properties("engine") {
       got == ref
     }
 
+  property("shingles3_native == composed HOF spelling, any text") =
+    Prop.forAllNoShrink(Gen.listOfN(8, fpText)) { texts =>
+      val s = spark
+      import s.implicits._
+      val df = texts.toDF("text")
+      def shs(v: org.apache.spark.sql.DataFrame) =
+        v.select($"shs").collect().map(_.getSeq[Long](0).toList).toSeq
+      shs(graft.ops.DedupOps.withShingles(df)) ==
+        shs(graft.ops.DedupOps.withShinglesComposed(df))
+    }
+
   // ----------------------------------------------------------- SCD2
   private val scdState: Gen[(Map[Int, Option[String]],
                              Map[Int, Option[String]])] = {
