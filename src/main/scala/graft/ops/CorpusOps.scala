@@ -1186,7 +1186,57 @@ object CorpusOps {
                 <= 0.3 THEN 1 ELSE 0 END AS keep
     FROM per_doc"""
 
+  // --------------------------------------------------- rarity score
+  /** IDF-rarity quality signal: the mean inverse document frequency of
+    * a document's distinct vocabulary — generic boilerplate scores
+    * near 0 (every term is corpus-common), jargon-dense or exotic
+    * documents score high; curation pipelines use it to up-weight
+    * informative documents (q116's sampler is where such a score
+    * plugs in). q85 ranks terms WITHIN a doc; this scores the DOC.
+    *
+    * Float parity: each 1/df is a single IEEE division (identical on
+    * both engines), fixed-pointed to 1e15 by floor() — floor of an
+    * identical double is engine-exact, unlike double→decimal casts
+    * whose last-digit rounding mode differs between engines — and the
+    * cross-row sum is then pure int64 (≤ 2e17 for million-term docs,
+    * no overflow). The final mean is one division of those exact
+    * integers.
+    *
+    * 100 TB design: the df census map-side combines; the join back is
+    * keyed on the term (token id at petabyte scale); the per-doc
+    * aggregate is keyed on doc_id, which cannot skew. */
+  val q119RarityScore: Q = (s, d) => {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+    val dfc = tok.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tok.join(dfc, Seq("term"))
+      .withColumn("inv_fp",
+        floor((lit(1.0) / col("df").cast("double")) * lit(1.0e15))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("inv_fp")).cast("long").as("rarity_fp"))
+      .withColumn("rarity",
+        col("rarity_fp").cast("double")
+          / (col("n_terms").cast("double") * lit(1.0e15)))
+  }
+  val o119: String = """
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term)
+    SELECT doc_id, COUNT(*) AS n_terms,
+      CAST(SUM(CAST(floor((CAST(1.0 AS DOUBLE) / CAST(df AS DOUBLE))
+        * 1.0e15) AS BIGINT)) AS BIGINT) AS rarity_fp,
+      CAST(SUM(CAST(floor((CAST(1.0 AS DOUBLE) / CAST(df AS DOUBLE))
+        * 1.0e15) AS BIGINT)) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS rarity
+    FROM tok JOIN dfc USING (term)
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "q119_rarity_score" -> q119RarityScore,
     "q118_boilerplate" -> q118BoilerplateCensus,
     "q112_bpe_merges" -> q112BpeMerges,
     "q114_pack_sequences" -> q114PackSequences,
@@ -1211,6 +1261,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q119_rarity_score" -> o119,
     "q118_boilerplate" -> o118,
     "q112_bpe_merges" -> o112,
     "q114_pack_sequences" -> o114,

@@ -142,6 +142,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q119 rarity score is a bounded per-doc mean of 1/df") {
+    val rows = SparkEntry.queries("q119_rarity_score")(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_terms")
+      val rar = r.getAs[Double]("rarity")
+      // each 1/df is in (0, 1] → the mean is too
+      assert(n > 0 && rar > 0.0 && rar <= 1.0, s"bad row: $r")
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
