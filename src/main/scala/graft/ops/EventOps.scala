@@ -303,7 +303,63 @@ object EventOps {
       arr[(len(arr) + 1) // 2] AS med7_cents
     FROM windowed"""
 
+  // ---------------------------------------------- feature snapshot
+  /** Per-user feature snapshot as of a cutoff — the feature-
+    * engineering mart an events stream feeds into model training:
+    * activity counts (total and trailing-7-day), active-day and
+    * event-type cardinalities, purchase count, recency, and exact
+    * decimal-routed value sums. Everything derives from events
+    * STRICTLY BEFORE the cutoff so the snapshot is leakage-free and
+    * reproducible (the property a training pipeline audits first).
+    *
+    * 100 TB design: ONE aggregate keyed on user_id with map-side
+    * combine (the distincts expand to the standard two-phase plan);
+    * the date filter prunes at the scan. A production mart writes one
+    * snapshot per training date with the same projection. */
+  val q120FeatureSnapshot: Q = (s, d) => {
+    import s.implicits._
+    val cutoff = lit("2024-01-21").cast("date")
+    val w7 = lit("2024-01-14").cast("date")
+    Tables.events(s, d)
+      .withColumn("day", $"ts".cast("date"))
+      .filter($"day" < cutoff)
+      .groupBy($"user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct($"day").as("n_active_days"),
+        countDistinct($"event_type").as("n_types"),
+        sum(when($"event_type" === "purchase", 1L).otherwise(0L))
+          .cast("long").as("n_purchases"),
+        datediff(cutoff, max($"day")).cast("long").as("recency_days"),
+        sum($"value".cast("decimal(30,8)")).cast("double")
+          .as("total_value"),
+        sum(when($"day" >= w7, 1L).otherwise(0L)).cast("long")
+          .as("n_events_7d"),
+        coalesce(
+          sum(when($"day" >= w7, $"value".cast("decimal(30,8)")))
+            .cast("double"),
+          lit(0.0)).as("value_7d"))
+  }
+  val o120 = """
+    SELECT user_id, COUNT(*) AS n_events,
+      COUNT(DISTINCT CAST(ts AS DATE)) AS n_active_days,
+      COUNT(DISTINCT event_type) AS n_types,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_purchases,
+      CAST(date_diff('day', MAX(CAST(ts AS DATE)), DATE '2024-01-21')
+        AS BIGINT) AS recency_days,
+      CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE) AS total_value,
+      CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-14'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+      COALESCE(CAST(SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-14'
+        THEN CAST(value AS DECIMAL(30,8)) END) AS DOUBLE), 0.0)
+        AS value_7d
+    FROM events
+    WHERE CAST(ts AS DATE) < DATE '2024-01-21'
+    GROUP BY user_id"""
+
   val queries: Map[String, Q] = Map(
+    "q120_feature_snapshot" -> q120FeatureSnapshot,
     "q77_json_extract" -> q77JsonExtract,
     "q78_sessionize_batch" -> q78SessionizeBatch,
     "q92_funnel" -> q92Funnel,
@@ -313,6 +369,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q120_feature_snapshot" -> o120,
     "q77_json_extract" -> o77,
     "q78_sessionize_batch" -> o78,
     "q92_funnel" -> o92,

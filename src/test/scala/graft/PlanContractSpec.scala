@@ -58,6 +58,22 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("q113: PQ encoding is shuffle-free on the encode path") {
+    // the only exchanges are the single-row codebook build (tiny
+    // SinglePartition agg) and the scan fan-out — the per-vector
+    // encode itself must never hash/range partition
+    val p = plan("q113_pq_encode")
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("q116: quality sampling shuffles only the per-language census") {
+    // one keyed exchange (the groupBy census) and nothing else
+    val p = plan("q116_quality_sample")
+    val keyed = "hashpartitioning".r.findAllIn(p).length
+    assert(keyed == 1, s"expected 1 keyed exchange, plan:\n${p.take(2000)}")
+  }
+
   test("no query plans a cartesian product or unintended broadcast NLJ") {
     // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
     // (constant-size broadcast side); q12's validity-window range join

@@ -43,6 +43,26 @@ class SqlSpec extends AnyFunSuite {
     assert(n == spark.table("documents").count())
   }
 
+  test("fingerprint64/shingles3 natives are callable from SQL") {
+    GraftSql.registerTables(spark, sf)
+    // fingerprint64_native equals the composed fold for every doc
+    val fpMismatch = spark.sql(s"""
+      SELECT count(*) FROM documents
+      WHERE fingerprint64_native(text) <>
+        aggregate(transform(split(text, ' '),
+          t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)),
+          CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)""")
+      .head().getLong(0)
+    assert(fpMismatch == 0L)
+    // shingles3_native: |shingles| = max(tokens - 2, 0) for every doc
+    val shMismatch = spark.sql("""
+      SELECT count(*) FROM documents
+      WHERE size(shingles3_native(text)) <>
+            greatest(size(split(text, ' ')) - 2, 0)""")
+      .head().getLong(0)
+    assert(shMismatch == 0L)
+  }
+
   test("bloom build + probe are callable from SQL (no false negatives)") {
     GraftSql.registerTables(spark, sf)
     spark.sql("""
