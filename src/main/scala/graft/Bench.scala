@@ -45,6 +45,13 @@ object Bench {
         // otherwise sub-second queries late in the alphabet)
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        // Spark's ContextCleaner reclaims dead shuffle files and
+        // broadcasts only when the JVM garbage-collects their handles;
+        // on a 100+-query session the heap never fills enough to
+        // trigger one, so tracking state accumulates and mid-suite
+        // queries measured 3x their solo time. One explicit GC per
+        // query keeps every measurement independent of suite position.
+        System.gc()
         (name, dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

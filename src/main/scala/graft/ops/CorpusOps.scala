@@ -1235,7 +1235,174 @@ object CorpusOps {
     FROM tok JOIN dfc USING (term)
     GROUP BY doc_id"""
 
+  // ---------------------------------------------- survivor election
+  /** Dedup APPLY step: q83 says WHO clusters together; this elects
+    * WHAT SURVIVES. Per near-dup cluster (SimHash CC labels) the
+    * highest-quality member (q51's quality signal; doc_id as the
+    * deterministic tiebreak) becomes the canonical survivor, and every
+    * clustered doc gets a verdict row (canonical_id, is_survivor) —
+    * the mapping a curation pipeline left-joins onto the corpus to
+    * actually drop near-duplicates while keeping the best copy.
+    *
+    * 100 TB design: CC labels shuffle only (doc_id, comp) longs;
+    * quality is an in-row expression joined on doc_id (cannot skew);
+    * the election window partitions by cluster_id, whose partition
+    * size is the CLUSTER size — bounded by LSH-band design, never
+    * corpus-scale — and one window pass yields size, canonical id and
+    * verdict together. */
+  val q121SurvivorElection: Q = (s, d) => {
+    val labels = connectedComponents(DedupOps.q60SimHashPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val qual = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.qualityExpr.as("quality"))
+    val full = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+      .join(qual, Seq("doc_id"))
+      .withColumn("cluster_size", count(lit(1)).over(full).cast("long"))
+      .withColumn("canonical_id", first(col("doc_id")).over(full))
+      .withColumn("is_survivor",
+        when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality"), col("canonical_id"), col("is_survivor"))
+  }
+  val o121: String = s"""
+    WITH RECURSIVE pairs AS (${DedupOps.o60}),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    qual AS (SELECT doc_id, ${TextOps.qualitySql} AS quality
+             FROM documents)
+    SELECT c.doc_id, c.cluster_id,
+      CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+        AS cluster_size,
+      qual.quality,
+      first_value(c.doc_id) OVER (PARTITION BY c.cluster_id
+        ORDER BY qual.quality DESC, c.doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS canonical_id,
+      CAST(CASE WHEN c.doc_id = first_value(c.doc_id)
+        OVER (PARTITION BY c.cluster_id
+          ORDER BY qual.quality DESC, c.doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        THEN 1 ELSE 0 END AS BIGINT) AS is_survivor
+    FROM comp c JOIN qual USING (doc_id)"""
+
+  // ---------------------------------------------- chunk-level dedup
+  /** Chunk-level dedup census — the paragraph-dedup analog (FineWeb
+    * drops duplicated LINES across the corpus; here the unit is q99's
+    * 50-token sliding chunk). Reports, per document, how many of its
+    * chunks also occur elsewhere — documents assembled from widely
+    * repeated passages score high even when no WHOLE-document near-dup
+    * fires (q58/q60 are blind to single recycled paragraphs).
+    *
+    * 100 TB design: chunks are keyed by their 8-byte fingerprint, so
+    * the one exchange shuffles (doc_id, cfp) longs — never chunk text
+    * — and the occurrence census is a window over that key (hot
+    * boilerplate chunks make linear-sized partitions, not join
+    * blowups). The per-doc verdict is a map-side-combined aggregate on
+    * doc_id. */
+  val q122ChunkDedup: Q = (s, d) => {
+    val chunks = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+      .select(col("doc_id"),
+        TextOps.fingerprintOf(array_join(
+          expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"),
+          " ")).as("cfp"))
+    chunks
+      .withColumn("n_occ",
+        count(lit(1)).over(Window.partitionBy(col("cfp"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("n_occ") > 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        col("n_dup_chunks").cast("double")
+          / col("n_chunks").cast("double"))
+  }
+  val o122: String = s"""
+    WITH ch AS (
+      SELECT doc_id,
+        array_to_string(t[chunk_id * $ChunkStride + 1 :
+                          chunk_id * $ChunkStride + $ChunkSize], ' ')
+          AS ctext
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(0, (len(t) - 1) // $ChunkStride))
+                AS chunk_id
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))),
+    fps AS (SELECT doc_id, ${TextOps.fingerprintSqlOf("ctext")} AS cfp
+            FROM ch),
+    wc AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY cfp) AS n_occ
+           FROM fps)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_chunks,
+      CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM wc GROUP BY doc_id"""
+
+  // ------------------------------------- cross-source contamination
+  /** Cross-source contamination matrix: q58's verified Jaccard pairs
+    * joined to each member's `source`, censused by the UNORDERED
+    * source pair — the diagonal is within-feed duplication, the
+    * off-diagonal is the "mirror site" signal that tells an ingest
+    * pipeline which two feeds are republishing each other (and which
+    * one to de-prioritize at crawl time).
+    *
+    * Float parity: mean Jaccard goes through the fixed-point cookbook
+    * — each pair's jaccard is one IEEE division (identical on both
+    * engines), floor(x*1e15) is engine-exact, and the cross-row sum is
+    * pure int64.
+    *
+    * 100 TB design: the pairs side is the bounded near-dup output
+    * (verified candidates, not rows); both enrichment joins are keyed
+    * on doc_id, and the final census map-side combines on a
+    * sources²-bounded key. */
+  val q123SourceContamination: Q = (s, d) => {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    DedupOps.q58JaccardPairs(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        floor(col("jaccard") * lit(1.0e15)).cast("long").as("jfp"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jfp")).cast("long").as("jaccard_fp"))
+      .withColumn("mean_jaccard",
+        col("jaccard_fp").cast("double")
+          / (col("n_pairs").cast("double") * lit(1.0e15)))
+  }
+  val o123: String = s"""
+    WITH jac AS (${DedupOps.o58}),
+    src AS (SELECT doc_id, source FROM documents),
+    m AS (
+      SELECT least(a.source, b.source) AS source_lo,
+             greatest(a.source, b.source) AS source_hi,
+             CAST(floor(j.jaccard * 1.0e15) AS BIGINT) AS jfp
+      FROM jac j JOIN src a ON a.doc_id = j.doc_a
+                 JOIN src b ON b.doc_id = j.doc_b)
+    SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+      CAST(SUM(jfp) AS BIGINT) AS jaccard_fp,
+      CAST(SUM(jfp) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS mean_jaccard
+    FROM m GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "q121_survivor_election" -> q121SurvivorElection,
+    "q122_chunk_dedup" -> q122ChunkDedup,
+    "q123_source_contamination" -> q123SourceContamination,
     "q119_rarity_score" -> q119RarityScore,
     "q118_boilerplate" -> q118BoilerplateCensus,
     "q112_bpe_merges" -> q112BpeMerges,
@@ -1261,6 +1428,9 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q121_survivor_election" -> o121,
+    "q122_chunk_dedup" -> o122,
+    "q123_source_contamination" -> o123,
     "q119_rarity_score" -> o119,
     "q118_boilerplate" -> o118,
     "q112_bpe_merges" -> o112,

@@ -152,10 +152,13 @@ object TextOps {
     * prime — the content key shared by q53, the dedup shuffles in
     * q55/q82, and the incremental-dedup semi-join in q87 (an 8-byte
     * key instead of the full document body). */
-  private[graft] def fingerprintCol: Column = {
+  private[graft] def fingerprintCol: Column = fingerprintOf(col("text"))
+
+  /** [[fingerprintCol]] over an arbitrary string column — q122 keys
+    * chunk-level dedup on the fingerprint of each chunk's text. */
+  private[graft] def fingerprintOf(c: Column): Column = {
     val bridge = org.apache.spark.sql.GraftPlanBridge
-    bridge.column(graft.functions.Fingerprint64(
-      bridge.expression(col("text"))))
+    bridge.column(graft.functions.Fingerprint64(bridge.expression(c)))
   }
 
   /** The composed higher-order spelling of [[fingerprintCol]] — kept
@@ -167,13 +170,16 @@ object TextOps {
       "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
       s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")
 
-  /** DuckDB twin of [[fingerprintCol]] (same left fold, same mod). */
-  private[ops] val fingerprintSql: String = s"""
+  /** DuckDB twin of [[fingerprintOf]] over any string expression. */
+  private[ops] def fingerprintSqlOf(colExpr: String): String = s"""
     list_reduce(
       list_prepend(CAST(0 AS BIGINT),
-        list_transform(string_split(text, ' '),
+        list_transform(string_split($colExpr, ' '),
           t -> CAST(greatest(unicode(t), 0) * 131 + length(t) AS BIGINT))),
       (acc, x) -> (acc * 31 + x) % $MOD)"""
+
+  /** DuckDB twin of [[fingerprintCol]] (same left fold, same mod). */
+  private[ops] val fingerprintSql: String = fingerprintSqlOf("text")
 
   /** Document fingerprinting: a content-defined fingerprint any
     * engine reproduces. */

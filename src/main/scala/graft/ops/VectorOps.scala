@@ -833,7 +833,80 @@ object VectorOps {
     FROM ncand n LEFT JOIN hits h ON h.query_id = n.query_id"""
   }
 
+  // ---------------------------------------------- embedding outliers
+  /** Embedding-space outlier census: every vector's squared distance
+    * to its OWN label centroid, flagged when it exceeds 4× the label's
+    * mean — the standard "does this embedding belong to its class"
+    * screen that catches mislabeled rows, encoder failures, and OCR
+    * garbage before they poison contrastive training. (q102 assigns to
+    * the NEAREST centroid; this audits the GIVEN label.)
+    *
+    * Float parity: centroid means and mean_d2 follow the q102 cookbook
+    * (exact decimal(30,8) sums → one double division); d2 is the same
+    * zip_with fold on both engines; the ratio is a single IEEE
+    * division of identical doubles.
+    *
+    * 100 TB design: centroids and per-label stats are labels-bounded
+    * broadcasts; d2 is in-row codegen'd array math at scan
+    * parallelism; the only exchanges are the two label-keyed censuses
+    * (map-side combined, label cardinality-bounded). */
+  val q124EmbedOutliers: Q = (s, d) => {
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val packed = dims.groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label", expr("transform(pc, x -> x.c)").as("carr"))
+    val dist = Tables.embeddings(s, d)
+      .join(broadcast(packed), Seq("label"))
+      .withColumn("d2", expr(
+        """aggregate(zip_with(embedding, carr, (x, c) ->
+             (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .select($"vec_id", $"label", $"d2")
+    val stats = dist.groupBy($"label")
+      .agg((sum($"d2".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("mean_d2"))
+    dist.join(broadcast(stats), Seq("label"))
+      .withColumn("ratio", $"d2" / $"mean_d2")
+      .withColumn("is_outlier",
+        when($"ratio" > 4.0, 1L).otherwise(0L))
+      .select($"vec_id", $"label", $"d2", $"ratio", $"is_outlier")
+  }
+  val o124: String = """
+    WITH dims AS (
+      SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    cent AS (
+      SELECT label, pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (SELECT label, list(c ORDER BY pos) AS carr
+             FROM cent GROUP BY label),
+    dist AS (
+      SELECT em.vec_id, em.label,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64), i ->
+            (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i])
+              * (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i]))),
+          (acc, x) -> acc + x) AS d2
+      FROM embeddings em JOIN carr ca USING (label)),
+    stats AS (
+      SELECT label,
+        CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+          AS mean_d2
+      FROM dist GROUP BY label)
+    SELECT d.vec_id, d.label, d.d2, d.d2 / s.mean_d2 AS ratio,
+      CAST(CASE WHEN d.d2 / s.mean_d2 > 4.0 THEN 1 ELSE 0 END AS BIGINT)
+        AS is_outlier
+    FROM dist d JOIN stats s USING (label)"""
+
   val queries: Map[String, Q] = Map(
+    "q124_embed_outliers" -> q124EmbedOutliers,
     "q117_ivfpq_search" -> q117IvfPqSearch,
     "q113_pq_encode" -> q113PqEncode,
     "q61_norm_stats" -> q61NormStats,
@@ -847,6 +920,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q124_embed_outliers" -> o124,
     "q117_ivfpq_search" -> o117,
     "q113_pq_encode" -> o113,
     "q84_semantic_dedup" -> o84,

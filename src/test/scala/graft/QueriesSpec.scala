@@ -153,6 +153,64 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 every cluster elects exactly one member as survivor") {
+    val rows = SparkEntry.queries("q121_survivor_election")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val survivors = members.filter(_.getAs[Long]("is_survivor") == 1L)
+      assert(survivors.length == 1, s"cluster $cid: ${survivors.length}")
+      val canon = members.map(_.getAs[Long]("canonical_id")).distinct
+      assert(canon.length == 1 &&
+        members.exists(_.getAs[Long]("doc_id") == canon.head))
+      // the survivor carries the cluster-max quality
+      val best = members.map(_.getAs[Double]("quality")).max
+      assert(survivors.head.getAs[Double]("quality") == best)
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+  }
+
+  test("q122 chunk dedup census is consistent with q99's chunk counts") {
+    val rows = SparkEntry.queries("q122_chunk_dedup")(spark, sf).collect()
+    val totalChunks = rows.map(_.getAs[Long]("n_chunks")).sum
+    assert(totalChunks ==
+      SparkEntry.queries("q99_chunk_docs")(spark, sf).count())
+    rows.foreach { r =>
+      val (n, dup) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"))
+      val frac = r.getAs[Double]("dup_frac")
+      assert(dup <= n && frac >= 0.0 && frac <= 1.0, s"bad row: $r")
+    }
+  }
+
+  test("q123 contamination matrix accounts for every q58 pair once") {
+    val rows = SparkEntry.queries("q123_source_contamination")(spark, sf)
+      .collect()
+    val nPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(nPairs == SparkEntry.queries("q58_jaccard_pairs")(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("source_lo") <= r.getAs[String]("source_hi"))
+      val mj = r.getAs[Double]("mean_jaccard")
+      // q58's verify threshold bounds every pair's jaccard below by 0.5
+      assert(mj >= 0.5 && mj <= 1.0, s"bad row: $r")
+    }
+  }
+
+  test("q124 outlier flags agree with the 4x-mean ratio rule") {
+    val rows = SparkEntry.queries("q124_embed_outliers")(spark, sf).collect()
+    assert(rows.length == Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (ratio, flag) = (r.getAs[Double]("ratio"), r.getAs[Long]("is_outlier"))
+      assert(flag == (if (ratio > 4.0) 1L else 0L), s"bad row: $r")
+      assert(r.getAs[Double]("d2") >= 0.0)
+    }
+    // per label, mean of d2/mean_d2 is 1 by construction
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, g) =>
+      val m = g.map(_.getAs[Double]("ratio")).sum / g.length
+      assert(math.abs(m - 1.0) < 1e-9)
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
