@@ -1399,7 +1399,65 @@ object CorpusOps {
         / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS mean_jaccard
     FROM m GROUP BY 1, 2"""
 
+  // ------------------------------------------------ token-budget cut
+  /** Token budget for [[q125TokenBudget]] — fixed so the oracle SQL is
+    * scale-independent; selects a few hundred docs at every test SF. */
+  private val TokenBudget = 15000L
+
+  /** Token-budget curation: greedily admit documents in quality order
+    * (q51's signal; doc_id tiebreak) until the running token total
+    * reaches the budget — "give me the best N-token corpus" is the
+    * final step of every data-mixture build.
+    *
+    * 100 TB design: the naive spelling is ONE GLOBAL ordered cumsum —
+    * a single-partition window that cannot scale (it is exactly what
+    * the oracle runs). This implementation computes the same result
+    * with a two-level cumulative sum: (1) a quality-bucket histogram
+    * (≤1001 rows: the fixed-point quality's top 3 digits) whose tiny
+    * descending cumsum yields each bucket's token offset, and (2)
+    * per-BUCKET doc-order windows, shifted by the broadcast offsets —
+    * the classic distributed prefix-sum layout, no global sort, no
+    * single-partition shuffle of corpus rows. Quality ordering uses
+    * floor(q*1e15) fixed-point on BOTH engines so the order (and thus
+    * the cut) is engine-exact. */
+  val q125TokenBudget: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        floor(TextOps.qualityExpr * lit(1.0e15)).cast("long").as("qfp"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr("qfp div 1000000000000"))
+    val offsets = base.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btoks"))
+      .withColumn("cum_through",
+        sum(col("btoks")).over(Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bucket"),
+        (col("cum_through") - col("btoks")).as("offset"))
+    val wdoc = Window.partitionBy(col("bucket"))
+      .orderBy(col("qfp").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_tokens",
+        (col("offset") + sum(col("n_tokens")).over(wdoc)).cast("long"))
+      .filter(col("cum_tokens") <= TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"))
+  }
+  val o125: String = s"""
+    WITH b AS (
+      SELECT doc_id,
+        CAST(floor((${TextOps.qualitySql}) * 1.0e15) AS BIGINT) AS qfp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+        SUM(n_tokens) OVER (ORDER BY qfp DESC, doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM b)
+    SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= $TokenBudget"""
+
   val queries: Map[String, Q] = Map(
+    "q125_token_budget" -> q125TokenBudget,
     "q121_survivor_election" -> q121SurvivorElection,
     "q122_chunk_dedup" -> q122ChunkDedup,
     "q123_source_contamination" -> q123SourceContamination,
@@ -1428,6 +1486,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q125_token_budget" -> o125,
     "q121_survivor_election" -> o121,
     "q122_chunk_dedup" -> o122,
     "q123_source_contamination" -> o123,

@@ -905,7 +905,79 @@ object VectorOps {
         AS is_outlier
     FROM dist d JOIN stats s USING (label)"""
 
+  // ---------------------------------------------- contrastive triplets
+  /** Contrastive-triplet mining: per anchor, the nearest same-LSH-
+    * bucket neighbor becomes the POSITIVE (the presumed paraphrase /
+    * augmentation pair) and the runner-up the HARD NEGATIVE — the
+    * semi-hard triplet construction contrastive encoders train on,
+    * with `margin` (pos−neg cosine) as the difficulty signal a
+    * curriculum sampler sorts by. Anchors with fewer than two bucket
+    * peers drop out (no triplet exists).
+    *
+    * 100 TB design: candidates come from the sign-LSH bucket join
+    * (never all-pairs) keyed on the bucket — a shuffle join, no
+    * broadcast growth; per-bucket cost is occupancy², which production
+    * keeps constant by scaling the LSH bit count with log N (here 4
+    * bits for the test corpus). The triplet assembly is ONE grouped
+    * conditional aggregate over the rank≤2 rows — no second join, no
+    * re-shuffle of embeddings. */
+  val q126ContrastiveTriplets: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+      .withColumn("bucket", expr(bucketExpr))
+    val a = e.select($"vec_id".as("anchor_id"), $"embedding".as("a_emb"),
+      $"norm".as("a_norm"), $"bucket")
+    val c = e.select($"vec_id".as("cand_id"), $"embedding".as("c_emb"),
+      $"norm".as("c_norm"), $"bucket")
+    val w = Window.partitionBy($"anchor_id")
+      .orderBy($"cosine".desc, $"cand_id".asc)
+    a.join(c, Seq("bucket"))
+      .filter($"anchor_id" =!= $"cand_id")
+      .withColumn("cosine",
+        expr(dot("a_emb", "c_emb")) / ($"a_norm" * $"c_norm"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 2)
+      .groupBy($"anchor_id")
+      .agg(max(when($"rank" === 1, $"cand_id")).as("pos_id"),
+        max(when($"rank" === 1, $"cosine")).as("pos_cos"),
+        max(when($"rank" === 2, $"cand_id")).as("neg_id"),
+        max(when($"rank" === 2, $"cosine")).as("neg_cos"),
+        count(lit(1)).as("nc"))
+      .filter($"nc" === 2)
+      .withColumn("margin", $"pos_cos" - $"neg_cos")
+      .select($"anchor_id", $"pos_id", $"pos_cos",
+        $"neg_id", $"neg_cos", $"margin")
+  }
+  val o126: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm,
+             $bucketSql AS bucket
+      FROM embeddings),
+    ranked AS (
+      SELECT * FROM (
+        SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+          ${dotSql("a.embedding", "c.embedding")} / (a.norm * c.norm)
+            AS cosine,
+          row_number() OVER (PARTITION BY a.vec_id
+            ORDER BY ${dotSql("a.embedding", "c.embedding")}
+                       / (a.norm * c.norm) DESC,
+                     c.vec_id ASC) AS rank
+        FROM e a JOIN e c ON a.bucket = c.bucket
+         AND a.vec_id <> c.vec_id)
+      WHERE rank <= 2)
+    SELECT anchor_id,
+      MAX(CASE WHEN rank = 1 THEN cand_id END) AS pos_id,
+      MAX(CASE WHEN rank = 1 THEN cosine END) AS pos_cos,
+      MAX(CASE WHEN rank = 2 THEN cand_id END) AS neg_id,
+      MAX(CASE WHEN rank = 2 THEN cosine END) AS neg_cos,
+      MAX(CASE WHEN rank = 1 THEN cosine END)
+        - MAX(CASE WHEN rank = 2 THEN cosine END) AS margin
+    FROM ranked GROUP BY anchor_id HAVING COUNT(*) = 2"""
+
   val queries: Map[String, Q] = Map(
+    "q126_contrastive_triplets" -> q126ContrastiveTriplets,
     "q124_embed_outliers" -> q124EmbedOutliers,
     "q117_ivfpq_search" -> q117IvfPqSearch,
     "q113_pq_encode" -> q113PqEncode,
@@ -920,6 +992,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q126_contrastive_triplets" -> o126,
     "q124_embed_outliers" -> o124,
     "q117_ivfpq_search" -> o117,
     "q113_pq_encode" -> o113,

@@ -211,6 +211,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q125 token budget selects a strict greedy prefix") {
+    val rows = SparkEntry.queries("q125_token_budget")(spark, sf).collect()
+    assert(rows.nonEmpty &&
+      rows.length < Tables.documents(spark, sf).count())
+    val maxCum = rows.map(_.getAs[Long]("cum_tokens")).max
+    assert(maxCum <= 15000L)
+    // a greedy prefix's token sum IS its final cumulative value
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == maxCum)
+    assert(rows.map(_.getAs[Long]("cum_tokens")).distinct.length == rows.length)
+  }
+
+  test("q126 triplets have consistent ids and non-negative margin") {
+    val rows = SparkEntry.queries("q126_contrastive_triplets")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("anchor_id"),
+        r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))
+      assert(a != p && a != n && p != n, s"bad ids: $r")
+      val margin = r.getAs[Double]("margin")
+      assert(margin >= 0.0 &&
+        margin == r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
