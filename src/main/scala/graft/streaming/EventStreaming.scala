@@ -458,6 +458,60 @@ object EventStreaming {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // -------------------------------------------------- online features
+  final case class UserFeatures(user_id: Long, n_events: Long,
+                                n_purchases: Long, total_value: Double,
+                                last_seen: java.sql.Timestamp)
+
+  /** Online feature-store maintenance — the streaming twin of the
+    * batch feature snapshot (EventOps q120). A ValueState row per user
+    * carries the running features; each micro-batch folds its rows in
+    * (ts, event_id) order — data-defined, so replays reproduce the
+    * same fold — and emits ONE updated row per TOUCHED user, the
+    * upsert a feature store ingests. Untouched users emit nothing, so
+    * output volume tracks input, not state size.
+    *
+    * 100 TB design: state is one fixed-size row per user in RocksDB
+    * (point get + put per touched key, no timers, no map scans);
+    * Update output keyed on user_id makes the sink an idempotent
+    * upsert. Trailing-window features (q120's 7-day slice) belong in
+    * the BATCH snapshot read off this state's changelog — keeping an
+    * event buffer per user here would turn O(users) state into
+    * O(events). */
+  final class FeatureProcessor
+      extends StatefulProcessor[Long, Event, UserFeatures] {
+    @transient private var st: ValueState[UserFeatures] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("features",
+        Encoders.product[UserFeatures], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues)
+        : Iterator[UserFeatures] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      var f =
+        if (st.exists()) st.get()
+        else UserFeatures(key, 0L, 0L, 0.0, new java.sql.Timestamp(0L))
+      sorted.foreach { e =>
+        f = UserFeatures(key, f.n_events + 1,
+          f.n_purchases + (if (e.event_type == "purchase") 1L else 0L),
+          f.total_value + e.value,
+          if (e.ts.getTime > f.last_seen.getTime) e.ts else f.last_seen)
+      }
+      st.update(f)
+      Iterator.single(f)
+    }
+  }
+
+  /** [[FeatureProcessor]] wired to a stream: no timers, no watermark
+    * dependency — pure keyed state maintenance in Update mode. */
+  def maintainFeatures(events: Dataset[Event]): Dataset[UserFeatures] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FeatureProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** STREAM-STREAM interval join: each purchase enriched with the same
     * user's signup inside the trailing `lookback` — the streaming
     * attribution join. Both sides carry watermarks and the join

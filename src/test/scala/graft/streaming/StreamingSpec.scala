@@ -320,6 +320,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("online features: per-user state accumulates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    input.addData(
+      EventStreaming.Event(2, ts("2024-01-01 10:05:00"), 1, "purchase", 20.0),
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "click", 10.0),
+      EventStreaming.Event(3, ts("2024-01-01 10:06:00"), 2, "view", 5.0))
+    val q = EventStreaming.maintainFeatures(input.toDS())
+      .writeStream.format("memory").queryName("feat")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("feat").collect()
+        .map(r => r.getAs[Long]("user_id") -> r).toMap
+      // out-of-order rows within the batch fold in ts order
+      assert(b1(1L).getAs[Long]("n_events") == 2 &&
+        b1(1L).getAs[Long]("n_purchases") == 1 &&
+        b1(1L).getAs[Double]("total_value") == 30.0 &&
+        b1(1L).getAs[java.sql.Timestamp]("last_seen") ==
+          ts("2024-01-01 10:05:00"))
+      assert(b1(2L).getAs[Long]("n_events") == 1)
+      // second batch touches only user 1 → exactly one new upsert row
+      input.addData(
+        EventStreaming.Event(4, ts("2024-01-01 11:00:00"), 1, "purchase", 7.5))
+      q.processAllAvailable()
+      val rows = spark.table("feat").collect()
+      assert(rows.length == 3, s"expected 3 upserts, got ${rows.length}")
+      val last = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 3 &&
+        last.getAs[Long]("n_purchases") == 2 &&
+        last.getAs[Double]("total_value") == 37.5 &&
+        last.getAs[java.sql.Timestamp]("last_seen") ==
+          ts("2024-01-01 11:00:00"))
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static snapshot dedup passes only novel fingerprints") {
     val s = spark
     import s.implicits._
