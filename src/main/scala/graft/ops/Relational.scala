@@ -384,7 +384,113 @@ object Relational {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name)"""
 
+  // ------------------------------------------------------ star flagship
+  /** Six-table star join (the TPC-H Q5 "local supplier volume" shape):
+    * fact-fact join on orderkey, customer and supplier enriched with
+    * the SAME-nation constraint, dims broadcast, one year of orders in
+    * one region. The flagship relational plan: both fact joins shuffle
+    * on their join keys; nation/region (25/5 rows) broadcast so the
+    * enrichment never exchanges; the date filter pushes to the orders
+    * scan and the region filter prunes the broadcast side before the
+    * join. Revenue routes through exact decimals (order-independent).
+    *
+    * 100 TB design: lineitem⋈orders is the only big-big join — on a
+    * cluster both sides would be bucketed on orderkey so it is
+    * co-located; customer is the next-largest side and AQE picks
+    * broadcast vs shuffle by measured size. Nothing here scales worse
+    * than the fact table. */
+  val q127StarJoin: Q = (s, d) => {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, d),
+        $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d).filter($"r_name" === "ASIA")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(28,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+  val o127 = """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+    GROUP BY n_name"""
+
+  // ------------------------------------------------------ table profiler
+  /** Profiled lineitem columns: (name, is numeric). Shared by the
+    * Spark plan and the generated oracle so the two cannot drift. */
+  private val ProfileCols: Seq[(String, Boolean)] = Seq(
+    "l_orderkey" -> true, "l_partkey" -> true, "l_suppkey" -> true,
+    "l_linenumber" -> true, "l_quantity" -> true,
+    "l_extendedprice" -> true, "l_discount" -> true, "l_tax" -> true,
+    "l_returnflag" -> false, "l_linestatus" -> false)
+
+  /** Whole-table column profiler: per column, null count, exact
+    * distinct count, and numeric min/max — the first query every data
+    * engineer runs on a new drop, and the health check an ingest
+    * pipeline schedules per partition. ONE aggregate pass computes all
+    * forty measures; the single result row is then unpivoted in-row to
+    * the (column, metric) shape dashboards consume.
+    *
+    * 100 TB design: the scan runs once; the multiple exact distincts
+    * expand the aggregate input ×columns (Spark's expand-based
+    * multi-distinct) — exact by design here because the oracle checks
+    * it; a production profiler at petabyte scale swaps them for HLL
+    * sketches and keeps everything else identical. The final explode
+    * is over one row. */
+  val q128TableProfile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val aggs = ProfileCols.flatMap { case (c, isNum) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__dist"),
+        (if (isNum) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__min"),
+        (if (isNum) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__max"))
+    }
+    val rows = ProfileCols.map { case (c, _) =>
+      s"""named_struct('column_name', '$c',
+            'n_nulls', ${c}__nulls, 'n_distinct', ${c}__dist,
+            'min_num', ${c}__min, 'max_num', ${c}__max)"""
+    }.mkString("array(", ", ", ")")
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(expr(rows)).as("p"))
+      .select(col("p.column_name"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_num"), col("p.max_num"))
+  }
+  val o128: String = ProfileCols.map { case (c, isNum) =>
+    val mn = if (isNum) s"CAST(MIN($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+    val mx = if (isNum) s"CAST(MAX($c) AS DOUBLE)" else "CAST(NULL AS DOUBLE)"
+    s"""SELECT '$c' AS column_name,
+          COUNT(*) - COUNT($c) AS n_nulls,
+          COUNT(DISTINCT $c) AS n_distinct,
+          $mn AS min_num, $mx AS max_num
+        FROM lineitem"""
+  }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, Q] = Map(
+    "q128_table_profile" -> q128TableProfile,
+    "q127_star_join" -> q127StarJoin,
     "q01_agg_pricing" -> q01AggPricing,
     "q02_filter_project" -> q02FilterProject,
     "q03_join_agg" -> q03JoinAgg,
@@ -405,6 +511,8 @@ object Relational {
     "q19_profile" -> q19Profile)
 
   val oracles: Map[String, String] = Map(
+    "q128_table_profile" -> o128,
+    "q127_star_join" -> o127,
     "q01_agg_pricing" -> o01,
     "q02_filter_project" -> o02,
     "q03_join_agg" -> o03,

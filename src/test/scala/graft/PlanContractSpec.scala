@@ -31,6 +31,16 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("PushedFilters: []"), p.take(2000))
   }
 
+  test("q127: dims broadcast, date filter pushed, no cartesian") {
+    val p = plan("q127_star_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // the orders date range must reach the scan, not a post-filter
+    assert(p.contains("o_orderdate"), p.take(2000))
+    assert("PushedFilters: \\[[^\\]]*o_orderdate".r
+      .findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("q89: eval shingle set broadcasts; corpus side never shuffles to it") {
     val p = plan("q89_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))

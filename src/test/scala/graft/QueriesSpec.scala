@@ -236,6 +236,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q128 profiler stats are internally consistent") {
+    val nRows = Tables.lineitem(spark, sf).count()
+    val rows = SparkEntry.queries("q128_table_profile")(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nulls, dist) = (r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))
+      assert(nulls >= 0 && nulls <= nRows && dist <= nRows, s"bad row: $r")
+      if (!r.isNullAt(3))
+        assert(r.getAs[Double]("min_num") <= r.getAs[Double]("max_num"))
+    }
+    val flag = rows.find(_.getAs[String]("column_name") == "l_returnflag").get
+    assert(flag.getAs[Long]("n_distinct") == 3 && flag.isNullAt(3))
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
