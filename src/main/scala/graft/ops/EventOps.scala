@@ -358,7 +358,116 @@ object EventOps {
     WHERE CAST(ts AS DATE) < DATE '2024-01-21'
     GROUP BY user_id"""
 
+  // ------------------------------------------------- winsorization
+  /** Percentile winsorization: clip `value` to its per-event-type
+    * exact [P01, P99] — the standard long-tail guard before a numeric
+    * column feeds model training or z-scored monitoring (one fat-
+    * finger refund otherwise dominates both).
+    *
+    * 100 TB design: the quantile comes from a DISTINCT-VALUE census
+    * (money is discrete cents), so the rank scan is a window over the
+    * per-type value census — bounded by distinct prices, not event
+    * rows; no corpus-scale sort, no sketch approximation. The cut
+    * table (one row per type) broadcasts back onto the event scan.
+    * Everything stays in exact int64 cents; no float compare decides
+    * a clip. */
+  val q129Winsorize: Q = (s, d) => {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"event_type",
+        ($"value".cast("decimal(28,2)") * 100).cast("long").as("cents"))
+    val census = ev.groupBy($"event_type", $"cents")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = census
+      .withColumn("cum", sum($"cnt").over(
+        Window.partitionBy($"event_type").orderBy($"cents".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n",
+        sum($"cnt").over(Window.partitionBy($"event_type")))
+    val cuts = cum.groupBy($"event_type")
+      .agg(min(when($"cum" >= ceil(lit(0.01) * $"n"), $"cents")).as("p01"),
+        min(when($"cum" >= ceil(lit(0.99) * $"n"), $"cents")).as("p99"))
+    ev.join(broadcast(cuts), Seq("event_type"))
+      .withColumn("cents_w", least(greatest($"cents", $"p01"), $"p99"))
+      .select($"event_id", $"event_type", $"cents", $"cents_w",
+        ($"cents" =!= $"cents_w").cast("long").as("clipped"))
+  }
+  val o129 = """
+    WITH ev AS (
+      SELECT event_id, event_type,
+        CAST(CAST(value AS DECIMAL(28,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    census AS (
+      SELECT event_type, cents, COUNT(*) AS cnt FROM ev GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, cents,
+        SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM census),
+    cuts AS (
+      SELECT event_type,
+        MIN(CASE WHEN cum >= ceil(0.01 * n) THEN cents END) AS p01,
+        MIN(CASE WHEN cum >= ceil(0.99 * n) THEN cents END) AS p99
+      FROM cum GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.cents,
+      least(greatest(e.cents, c.p01), c.p99) AS cents_w,
+      CAST(e.cents <> least(greatest(e.cents, c.p01), c.p99) AS BIGINT)
+        AS clipped
+    FROM ev e JOIN cuts c USING (event_type)"""
+
+  // -------------------------------------------- behavior sequences
+  /** Behavior-sequence construction: per session (q78's 30-minute gap
+    * rule), the time-ordered event-type sequence as one string — the
+    * training example a sequence recommender / next-event model
+    * consumes. Ordering is (ts, event_id) — data-defined, so both
+    * engines and every rerun build the identical sequence.
+    *
+    * 100 TB design: one keyed shuffle on user_id feeds both the
+    * session numbering windows and the per-session aggregate (same
+    * key, exchange reused); sequences materialize per SESSION (bounded
+    * by the gap rule), never per user history. */
+  val q130SessionSeq: Q = (s, d) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+    val sess = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(sess))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        array_join(expr(
+          """transform(
+               array_sort(collect_list(named_struct(
+                 't', unix_micros(ts), 'e', event_id, 'et', event_type))),
+               x -> x.et)"""), " ").as("seq"))
+  }
+  val o130 = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS session_id
+      FROM marked)
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
+    FROM numbered GROUP BY user_id, session_id"""
+
   val queries: Map[String, Q] = Map(
+    "q129_winsorize" -> q129Winsorize,
+    "q130_session_seq" -> q130SessionSeq,
     "q120_feature_snapshot" -> q120FeatureSnapshot,
     "q77_json_extract" -> q77JsonExtract,
     "q78_sessionize_batch" -> q78SessionizeBatch,
@@ -369,6 +478,8 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q129_winsorize" -> o129,
+    "q130_session_seq" -> o130,
     "q120_feature_snapshot" -> o120,
     "q77_json_extract" -> o77,
     "q78_sessionize_batch" -> o78,

@@ -250,6 +250,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(flag.getAs[Long]("n_distinct") == 3 && flag.isNullAt(3))
   }
 
+  test("q129 winsorization clips into [p01, p99] and only when outside") {
+    val rows = SparkEntry.queries("q129_winsorize")(spark, sf).collect()
+    assert(rows.length == Tables.events(spark, sf).count())
+    val clipped = rows.count(_.getAs[Long]("clipped") == 1L)
+    // ~2% of rows sit outside [P01, P99] by construction
+    assert(clipped > 0 && clipped < rows.length / 10)
+    rows.foreach { r =>
+      val (c, w) = (r.getAs[Long]("cents"), r.getAs[Long]("cents_w"))
+      assert((r.getAs[Long]("clipped") == 1L) == (c != w), s"bad: $r")
+    }
+  }
+
+  test("q130 sequences have one token per session event") {
+    val rows = SparkEntry.queries("q130_session_seq")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      assert(r.getAs[String]("seq").split(" ").length.toLong == n, s"bad: $r")
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sf).count())
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
