@@ -180,6 +180,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Fingerprint64].getName,
         "fingerprint64_native"),
       (children: Seq[Expression]) => Fingerprint64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_f32_native"),
+      new ExpressionInfo(classOf[DotProduct].getName,
+        "dot_f32_native"),
+      (children: Seq[Expression]) =>
+        DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("l2sq_native"),
+      new ExpressionInfo(classOf[L2Squared].getName,
+        "l2sq_native"),
+      (children: Seq[Expression]) =>
+        L2Squared(children(0), children(1))))
     // Spark ships bloom build/probe expressions for its own runtime
     // row-level filters but does not register them for users; expose
     // them so pipelines can build a compact pre-filter (e.g. the

@@ -22,7 +22,17 @@ object VectorOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Left-fold dot product of two double-cast float arrays. */
+  /** Dot product — the native codegen'd kernel
+    * ([[graft.functions.DotProduct]]); bit-equal to [[dotComposed]]
+    * (same element widening, same left-to-right accumulation), pinned
+    * by an EngineProperties ScalaCheck property. */
   private def dot(a: String, b: String): String =
+    s"dot_f32_native($a, $b)"
+
+  /** The composed higher-order spelling of [[dot]] — kept as the
+    * parity witness (its lambdas run interpreted per element, which is
+    * why the hot paths use the native kernel). */
+  private[ops] def dotComposed(a: String, b: String): String =
     s"""aggregate(
           transform(sequence(1, size($a)), i ->
             CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE)),
@@ -275,10 +285,7 @@ object VectorOps {
       // the (d2 asc, c_label asc) tie-break in one array_min
       .withColumn("assigned", expr(
         """array_min(transform(cents, ct -> named_struct(
-             'd2', aggregate(
-                     zip_with(embedding, ct.carr, (x, c) ->
-                       (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-                     CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+             'd2', l2sq_native(embedding, ct.carr),
              'c_label', ct.c_label))).c_label"""))
       .groupBy($"label", $"assigned")
       .agg(count(lit(1)).as("n_vecs"))
@@ -336,12 +343,9 @@ object VectorOps {
     Tables.embeddings(s, d)
       .join(broadcast(packed), Seq("label"))
       .withColumn("cos_c",
-        expr("""aggregate(zip_with(embedding, carr,
-                  (x, c) -> CAST(x AS DOUBLE) * c),
-                CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")
+        expr("dot_f32_native(embedding, carr)")
           / (sqrt(expr(dot("embedding", "embedding")))
-            * sqrt(expr("""aggregate(transform(carr, x -> x * x),
-                     CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))))
+            * sqrt(expr("dot_f32_native(carr, carr)"))))
       .groupBy($"label")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when($"cos_c" >= 0.25, 1L).otherwise(0L)).cast("long")
@@ -449,11 +453,10 @@ object VectorOps {
     val assigned = Tables.embeddings(s, d)
       .join(broadcast(packed))
       .withColumn("a", expr(
+        // the 64-dim distance fold is the native l2sq kernel; the
+        // outer transform over k centroids stays a (tiny) lambda
         """array_min(transform(cents, ct -> named_struct(
-             'd2', aggregate(
-                     zip_with(embedding, ct.carr, (x, c) ->
-                       (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-                     CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+             'd2', l2sq_native(embedding, ct.carr),
              'c_label', ct.c_label)))"""))
       .select($"vec_id", $"embedding",
         $"a.c_label".as("cell"), $"a.d2".as("d2"))
@@ -474,9 +477,8 @@ object VectorOps {
       .join(newc, Seq("cell"))
       .join(broadcast(packedPer.select($"c_label".as("cell"), $"carr")),
         Seq("cell"))
-      .withColumn("movement", sqrt(expr(
-        """aggregate(zip_with(carr, narr, (o, n) -> (o - n) * (o - n)),
-             CAST(0 AS DOUBLE), (acc, x) -> acc + x)""")))
+      .withColumn("movement",
+        sqrt(expr("l2sq_native(carr, narr)")))
       .select($"cell", $"n_vecs", $"inertia", $"movement")
   }
   val o102: String = s"""
@@ -563,12 +565,8 @@ object VectorOps {
       .withColumn("sub", expr(
         s"""transform(sequence(0, ${PqM - 1}), s ->
               array_min(transform(cb, c -> named_struct(
-                'd2', aggregate(
-                        zip_with(slice(embedding, s * $PqD + 1, $PqD),
-                                 slice(c.cvec, s * $PqD + 1, $PqD),
-                                 (x, y) -> (CAST(x AS DOUBLE) - y)
-                                           * (CAST(x AS DOUBLE) - y)),
-                        CAST(0 AS DOUBLE), (a, v) -> a + v),
+                'd2', l2sq_native(slice(embedding, s * $PqD + 1, $PqD),
+                                  slice(c.cvec, s * $PqD + 1, $PqD)),
                 'code', c.code))))"""))
       .withColumn("err", expr(
         """CAST(aggregate(sub, CAST(0 AS DECIMAL(30,8)),
@@ -663,20 +661,13 @@ object VectorOps {
       .join(broadcast(packed)).join(broadcast(codebook))
       .withColumn("cell", expr(
         """array_min(transform(cents, ct -> named_struct(
-             'd2', aggregate(
-                     zip_with(embedding, ct.carr, (x, c) ->
-                       (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-                     CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+             'd2', l2sq_native(embedding, ct.carr),
              'c_label', ct.c_label))).c_label"""))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${PqM - 1}), s ->
               array_min(transform(cb, c -> named_struct(
-                'd2', aggregate(
-                        zip_with(slice(embedding, s * $PqD + 1, $PqD),
-                                 slice(c.cvec, s * $PqD + 1, $PqD),
-                                 (x, y) -> (CAST(x AS DOUBLE) - y)
-                                           * (CAST(x AS DOUBLE) - y)),
-                        CAST(0 AS DOUBLE), (a, v) -> a + v),
+                'd2', l2sq_native(slice(embedding, s * $PqD + 1, $PqD),
+                                  slice(c.cvec, s * $PqD + 1, $PqD)),
                 'code', c.code))).code)"""))
       .select($"vec_id", $"cell", $"codes")
       .localCheckpoint() // the persisted ANN index of a real pipeline
@@ -688,10 +679,7 @@ object VectorOps {
       .withColumn("probe", explode(expr(
         s"""transform(slice(array_sort(transform(cents, ct ->
               named_struct(
-                'd2', aggregate(
-                        zip_with(q_emb, ct.carr, (x, c) ->
-                          (x - c) * (x - c)),
-                        CAST(0 AS DOUBLE), (acc, v) -> acc + v),
+                'd2', l2sq_native(q_emb, ct.carr),
                 'c_label', ct.c_label))), 1, $NProbe),
             x -> x.c_label)""")))
       .select($"query_id", $"q_emb", $"probe".as("cell"))
@@ -708,13 +696,10 @@ object VectorOps {
       .withColumn("adc", expr(
         s"""CAST(aggregate(
               transform(sequence(0, ${PqM - 1}), s ->
-                aggregate(
-                  zip_with(
-                    slice(q_emb, s * $PqD + 1, $PqD),
-                    slice(element_at(cb, element_at(codes, s + 1) + 1).cvec,
-                          s * $PqD + 1, $PqD),
-                    (x, y) -> (x - y) * (x - y)),
-                  CAST(0 AS DOUBLE), (a, v) -> a + v)),
+                l2sq_native(
+                  slice(q_emb, s * $PqD + 1, $PqD),
+                  slice(element_at(cb, element_at(codes, s + 1) + 1).cvec,
+                        s * $PqD + 1, $PqD))),
               CAST(0 AS DECIMAL(30,8)),
               (a, x) -> CAST(a + CAST(x AS DECIMAL(30,8))
                              AS DECIMAL(30,8))) AS DOUBLE)"""))
@@ -726,9 +711,7 @@ object VectorOps {
       emb.select($"vec_id",
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
         .join(broadcast(qset), $"vec_id" =!= $"query_id")
-        .withColumn("d2", expr(
-          """aggregate(zip_with(emb, q_emb, (x, y) -> (x - y) * (x - y)),
-               CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+        .withColumn("d2", expr("l2sq_native(emb, q_emb)"))
         .select($"query_id", $"vec_id", $"d2"),
       Seq("query_id"), Seq(("d2", false), ("vec_id", false)), AnnK)
     val hits = annTop.select($"query_id", $"vec_id")
@@ -863,10 +846,7 @@ object VectorOps {
       .select($"label", expr("transform(pc, x -> x.c)").as("carr"))
     val dist = Tables.embeddings(s, d)
       .join(broadcast(packed), Seq("label"))
-      .withColumn("d2", expr(
-        """aggregate(zip_with(embedding, carr, (x, c) ->
-             (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
-           CAST(0 AS DOUBLE), (acc, v) -> acc + v)"""))
+      .withColumn("d2", expr("l2sq_native(embedding, carr)"))
       .select($"vec_id", $"label", $"d2")
     val stats = dist.groupBy($"label")
       .agg((sum($"d2".cast("decimal(30,8)")).cast("double")

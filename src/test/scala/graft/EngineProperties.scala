@@ -84,6 +84,52 @@ object EngineProperties extends Properties("engine") {
         shs(graft.ops.DedupOps.withShinglesComposed(df))
     }
 
+  // ------------------------------------------------- vector kernels
+  private val vecPair: Gen[(List[Float], List[Float])] = for {
+    n <- Gen.choose(1, 64)
+    a <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+    b <- Gen.listOfN(n, Gen.chooseNum(-100f, 100f))
+  } yield (a, b)
+
+  property("dot_f32_native == composed HOF fold, any float vectors") =
+    Prop.forAllNoShrink(Gen.listOfN(6, vecPair)) { pairs =>
+      val s = spark
+      import s.implicits._
+      val df = pairs.toDF("a", "b")
+      val got = df.selectExpr("dot_f32_native(a, b) AS d")
+        .collect().map(_.getDouble(0)).toSeq
+      val ref = df.selectExpr(
+        """aggregate(
+             transform(sequence(1, size(a)), i ->
+               CAST(element_at(a, i) AS DOUBLE)
+                 * CAST(element_at(b, i) AS DOUBLE)),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x) AS d""")
+        .collect().map(_.getDouble(0)).toSeq
+      // bit-equal, not approximately equal: same IEEE op sequence
+      got.map(java.lang.Double.doubleToLongBits) ==
+        ref.map(java.lang.Double.doubleToLongBits)
+    }
+
+  property("l2sq_native == zip_with fold, any float/double vectors") =
+    Prop.forAllNoShrink(Gen.listOfN(6, vecPair)) { pairs =>
+      val s = spark
+      import s.implicits._
+      // right side double, mirroring the float-embedding-vs-double-
+      // centroid shape of q102/q124
+      val df = pairs.map { case (a, b) => (a, b.map(_.toDouble)) }
+        .toDF("a", "b")
+      val got = df.selectExpr("l2sq_native(a, b) AS d")
+        .collect().map(_.getDouble(0)).toSeq
+      val ref = df.selectExpr(
+        """aggregate(
+             zip_with(a, b, (x, c) ->
+               (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+             CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d""")
+        .collect().map(_.getDouble(0)).toSeq
+      got.map(java.lang.Double.doubleToLongBits) ==
+        ref.map(java.lang.Double.doubleToLongBits)
+    }
+
   // ----------------------------------------------------------- SCD2
   private val scdState: Gen[(Map[Int, Option[String]],
                              Map[Int, Option[String]])] = {
