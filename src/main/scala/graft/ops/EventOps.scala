@@ -465,7 +465,54 @@ object EventOps {
       string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
     FROM numbered GROUP BY user_id, session_id"""
 
+  // ------------------------------------------- rolling active users
+  /** DAU / trailing-7-day WAU / stickiness per day — the activity
+    * triple on every growth dashboard. The naive spelling is a
+    * per-day COUNT(DISTINCT user) OVER a 7-day RANGE window (what the
+    * oracle runs); engines can't do windowed distincts, and a
+    * self-join-per-window shuffles the fact table 7×.
+    *
+    * 100 TB design: dedup to (user, day) first (map-side combine
+    * collapses the fact table), then each user-day row serves the 7
+    * window ends it belongs to via a sequence explode — a bounded 7×
+    * fanout of the ALREADY-DEDUPED table — and one keyed distinct
+    * aggregate per window end. The explode+equi-join replaces a range
+    * join; the final censuses are day-cardinality-bounded. */
+  val q131RollingActive: Q = (s, d) => {
+    import s.implicits._
+    val userDays = Tables.events(s, d)
+      .select($"user_id", to_date($"ts").as("day")).distinct()
+    val days = userDays.select($"day".as("w_end")).distinct()
+    val wau = userDays
+      .withColumn("w_end",
+        explode(expr("sequence(day, date_add(day, 6))")))
+      .join(days, Seq("w_end"))
+      .groupBy($"w_end".as("day"))
+      .agg(countDistinct($"user_id").as("wau"))
+    val dau = userDays.groupBy($"day")
+      .agg(count(lit(1)).as("dau"))
+    dau.join(wau, Seq("day"))
+      .withColumn("stickiness",
+        $"dau".cast("double") / $"wau".cast("double"))
+      .select($"day".cast("string").as("day"),
+        $"dau", $"wau", $"stickiness")
+  }
+  val o131 = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    days AS (SELECT DISTINCT day AS w_end FROM ud),
+    wau AS (
+      SELECT d.w_end AS day, COUNT(DISTINCT ud.user_id) AS wau
+      FROM ud JOIN days d
+        ON d.w_end >= ud.day AND d.w_end <= ud.day + INTERVAL 6 DAY
+      GROUP BY 1),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1)
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+      CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day"""
+
   val queries: Map[String, Q] = Map(
+    "q131_rolling_active" -> q131RollingActive,
     "q129_winsorize" -> q129Winsorize,
     "q130_session_seq" -> q130SessionSeq,
     "q120_feature_snapshot" -> q120FeatureSnapshot,
@@ -478,6 +525,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q131_rolling_active" -> o131,
     "q129_winsorize" -> o129,
     "q130_session_seq" -> o130,
     "q120_feature_snapshot" -> o120,

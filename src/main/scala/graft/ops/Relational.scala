@@ -488,7 +488,80 @@ object Relational {
         FROM lineitem"""
   }.mkString("\nUNION ALL\n")
 
+  // ------------------------------------------------------ CDC apply
+  /** Change-data-capture apply: last-writer-wins merge of an
+    * insert/update/delete feed onto a snapshot — the batch MERGE INTO
+    * every warehouse sync runs. The feed here derives deterministically
+    * from `orders` (keys ≡0 mod 3 are inserts missing from the
+    * snapshot; ≡0 mod 5 update their price; ≡0 mod 7 are deletes) so
+    * both engines construct the identical scenario, including keys
+    * that receive an update AND a delete (the delete wins by op_seq).
+    *
+    * 100 TB design: snapshot and feed union on the key and ONE window
+    * (partition = key, order = op_seq desc) picks each key's final
+    * row; deletes drop after the pick. No join of snapshot×feed, no
+    * per-op passes — one shuffle keyed on the merge key, the same
+    * layout Delta/Iceberg MERGE compiles to. Money updates route
+    * through decimal(18,2). */
+  val q132CdcApply: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+    val snap = o.filter($"o_orderkey" % 3 =!= 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)").cast("double")
+          .as("price"),
+        lit(0L).as("op_seq"), lit("S").as("op"))
+    val ins = o.filter($"o_orderkey" % 3 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)").cast("double")
+          .as("price"),
+        lit(1L).as("op_seq"), lit("I").as("op"))
+    val upd = o.filter($"o_orderkey" % 3 =!= 0 && $"o_orderkey" % 5 === 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        ($"o_totalprice".cast("decimal(18,2)") + lit(10))
+          .cast("decimal(18,2)").cast("double").as("price"),
+        lit(2L).as("op_seq"), lit("U").as("op"))
+    val del = o.filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", lit(null).cast("string").as("o_orderstatus"),
+        lit(null).cast("double").as("price"),
+        lit(3L).as("op_seq"), lit("D").as("op"))
+    val w = Window.partitionBy($"o_orderkey").orderBy($"op_seq".desc)
+    snap.unionByName(ins).unionByName(upd).unionByName(del)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"op" =!= "D")
+      .select($"o_orderkey", $"o_orderstatus", $"price",
+        $"op".as("last_op"))
+  }
+  val o132 = """
+    WITH o AS (SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+               FROM orders),
+    feed AS (
+      SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price,
+             CAST(0 AS BIGINT) AS op_seq, 'S' AS op
+      FROM o WHERE o_orderkey % 3 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE),
+             CAST(1 AS BIGINT), 'I'
+      FROM o WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(p + 10 AS DECIMAL(18,2)) AS DOUBLE),
+             CAST(2 AS BIGINT), 'U'
+      FROM o WHERE o_orderkey % 3 <> 0 AND o_orderkey % 5 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(NULL AS VARCHAR),
+             CAST(NULL AS DOUBLE), CAST(3 AS BIGINT), 'D'
+      FROM o WHERE o_orderkey % 7 = 0)
+    SELECT o_orderkey, o_orderstatus, price, op AS last_op FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        ORDER BY op_seq DESC) AS rn
+      FROM feed)
+    WHERE rn = 1 AND op <> 'D'"""
+
   val queries: Map[String, Q] = Map(
+    "q132_cdc_apply" -> q132CdcApply,
     "q128_table_profile" -> q128TableProfile,
     "q127_star_join" -> q127StarJoin,
     "q01_agg_pricing" -> q01AggPricing,
@@ -511,6 +584,7 @@ object Relational {
     "q19_profile" -> q19Profile)
 
   val oracles: Map[String, String] = Map(
+    "q132_cdc_apply" -> o132,
     "q128_table_profile" -> o128,
     "q127_star_join" -> o127,
     "q01_agg_pricing" -> o01,

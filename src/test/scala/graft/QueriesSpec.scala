@@ -273,6 +273,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(total == Tables.events(spark, sf).count())
   }
 
+  test("q131 activity metrics: wau >= dau, stickiness in (0, 1]") {
+    val rows = SparkEntry.queries("q131_rolling_active")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      val st = r.getAs[Double]("stickiness")
+      assert(wau >= dau && st > 0.0 && st <= 1.0, s"bad: $r")
+    }
+  }
+
+  test("q132 CDC apply: deletes gone, inserts present, updates win") {
+    val rows = SparkEntry.queries("q132_cdc_apply")(spark, sf).collect()
+    val byKey = rows.map(r => r.getAs[Long]("o_orderkey") -> r).toMap
+    assert(byKey.keySet.forall(_ % 7 != 0), "a deleted key survived")
+    assert(byKey.keySet.exists(k => k % 3 == 0), "no insert landed")
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      val expected =
+        if (k % 3 == 0) "I" else if (k % 5 == 0) "U" else "S"
+      assert(r.getAs[String]("last_op") == expected, s"bad op: $r")
+    }
+    // every surviving key is accounted for: snapshot minus deletes
+    // plus inserts minus deleted inserts
+    val o = Tables.orders(spark, sf).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val want = o.filter(k => k % 7 != 0)
+    assert(byKey.keySet == want)
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->

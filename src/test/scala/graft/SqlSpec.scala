@@ -63,6 +63,24 @@ class SqlSpec extends AnyFunSuite {
     assert(shMismatch == 0L)
   }
 
+  test("dot_f32/l2sq natives are callable from SQL and consistent") {
+    GraftSql.registerTables(spark, sf)
+    // ||x||² ≥ 0 and l2sq(x, x) = 0 for every embedding
+    val bad = spark.sql("""
+      SELECT count(*) FROM embeddings
+      WHERE dot_f32_native(embedding, embedding) < 0
+         OR l2sq_native(embedding, embedding) <> 0.0""")
+      .head().getLong(0)
+    assert(bad == 0L)
+    // cosine self-similarity is exactly 1 for non-zero vectors
+    val cos = spark.sql("""
+      SELECT dot_f32_native(embedding, embedding)
+               / (sqrt(dot_f32_native(embedding, embedding))
+                  * sqrt(dot_f32_native(embedding, embedding))) AS c
+      FROM embeddings LIMIT 5""").collect()
+    cos.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("bloom build + probe are callable from SQL (no false negatives)") {
     GraftSql.registerTables(spark, sf)
     spark.sql("""
