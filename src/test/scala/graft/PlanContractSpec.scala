@@ -41,6 +41,34 @@ class PlanContractSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("q125: the only single-partition stage is the bucket histogram") {
+    // the per-doc cumsum must ride per-bucket windows; exactly one
+    // SinglePartition exchange (the <=1001-row histogram) is allowed
+    val p = plan("q125_token_budget")
+    val single = "Exchange SinglePartition".r.findAllIn(p).length
+    assert(single <= 1, s"extra single-partition stages:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q129: quantile cuts broadcast; events are never globally sorted") {
+    val p = plan("q129_winsorize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("rangepartitioning"), p.take(2000))
+  }
+
+  test("q131: the window fanout join is keyed, never a nested loop") {
+    val p = plan("q131_rolling_active")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q132: CDC merge is one keyed window, no snapshot-feed join") {
+    val p = plan("q132_cdc_apply")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
   test("q89: eval shingle set broadcasts; corpus side never shuffles to it") {
     val p = plan("q89_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
