@@ -66,13 +66,19 @@ private[functions] trait VectorBinary extends BinaryExpression {
   }
   protected def kernel: String // static method on VectorKernelsUtil
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
+                                   ev: ExprCode): ExprCode = {
+    // fresh name per call site: several kernel calls can share one
+    // codegen'd method (q91 issues three in a single projection) and a
+    // fixed name would redeclare, failing javac into the interpreted
+    // fallback
+    val r = ctx.freshName("vecKernelR")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double graftVecR = graft.functions.VectorKernelsUtil
+      java.lang.Double $r = graft.functions.VectorKernelsUtil
         .$kernel($a, $b, ${isF(left)}, ${isF(right)});
-      if (graftVecR == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = graftVecR.doubleValue(); }
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }
     """)
+  }
 }
 
 /** `dot_f32_native(array, array)` → double. */
