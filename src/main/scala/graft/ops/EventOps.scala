@@ -511,7 +511,38 @@ object EventOps {
       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
     FROM dau JOIN wau ON dau.day = wau.day"""
 
+  // ------------------------------------------------------ cube mart
+  /** Multi-granularity cube mart: all four (event_type × day)
+    * grouping combinations — detail, per-type, per-day, grand total —
+    * in ONE aggregation pass with `grouping_id` tagging which level a
+    * row belongs to. This is how a reporting layer serves every
+    * drill-down from a single materialization instead of four queries
+    * (q09's pivot+TOTAL is the 2-level special case).
+    *
+    * 100 TB design: Spark expands the input ×4 grouping sets and
+    * map-side combines each — one shuffle keyed on (gid, keys); no
+    * re-scan per level. Money through exact decimal cents. */
+  val q133CubeMart: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("day", to_date($"ts").cast("string"))
+      .cube($"event_type", $"day")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"value".cast("decimal(28,2)")) * 100).cast("long")
+          .as("cents"),
+        grouping_id().cast("long").as("gid"))
+  }
+  val o133 = """
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents,
+      CAST(GROUPING(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+        AS BIGINT) AS gid
+    FROM events
+    GROUP BY CUBE(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))"""
+
   val queries: Map[String, Q] = Map(
+    "q133_cube_mart" -> q133CubeMart,
     "q131_rolling_active" -> q131RollingActive,
     "q129_winsorize" -> q129Winsorize,
     "q130_session_seq" -> q130SessionSeq,
@@ -525,6 +556,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q133_cube_mart" -> o133,
     "q131_rolling_active" -> o131,
     "q129_winsorize" -> o129,
     "q130_session_seq" -> o130,

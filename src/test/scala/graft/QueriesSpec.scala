@@ -302,6 +302,21 @@ class QueriesSpec extends AnyFunSuite {
     assert(byKey.keySet == want)
   }
 
+  test("q133 cube levels are mutually consistent") {
+    val rows = SparkEntry.queries("q133_cube_mart")(spark, sf).collect()
+    def level(g: Long) = rows.filter(_.getAs[Long]("gid") == g)
+    val total = level(3L)
+    assert(total.length == 1)
+    val n = total.head.getAs[Long]("n_events")
+    // every partial level re-sums to the grand total
+    assert(level(0L).map(_.getAs[Long]("n_events")).sum == n)
+    assert(level(1L).map(_.getAs[Long]("n_events")).sum == n)
+    assert(level(2L).map(_.getAs[Long]("n_events")).sum == n)
+    assert(n == Tables.events(spark, sf).count())
+    val cents = total.head.getAs[Long]("cents")
+    assert(level(0L).map(_.getAs[Long]("cents")).sum == cents)
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
