@@ -1456,7 +1456,68 @@ object CorpusOps {
     SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
     FROM c WHERE cum <= $TokenBudget"""
 
+  // ------------------------------------------------ bigram fluency
+  /** Bigram-fluency scoring: per document, the mean corpus conditional
+    * probability P(w₂|w₁) over its bigrams — word-salad text strings
+    * together rare transitions and scores near 0, formulaic boilerplate
+    * near 1. The bigram twin of q119's unigram rarity, and the
+    * log-free spelling of an LM perplexity filter (each P is ONE IEEE
+    * division, fixed-pointed — no cross-engine `ln` drift to manage).
+    *
+    * 100 TB design: conditional probabilities attach census-to-census
+    * first (bigram census ⋈ first-word census, both vocabulary-sized
+    * and map-side combined), so corpus occurrences take exactly ONE
+    * keyed join on (w1, w2) — the hot-bigram key produces linear
+    * rows, never a census re-aggregation per occurrence. */
+  val q134BigramFluency: Q = (s, d) => {
+    val occ = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(t) - 1), i ->
+             named_struct('w1', element_at(t, i),
+                          'w2', element_at(t, i + 1)))""")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigrams = occ.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val firsts = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"))
+    val probs = bigrams.join(firsts, Seq("w1"))
+      .withColumn("p_fp",
+        floor((col("c2").cast("double") / col("c1").cast("double"))
+          * lit(1.0e15)).cast("long"))
+      .select(col("w1"), col("w2"), col("p_fp"))
+    occ.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_fp")).cast("long").as("fluency_fp"))
+      .withColumn("fluency",
+        col("fluency_fp").cast("double")
+          / (col("n_bigrams").cast("double") * lit(1.0e15)))
+  }
+  val o134: String = """
+    WITH occ AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t,
+              unnest(generate_series(1, len(t) - 1)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))),
+    bigrams AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM occ GROUP BY 1, 2),
+    firsts AS (SELECT w1, SUM(c2) AS c1 FROM bigrams GROUP BY 1),
+    probs AS (
+      SELECT w1, w2,
+        CAST(floor((CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1.0e15)
+          AS BIGINT) AS p_fp
+      FROM bigrams JOIN firsts USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+      CAST(SUM(p_fp) AS BIGINT) AS fluency_fp,
+      CAST(SUM(p_fp) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS fluency
+    FROM occ JOIN probs USING (w1, w2)
+    GROUP BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "q134_bigram_fluency" -> q134BigramFluency,
     "q125_token_budget" -> q125TokenBudget,
     "q121_survivor_election" -> q121SurvivorElection,
     "q122_chunk_dedup" -> q122ChunkDedup,
@@ -1486,6 +1547,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q134_bigram_fluency" -> o134,
     "q125_token_budget" -> o125,
     "q121_survivor_election" -> o121,
     "q122_chunk_dedup" -> o122,

@@ -560,7 +560,73 @@ object Relational {
       FROM feed)
     WHERE rn = 1 AND op <> 'D'"""
 
+  // ------------------------------------------------- skew diagnostic
+  /** Join-key skew diagnostic over lineitem's orderkey — the "measure
+    * before you salt" ops report (q79 is the salting cure; this is the
+    * diagnosis): key cardinality, max/mean/p99 rows-per-key and the
+    * skew ratio a shuffle planner alerts on.
+    *
+    * 100 TB design: the per-key census map-side combines; p99 comes
+    * from a COUNT-OF-COUNTS census (distinct per-key sizes, a tiny
+    * second census) via the q129 rank trick — no sort of the key
+    * census, no percentile_approx (not cross-engine reproducible).
+    * Output is one row. */
+  val q135SkewDiagnostic: Q = (s, d) => {
+    import s.implicits._
+    val perKey = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+    val sizes = perKey.groupBy($"n").agg(count(lit(1)).as("freq"))
+    val cum = sizes
+      .withColumn("cum", sum($"freq").over(
+        Window.orderBy($"n".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"freq").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val p99 = cum
+      .agg(min(when($"cum" >= ceil(lit(0.99) * $"total"), $"n"))
+        .as("p99_rows_per_key"))
+    perKey.agg(
+        count(lit(1)).as("n_keys"),
+        sum($"n").cast("long").as("n_rows"),
+        max($"n").as("max_rows_per_key"))
+      .crossJoin(p99)
+      .withColumn("mean_rows_per_key",
+        $"n_rows".cast("double") / $"n_keys".cast("double"))
+      .withColumn("skew_ratio",
+        $"max_rows_per_key".cast("double")
+          / ($"n_rows".cast("double") / $"n_keys".cast("double")))
+      .select($"n_keys", $"n_rows", $"max_rows_per_key",
+        $"p99_rows_per_key", $"mean_rows_per_key", $"skew_ratio")
+  }
+  val o135 = """
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+    sizes AS (SELECT n, COUNT(*) AS freq FROM per_key GROUP BY 1),
+    cum AS (
+      SELECT n,
+        SUM(freq) OVER (ORDER BY n ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(freq) OVER () AS total
+      FROM sizes),
+    p99 AS (
+      SELECT MIN(CASE WHEN cum >= ceil(0.99 * total) THEN n END)
+        AS p99_rows_per_key
+      FROM cum)
+    SELECT COUNT(*) AS n_keys,
+      CAST(SUM(n) AS BIGINT) AS n_rows,
+      MAX(n) AS max_rows_per_key,
+      p99.p99_rows_per_key,
+      CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        AS mean_rows_per_key,
+      CAST(MAX(n) AS DOUBLE)
+        / (CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        AS skew_ratio
+    FROM per_key, p99
+    GROUP BY p99.p99_rows_per_key"""
+
   val queries: Map[String, Q] = Map(
+    "q135_skew_diagnostic" -> q135SkewDiagnostic,
     "q132_cdc_apply" -> q132CdcApply,
     "q128_table_profile" -> q128TableProfile,
     "q127_star_join" -> q127StarJoin,
@@ -584,6 +650,7 @@ object Relational {
     "q19_profile" -> q19Profile)
 
   val oracles: Map[String, String] = Map(
+    "q135_skew_diagnostic" -> o135,
     "q132_cdc_apply" -> o132,
     "q128_table_profile" -> o128,
     "q127_star_join" -> o127,

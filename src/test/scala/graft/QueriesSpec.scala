@@ -317,6 +317,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(level(0L).map(_.getAs[Long]("cents")).sum == cents)
   }
 
+  test("q134 fluency is a bounded mean of conditional probabilities") {
+    val rows = SparkEntry.queries("q134_bigram_fluency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = r.getAs[Double]("fluency")
+      assert(f > 0.0 && f <= 1.0, s"bad: $r")
+      // a doc with t tokens has t-1 bigrams
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
+  test("q135 skew diagnostic is internally consistent") {
+    val r = SparkEntry.queries("q135_skew_diagnostic")(spark, sf)
+      .collect().head
+    val (keys, rows) = (r.getAs[Long]("n_keys"), r.getAs[Long]("n_rows"))
+    assert(rows == Tables.lineitem(spark, sf).count())
+    val (mx, p99) = (r.getAs[Long]("max_rows_per_key"),
+      r.getAs[Long]("p99_rows_per_key"))
+    assert(mx >= p99 && p99 >= 1 && keys <= rows)
+    assert(r.getAs[Double]("skew_ratio") >= 1.0)
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
