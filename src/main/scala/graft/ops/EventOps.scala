@@ -541,7 +541,92 @@ object EventOps {
     FROM events
     GROUP BY CUBE(event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))"""
 
+  // ---------------------------------------------- type co-occurrence
+  /** Session co-occurrence matrix with lift — the market-basket census
+    * behind "users who X also Y" features and recommendation priors:
+    * for every unordered event-type pair, in how many sessions (q78's
+    * 30-minute rule) both occur, and the lift vs independence.
+    *
+    * 100 TB design: sessions reduce to their DISTINCT type set first
+    * (bounded by |types|, not session length), pairs generate IN-ROW
+    * from the sorted set (q58's posting-list trick — no self-join of
+    * the session table), and the final censuses are types²-bounded.
+    * Lift divides exact integer counts in one identical expression on
+    * both engines. */
+  val q137TypeCooccurrence: Q = (s, d) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"event_id")
+    val sess = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val st = Tables.events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(sess))
+      .select($"user_id", $"session_id", $"event_type").distinct()
+    val sets = st.groupBy($"user_id", $"session_id")
+      .agg(array_sort(collect_set($"event_type")).as("types"))
+      .localCheckpoint() // feeds totals, marginals AND pairs
+    val nSessions = sets.count()
+    val marg = sets
+      .select(explode($"types").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("n_t"))
+    val pairs = sets
+      .filter(size($"types") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(types) - 1), i ->
+             transform(slice(types, i + 1, size(types) - i), x ->
+               named_struct('a', element_at(types, i), 'b', x))))"""))
+        .as("p"))
+      .groupBy($"p.a".as("type_a"), $"p.b".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select($"t".as("type_a"), $"n_t".as("na"))),
+        Seq("type_a"))
+      .join(broadcast(marg.select($"t".as("type_b"), $"n_t".as("nb"))),
+        Seq("type_b"))
+      .withColumn("lift",
+        $"n_both".cast("double") * lit(nSessions).cast("double")
+          / ($"na".cast("double") * $"nb".cast("double")))
+      .select($"type_a", $"type_b", $"n_both", $"lift")
+  }
+  val o137 = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        AS session_id
+      FROM marked),
+    st AS (SELECT DISTINCT user_id, session_id, event_type
+           FROM numbered),
+    tot AS (SELECT COUNT(*) AS n FROM
+             (SELECT DISTINCT user_id, session_id FROM st)),
+    marg AS (SELECT event_type AS t, COUNT(*) AS n_t FROM st GROUP BY 1),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+       AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_both,
+      CAST(n_both AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        / (CAST(ma.n_t AS DOUBLE) * CAST(mb.n_t AS DOUBLE)) AS lift
+    FROM pairs, tot
+    JOIN marg ma ON ma.t = type_a
+    JOIN marg mb ON mb.t = type_b"""
+
   val queries: Map[String, Q] = Map(
+    "q137_type_cooccurrence" -> q137TypeCooccurrence,
     "q133_cube_mart" -> q133CubeMart,
     "q131_rolling_active" -> q131RollingActive,
     "q129_winsorize" -> q129Winsorize,
@@ -556,6 +641,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q137_type_cooccurrence" -> o137,
     "q133_cube_mart" -> o133,
     "q131_rolling_active" -> o131,
     "q129_winsorize" -> o129,

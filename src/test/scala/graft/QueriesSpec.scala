@@ -339,6 +339,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(r.getAs[Double]("skew_ratio") >= 1.0)
   }
 
+  test("q137 co-occurrence pairs are ordered and counts bounded") {
+    val rows = SparkEntry.queries("q137_type_cooccurrence")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val sessions = SparkEntry.queries("q130_session_seq")(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getAs[String]("type_a") < r.getAs[String]("type_b"))
+      assert(r.getAs[Long]("n_both") <= sessions)
+      assert(r.getAs[Double]("lift") > 0.0)
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
