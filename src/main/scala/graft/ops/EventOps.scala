@@ -625,7 +625,118 @@ object EventOps {
     JOIN marg ma ON ma.t = type_a
     JOIN marg mb ON mb.t = type_b"""
 
+  // ------------------------------------------- retention triangle
+  /** Full cohort-retention triangle: per (first-active week, weeks
+    * since), distinct retained users and the retention percentage —
+    * the complete grid behind every retention chart (q93 is its
+    * d1/w2 two-column slice).
+    *
+    * 100 TB design: activity reduces to DISTINCT (user, week) before
+    * anything else (the fact-table collapse); the cohort join is
+    * keyed on user_id; the triangle census is weeks²-bounded. */
+  val q138RetentionTriangle: Q = (s, d) => {
+    import s.implicits._
+    val weeks = Tables.events(s, d)
+      .select($"user_id",
+        date_trunc("week", $"ts").cast("date").as("week")).distinct()
+    val cohort = weeks.groupBy($"user_id")
+      .agg(min($"week").as("cohort_week"))
+    val sizes = cohort.groupBy($"cohort_week")
+      .agg(count(lit(1)).as("cohort_size"))
+    weeks.join(cohort, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff($"week", $"cohort_week") / 7).cast("long"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(countDistinct($"user_id").as("n_active"))
+      .join(sizes, Seq("cohort_week"))
+      .withColumn("retention_pct",
+        $"n_active".cast("double") * 100.0
+          / $"cohort_size".cast("double"))
+      .select(date_format($"cohort_week", "yyyy-MM-dd").as("cohort_week"),
+        $"week_offset", $"cohort_size", $"n_active", $"retention_pct")
+  }
+  val o138 = """
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+        CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY 1),
+    sizes AS (
+      SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1),
+    tri AS (
+      SELECT c.cohort_week,
+        CAST(date_diff('day', c.cohort_week, w.week) // 7 AS BIGINT)
+          AS week_offset,
+        COUNT(DISTINCT w.user_id) AS n_active
+      FROM weeks w JOIN cohort c USING (user_id)
+      GROUP BY 1, 2)
+    SELECT strftime(t.cohort_week, '%Y-%m-%d') AS cohort_week,
+      t.week_offset, s.cohort_size, t.n_active,
+      CAST(t.n_active AS DOUBLE) * 100.0 / CAST(s.cohort_size AS DOUBLE)
+        AS retention_pct
+    FROM tri t JOIN sizes s USING (cohort_week)"""
+
+  // ------------------------------------------------ sweep-line backlog
+  /** Open-order backlog per day — how many orders are placed but not
+    * yet fully shipped on each calendar day — via the SWEEP-LINE
+    * spelling: each order contributes a +1 event at placement and a
+    * −1 after its last shipment, and a running sum over the daily
+    * event census is the backlog. The naive spelling is a per-day
+    * range join (`day BETWEEN start AND end`) that explodes
+    * days×orders; the sweep line shuffles two rows per order and
+    * windows over the DAY census (calendar-bounded).
+    *
+    * 100 TB design: the order-interval build is one keyed agg on
+    * orderkey; deltas census map-side combines to one row per
+    * (day, ±); the running sum's global window rides the tiny daily
+    * census, never order rows. */
+  val q139BacklogSweep: Q = (s, d) => {
+    import s.implicits._
+    val iv = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(max($"l_shipdate".cast("date")).as("last_ship"))
+      .join(Tables.orders(s, d)
+        .select($"o_orderkey".as("l_orderkey"),
+          $"o_orderdate".cast("date").as("placed")),
+        Seq("l_orderkey"))
+    val deltas = iv.select($"placed".as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select(date_add($"last_ship", 1).as("day"),
+        lit(-1L).as("delta")))
+      .groupBy($"day").agg(sum($"delta").as("net"))
+    deltas
+      .withColumn("backlog", sum($"net").over(
+        Window.orderBy($"day".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .filter($"backlog" > 0 || $"net" =!= 0)
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"net".cast("long").as("net"), $"backlog")
+  }
+  val o139 = """
+    WITH iv AS (
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS placed,
+             MAX(CAST(l.l_shipdate AS DATE)) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2),
+    deltas AS (
+      SELECT day, CAST(SUM(delta) AS BIGINT) AS net FROM (
+        SELECT placed AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT last_ship + INTERVAL 1 DAY, -1 FROM iv)
+      GROUP BY day),
+    run AS (
+      SELECT day, net,
+        CAST(SUM(net) OVER (ORDER BY day ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS backlog
+      FROM deltas)
+    SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day, net, backlog
+    FROM run WHERE backlog > 0 OR net <> 0"""
+
   val queries: Map[String, Q] = Map(
+    "q138_retention_triangle" -> q138RetentionTriangle,
+    "q139_backlog_sweep" -> q139BacklogSweep,
     "q137_type_cooccurrence" -> q137TypeCooccurrence,
     "q133_cube_mart" -> q133CubeMart,
     "q131_rolling_active" -> q131RollingActive,
@@ -641,6 +752,8 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q138_retention_triangle" -> o138,
+    "q139_backlog_sweep" -> o139,
     "q137_type_cooccurrence" -> o137,
     "q133_cube_mart" -> o133,
     "q131_rolling_active" -> o131,

@@ -351,6 +351,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q138 retention triangle: offset 0 retains the whole cohort") {
+    val rows = SparkEntry.queries("q138_retention_triangle")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (size, active) = (r.getAs[Long]("cohort_size"),
+        r.getAs[Long]("n_active"))
+      assert(active <= size && r.getAs[Long]("week_offset") >= 0)
+      if (r.getAs[Long]("week_offset") == 0L)
+        assert(active == size, s"cohort week must be fully active: $r")
+    }
+  }
+
+  test("q139 backlog sweep: running sum ends at zero and never dips") {
+    val rows = SparkEntry.queries("q139_backlog_sweep")(spark, sf)
+      .collect().sortBy(_.getAs[String]("day"))
+    assert(rows.nonEmpty)
+    assert(rows.last.getAs[Long]("backlog") == 0L,
+      "every placed order eventually ships")
+    assert(rows.map(_.getAs[Long]("net")).sum == 0L)
+    rows.foreach(r => assert(r.getAs[Long]("backlog") >= 0L, s"bad: $r"))
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
