@@ -734,7 +734,46 @@ object EventOps {
     SELECT strftime(CAST(day AS DATE), '%Y-%m-%d') AS day, net, backlog
     FROM run WHERE backlog > 0 OR net <> 0"""
 
+  // ------------------------------------------- incremental mart merge
+  /** Incremental aggregation maintenance: yesterday's pre-aggregated
+    * mart plus today's delta partition re-aggregate into the updated
+    * mart — the algebra every incremental ETL relies on (counts and
+    * exact decimal cents are decomposable; averages are not, which is
+    * why the mart stores the sum/count parts). The ORACLE is the full
+    * recompute over all events, so the check proves the partial-merge
+    * algebra is exactly lossless, not just close.
+    *
+    * 100 TB design: only the delta partition is scanned at run time
+    * (the state side is a mart read); the merge shuffles mart-grain
+    * rows, never raw events. */
+  val q141IncrementalMart: Q = (s, d) => {
+    import s.implicits._
+    val cutoff = lit("2024-01-21").cast("date")
+    def mart(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"value".cast("decimal(28,2)")) * 100).cast("long")
+          .as("cents"))
+    val state = mart(Tables.events(s, d)
+      .filter(to_date($"ts") < cutoff)) // stands in for the stored mart
+    val delta = mart(Tables.events(s, d)
+      .filter(to_date($"ts") >= cutoff))
+    state.unionByName(delta)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"n_events").cast("long").as("n_events"),
+        sum($"cents").cast("long").as("cents"))
+      .select($"event_type", $"day".cast("string").as("day"),
+        $"n_events", $"cents")
+  }
+  val o141 = """
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT) AS cents
+    FROM events
+    GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
+    "q141_incremental_mart" -> q141IncrementalMart,
     "q138_retention_triangle" -> q138RetentionTriangle,
     "q139_backlog_sweep" -> q139BacklogSweep,
     "q137_type_cooccurrence" -> q137TypeCooccurrence,
@@ -752,6 +791,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q141_incremental_mart" -> o141,
     "q138_retention_triangle" -> o138,
     "q139_backlog_sweep" -> o139,
     "q137_type_cooccurrence" -> o137,

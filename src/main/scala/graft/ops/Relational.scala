@@ -625,7 +625,67 @@ object Relational {
     FROM per_key, p99
     GROUP BY p99.p99_rows_per_key"""
 
+  // ---------------------------------------------------- FK audit
+  /** Referential-integrity audit: orphan counts along the fact-to-dim
+    * chain (lineitem→orders→customer→nation) — the first gate of any
+    * warehouse load, and the census a migration runs on both sides.
+    *
+    * 100 TB design: each orphan check is one LEFT ANTI join keyed on
+    * the FK (broadcast when the parent is a dim); counts collapse to
+    * a 4-row report. */
+  val q140FkAudit: Q = (s, d) => {
+    import s.implicits._
+    def audit(name: String, child: org.apache.spark.sql.DataFrame,
+              childKey: String, parent: org.apache.spark.sql.DataFrame,
+              parentKey: String, bcast: Boolean) = {
+      val p = parent.select(col(parentKey).as(childKey)).distinct()
+      val orphans = child
+        .join(if (bcast) broadcast(p) else p, Seq(childKey), "left_anti")
+        .count()
+      (name, child.count(), orphans)
+    }
+    val rows = Seq(
+      audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", bcast = false),
+      audit("orders->customer", Tables.orders(s, d)
+          .withColumnRenamed("o_custkey", "c_custkey"), "c_custkey",
+        Tables.customer(s, d), "c_custkey", bcast = false),
+      audit("customer->nation", Tables.customer(s, d)
+          .withColumnRenamed("c_nationkey", "n_nationkey"), "n_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true),
+      audit("supplier->nation", Tables.supplier(s, d)
+          .withColumnRenamed("s_nationkey", "n_nationkey"), "n_nationkey",
+        Tables.nation(s, d), "n_nationkey", bcast = true))
+    import s.implicits._
+    rows.toDF("fk", "n_rows", "n_orphans")
+      .withColumn("n_rows", $"n_rows".cast("long"))
+      .withColumn("n_orphans", $"n_orphans".cast("long"))
+  }
+  val o140 = """
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*),
+      CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*),
+      CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', COUNT(*),
+      CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+      ON s.s_nationkey = n.n_nationkey"""
+
   val queries: Map[String, Q] = Map(
+    "q140_fk_audit" -> q140FkAudit,
     "q135_skew_diagnostic" -> q135SkewDiagnostic,
     "q132_cdc_apply" -> q132CdcApply,
     "q128_table_profile" -> q128TableProfile,
@@ -650,6 +710,7 @@ object Relational {
     "q19_profile" -> q19Profile)
 
   val oracles: Map[String, String] = Map(
+    "q140_fk_audit" -> o140,
     "q135_skew_diagnostic" -> o135,
     "q132_cdc_apply" -> o132,
     "q128_table_profile" -> o128,

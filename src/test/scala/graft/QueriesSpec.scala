@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** End-to-end smoke + targeted assertions for every SparkEntry query at
@@ -372,6 +373,30 @@ class QueriesSpec extends AnyFunSuite {
       "every placed order eventually ships")
     assert(rows.map(_.getAs[Long]("net")).sum == 0L)
     rows.foreach(r => assert(r.getAs[Long]("backlog") >= 0L, s"bad: $r"))
+  }
+
+  test("q140 FK audit rows cover the chain with sane counts") {
+    val rows = SparkEntry.queries("q140_fk_audit")(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_orphans") <= r.getAs[Long]("n_rows"))
+    }
+    val li = rows.find(_.getAs[String]("fk") == "lineitem->orders").get
+    assert(li.getAs[Long]("n_rows") == Tables.lineitem(spark, sf).count())
+  }
+
+  test("q141 incremental merge equals the full recompute") {
+    val inc = SparkEntry.queries("q141_incremental_mart")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("cents"))).toMap
+    val full = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).cast("string").as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(28,2)")) * 100).cast("long")
+          .as("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("cents"))).toMap
+    assert(inc == full)
   }
 
   test("q21 parse-money truth table matches expectations in-engine") {
