@@ -36,6 +36,10 @@ object TextOps {
     (nStop / nTok) * 0.5 + lenScore * 0.5
   }
 
+  /** [[qualityExpr]] for callers outside the ops package (the
+    * streaming quality router shares the batch gate's exact signal). */
+  private[graft] def qualityCol: Column = qualityExpr
+
   /** DuckDB twin of [[qualityExpr]] — same operand order so every
     * IEEE operation matches bit-for-bit. */
   private[ops] val qualitySql: String =

@@ -81,6 +81,37 @@ object CorpusStreaming {
                                     batchId: Long): Unit =
     batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
 
+  /** Quality-gated stream ROUTING: every micro-batch splits into an
+    * accept path and a quarantine path (q51's quality signal at the
+    * same threshold as the batch curation gate q82), each written to
+    * its own idempotent batch-id directory — the streaming curation
+    * gate that keeps rejected documents INSPECTABLE instead of
+    * silently dropped (reviewers mine the quarantine for
+    * false-positive filter kills before tightening a threshold).
+    *
+    * 100 TB design: one foreachBatch evaluates the in-row quality
+    * expression once per document; the split is two filters over the
+    * SAME cached batch (no second scan of the source), and both sinks
+    * inherit replay idempotence from the batch-id layout. */
+  def routeByQuality(docs: DataFrame, acceptDir: String,
+                     quarantineDir: String, checkpointDir: String,
+                     minQuality: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = batch
+          .withColumn("quality", graft.ops.TextOps.qualityCol)
+          .persist()
+        try {
+          writeBatch(scored.filter(col("quality") >= minQuality),
+            acceptDir, batchId)
+          writeBatch(scored.filter(col("quality") < minQuality),
+            quarantineDir, batchId)
+        } finally scored.unpersist()
+      }
+      .start()
+
   /** Per-source intake census over the deduped stream: docs admitted
     * per (window, source) — the monitoring mart an intake pipeline
     * alerts on when a source's novel-document rate collapses (all

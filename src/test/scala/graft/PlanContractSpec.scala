@@ -118,7 +118,7 @@ class PlanContractSpec extends AnyFunSuite {
     // is non-equi with a broadcast dimension (the intended range-join
     // plan); q65/q84/q90/q91/q96/q102 cross-join a SINGLE broadcast
     // row (packed centroids / totals) by construction
-    // q18/q92 cross-join one-row aggregates (census scalars);
+    // q18/q92/q135 cross-join one-row aggregates (census scalars);
     // q113 cross-joins the single packed-codebook broadcast row;
     // q117 composes those single-row broadcasts plus q62's
     // constant-size ground-truth query broadcast
@@ -126,7 +126,8 @@ class PlanContractSpec extends AnyFunSuite {
       "q65_ivf_assign", "q84_semantic_dedup", "q90_mixture_weights",
       "q91_semdedup_centroid", "q96_length_histogram",
       "q18_qa_summary", "q92_funnel", "q102_lloyd_step",
-      "q113_pq_encode", "q117_ivfpq_search")
+      "q113_pq_encode", "q117_ivfpq_search",
+      "q135_skew_diagnostic")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -426,6 +426,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quality router splits accept/quarantine at the batch threshold") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val acc = java.nio.file.Files.createTempDirectory("route_acc").toString
+    val quar = java.nio.file.Files.createTempDirectory("route_quar").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("route_ckpt").toString
+    // long stopword-rich text scores high; one-word text scores low
+    val good = ("the a of and in to " * 40).trim
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), good, "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:01:00"), "zzz", "s0"))
+    val q = CorpusStreaming.routeByQuality(input.toDF(), acc, quar, ckpt)
+    try {
+      q.processAllAvailable()
+      val accepted = spark.read.parquet(acc)
+      val rejected = spark.read.parquet(quar)
+      assert(accepted.select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(1L))
+      assert(rejected.select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(2L))
+      // the quarantine keeps the quality score for review
+      assert(rejected.columns.contains("quality"))
+      // replaying batch 0 into the accept sink stays idempotent
+      q.processAllAvailable()
+      assert(spark.read.parquet(acc).count() == 1)
+    } finally q.stop()
+  }
+
   test("ListState burst detector alerts on event velocity and resets") {
     val s = spark
     import s.implicits._
