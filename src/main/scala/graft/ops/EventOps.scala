@@ -772,7 +772,77 @@ object EventOps {
     FROM events
     GROUP BY 1, 2"""
 
+  // ------------------------------------------------ growth accounting
+  /** Weekly growth accounting: every active user classifies as NEW
+    * (first week ever), RETAINED (also active the previous week) or
+    * RESURRECTED (returning after a gap), and churn is the identity
+    * remainder `churned(w) = active(w-1) − retained(w)` — the growth
+    * ledger every subscription/engagement report reconciles to.
+    *
+    * 100 TB design: activity collapses to distinct (user, week) first;
+    * classification is a lag window per user over WEEK-grain rows
+    * (≤52/user/year, never event rows); churn joins two week-level
+    * censuses. */
+  val q142GrowthAccounting: Q = (s, d) => {
+    import s.implicits._
+    val uw = Tables.events(s, d)
+      .select($"user_id",
+        date_trunc("week", $"ts").cast("date").as("week")).distinct()
+    val byUser = Window.partitionBy($"user_id").orderBy($"week".asc)
+    val classified = uw
+      .withColumn("prev_week", lag($"week", 1).over(byUser))
+      .withColumn("kind",
+        when($"prev_week".isNull, "new")
+          .when(datediff($"week", $"prev_week") === 7, "retained")
+          .otherwise("resurrected"))
+    val census = classified.groupBy($"week")
+      .agg(count(lit(1)).as("n_active"),
+        sum(when($"kind" === "new", 1L).otherwise(0L)).cast("long")
+          .as("n_new"),
+        sum(when($"kind" === "retained", 1L).otherwise(0L)).cast("long")
+          .as("n_retained"),
+        sum(when($"kind" === "resurrected", 1L).otherwise(0L))
+          .cast("long").as("n_resurrected"))
+    val prev = census.select(date_add($"week", 7).as("week"),
+      $"n_active".as("prev_active"))
+    census.join(prev, Seq("week"), "left")
+      .withColumn("n_churned",
+        coalesce($"prev_active", lit(0L)) - $"n_retained")
+      .select(date_format($"week", "yyyy-MM-dd").as("week"),
+        $"n_active", $"n_new", $"n_retained", $"n_resurrected",
+        $"n_churned".cast("long").as("n_churned"))
+  }
+  val o142 = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+        CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    classified AS (
+      SELECT user_id, week,
+        CASE WHEN lag(week) OVER w IS NULL THEN 'new'
+             WHEN date_diff('day', lag(week) OVER w, week) = 7
+               THEN 'retained'
+             ELSE 'resurrected' END AS kind
+      FROM uw
+      WINDOW w AS (PARTITION BY user_id ORDER BY week ASC)),
+    census AS (
+      SELECT week, COUNT(*) AS n_active,
+        CAST(SUM(CASE WHEN kind = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_new,
+        CAST(SUM(CASE WHEN kind = 'retained' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_retained,
+        CAST(SUM(CASE WHEN kind = 'resurrected' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_resurrected
+      FROM classified GROUP BY week)
+    SELECT strftime(c.week, '%Y-%m-%d') AS week,
+      c.n_active, c.n_new, c.n_retained, c.n_resurrected,
+      CAST(COALESCE(p.n_active, 0) - c.n_retained AS BIGINT)
+        AS n_churned
+    FROM census c
+    LEFT JOIN census p ON p.week + INTERVAL 7 DAY = CAST(c.week AS TIMESTAMP)"""
+
   val queries: Map[String, Q] = Map(
+    "q142_growth_accounting" -> q142GrowthAccounting,
     "q141_incremental_mart" -> q141IncrementalMart,
     "q138_retention_triangle" -> q138RetentionTriangle,
     "q139_backlog_sweep" -> q139BacklogSweep,
@@ -791,6 +861,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q142_growth_accounting" -> o142,
     "q141_incremental_mart" -> o141,
     "q138_retention_triangle" -> o138,
     "q139_backlog_sweep" -> o139,

@@ -399,6 +399,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(inc == full)
   }
 
+  test("q142 growth accounting reconciles to its identities") {
+    val rows = SparkEntry.queries("q142_growth_accounting")(spark, sf)
+      .collect().sortBy(_.getAs[String]("week"))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_retained") +
+          r.getAs[Long]("n_resurrected"), s"identity broken: $r")
+      assert(r.getAs[Long]("n_churned") >= 0L, s"negative churn: $r")
+    }
+    // consecutive weeks: churned(w) = active(w-1) - retained(w)
+    rows.sliding(2).foreach {
+      case Array(a, b)
+        if java.time.LocalDate.parse(a.getAs[String]("week"))
+          .plusDays(7).toString == b.getAs[String]("week") =>
+        assert(b.getAs[Long]("n_churned") ==
+          a.getAs[Long]("n_active") - b.getAs[Long]("n_retained"))
+      case _ => ()
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
