@@ -1516,7 +1516,37 @@ object CorpusOps {
     FROM occ JOIN probs USING (w1, w2)
     GROUP BY doc_id"""
 
+  // ------------------------------------------------ dup-degree census
+  /** Near-dup graph degree histogram: how many docs have exactly k
+    * verified SimHash near-duplicates — the shape check before
+    * clustering (a fat tail means boilerplate is stitching unrelated
+    * docs together and the banding threshold needs tightening; q118
+    * is the cure). Composes q60's verified pairs; zero-degree docs
+    * are the complement of the histogram's mass vs the corpus count.
+    *
+    * 100 TB design: the degree census is keyed on doc_id over the
+    * bounded verified-pair set; the histogram is degree-bounded. */
+  val q143DupDegree: Q = (s, d) => {
+    val pairs = DedupOps.q60SimHashPairs(s, d)
+    pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+  val o143: String = s"""
+    WITH pairs AS (${DedupOps.o60}),
+    deg AS (
+      SELECT doc_id, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs)
+      GROUP BY doc_id)
+    SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree"""
+
   val queries: Map[String, Q] = Map(
+    "q143_dup_degree" -> q143DupDegree,
     "q134_bigram_fluency" -> q134BigramFluency,
     "q125_token_budget" -> q125TokenBudget,
     "q121_survivor_election" -> q121SurvivorElection,
@@ -1547,6 +1577,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q143_dup_degree" -> o143,
     "q134_bigram_fluency" -> o134,
     "q125_token_budget" -> o125,
     "q121_survivor_election" -> o121,

@@ -841,7 +841,79 @@ object EventOps {
     FROM census c
     LEFT JOIN census p ON p.week + INTERVAL 7 DAY = CAST(c.week AS TIMESTAMP)"""
 
+  // ------------------------------------------------ time to convert
+  /** View→purchase time-to-convert distribution: for every purchase
+    * preceded by a view from the same user, the whole-minute delay,
+    * summarized as exact P50/P90/max — the latency curve attribution
+    * windows and retargeting budgets are tuned against.
+    *
+    * 100 TB design: the "most recent prior view" is a running
+    * last-value window over the user's ordered events (the q94 as-of
+    * spelling — one keyed shuffle, no self-join); quantiles come from
+    * the discrete minute census (q129's rank trick), so nothing sorts
+    * event-scale data. */
+  val q144TimeToConvert: Q = (s, d) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mins = Tables.events(s, d)
+      .withColumn("last_view_us",
+        max(when($"event_type" === "view", unix_micros($"ts")))
+          .over(byUser))
+      .filter($"event_type" === "purchase" && $"last_view_us".isNotNull)
+      .withColumn("delta_us", unix_micros($"ts") - $"last_view_us")
+      // integer `div`, not `/`: long / long in Spark is DOUBLE
+      // division, whose rounding could flip a minute boundary vs
+      // DuckDB's integer floor division
+      .select(expr("delta_us div 60000000").cast("long").as("minutes"))
+    val census = mins.groupBy($"minutes")
+      .agg(count(lit(1)).as("freq"))
+    val cum = census
+      .withColumn("cum", sum($"freq").over(
+        Window.orderBy($"minutes".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"freq").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    cum.agg(
+      max($"total").cast("long").as("n_conversions"),
+      min(when($"cum" >= ceil(lit(0.5) * $"total"), $"minutes"))
+        .as("p50_minutes"),
+      min(when($"cum" >= ceil(lit(0.9) * $"total"), $"minutes"))
+        .as("p90_minutes"),
+      max($"minutes").as("max_minutes"))
+  }
+  val o144 = """
+    WITH lastv AS (
+      SELECT event_type, ts,
+        MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS last_view_us
+      FROM events),
+    mins AS (
+      SELECT CAST((epoch_us(ts) - last_view_us) // 60000000 AS BIGINT)
+        AS minutes
+      FROM lastv
+      WHERE event_type = 'purchase' AND last_view_us IS NOT NULL),
+    census AS (SELECT minutes, COUNT(*) AS freq FROM mins GROUP BY 1),
+    cum AS (
+      SELECT minutes,
+        SUM(freq) OVER (ORDER BY minutes ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(freq) OVER () AS total
+      FROM census)
+    SELECT CAST(MAX(total) AS BIGINT) AS n_conversions,
+      MIN(CASE WHEN cum >= ceil(0.5 * total) THEN minutes END)
+        AS p50_minutes,
+      MIN(CASE WHEN cum >= ceil(0.9 * total) THEN minutes END)
+        AS p90_minutes,
+      MAX(minutes) AS max_minutes
+    FROM cum"""
+
   val queries: Map[String, Q] = Map(
+    "q144_time_to_convert" -> q144TimeToConvert,
     "q142_growth_accounting" -> q142GrowthAccounting,
     "q141_incremental_mart" -> q141IncrementalMart,
     "q138_retention_triangle" -> q138RetentionTriangle,
@@ -861,6 +933,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q144_time_to_convert" -> o144,
     "q142_growth_accounting" -> o142,
     "q141_incremental_mart" -> o141,
     "q138_retention_triangle" -> o138,

@@ -420,6 +420,25 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q143 degree histogram mass equals the docs appearing in pairs") {
+    val rows = SparkEntry.queries("q143_dup_degree")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val massFromHist = rows
+      .map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_docs")).sum
+    // sum(degree * n_docs) counts each pair twice
+    val pairs = SparkEntry.queries("q60_simhash_pairs")(spark, sf).count()
+    assert(massFromHist == 2 * pairs)
+  }
+
+  test("q144 conversion quantiles are ordered and bounded") {
+    val r = SparkEntry.queries("q144_time_to_convert")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_conversions") > 0)
+    val (p50, p90, mx) = (r.getAs[Long]("p50_minutes"),
+      r.getAs[Long]("p90_minutes"), r.getAs[Long]("max_minutes"))
+    assert(p50 >= 0 && p50 <= p90 && p90 <= mx)
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
