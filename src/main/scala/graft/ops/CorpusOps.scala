@@ -1545,7 +1545,57 @@ object CorpusOps {
       GROUP BY doc_id)
     SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY degree"""
 
+  // ------------------------------------------ quality-dup calibration
+  /** Quality-vs-duplication calibration: per fixed-point quality
+    * bucket (floor(q·10)), what fraction of documents have a verified
+    * near-duplicate — the audit that tells a curation pipeline whether
+    * its quality gate ALSO reduces duplication (it usually does:
+    * boilerplate is both low-quality and heavily duplicated) or the
+    * two filters are independent and both needed.
+    *
+    * 100 TB design: the dup-doc set is the bounded verified-pair
+    * output (distinct doc ids, broadcast); quality is in-row; the
+    * bucket census is 11-row bounded. */
+  val q145QualityDupCalibration: Q = (s, d) => {
+    val pairs = DedupOps.q60SimHashPairs(s, d)
+    val dupDocs = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .withColumn("has_dup", lit(1L))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        floor(TextOps.qualityExpr * lit(10.0)).cast("long").as("q_bucket"))
+      .join(broadcast(dupDocs), Seq("doc_id"), "left")
+      .groupBy(col("q_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("has_dup"), lit(0L))).cast("long")
+          .as("n_with_dup"))
+      .withColumn("dup_pct",
+        col("n_with_dup").cast("double") * 100.0
+          / col("n_docs").cast("double"))
+  }
+  val o145: String = s"""
+    WITH pairs AS (${DedupOps.o60}),
+    dup_docs AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs)),
+    scored AS (
+      SELECT doc_id,
+        CAST(floor((${TextOps.qualitySql}) * 10.0) AS BIGINT)
+          AS q_bucket
+      FROM documents)
+    SELECT s.q_bucket, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_with_dup,
+      CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        AS DOUBLE) * 100.0 / CAST(COUNT(*) AS DOUBLE) AS dup_pct
+    FROM scored s LEFT JOIN dup_docs d USING (doc_id)
+    GROUP BY s.q_bucket"""
+
   val queries: Map[String, Q] = Map(
+    "q145_quality_dup_calibration" -> q145QualityDupCalibration,
     "q143_dup_degree" -> q143DupDegree,
     "q134_bigram_fluency" -> q134BigramFluency,
     "q125_token_budget" -> q125TokenBudget,
@@ -1577,6 +1627,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q145_quality_dup_calibration" -> o145,
     "q143_dup_degree" -> o143,
     "q134_bigram_fluency" -> o134,
     "q125_token_budget" -> o125,

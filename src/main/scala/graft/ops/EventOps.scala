@@ -912,7 +912,62 @@ object EventOps {
       MAX(minutes) AS max_minutes
     FROM cum"""
 
+  // --------------------------------------------- robust MAD anomaly
+  /** Robust anomaly flags: |x − rolling median| > 5·MAD over the
+    * trailing 7-day window — the median/MAD twin of q40's mean/stddev
+    * z-score, immune to the contamination problem (one genuine spike
+    * inflates a stddev and masks the next anomaly; the median absolute
+    * deviation barely moves).
+    *
+    * 100 TB design: same single keyed window as q95; the 7-element
+    * frame materializes as an array and median + MAD are in-row
+    * integer array math — no second window pass, no doubles anywhere,
+    * so cross-engine parity is trivially exact. */
+  val q146MadAnomaly: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.events(s, d)
+      .groupBy($"event_type", $"ts".cast("date").as("d"))
+      .agg((sum($"value".cast("decimal(28,2)")) * 100).cast("long")
+        .as("cents"))
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", array_sort(collect_list($"cents").over(w)))
+      .withColumn("med",
+        element_at($"arr", expr("int((size(arr) + 1) div 2)")))
+      .withColumn("mad", expr(
+        """element_at(array_sort(transform(arr, x -> abs(x - med))),
+             int((size(arr) + 1) div 2))"""))
+      .select($"event_type", date_format($"d", "yyyy-MM-dd").as("d"),
+        $"cents", $"med", $"mad",
+        (abs($"cents" - $"med") > $"mad" * 5L).cast("long")
+          .as("is_anomaly"))
+  }
+  val o146 = """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+        CAST(SUM(CAST(value AS DECIMAL(28,2))) * 100 AS BIGINT)
+          AS cents
+      FROM events GROUP BY 1, 2),
+    windowed AS (
+      SELECT event_type, d, cents,
+        list_sort(list(cents) OVER (PARTITION BY event_type
+          ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+      FROM daily),
+    meds AS (
+      SELECT event_type, d, cents, arr,
+        arr[(len(arr) + 1) // 2] AS med
+      FROM windowed)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS d, cents, med,
+      list_sort(list_transform(arr, x -> abs(x - med)))
+        [(len(arr) + 1) // 2] AS mad,
+      CAST(abs(cents - med) >
+        list_sort(list_transform(arr, x -> abs(x - med)))
+          [(len(arr) + 1) // 2] * 5 AS BIGINT) AS is_anomaly
+    FROM meds"""
+
   val queries: Map[String, Q] = Map(
+    "q146_mad_anomaly" -> q146MadAnomaly,
     "q144_time_to_convert" -> q144TimeToConvert,
     "q142_growth_accounting" -> q142GrowthAccounting,
     "q141_incremental_mart" -> q141IncrementalMart,
@@ -933,6 +988,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q146_mad_anomaly" -> o146,
     "q144_time_to_convert" -> o144,
     "q142_growth_accounting" -> o142,
     "q141_incremental_mart" -> o141,

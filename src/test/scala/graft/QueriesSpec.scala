@@ -439,6 +439,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(p50 >= 0 && p50 <= p90 && p90 <= mx)
   }
 
+  test("q145 calibration buckets cover the corpus exactly once") {
+    val rows = SparkEntry.queries("q145_quality_dup_calibration")(spark, sf)
+      .collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_with_dup") <= r.getAs[Long]("n_docs"))
+      val pct = r.getAs[Double]("dup_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
+  test("q146 MAD flags imply a genuinely large deviation") {
+    val rows = SparkEntry.queries("q146_mad_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dev = math.abs(r.getAs[Long]("cents") - r.getAs[Long]("med"))
+      val expected = if (dev > 5L * r.getAs[Long]("mad")) 1L else 0L
+      assert(r.getAs[Long]("is_anomaly") == expected, s"bad: $r")
+      assert(r.getAs[Long]("mad") >= 0L)
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
