@@ -1594,7 +1594,43 @@ object CorpusOps {
     FROM scored s LEFT JOIN dup_docs d USING (doc_id)
     GROUP BY s.q_bucket"""
 
+  // ---------------------------------------------- method agreement
+  /** Near-dup METHOD AGREEMENT census: how many verified pairs the
+    * shingle-Jaccard (q58) and SimHash (q60) detectors share, and how
+    * many each finds alone — the evidence behind q98's union-of-
+    * signals design (if one signal found everything, the union would
+    * be waste; if they barely overlap, single-signal dedup has a
+    * blind spot).
+    *
+    * 100 TB design: a full outer join of two BOUNDED verified-pair
+    * sets on the (doc_a, doc_b) key; the census is 3 rows. */
+  val q147MethodAgreement: Q = (s, d) => {
+    val jac = DedupOps.q58JaccardPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_jac"))
+    val sim = DedupOps.q60SimHashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sim"))
+    jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
+      .withColumn("verdict",
+        when(col("in_jac").isNotNull && col("in_sim").isNotNull, "both")
+          .when(col("in_jac").isNotNull, "jaccard_only")
+          .otherwise("simhash_only"))
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+  val o147: String = s"""
+    WITH jac AS (${DedupOps.o58}),
+    sim AS (${DedupOps.o60}),
+    m AS (
+      SELECT CASE
+          WHEN j.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+          WHEN j.doc_a IS NOT NULL THEN 'jaccard_only'
+          ELSE 'simhash_only' END AS verdict
+      FROM jac j FULL OUTER JOIN sim s
+        ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b)
+    SELECT verdict, COUNT(*) AS n_pairs FROM m GROUP BY verdict"""
+
   val queries: Map[String, Q] = Map(
+    "q147_method_agreement" -> q147MethodAgreement,
     "q145_quality_dup_calibration" -> q145QualityDupCalibration,
     "q143_dup_degree" -> q143DupDegree,
     "q134_bigram_fluency" -> q134BigramFluency,
@@ -1627,6 +1663,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q147_method_agreement" -> o147,
     "q145_quality_dup_calibration" -> o145,
     "q143_dup_degree" -> o143,
     "q134_bigram_fluency" -> o134,

@@ -966,7 +966,73 @@ object EventOps {
           [(len(arr) + 1) // 2] * 5 AS BIGINT) AS is_anomaly
     FROM meds"""
 
+  // ------------------------------------------- nearest-event join
+  /** Nearest-event time join: each purchase paired with the same
+    * user's CLOSEST view by absolute time distance, looking both
+    * backward and forward — the sensor-fusion/attribution shape when
+    * "most recent prior" (q94's as-of) is the wrong semantic because
+    * the matching signal may land just after. Ties break backward
+    * (the earlier view), then deterministic.
+    *
+    * 100 TB design: ONE keyed window pass (running last view behind,
+    * running first view ahead via the reversed frame) — never a
+    * self-join; the pick is in-row arithmetic on the two candidates.
+    */
+  val q148NearestEvent: Q = (s, d) => {
+    import s.implicits._
+    val back = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy($"user_id")
+      .orderBy($"ts".desc, $"event_id".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("view_us", when($"event_type" === "view",
+        unix_micros($"ts")))
+      .withColumn("prev_view_us", max($"view_us").over(back))
+      .withColumn("next_view_us", min($"view_us").over(fwd))
+      .filter($"event_type" === "purchase" &&
+        ($"prev_view_us".isNotNull || $"next_view_us".isNotNull))
+      .withColumn("p_us", unix_micros($"ts"))
+      .withColumn("d_prev",
+        coalesce($"p_us" - $"prev_view_us", lit(Long.MaxValue)))
+      .withColumn("d_next",
+        coalesce($"next_view_us" - $"p_us", lit(Long.MaxValue)))
+      .select($"event_id".as("purchase_id"), $"user_id",
+        when($"d_prev" <= $"d_next", lit("backward"))
+          .otherwise(lit("forward")).as("direction"),
+        least($"d_prev", $"d_next").as("gap_us"))
+  }
+  val o148 = """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+        CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS view_us
+      FROM events),
+    spans AS (
+      SELECT event_id, user_id, ts, event_type,
+        MAX(view_us) OVER (PARTITION BY user_id
+          ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS prev_view_us,
+        MIN(view_us) OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS next_view_us
+      FROM marked)
+    SELECT event_id AS purchase_id, user_id,
+      CASE WHEN COALESCE(epoch_us(ts) - prev_view_us, 9223372036854775807)
+             <= COALESCE(next_view_us - epoch_us(ts), 9223372036854775807)
+           THEN 'backward' ELSE 'forward' END AS direction,
+      least(
+        COALESCE(epoch_us(ts) - prev_view_us, 9223372036854775807),
+        COALESCE(next_view_us - epoch_us(ts), 9223372036854775807))
+        AS gap_us
+    FROM spans
+    WHERE event_type = 'purchase'
+      AND (prev_view_us IS NOT NULL OR next_view_us IS NOT NULL)"""
+
   val queries: Map[String, Q] = Map(
+    "q148_nearest_event" -> q148NearestEvent,
     "q146_mad_anomaly" -> q146MadAnomaly,
     "q144_time_to_convert" -> q144TimeToConvert,
     "q142_growth_accounting" -> q142GrowthAccounting,
@@ -988,6 +1054,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q148_nearest_event" -> o148,
     "q146_mad_anomaly" -> o146,
     "q144_time_to_convert" -> o144,
     "q142_growth_accounting" -> o142,

@@ -462,6 +462,28 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q147 agreement census accounts for both pair sets exactly") {
+    val rows = SparkEntry.queries("q147_method_agreement")(spark, sf)
+      .collect().map(r =>
+        r.getAs[String]("verdict") -> r.getAs[Long]("n_pairs")).toMap
+    val jac = SparkEntry.queries("q58_jaccard_pairs")(spark, sf).count()
+    val sim = SparkEntry.queries("q60_simhash_pairs")(spark, sf).count()
+    assert(rows.getOrElse("both", 0L) +
+      rows.getOrElse("jaccard_only", 0L) == jac)
+    assert(rows.getOrElse("both", 0L) +
+      rows.getOrElse("simhash_only", 0L) == sim)
+  }
+
+  test("q148 nearest-event gaps beat or equal the as-of backward gap") {
+    val rows = SparkEntry.queries("q148_nearest_event")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("gap_us") >= 0L)
+      assert(Set("backward", "forward")(r.getAs[String]("direction")))
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
