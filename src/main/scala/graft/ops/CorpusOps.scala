@@ -1629,7 +1629,73 @@ object CorpusOps {
         ON j.doc_a = s.doc_a AND j.doc_b = s.doc_b)
     SELECT verdict, COUNT(*) AS n_pairs FROM m GROUP BY verdict"""
 
+  // ------------------------------------------------- novelty curve
+  /** Ingestion novelty-decay curve: per 100-doc intake batch (doc_id
+    * as arrival order), how many documents are content-novel (their
+    * fingerprint's FIRST occurrence) and the cumulative novelty rate —
+    * the curve a crawler team watches flatten as a source exhausts
+    * (all-dup batches = a stuck crawler; q87/q109 are the dedup that
+    * acts on it, this is the monitoring).
+    *
+    * 100 TB design: first-occurrence is a min-per-fingerprint census
+    * (8-byte keys, map-side combined) joined back on doc_id; the
+    * batch census is batch-count-bounded and the cumulative window
+    * rides it, never doc rows. */
+  val q149NoveltyCurve: Q = (s, d) => {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprintCol.as("fp"))
+    val firstSeen = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val flagged = fp.join(firstSeen, Seq("fp"))
+      .withColumn("novel",
+        when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+      .withColumn("batch", expr("doc_id div 100"))
+    val census = flagged.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("novel")).cast("long").as("n_novel"))
+    census
+      .withColumn("cum_docs", sum(col("n_docs")).over(
+        Window.orderBy(col("batch").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("cum_novel", sum(col("n_novel")).over(
+        Window.orderBy(col("batch").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"))
+      .withColumn("cum_novelty_pct",
+        col("cum_novel").cast("double") * 100.0
+          / col("cum_docs").cast("double"))
+  }
+  val o149: String = s"""
+    WITH fp AS (
+      SELECT doc_id, ${TextOps.fingerprintSql} AS fp FROM documents),
+    first_seen AS (
+      SELECT fp, MIN(doc_id) AS first_doc FROM fp GROUP BY fp),
+    flagged AS (
+      SELECT f.doc_id // 100 AS batch,
+        CASE WHEN f.doc_id = s.first_doc THEN 1 ELSE 0 END AS novel
+      FROM fp f JOIN first_seen s USING (fp)),
+    census AS (
+      SELECT batch, COUNT(*) AS n_docs,
+        CAST(SUM(novel) AS BIGINT) AS n_novel
+      FROM flagged GROUP BY batch)
+    SELECT batch, n_docs, n_novel,
+      CAST(SUM(n_docs) OVER (ORDER BY batch ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_docs,
+      CAST(SUM(n_novel) OVER (ORDER BY batch ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_novel,
+      CAST(SUM(n_novel) OVER (ORDER BY batch ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        * 100.0
+        / CAST(SUM(n_docs) OVER (ORDER BY batch ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS cum_novelty_pct
+    FROM census"""
+
   val queries: Map[String, Q] = Map(
+    "q149_novelty_curve" -> q149NoveltyCurve,
     "q147_method_agreement" -> q147MethodAgreement,
     "q145_quality_dup_calibration" -> q145QualityDupCalibration,
     "q143_dup_degree" -> q143DupDegree,
@@ -1663,6 +1729,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q149_novelty_curve" -> o149,
     "q147_method_agreement" -> o147,
     "q145_quality_dup_calibration" -> o145,
     "q143_dup_degree" -> o143,

@@ -484,6 +484,21 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q149 novelty curve: cumulative novel equals distinct content") {
+    val rows = SparkEntry.queries("q149_novelty_curve")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("batch"))
+    assert(rows.nonEmpty)
+    val last = rows.last
+    assert(last.getAs[Long]("cum_docs") ==
+      Tables.documents(spark, sf).count())
+    val distinctTexts = Tables.documents(spark, sf)
+      .select("text").distinct().count()
+    assert(last.getAs[Long]("cum_novel") == distinctTexts)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
