@@ -684,7 +684,122 @@ object Relational {
     FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
       ON s.s_nationkey = n.n_nationkey"""
 
+  // --------------------------------------------- fulfillment latency
+  /** Fulfillment-latency SLA report: per order priority, exact
+    * P50/P90/max days from order placement to the LAST line shipment
+    * — the ops dashboard number behind every shipping SLA.
+    *
+    * 100 TB design: order latency is one keyed agg on orderkey (+ a
+    * keyed join to orders); quantiles come from the (priority, days)
+    * census via the rank trick — the census is priorities ×
+    * max-latency bounded, so nothing sorts order-scale rows. */
+  val q150FulfillmentLatency: Q = (s, d) => {
+    import s.implicits._
+    val lat = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(max($"l_shipdate".cast("date")).as("last_ship"))
+      .join(Tables.orders(s, d).select($"o_orderkey".as("l_orderkey"),
+        $"o_orderdate".cast("date").as("placed"), $"o_orderpriority"),
+        Seq("l_orderkey"))
+      .select($"o_orderpriority",
+        datediff($"last_ship", $"placed").cast("long").as("days"))
+    val census = lat.groupBy($"o_orderpriority", $"days")
+      .agg(count(lit(1)).as("freq"))
+    val cum = census
+      .withColumn("cum", sum($"freq").over(
+        Window.partitionBy($"o_orderpriority").orderBy($"days".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum($"freq").over(
+        Window.partitionBy($"o_orderpriority")))
+    cum.groupBy($"o_orderpriority")
+      .agg(max($"total").cast("long").as("n_orders"),
+        min(when($"cum" >= ceil(lit(0.5) * $"total"), $"days"))
+          .as("p50_days"),
+        min(when($"cum" >= ceil(lit(0.9) * $"total"), $"days"))
+          .as("p90_days"),
+        max($"days").as("max_days"))
+  }
+  val o150 = """
+    WITH lat AS (
+      SELECT o.o_orderpriority,
+        CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+          MAX(CAST(l.l_shipdate AS DATE))) AS BIGINT) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate),
+    census AS (
+      SELECT o_orderpriority, days, COUNT(*) AS freq
+      FROM lat GROUP BY 1, 2),
+    cum AS (
+      SELECT o_orderpriority, days,
+        SUM(freq) OVER (PARTITION BY o_orderpriority ORDER BY days ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(freq) OVER (PARTITION BY o_orderpriority) AS total
+      FROM census)
+    SELECT o_orderpriority,
+      CAST(MAX(total) AS BIGINT) AS n_orders,
+      MIN(CASE WHEN cum >= ceil(0.5 * total) THEN days END) AS p50_days,
+      MIN(CASE WHEN cum >= ceil(0.9 * total) THEN days END) AS p90_days,
+      MAX(days) AS max_days
+    FROM cum GROUP BY o_orderpriority"""
+
+  // ---------------------------------------------------- rank shift
+  /** Year-over-year revenue rank shift per nation: 1996 vs 1997
+    * revenue ranks with the movement — the "who gained share" BI
+    * mart. Ranks come from two year-bounded revenue censuses (one
+    * scan, conditional aggregation) ranked over the nations-bounded
+    * result; revenue routes through exact decimals.
+    *
+    * 100 TB design: ONE fact scan feeds both years via conditional
+    * sums; windows rank the 25-nation census. */
+  val q151RankShift: Q = (s, d) => {
+    import s.implicits._
+    def rev(y: Int) =
+      sum(when(year($"o_orderdate") === y,
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,6)"))).cast("double")
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(coalesce(rev(1996), lit(0.0)).as("rev_1996"),
+        coalesce(rev(1997), lit(0.0)).as("rev_1997"))
+    val r96 = Window.orderBy($"rev_1996".desc, $"n_name".asc)
+    val r97 = Window.orderBy($"rev_1997".desc, $"n_name".asc)
+    base
+      .withColumn("rank_1996", row_number().over(r96).cast("long"))
+      .withColumn("rank_1997", row_number().over(r97).cast("long"))
+      .withColumn("rank_delta", $"rank_1996" - $"rank_1997")
+  }
+  val o151 = """
+    WITH base AS (
+      SELECT n_name,
+        COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+          THEN CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS rev_1996,
+        COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+          THEN CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS rev_1997
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name)
+    SELECT n_name, rev_1996, rev_1997,
+      CAST(row_number() OVER (ORDER BY rev_1996 DESC, n_name ASC)
+        AS BIGINT) AS rank_1996,
+      CAST(row_number() OVER (ORDER BY rev_1997 DESC, n_name ASC)
+        AS BIGINT) AS rank_1997,
+      CAST(row_number() OVER (ORDER BY rev_1996 DESC, n_name ASC)
+        AS BIGINT)
+        - CAST(row_number() OVER (ORDER BY rev_1997 DESC, n_name ASC)
+            AS BIGINT) AS rank_delta
+    FROM base"""
+
   val queries: Map[String, Q] = Map(
+    "q150_fulfillment_latency" -> q150FulfillmentLatency,
+    "q151_rank_shift" -> q151RankShift,
     "q140_fk_audit" -> q140FkAudit,
     "q135_skew_diagnostic" -> q135SkewDiagnostic,
     "q132_cdc_apply" -> q132CdcApply,
@@ -710,6 +825,8 @@ object Relational {
     "q19_profile" -> q19Profile)
 
   val oracles: Map[String, String] = Map(
+    "q150_fulfillment_latency" -> o150,
+    "q151_rank_shift" -> o151,
     "q140_fk_audit" -> o140,
     "q135_skew_diagnostic" -> o135,
     "q132_cdc_apply" -> o132,

@@ -499,6 +499,30 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q150 fulfillment latency quantiles are ordered per priority") {
+    val rows = SparkEntry.queries("q150_fulfillment_latency")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(total == Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("p50_days") <= r.getAs[Long]("p90_days") &&
+        r.getAs[Long]("p90_days") <= r.getAs[Long]("max_days"))
+    }
+  }
+
+  test("q151 rank shift: ranks are permutations and deltas net to zero") {
+    val rows = SparkEntry.queries("q151_rank_shift")(spark, sf).collect()
+    val n = rows.length
+    assert(rows.map(_.getAs[Long]("rank_1996")).sorted.toSeq ==
+      (1L to n).toSeq)
+    assert(rows.map(_.getAs[Long]("rank_1997")).sorted.toSeq ==
+      (1L to n).toSeq)
+    assert(rows.map(_.getAs[Long]("rank_delta")).sum == 0L)
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
