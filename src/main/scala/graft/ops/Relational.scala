@@ -797,7 +797,122 @@ object Relational {
             AS BIGINT) AS rank_delta
     FROM base"""
 
+  // ------------------------------------------------ hierarchical share
+  /** Hierarchical share mart: each nation's revenue as a share of its
+    * region and of the world — the ratio-to-parent spelling every BI
+    * drill-down needs at two levels at once. Revenue stays exact int64
+    * cents until the two final divisions.
+    *
+    * 100 TB design: one fact-scan aggregate to the nations census;
+    * the share windows ride the 25-row census (region-partitioned and
+    * global), never fact rows. */
+  val q152HierShare: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, d)),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name", $"n_name")
+      // (28,6) then ×1e6: the discounted-price double rounds to 6
+      // digits unambiguously (its true value has ≤4 decimal digits —
+      // scale 2 hits half-way ties where the engines' rounding modes
+      // differ), and ×1e6 leaves an integral decimal whose long cast
+      // is exact on both engines
+      .agg((sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(28,6)")) * 1000000).cast("long").as("micros"))
+    base
+      .withColumn("region_micros",
+        sum($"micros").over(Window.partitionBy($"r_name")).cast("long"))
+      .withColumn("world_micros",
+        sum($"micros").over(Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing))
+          .cast("long"))
+      .withColumn("share_of_region",
+        $"micros".cast("double") / $"region_micros".cast("double"))
+      .withColumn("share_of_world",
+        $"micros".cast("double") / $"world_micros".cast("double"))
+  }
+  val o152 = """
+    WITH base AS (
+      SELECT r_name, n_name,
+        CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+          AS DECIMAL(28,6))) * 1000000 AS BIGINT) AS micros
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2)
+    SELECT r_name, n_name, micros,
+      CAST(SUM(micros) OVER (PARTITION BY r_name) AS BIGINT)
+        AS region_micros,
+      CAST(SUM(micros) OVER () AS BIGINT) AS world_micros,
+      CAST(micros AS DOUBLE)
+        / CAST(SUM(micros) OVER (PARTITION BY r_name) AS DOUBLE)
+        AS share_of_region,
+      CAST(micros AS DOUBLE) / CAST(SUM(micros) OVER () AS DOUBLE)
+        AS share_of_world
+    FROM base"""
+
+  // --------------------------------------------------- Pareto deciles
+  /** Customer-revenue Pareto deciles: customers ranked by exact-cents
+    * revenue, split into 10 equal-count bins, each bin's share of
+    * total revenue — the 80/20 concentration report.
+    *
+    * 100 TB design: the fact table collapses to the customer census
+    * first; the decile rank window rides that census (at billions of
+    * customers the same two-level histogram as q125 applies — the
+    * spelling here is the census-scale tier). Ties break on custkey
+    * so both engines bin identically. */
+  val q153ParetoDeciles: Q = (s, d) => {
+    import s.implicits._
+    val custRev = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy($"cents".desc, $"o_custkey".asc)
+    val ranked = custRev
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .withColumn("decile", expr("((rn - 1) * 10) div n"))
+    ranked.groupBy($"decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"cents").cast("long").as("cents"))
+      .withColumn("total", sum($"cents").over(
+        Window.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .withColumn("revenue_share",
+        $"cents".cast("double") / $"total".cast("double"))
+      .select($"decile", $"n_customers", $"cents", $"revenue_share")
+  }
+  val o153 = """
+    WITH cust AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT cents,
+        ((row_number() OVER (ORDER BY cents DESC, o_custkey ASC) - 1)
+          * 10) // COUNT(*) OVER () AS decile
+      FROM cust),
+    census AS (
+      SELECT decile, COUNT(*) AS n_customers,
+        CAST(SUM(cents) AS BIGINT) AS cents
+      FROM ranked GROUP BY decile)
+    SELECT decile, n_customers, cents,
+      CAST(cents AS DOUBLE)
+        / CAST(SUM(cents) OVER () AS DOUBLE) AS revenue_share
+    FROM census"""
+
   val queries: Map[String, Q] = Map(
+    "q152_hier_share" -> q152HierShare,
+    "q153_pareto_deciles" -> q153ParetoDeciles,
     "q150_fulfillment_latency" -> q150FulfillmentLatency,
     "q151_rank_shift" -> q151RankShift,
     "q140_fk_audit" -> q140FkAudit,
@@ -825,6 +940,8 @@ object Relational {
     "q19_profile" -> q19Profile)
 
   val oracles: Map[String, String] = Map(
+    "q152_hier_share" -> o152,
+    "q153_pareto_deciles" -> o153,
     "q150_fulfillment_latency" -> o150,
     "q151_rank_shift" -> o151,
     "q140_fk_audit" -> o140,

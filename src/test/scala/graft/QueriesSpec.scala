@@ -523,6 +523,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("rank_delta")).sum == 0L)
   }
 
+  test("q152 hierarchical shares sum to 1 per region and globally") {
+    val rows = SparkEntry.queries("q152_hier_share")(spark, sf).collect()
+    rows.groupBy(_.getAs[String]("r_name")).foreach { case (_, g) =>
+      val s = g.map(_.getAs[Double]("share_of_region")).sum
+      assert(math.abs(s - 1.0) < 1e-9)
+    }
+    assert(math.abs(
+      rows.map(_.getAs[Double]("share_of_world")).sum - 1.0) < 1e-9)
+  }
+
+  test("q153 Pareto deciles: top decile carries the largest share") {
+    val rows = SparkEntry.queries("q153_pareto_deciles")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+    val shares = rows.map(_.getAs[Double]("revenue_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    // ranked desc → decile 0 has the largest share, monotone down
+    assert(shares.zip(shares.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getAs[Long]("n_customers")).sum ==
+      Tables.orders(spark, sf).select("o_custkey").distinct().count())
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
