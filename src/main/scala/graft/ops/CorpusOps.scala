@@ -1694,7 +1694,67 @@ object CorpusOps {
         AS cum_novelty_pct
     FROM census"""
 
+  // ------------------------------------------------ correlation audit
+  /** Feature-correlation audit: exact Pearson r between token count
+    * and q51 quality per language — the redundancy check before both
+    * columns feed a model or a filter cascade (|r| near 1 means one
+    * signal is a rescaled copy of the other; the length term inside
+    * q51 makes some correlation expected, and this measures how
+    * much).
+    *
+    * Float parity: the five cross-row moments accumulate as EXACT
+    * decimal(38,0) integer sums (quality fixed-pointed to 1e6; all
+    * per-row products fit int64); each exact sum casts to double —
+    * correctly rounded identically on both engines — and r is then
+    * ONE identical IEEE expression. Zero-variance groups yield null,
+    * not NaN. */
+  val q154CorrAudit: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("x"),
+        floor(TextOps.qualityExpr * lit(1.0e6)).cast("long").as("y"))
+    val m = base.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+        sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double")
+          .as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double")
+          .as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double")
+          .as("syy"))
+    m.withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("corr",
+        when(col("vx") > 0.0 && col("vy") > 0.0,
+          (col("n") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("vx")) * sqrt(col("vy")))))
+      .select(col("lang"), col("n").cast("long").as("n_docs"),
+        col("corr"))
+  }
+  val o154: String = s"""
+    WITH base AS (
+      SELECT lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS x,
+        CAST(floor((${TextOps.qualitySql}) * 1.0e6) AS BIGINT) AS y
+      FROM documents),
+    m AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM base GROUP BY lang)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+      CASE WHEN n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+        THEN (n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      END AS corr
+    FROM m"""
+
   val queries: Map[String, Q] = Map(
+    "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
     "q147_method_agreement" -> q147MethodAgreement,
     "q145_quality_dup_calibration" -> q145QualityDupCalibration,
@@ -1729,6 +1789,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,
     "q147_method_agreement" -> o147,
     "q145_quality_dup_calibration" -> o145,

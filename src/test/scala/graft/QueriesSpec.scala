@@ -545,6 +545,21 @@ class QueriesSpec extends AnyFunSuite {
       Tables.orders(spark, sf).select("o_custkey").distinct().count())
   }
 
+  test("q154 correlations are in [-1, 1] and cover every language") {
+    val rows = SparkEntry.queries("q154_corr_audit")(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("corr"))) {
+        val c = r.getAs[Double]("corr")
+        assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12, s"bad: $r")
+      }
+    }
+    // q51's quality includes a length term → expect a positive link
+    assert(rows.exists(r => !r.isNullAt(r.fieldIndex("corr")) &&
+      r.getAs[Double]("corr") > 0.0))
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
