@@ -7,26 +7,38 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native kernel for the document content fingerprint (the dedup key
-  * of q53/q55/q82/q87/q109 and the streaming corpus dedup): one pass
-  * over the text instead of the composed
+  * of q53/q55/q82/q87/q109/q122/q149 and the streaming corpus dedup):
+  * one pass over the text instead of the composed
   * `aggregate(transform(split(...)))` spelling, whose higher-order
   * lambdas are interpreted per element and allocate the full token
   * array per row.
   *
+  * Key space: TWO independent polynomial folds over the same token
+  * hashes — lane A = (acc·31 + x) mod (2³¹−1), lane B =
+  * (acc·131 + x) mod 2147483629 — combined injectively as
+  * laneA·2147483629 + laneB, giving ≈2⁶² distinct values (expected
+  * birthday collisions ~1 only past 10⁹ distinct items, vs ~40k for
+  * a single mod-1e9+7 lane). Every intermediate product stays below
+  * 2⁶³, so the identical spelling runs overflow-free under Spark
+  * ANSI arithmetic AND in DuckDB BIGINT — a genuinely-64-bit wrapping
+  * fold could not be mirrored in the composed `aggregate` witness,
+  * which throws on ANSI overflow.
+  *
   * Bit-parity contract (pinned by a ScalaCheck property against the
-  * composed spelling): token hash = ascii(t)·131 + length(t) where
+  * composed spelling): token hash x = ascii(t)·131 + length(t) where
   * ascii = first CODEPOINT (0 for the empty token — Spark `ascii`
-  * semantics) and length counts codepoints (Spark `length`), folded as
-  * (acc·31 + x) mod 1e9+7 over `split(text, ' ')` WITH empty tokens
-  * kept (Spark split keeps them). The DuckDB twin is
-  * [[graft.ops.TextOps.fingerprintSql]].
+  * semantics) and length counts codepoints (Spark `length`), folded
+  * over `split(text, ' ')` WITH empty tokens kept (Spark split keeps
+  * them). The DuckDB twin is [[graft.ops.TextOps.fingerprintSql]].
   */
 object Fingerprint64Util {
-  private val Mod = 1000000007L
+  private val P1 = 2147483647L // 2^31 - 1 (Mersenne)
+  private val P2 = 2147483629L // largest prime below it
 
   def fingerprint(s: UTF8String): Long = {
     val str = s.toString
-    var acc = 0L
+    var accA = 0L
+    var accB = 0L
     var start = 0
     var done = false
     while (!done) {
@@ -37,10 +49,12 @@ object Fingerprint64Util {
       val a =
         if (end == start) 0L else str.codePointAt(start).toLong
       val len = str.codePointCount(start, end).toLong
-      acc = (acc * 31L + (a * 131L + len)) % Mod
+      val x = a * 131L + len
+      accA = (accA * 31L + x) % P1
+      accB = (accB * 131L + x) % P2
       if (sp < 0) done = true else start = sp + 1
     }
-    acc
+    accA * P2 + accB
   }
 }
 

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
 object TextOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val MOD = 1000000007L
+  private val FpP1 = 2147483647L // fingerprint lane-A modulus (2^31-1)
+  private val FpP2 = 2147483629L // lane-B modulus / injective combiner
 
   /** Tokens of a whitespace-delimited document. */
   private def toks(c: Column): Column = split(c, " ")
@@ -152,10 +153,12 @@ object TextOps {
   }
 
   // ------------------------------------------------------- fingerprint
-  /** Left-fold polynomial rolling hash over token hashes, mod large
-    * prime — the content key shared by q53, the dedup shuffles in
-    * q55/q82, and the incremental-dedup semi-join in q87 (an 8-byte
-    * key instead of the full document body). */
+  /** Two-lane left-fold polynomial rolling hash over token hashes
+    * (lanes mod 2³¹−1 / 2147483629, combined injectively → ≈2⁶² key
+    * space; see [[graft.functions.Fingerprint64Util]]) — the content
+    * key shared by q53, the dedup shuffles in q55/q82, chunk dedup in
+    * q122, novelty in q149, and the incremental-dedup semi-join in
+    * q87 (an 8-byte key instead of the full document body). */
   private[graft] def fingerprintCol: Column = fingerprintOf(col("text"))
 
   /** [[fingerprintCol]] over an arbitrary string column — q122 keys
@@ -169,20 +172,26 @@ object TextOps {
     * as the parity witness the native kernel is property-tested
     * against (interpreted lambdas per element; the native expression
     * is the hot-path form). */
-  private[graft] def fingerprintColComposed: Column =
-    expr("aggregate(transform(split(text, ' '), " +
-      "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % $MOD)")
+  private[graft] def fingerprintColComposed: Column = {
+    def lane(mult: Long, mod: Long) =
+      "aggregate(transform(split(text, ' '), " +
+        "t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)), " +
+        s"CAST(0 AS BIGINT), (acc, x) -> (acc * $mult + x) % $mod)"
+    expr(s"${lane(31L, FpP1)} * $FpP2 + ${lane(131L, FpP2)}")
+  }
 
   /** DuckDB twin of [[fingerprintOf]] over any string expression. */
-  private[ops] def fingerprintSqlOf(colExpr: String): String = s"""
-    list_reduce(
-      list_prepend(CAST(0 AS BIGINT),
-        list_transform(string_split($colExpr, ' '),
-          t -> CAST(greatest(unicode(t), 0) * 131 + length(t) AS BIGINT))),
-      (acc, x) -> (acc * 31 + x) % $MOD)"""
+  private[ops] def fingerprintSqlOf(colExpr: String): String = {
+    def lane(mult: Long, mod: Long) = s"""
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split($colExpr, ' '),
+            t -> CAST(greatest(unicode(t), 0) * 131 + length(t) AS BIGINT))),
+        (acc, x) -> (acc * $mult + x) % $mod)"""
+    s"(${lane(31L, FpP1)} * $FpP2 + ${lane(131L, FpP2)})"
+  }
 
-  /** DuckDB twin of [[fingerprintCol]] (same left fold, same mod). */
+  /** DuckDB twin of [[fingerprintCol]] (same lanes, same combine). */
   private[ops] val fingerprintSql: String = fingerprintSqlOf("text")
 
   /** Document fingerprinting: a content-defined fingerprint any

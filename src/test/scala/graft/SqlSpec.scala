@@ -45,13 +45,18 @@ class SqlSpec extends AnyFunSuite {
 
   test("fingerprint64/shingles3 natives are callable from SQL") {
     GraftSql.registerTables(spark, sf)
-    // fingerprint64_native equals the composed fold for every doc
+    // fingerprint64_native equals the composed two-lane fold for
+    // every doc (lanes mod 2^31-1 / 2147483629, combined injectively)
     val fpMismatch = spark.sql(s"""
       SELECT count(*) FROM documents
       WHERE fingerprint64_native(text) <>
         aggregate(transform(split(text, ' '),
           t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)),
-          CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 1000000007)""")
+          CAST(0 AS BIGINT), (acc, x) -> (acc * 31 + x) % 2147483647)
+          * 2147483629 +
+        aggregate(transform(split(text, ' '),
+          t -> CAST(ascii(t) * 131 + length(t) AS BIGINT)),
+          CAST(0 AS BIGINT), (acc, x) -> (acc * 131 + x) % 2147483629)""")
       .head().getLong(0)
     assert(fpMismatch == 0L)
     // shingles3_native: |shingles| = max(tokens - 2, 0) for every doc
