@@ -237,7 +237,18 @@ object TextOps {
     * bodies and skewed on exactly the rows dedup exists to find. */
   val q55DedupAssign: Q = (s, d) => {
     import s.implicits._
-    val docs = Tables.documents(s, d).withColumn("fp", fingerprintCol)
+    // The sf corpora carry no exact-duplicate texts, which made this
+    // oracle row vacuously green (0 rows). The query's input is now
+    // documents ∪ a replayed slice (same text, shifted doc_id — a
+    // re-ingested batch, the situation exact dedup exists for),
+    // mirrored in the oracle SQL, so canonical-id assignment emits
+    // rows and the hash compare exercises the min-id election.
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text")
+    val replay = base.filter($"doc_id" % 97 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(1000000L))
+      .withColumn("source", lit("replay"))
+    val docs = base.unionByName(replay).withColumn("fp", fingerprintCol)
     val canon = docs.groupBy($"fp", $"text")
       .agg(min($"doc_id").as("canonical_id"))
     docs.join(canon, Seq("fp", "text"))
@@ -245,10 +256,15 @@ object TextOps {
       .select($"doc_id", $"canonical_id", $"source")
   }
   val o55 = """
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, 'replay' AS source, text
+      FROM documents WHERE doc_id % 97 = 0)
     SELECT doc_id, canonical_id, source FROM (
       SELECT doc_id, source,
         MIN(doc_id) OVER (PARTITION BY text) AS canonical_id
-      FROM documents)
+      FROM docs)
     WHERE doc_id <> canonical_id"""
 
   // ---------------------------------------------------- curation e2e

@@ -108,10 +108,17 @@ object WindowOps {
 
   // ------------------------------------------------------------- W4/J7
   /** Missing-day detection (qa_payments.py:254-297): calendar anti-join —
-    * days inside each event_type's range with no data. */
+    * days inside each event_type's range with no data.
+    *
+    * The synthetic feed is dense (every type has every day), which
+    * made this detector's oracle row vacuously green (0 rows). The
+    * query now simulates feed outages by dropping two fixed
+    * calendar days-of-month from the observed series — mirrored in
+    * the oracle SQL — so the anti-join emits rows and the hash
+    * compare exercises the gap arithmetic, not an empty set. */
   val q42MissingDays: Q = (s, d) => {
     import s.implicits._
-    val base = daily(s, d)
+    val base = daily(s, d).filter(!dayofmonth($"d").isin(5, 17))
     val cal = base.groupBy($"event_type")
       .agg(min($"d").as("d0"), max($"d").as("d1"))
       .select($"event_type",
@@ -123,14 +130,16 @@ object WindowOps {
   }
   val o42 = s"""
     WITH daily AS ($dailySql),
+    observed AS (
+      SELECT * FROM daily WHERE day(d) NOT IN (5, 17)),
     cal AS (
       SELECT event_type, unnest(generate_series(min(d), max(d),
              INTERVAL 1 DAY))::DATE AS d
-      FROM daily GROUP BY event_type)
+      FROM observed GROUP BY event_type)
     SELECT cal.event_type, COUNT(*) AS n_missing,
            strftime(MIN(cal.d), '%Y-%m-%d') AS first_missing
-    FROM cal ANTI JOIN daily
-      ON cal.event_type = daily.event_type AND cal.d = daily.d
+    FROM cal ANTI JOIN observed
+      ON cal.event_type = observed.event_type AND cal.d = observed.d
     GROUP BY cal.event_type"""
 
   // ---------------------------------------------------------------- W7
