@@ -583,14 +583,19 @@ object CorpusOps {
     * material.
     *
     * 100 TB design: each edge source is already bucketed/banded (never
-    * all-pairs); the union is materialized once (`localCheckpoint`)
-    * and consumed by both the CC loop and the signal census, so the
-    * three expensive candidate generations run exactly once. The CC
-    * loop shuffles only (doc_id, comp) pairs — never text. */
+    * all-pairs); the corpus is scanned and tokenized ONCE
+    * (`DedupOps.sharedTextSignals` materializes the shingle and
+    * token-hash arrays together) and both text signals derive from
+    * that frame, and the edge union is materialized once
+    * (`localCheckpoint`) and consumed by both the CC loop and the
+    * signal census — so the expensive scan+tokenize and the three
+    * candidate generations each run exactly once. The CC loop
+    * shuffles only (doc_id, comp) pairs — never text. */
   val q98UnionDupClusters: Q = (s, d) => {
-    val sim = DedupOps.q60SimHashPairs(s, d)
+    val shared = DedupOps.sharedTextSignals(s, d)
+    val sim = DedupOps.simhashPairsFrom(DedupOps.simhashFrom(shared))
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("kind"))
-    val jac = DedupOps.q58JaccardPairs(s, d)
+    val jac = DedupOps.jaccardFrom(shared)
       .select(col("doc_a"), col("doc_b"), lit("jaccard").as("kind"))
     val emb = VectorOps.q64CosineNearDup(s, d)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
@@ -1603,11 +1608,14 @@ object CorpusOps {
     * blind spot).
     *
     * 100 TB design: a full outer join of two BOUNDED verified-pair
-    * sets on the (doc_a, doc_b) key; the census is 3 rows. */
+    * sets on the (doc_a, doc_b) key; the census is 3 rows. Both
+    * candidate generations derive from ONE scan+tokenize of the
+    * corpus ([[DedupOps.sharedTextSignals]]), like q98's. */
   val q147MethodAgreement: Q = (s, d) => {
-    val jac = DedupOps.q58JaccardPairs(s, d)
+    val shared = DedupOps.sharedTextSignals(s, d)
+    val jac = DedupOps.jaccardFrom(shared)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_jac"))
-    val sim = DedupOps.q60SimHashPairs(s, d)
+    val sim = DedupOps.simhashPairsFrom(DedupOps.simhashFrom(shared))
       .select(col("doc_a"), col("doc_b"), lit(1L).as("in_sim"))
     jac.join(sim, Seq("doc_a", "doc_b"), "full_outer")
       .withColumn("verdict",

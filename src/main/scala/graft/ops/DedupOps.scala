@@ -54,6 +54,18 @@ object DedupOps {
           (((${h("i")}) * 100003 + (${h("i+1")})) % $P * 100003 + (${h("i+2")})) % $P)"""
   }
 
+  /** ONE scan + tokenize of the corpus materializing BOTH text-signal
+    * inputs — the shingle array (`shs`, Jaccard's) and the token-hash
+    * array (`thm`, SimHash's) — for composites that consume several
+    * edge sources (q98, q147). At 100 TB this is the "persist the
+    * shingle table once, build every index off it" layout; without it
+    * each signal re-reads and re-tokenizes the full corpus. */
+  private[ops] def sharedTextSignals(s: SparkSession, d: String)
+      : DataFrame =
+    withTokenHashes(withShingles(Tables.documents(s, d)))
+      .select(col("doc_id"), col("shs"), col("thm"))
+      .localCheckpoint()
+
   // ------------------------------------------------------------ MinHash
   /** MinHash signature: 4 independent hash functions (a*x+b mod p) over
     * the shingle set; per-doc minimum each. The standard Broder
@@ -218,16 +230,23 @@ object DedupOps {
     }.mkString(" + ")
   }
 
-  val q59SimHash: Q = (s, d) => {
-    import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("thm", expr(
-        """transform(split(text, ' '), x ->
-             (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
-               & 4294967295)"""))
-      .select($"doc_id",
-        expr("simhash32_native(thm)").as("simhash"))
-  }
+  /** Adds `thm` (per-token 32-bit multiplicative hashes — the SimHash
+    * vote input) — split out, like [[withShingles]], so composites
+    * (q98/q147) can derive BOTH text signals from one scan+tokenize
+    * of the corpus. */
+  private[ops] def withTokenHashes(df: DataFrame): DataFrame =
+    df.withColumn("thm", expr(
+      """transform(split(text, ' '), x ->
+           (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
+             & 4294967295)"""))
+
+  /** Signature derivation from a frame that already carries `thm`. */
+  private[ops] def simhashFrom(base: DataFrame): DataFrame =
+    base.select(col("doc_id"),
+      expr("simhash32_native(thm)").as("simhash"))
+
+  val q59SimHash: Q = (s, d) =>
+    simhashFrom(withTokenHashes(Tables.documents(s, d)))
   val o59: String = s"""
     SELECT doc_id, ${simhashSql} AS simhash
     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
@@ -243,9 +262,14 @@ object DedupOps {
     * twice (four plan copies of the SimHash computation); this one
     * computes signatures once and never materializes a join build
     * side. The `distinct` dedupes pairs that agree on BOTH halves. */
-  val q60SimHashPairs: Q = (s, d) => {
+  val q60SimHashPairs: Q = (s, d) => simhashPairsFrom(q59SimHash(s, d))
+
+  /** Pair derivation from an already-computed signature frame (see
+    * [[minhashFrom]] / [[jaccardFrom]] for the pattern). */
+  private[ops] def simhashPairsFrom(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
     import s.implicits._
-    val posts = q59SimHash(s, d)
+    val posts = sig
       .select($"doc_id", $"simhash", expr(
         """explode(array(
              named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
