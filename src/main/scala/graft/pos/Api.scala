@@ -78,6 +78,93 @@ final class PosApi(spark: SparkSession, rootDir: String,
       .filter(col("operating_date").between(lit(start).cast("date"),
         lit(end).cast("date")))
   }
+
+  /** Item lines → group-level category pivot for [start, end]
+    * (`sales/marts.py:117-185` fetch_group): (1) ensure the ticket
+    * mart for the range (which is what the group pivot derives from),
+    * (2) build/refresh the group pivot when missing or forced,
+    * (3) filter the pivot's branch COLUMNS. The pivot is a tiny wide
+    * table with a fixed category row order, so it is stored per-range
+    * as ONE parquet file (the reference's
+    * `mart_sales_by_group_{start}_{end}.csv`) — single-file storage
+    * keeps the row order stable across the round-trip. */
+  def fetchSalesByGroup(lines: DataFrame, start: String, end: String,
+                        mode: String = "missing",
+                        branches: Seq[String] = Nil): DataFrame = {
+    validateMode(mode)
+    val ticket = fetchSalesByTicket(lines, start, end, mode)
+    val dir = martDir("sales_by_group")
+    new StageManifests(dir)
+      .runStage(start, end, version, Nil, force = mode == "force") {
+        SalesByGroup.buildCategoryPivot(ticket)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/data/${start}_$end")
+      }
+    loadSalesByGroup(start, end, branches)
+  }
+
+  /** Load-without-ETL (`sales/marts.py:187-230` load_group): raises
+    * when no ok manifest covers the exact range — never computes. */
+  def loadSalesByGroup(start: String, end: String,
+                       branches: Seq[String] = Nil): DataFrame = {
+    requireOk("sales_by_group", start, end, "fetchSalesByGroup")
+    filterBranchColumns(
+      spark.read.parquet(s"${martDir("sales_by_group")}/data/${start}_$end"),
+      branches)
+  }
+
+  /** Clean transfer lines → "Gasto de Insumos" pivot for [start, end]
+    * (`transfers/marts.py:24-96` fetch_pivot over
+    * `transfers/aggregate.py` aggregate_to_pivot): manifest-gated per
+    * range — `missing` serves from storage when an ok same-version
+    * manifest exists, `force` recomputes and overwrites. */
+  def fetchTransfersPivot(transfers: DataFrame, start: String,
+                          end: String, mode: String = "missing")
+      : DataFrame = {
+    validateMode(mode)
+    val dir = martDir("transfers_pivot")
+    new StageManifests(dir)
+      .runStage(start, end, version, Nil, force = mode == "force") {
+        TransfersPivot.buildPivot(transfers)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/data/${start}_$end")
+      }
+    loadTransfersPivot(start, end)
+  }
+
+  /** Load-without-ETL twin of [[fetchTransfersPivot]] (the
+    * `transfers/marts.py` load_pivot contract). */
+  def loadTransfersPivot(start: String, end: String): DataFrame = {
+    requireOk("transfers_pivot", start, end, "fetchTransfersPivot")
+    spark.read.parquet(s"${martDir("transfers_pivot")}/data/${start}_$end")
+  }
+
+  /** The reference raises FileNotFoundError when a load targets a
+    * range no ok manifest covers (marts.py:100-106,213-219). */
+  private def requireOk(mart: String, start: String, end: String,
+                        hint: String): Unit =
+    if (!new StageManifests(martDir(mart)).read(start, end)
+          .exists(_.status == "ok"))
+      throw new EtlError(
+        s"$mart mart not found for range $start to $end; " +
+          s"use $hint() to build it")
+
+  /** fetch_group's branch filter (marts.py:164-183): keep pivot
+    * columns whose name case-insensitively CONTAINS any requested
+    * branch name; the category label column always survives; when
+    * nothing matches the reference logs a warning and returns the
+    * pivot unfiltered. */
+  private def filterBranchColumns(df: DataFrame,
+                                  branches: Seq[String]): DataFrame =
+    if (branches.isEmpty) df
+    else {
+      val wanted = branches.map(_.toLowerCase)
+      val matching = df.columns.tail.filter(c =>
+        wanted.exists(c.toLowerCase.contains))
+      if (matching.isEmpty) df
+      else df.select((df.columns.head +: matching)
+        .map(df.col): _*)
+    }
 }
 
 /** Bronze-only order_times domain facade

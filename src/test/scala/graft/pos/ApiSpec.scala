@@ -90,6 +90,85 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  private def itemLines: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("Kavia", "2025-01-15", 1001, "PAN01", false, "PAN DULCE", 2.0, 30.0, 34.8),
+      ("Nativa", "2025-01-15", 2001, "PAN02", false, "PAN DULCE", 1.0, 25.0, 29.0),
+      ("Kavia", "2025-02-01", 3001, "PAN01", false, "PAN DULCE", 1.0, 99.0, 99.9) // outside range
+    ).toDF("sucursal", "operating_date", "order_id", "item_key",
+      "is_modifier", "group", "quantity", "subtotal_item", "total_item")
+      .withColumn("operating_date",
+        org.apache.spark.sql.functions.col("operating_date").cast("date"))
+  }
+
+  test("fetchSalesByGroup: chained marts, storage idempotence, branch filter") {
+    val root = Files.createTempDirectory("api").toString
+    val api = new PosApi(spark, root)
+    // load before any fetch raises (load_group FileNotFoundError contract)
+    intercept[EtlError] { api.loadSalesByGroup("2025-01-01", "2025-01-31") }
+    val g1 = api.fetchSalesByGroup(itemLines, "2025-01-01", "2025-01-31")
+    assert(g1.columns.contains("Kavia") && g1.columns.contains("Nativa"))
+    val pan1 = g1.collect().find(_.getString(0) == "PAN DULCE").get
+    assert(pan1.getAs[Double]("Kavia") == 30.0) // Feb row range-filtered
+    // the chained ticket mart exists too (fetch_group step 1)
+    assert(new java.io.File(s"$root/gold/sales_by_ticket/data").exists())
+    // missing mode serves from storage: different input, same stored mart
+    val other = itemLines.withColumn("subtotal_item",
+      org.apache.spark.sql.functions.lit(500.0))
+    val g2 = api.fetchSalesByGroup(other, "2025-01-01", "2025-01-31")
+    assert(g2.collect().find(_.getString(0) == "PAN DULCE").get
+      .getAs[Double]("Kavia") == 30.0)
+    // force recomputes both stages from the new input
+    val g3 = api.fetchSalesByGroup(other, "2025-01-01", "2025-01-31",
+      mode = "force")
+    assert(g3.collect().find(_.getString(0) == "PAN DULCE").get
+      .getAs[Double]("Kavia") == 500.0)
+    // branch filter keeps the category column + substring matches only
+    val gk = api.loadSalesByGroup("2025-01-01", "2025-01-31",
+      branches = Seq("kavia"))
+    assert(gk.columns.toSeq == Seq(g1.columns.head, "Kavia"))
+    // no match → unfiltered (reference warns and returns everything)
+    assert(api.loadSalesByGroup("2025-01-01", "2025-01-31",
+      branches = Seq("nowhere")).columns.length == g1.columns.length)
+  }
+
+  test("fetchTransfersPivot: storage idempotence + load contract") {
+    val s = spark
+    import s.implicits._
+    val transfers = Seq(
+      ("T-1", "ALMACEN PRODUCTO TERMINADO", "PANEM - HOTEL KAVIA N",
+        "COCINA", 480.0),
+      ("T-2", "ALMACEN GENERAL", "PANEM - LA CARRETA N", "TOSTADOR", 90.0)
+    ).toDF("orden", "almacen_origen", "sucursal_destino", "departamento",
+      "costo")
+    val root = Files.createTempDirectory("api").toString
+    val api = new PosApi(spark, root)
+    intercept[EtlError] { api.loadTransfersPivot("2025-01-01", "2025-01-31") }
+    val p1 = api.fetchTransfersPivot(transfers, "2025-01-01", "2025-01-31")
+    val rows1 = p1.collect()
+    assert(rows1.last.getString(0) == "TOTAL")
+    assert(rows1.find(_.getString(0) == "Comida Salada").get
+      .getAs[Double]("Kavia") == 480.0)
+    // missing mode: stored pivot survives a different input
+    val doubled = transfers.withColumn("costo",
+      org.apache.spark.sql.functions.col("costo") * 2)
+    val p2 = api.fetchTransfersPivot(doubled, "2025-01-01", "2025-01-31")
+    assert(p2.collect().find(_.getString(0) == "Comida Salada").get
+      .getAs[Double]("Kavia") == 480.0)
+    // force recomputes
+    val p3 = api.fetchTransfersPivot(doubled, "2025-01-01", "2025-01-31",
+      mode = "force")
+    assert(p3.collect().find(_.getString(0) == "Comida Salada").get
+      .getAs[Double]("Kavia") == 960.0)
+    // invalid mode rejected before any work
+    intercept[ConfigError] {
+      api.fetchTransfersPivot(transfers, "2025-01-01", "2025-01-31",
+        mode = "maybe")
+    }
+  }
+
   test("CSV BOM round-trip preserves accents and parses back") {
     val s = spark
     import s.implicits._
