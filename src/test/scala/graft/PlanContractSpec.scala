@@ -112,6 +112,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(keyed == 1, s"expected 1 keyed exchange, plan:\n${p.take(2000)}")
   }
 
+  test("q155: the sketch profiler aggregates in one pass, no Expand") {
+    // the exact q128 pays Expand ×2·columns by design (oracle-exact);
+    // the production spelling must never reintroduce it
+    val p = plan("q155_table_profile_sketch")
+    assert(!p.contains("Expand"), p.take(3000))
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
   test("no query plans a cartesian product or unintended broadcast NLJ") {
     // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
     // (constant-size broadcast side); q12's validity-window range join

@@ -35,6 +35,28 @@ class QueriesSpec extends AnyFunSuite {
     assert(undeclared.isEmpty, s"oracle without query: $undeclared")
   }
 
+  test("q155 sketch profiler tracks exact distincts within HLL error") {
+    val exact = SparkEntry.queries("q128_table_profile")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"),
+          r.get(3), r.get(4)))).toMap
+    val est = SparkEntry.queries("q155_table_profile_sketch")(spark, sf)
+      .collect()
+    assert(est.length == exact.size)
+    est.foreach { r =>
+      val c = r.getString(0)
+      val (exNulls, exDist, exMin, exMax) = exact(c)
+      val a = r.getAs[Long]("n_distinct_est").toDouble
+      // approx_count_distinct default rsd is 5%; allow 3 sigma
+      assert(math.abs(a - exDist.toDouble) <=
+        math.max(3.0, 0.15 * exDist.toDouble),
+        s"$c: est $a vs exact $exDist")
+      // nulls/min/max stay exact — identical to q128's
+      assert(r.getAs[Long]("n_nulls") == exNulls, c)
+      assert(r.get(3) == exMin && r.get(4) == exMax, c)
+    }
+  }
+
   test("q01 pricing summary has the 6 flag/status groups") {
     val rows = SparkEntry.queries("q01_agg_pricing")(spark, sf).collect()
     assert(rows.length == 6)
