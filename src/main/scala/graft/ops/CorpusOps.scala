@@ -78,7 +78,12 @@ object CorpusOps {
       val (ra, rb) = (find(a), find(b))
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
     }
-    parent.keysIterator.map(k => k -> find(k)).toMap
+    // snapshot the keys before the final resolve: find() path-halves
+    // (writes into the map), and iterating a mutable map while
+    // mutating it is only safe under undocumented LongMap internals
+    // (writes to existing keys never repack) — an invariant a future
+    // edit could silently break
+    parent.keys.toArray.map(k => k -> find(k)).toMap
   }
 
   private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {

@@ -139,6 +139,11 @@ object DedupOps {
     * practice and bounds the self-join input per shingle. */
   private val MaxShingleDf = 100
 
+  /** Verified-pair rows above which q107 stops forcing a broadcast
+    * (~50 B/row → ≤ ~50 MB broadcast at the cap) and lets the pair
+    * set shuffle-join instead. */
+  private val MaxBroadcastPairs = 1000000L
+
   /** n-gram Jaccard near-dup pairs via a df-capped inverted shingle
     * index: only pairs sharing ≥1 surviving shingle are compared (no
     * cross join, no uncapped posting lists);
@@ -330,17 +335,24 @@ object DedupOps {
     val est = (0 until 4).map(j =>
       when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _).cast("double") / 4.0
-    // the verified-pair set is bounded (near-dups, not corpus rows):
-    // materialize it once and BROADCAST it into both signature joins,
-    // so the full signature table streams map-side and is never
-    // shuffled
+    // the verified-pair set is usually bounded (near-dups, not corpus
+    // rows): materialize it once and BROADCAST it into both signature
+    // joins, so the full signature table streams map-side and is
+    // never shuffled. But the pair count is DATA-dependent —
+    // boilerplate-heavy corpora produce huge verified-pair sets — so
+    // the broadcast is gated on a counted cap (the count is free: the
+    // frame is already checkpointed), falling back to a shuffle join
+    // above it, the same guard connectedComponents applies before its
+    // driver collect.
     val pairs = jaccardFrom(base).localCheckpoint()
+    val small = pairs.count() <= MaxBroadcastPairs
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val withA = sig.select($"doc_id".as("doc_a"), $"mh0".as("a_mh0"),
         $"mh1".as("a_mh1"), $"mh2".as("a_mh2"), $"mh3".as("a_mh3"))
-      .join(broadcast(pairs), Seq("doc_a"))
+      .join(hint(pairs), Seq("doc_a"))
     sig.select($"doc_id".as("doc_b"), $"mh0".as("b_mh0"),
         $"mh1".as("b_mh1"), $"mh2".as("b_mh2"), $"mh3".as("b_mh3"))
-      .join(broadcast(withA), Seq("doc_b"))
+      .join(hint(withA), Seq("doc_b"))
       .withColumn("est_jaccard", est)
       .withColumn("abs_err", abs($"jaccard" - $"est_jaccard"))
       .select($"doc_a", $"doc_b", $"jaccard", $"est_jaccard", $"abs_err")

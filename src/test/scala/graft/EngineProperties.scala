@@ -130,6 +130,49 @@ object EngineProperties extends Properties("engine") {
         ref.map(java.lang.Double.doubleToLongBits)
     }
 
+  // ------------------------------------ vector kernels: NULL paths
+  // unequal lengths and null elements — the kernels' NULL semantics
+  // (mismatched length or any null element → NULL, mirroring
+  // zip_with's null padding through the fold) exercised against the
+  // composed spellings, which the equal-length generator never hits
+  private val raggedPair
+      : Gen[(List[Option[Float]], List[Option[Float]])] = for {
+    n <- Gen.choose(0, 6)
+    m <- Gen.choose(0, 6)
+    a <- Gen.listOfN(n, Gen.option(Gen.chooseNum(-10f, 10f)))
+    b <- Gen.listOfN(m, Gen.option(Gen.chooseNum(-10f, 10f)))
+  } yield (a, b)
+
+  property("vector kernels match zip_with NULL semantics, ragged/null") =
+    Prop.forAllNoShrink(Gen.listOfN(8, raggedPair)) { pairs =>
+      val s = spark
+      import s.implicits._
+      val df = pairs.map { case (a, b) => (a, b.map(_.map(_.toDouble))) }
+        .toDF("a", "b")
+      def vals(q: String): Seq[Option[Long]] =
+        df.selectExpr(s"$q AS v").collect()
+          .map(r => if (r.isNullAt(0)) None
+            else Some(java.lang.Double.doubleToLongBits(r.getDouble(0))))
+          .toSeq
+      val dotGot = vals("dot_f32_native(a, b)")
+      val dotRef = vals(
+        """aggregate(zip_with(a, b, (x, y) ->
+             CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+      val l2Got = vals("l2sq_native(a, b)")
+      val l2Ref = vals(
+        """aggregate(zip_with(a, b, (x, c) ->
+             (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)),
+           CAST(0 AS DOUBLE), (acc, v) -> acc + v)""")
+      // and the NULL contract itself, stated directly: mismatched
+      // lengths or any null element → NULL (both-empty → 0.0)
+      val expectNull = pairs.map { case (a, b) =>
+        a.length != b.length || a.exists(_.isEmpty) || b.exists(_.isEmpty)
+      }
+      dotGot == dotRef && l2Got == l2Ref &&
+        dotGot.zip(expectNull).forall { case (v, n) => v.isEmpty == n }
+    }
+
   // ----------------------------------------------------------- SCD2
   private val scdState: Gen[(Map[Int, Option[String]],
                              Map[Int, Option[String]])] = {
