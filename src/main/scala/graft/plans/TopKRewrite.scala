@@ -24,8 +24,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *     `row_number()` over the default row frame;
   *   - every partition key is a bare attribute of the child;
   *   - the Filter is exactly `rn <= lit` / `rn < lit` (a conjunct-free
-  *     bound) sitting directly on the Window, or on an attribute-only
-  *     Project of it;
+  *     bound) sitting directly on the Window, or on a deterministic
+  *     Project of it that exposes the rank — bare (`rn`) or RENAMED
+  *     (`rn AS rank`); a recomputed rank (`rn + 1 AS rank`) is a
+  *     different bound and declines;
   *   - the bound is positive (`rn <= 0` must yield the empty relation,
   *     which the heap operator cannot represent — left to Spark).
   *
@@ -74,8 +76,17 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def attributeOnly(p: Seq[NamedExpression]): Boolean =
-    p.forall(_.isInstanceOf[Attribute])
+  /** Every handle the projection exposes for the rank: the bare
+    * attribute or a direct rename (`Alias(rn, _)`). A COMPUTED alias
+    * (`rn + 1 AS rank`) is deliberately not a handle — its bound
+    * means something else. */
+  private def rankHandles(projList: Seq[NamedExpression],
+                          rn: Attribute): Seq[Attribute] =
+    projList.collect {
+      case a: Attribute if a.semanticEquals(rn) => a
+      case al @ Alias(a: Attribute, _) if a.semanticEquals(rn) =>
+        al.toAttribute
+    }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
@@ -85,10 +96,16 @@ object RewriteWindowTopK extends Rule[LogicalPlan] {
           case Some(k) if k > 0 => TopKPerGroup(child, keys, order, k, rn)
           case _ => Filter(cond, w)
         }
+      // the rank may flow through a Project renamed (rn AS rank) or
+      // bare; replacing Window→TopK under a deterministic Project is
+      // row-equivalent (the projection of surviving rows is the same
+      // either side of the bound), while a nondeterministic one would
+      // change which rows draw values — decline those like Spark's
+      // own filter pushdown does
       case f @ Filter(cond,
-          p @ Project(projList, w @ RowNumberWindow(child, keys, order, rn)))
-          if attributeOnly(projList) && projList.contains(rn) =>
-        bound(cond, rn) match {
+          Project(projList, RowNumberWindow(child, keys, order, rn)))
+          if projList.forall(_.deterministic) =>
+        rankHandles(projList, rn).flatMap(bound(cond, _)).headOption match {
           case Some(k) if k > 0 =>
             Project(projList, TopKPerGroup(child, keys, order, k, rn))
           case _ => f

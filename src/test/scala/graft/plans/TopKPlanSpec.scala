@@ -109,6 +109,47 @@ class TopKPlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.topk.rewrite", "false")
   }
 
+  test("rewrite fires through a renamed rank; declines a recomputed one") {
+    spark.conf.set("spark.graft.topk.rewrite", "true")
+    try {
+      graft.GraftSql.registerTables(spark, sf)
+      // rn renamed to rank, plus a computed passenger column — both
+      // flow through one collapsed Project; the rewrite must fire and
+      // keep results identical to the window spelling
+      val sql = """
+        SELECT lang, doc_id, n_chars * 2 AS twice, rank FROM (
+          SELECT lang, doc_id, n_chars, row_number() OVER (
+            PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rank
+          FROM documents)
+        WHERE rank <= 3"""
+      val df = spark.sql(sql)
+      df.write.format("noop").mode("overwrite").save()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKFinal"), p.take(2000))
+      assert(!p.contains("Window"), p.take(2000))
+      val rewritten = df.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      spark.conf.set("spark.graft.topk.rewrite", "false")
+      val plain = spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getInt(3))).toSet
+      assert(rewritten == plain)
+      spark.conf.set("spark.graft.topk.rewrite", "true")
+      // a RECOMPUTED rank (rn + 1) bounds something else — keep Window
+      val recomputed = spark.sql("""
+        SELECT lang, doc_id, rank FROM (
+          SELECT lang, doc_id, rn + 1 AS rank FROM (
+            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents))
+        WHERE rank <= 3""")
+      assert(recomputed.queryExecution.optimizedPlan.toString
+        .contains("windowspecdefinition"),
+        recomputed.queryExecution.optimizedPlan.toString.take(1500))
+    } finally spark.conf.set("spark.graft.topk.rewrite", "false")
+  }
+
   test("GLOBAL top-k (no group keys) plans AllTuples, not a crash") {
     val ours = TopK.perGroup(docs, Seq(),
       Seq(("n_chars", true), ("doc_id", false)), 5)
