@@ -376,9 +376,164 @@ object DedupOps {
     JOIN sig a ON a.doc_id = p.doc_a
     JOIN sig b ON b.doc_id = p.doc_b"""
 
+  // ----------------------------------------- cross-source overlap
+  /** Cross-source corpus overlap: per source pair, the MinHash-
+    * estimated Jaccard of the two sources' SHINGLE SETS next to the
+    * exact value, with absolute error — the mirror-feed audit a
+    * crawler team runs before ingesting a "new" source.
+    *
+    * 100 TB design: the sketch side is the whole point — a source's
+    * signature slot is the MIN over its rows' slot values, so
+    * per-partition partial mins combine associatively in one
+    * map-side-combined aggregate (duplicates cannot change a min:
+    * no distinct, no shuffle of shingles for the estimate; sketches
+    * of yesterday's partitions merge with today's for free). The
+    * exact side exists to calibrate the estimate and runs q58's
+    * posting-list layout (source lists per shingle, in-row pair
+    * generation, source-count-bounded rows); at scale you keep only
+    * the sketch. */
+  val q156SourceOverlap: Q = (s, d) => {
+    import s.implicits._
+    val srcSh = withShingles(Tables.documents(s, d))
+      .select($"source", explode(array_distinct($"shs")).as("sh"))
+      .distinct()
+    val sigAggs = ab.zipWithIndex.map { case ((a, b), j) =>
+      min(expr(s"($a * sh + $b) % $P")).as(s"mh$j")
+    }
+    val sig = srcSh.groupBy($"source").agg(sigAggs.head, sigAggs.tail: _*)
+    val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n"))
+    val inter = srcSh.groupBy($"sh")
+      .agg(sort_array(collect_list($"source")).as("ss"))
+      .filter(size($"ss") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ss) - 1),
+             i -> transform(slice(ss, i + 1, size(ss) - i),
+               x -> named_struct('source_a', element_at(ss, i),
+                                 'source_b', x))))""")).as("pr"))
+      .groupBy($"pr.source_a".as("source_a"), $"pr.source_b".as("source_b"))
+      .agg(count(lit(1)).as("i"))
+    val est = (0 until 4).map(j =>
+      when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / 4.0
+    inter
+      .join(broadcast(sizes.select($"source".as("source_a"), $"n".as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(sizes.select($"source".as("source_b"), $"n".as("n_b"))),
+        Seq("source_b"))
+      .join(broadcast(sig.select($"source".as("source_a"),
+        $"mh0".as("a_mh0"), $"mh1".as("a_mh1"),
+        $"mh2".as("a_mh2"), $"mh3".as("a_mh3"))), Seq("source_a"))
+      .join(broadcast(sig.select($"source".as("source_b"),
+        $"mh0".as("b_mh0"), $"mh1".as("b_mh1"),
+        $"mh2".as("b_mh2"), $"mh3".as("b_mh3"))), Seq("source_b"))
+      .withColumn("exact_j",
+        $"i".cast("double") / ($"n_a" + $"n_b" - $"i").cast("double"))
+      .withColumn("est_j", est)
+      .withColumn("abs_err", abs($"exact_j" - $"est_j"))
+      .select($"source_a", $"source_b", $"n_a", $"n_b", $"i".as("n_inter"),
+        $"exact_j", $"est_j", $"abs_err")
+  }
+  val o156: String = {
+    val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
+      s"MIN(($a * sh + $b) % $P) AS mh$j"
+    }.mkString(", ")
+    s"""
+    WITH sh0 AS (
+      SELECT DISTINCT source, unnest(shs) AS sh
+      FROM (SELECT source, $shinglesSql AS shs
+            FROM (SELECT source, string_split(text, ' ') AS t
+                  FROM documents))),
+    sig AS (SELECT source, $mhs FROM sh0 GROUP BY source),
+    sizes AS (SELECT source, COUNT(*) AS n FROM sh0 GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i
+      FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, sa.n AS n_a, sb.n AS n_b, i AS n_inter,
+      CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) AS exact_j,
+      CAST((CASE WHEN ga.mh0 = gb.mh0 THEN 1 ELSE 0 END
+          + CASE WHEN ga.mh1 = gb.mh1 THEN 1 ELSE 0 END
+          + CASE WHEN ga.mh2 = gb.mh2 THEN 1 ELSE 0 END
+          + CASE WHEN ga.mh3 = gb.mh3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0
+        AS est_j,
+      abs(CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE)
+        - CAST((CASE WHEN ga.mh0 = gb.mh0 THEN 1 ELSE 0 END
+              + CASE WHEN ga.mh1 = gb.mh1 THEN 1 ELSE 0 END
+              + CASE WHEN ga.mh2 = gb.mh2 THEN 1 ELSE 0 END
+              + CASE WHEN ga.mh3 = gb.mh3 THEN 1 ELSE 0 END) AS DOUBLE)
+          / 4.0) AS abs_err
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    JOIN sig ga ON ga.source = source_a
+    JOIN sig gb ON gb.source = source_b"""
+  }
+
+  // ------------------------------------- edit-distance verification
+  /** Edit-distance verification of LSH candidates: pairs agreeing on
+    * at least one MinHash band (q57's candidate definition) verified
+    * by EXACT Levenshtein distance, normalized by the longer text;
+    * pairs at ≤ 0.4 emit. This is the expensive-but-exact refinement
+    * a dedup pipeline runs ONLY on candidates — O(len²) per pair is
+    * unpayable corpus-wide but free on a banding-bounded pair set.
+    *
+    * 100 TB design: candidates generate in-row from band-keyed
+    * posting lists (one exchange, the q60 layout — never a signature
+    * self-join); the two text lookups are hash joins on doc_id; the
+    * quadratic kernel touches only surviving pairs. */
+  val q157EditVerify: Q = (s, d) => {
+    import s.implicits._
+    val cand = q56MinHash(s, d)
+      .select($"doc_id", expr(
+        """explode(array(
+             named_struct('band', 0, 'k1', mh0, 'k2', mh1),
+             named_struct('band', 1, 'k1', mh2, 'k2', mh3))) AS b"""))
+      .groupBy($"b.band", $"b.k1", $"b.k2")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               x -> named_struct('doc_a', element_at(ds, i),
+                                 'doc_b', x))))""")).as("pr"))
+      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .distinct()
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    cand
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")),
+        Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")),
+        Seq("doc_b"))
+      .withColumn("lev", levenshtein($"ta", $"tb").cast("long"))
+      .withColumn("norm_dist", $"lev".cast("double")
+        / greatest(length($"ta"), length($"tb")).cast("double"))
+      .filter($"norm_dist" <= 0.4)
+      .select($"doc_a", $"doc_b", $"lev", $"norm_dist")
+  }
+  val o157: String = s"""
+    WITH sig AS (${o56}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+    v AS (
+      SELECT doc_a, doc_b,
+        CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        CAST(levenshtein(da.text, db.text) AS DOUBLE)
+          / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
+          AS norm_dist
+      FROM cand
+      JOIN documents da ON da.doc_id = cand.doc_a
+      JOIN documents db ON db.doc_id = cand.doc_b)
+    SELECT doc_a, doc_b, lev, norm_dist FROM v
+    WHERE norm_dist <= 0.4"""
+
   val queries: Map[String, Q] = Map(
     "q56_minhash" -> q56MinHash,
     "q107_minhash_estimate" -> q107MinhashEstimate,
+    "q156_source_overlap" -> q156SourceOverlap,
+    "q157_edit_verify" -> q157EditVerify,
     "q57_lsh_buckets" -> q57LshBuckets,
     "q58_jaccard_pairs" -> q58JaccardPairs,
     "q59_simhash" -> q59SimHash,
@@ -387,6 +542,8 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q56_minhash" -> o56,
     "q107_minhash_estimate" -> o107,
+    "q156_source_overlap" -> o156,
+    "q157_edit_verify" -> o157,
     "q57_lsh_buckets" -> o57,
     "q58_jaccard_pairs" -> o58,
     "q59_simhash" -> o59,

@@ -264,13 +264,204 @@ object WindowOps {
            COUNT(*) AS n_days
     FROM g GROUP BY event_type, grp"""
 
+  // ------------------------------------------------------------ CUSUM
+  /** CUSUM drift detection per event_type: one-sided cumulative sums
+    * s⁺ₜ = max(0, s⁺ₜ₋₁ + (xₜ − μ − k)) and the mirrored s⁻, with the
+    * standard allowance k = σ/2 and decision threshold h = 4σ — the
+    * change-point monitor that catches slow level drifts the q40
+    * z-score (point outliers) and q146 MAD (robust point outliers)
+    * both miss.
+    *
+    * CUSUM is a NON-LINEAR recurrence (the max-with-zero clamp), so
+    * no window frame expresses it; but it only ever runs over the
+    * per-type DAILY CENSUS (~n_days rows per type, bounded by the
+    * calendar — not by corpus size), so each type's series collects
+    * into one row and the recurrence folds IN-ROW over the sorted
+    * array. μ/σ come from exact integer moments (the q40 cookbook);
+    * the fold is the identical IEEE op sequence on both engines.
+    *
+    * 100 TB design: the census aggregate is map-side combined; the
+    * fold input is calendar-bounded per type (a year = 365 elements)
+    * regardless of event volume. */
+  val q158CusumDrift: Q = (s, d) => {
+    import s.implicits._
+    val m = daily(s, d).groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"cents").cast("double").as("s1"),
+        sum($"cents".cast("decimal(19,0)") *
+          $"cents".cast("decimal(19,0)")).cast("double").as("s2"),
+        expr("transform(sort_array(collect_list(named_struct(" +
+          "'d', d, 'cents', cents))), e -> CAST(e.cents AS DOUBLE))")
+          .as("xs"))
+      .withColumn("mu", $"s1" / $"n")
+      .withColumn("variance",
+        ($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1.0))
+      .withColumn("sigma",
+        when($"n" > 1.0 && $"variance" > 0.0, sqrt($"variance")))
+      .withColumn("k", $"sigma" * 0.5)
+      .withColumn("h", $"sigma" * 4.0)
+    // FIELD ORDER CONTRACT: fields that READ acc.up/acc.dn come
+    // BEFORE the fields that produce the new up/dn. DuckDB v1.0's
+    // list_reduce evaluates result-struct fields in place (a later
+    // field sees the earlier fields of `acc` already overwritten), so
+    // the oracle twin is only correct when every acc reference reads
+    // a not-yet-overwritten field — this ordering is correct under
+    // both in-place and functional evaluation, so both engines agree.
+    val fold = """aggregate(xs,
+      named_struct('mxu', CAST(0 AS DOUBLE), 'mxd', CAST(0 AS DOUBLE),
+                   'au', CAST(0 AS BIGINT), 'ad', CAST(0 AS BIGINT),
+                   'up', CAST(0 AS DOUBLE), 'dn', CAST(0 AS DOUBLE)),
+      (acc, x) -> named_struct(
+        'mxu', greatest(acc.mxu,
+          greatest(CAST(0 AS DOUBLE), acc.up + (x - mu - k))),
+        'mxd', greatest(acc.mxd,
+          greatest(CAST(0 AS DOUBLE), acc.dn + (mu - x - k))),
+        'au', acc.au + (CASE WHEN greatest(CAST(0 AS DOUBLE),
+          acc.up + (x - mu - k)) > h THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END),
+        'ad', acc.ad + (CASE WHEN greatest(CAST(0 AS DOUBLE),
+          acc.dn + (mu - x - k)) > h THEN CAST(1 AS BIGINT)
+          ELSE CAST(0 AS BIGINT) END),
+        'up', greatest(CAST(0 AS DOUBLE), acc.up + (x - mu - k)),
+        'dn', greatest(CAST(0 AS DOUBLE), acc.dn + (mu - x - k))))"""
+    m.withColumn("cs", when($"sigma".isNotNull, expr(fold)))
+      .select($"event_type", $"n".cast("long").as("n_days"),
+        $"mu", $"sigma",
+        $"cs.mxu".as("max_cusum_up"), $"cs.mxd".as("max_cusum_down"),
+        $"cs.au".as("n_alarms_up"), $"cs.ad".as("n_alarms_down"))
+  }
+  val o158: String = s"""
+    WITH daily AS ($dailySql),
+    m AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(cents) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(cents AS DECIMAL(19,0))
+               * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS s2,
+        list(CAST(cents AS DOUBLE) ORDER BY d) AS xs
+      FROM daily GROUP BY event_type),
+    p AS (
+      SELECT *, s1 / n AS mu,
+        (s2 - s1 * s1 / n) / (n - 1.0) AS variance
+      FROM m),
+    q AS (
+      SELECT *,
+        CASE WHEN n > 1.0 AND variance > 0.0 THEN sqrt(variance) END
+          AS sigma
+      FROM p),
+    r AS (
+      SELECT *, sigma * 0.5 AS k, sigma * 4.0 AS h FROM q),
+    f AS (
+      SELECT *,
+        -- field order contract: see the Spark twin — acc.up/acc.dn
+        -- are read by mxu/mxd/au/ad BEFORE up/dn overwrite them
+        -- (DuckDB list_reduce updates result-struct fields in place)
+        CASE WHEN sigma IS NOT NULL THEN
+          list_reduce(
+            list_prepend(
+              {'mxu': CAST(0 AS DOUBLE), 'mxd': CAST(0 AS DOUBLE),
+               'au': CAST(0 AS BIGINT), 'ad': CAST(0 AS BIGINT),
+               'up': CAST(0 AS DOUBLE), 'dn': CAST(0 AS DOUBLE)},
+              list_transform(xs, x ->
+                {'mxu': CAST(0 AS DOUBLE), 'mxd': CAST(0 AS DOUBLE),
+                 'au': CAST(0 AS BIGINT), 'ad': CAST(0 AS BIGINT),
+                 'up': x, 'dn': CAST(0 AS DOUBLE)})),
+            (acc, e) -> {
+              'mxu': greatest(acc.mxu,
+                greatest(CAST(0 AS DOUBLE), acc.up + (e.up - mu - k))),
+              'mxd': greatest(acc.mxd,
+                greatest(CAST(0 AS DOUBLE), acc.dn + (mu - e.up - k))),
+              'au': acc.au + (CASE WHEN greatest(CAST(0 AS DOUBLE),
+                acc.up + (e.up - mu - k)) > h THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END),
+              'ad': acc.ad + (CASE WHEN greatest(CAST(0 AS DOUBLE),
+                acc.dn + (mu - e.up - k)) > h THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END),
+              'up': greatest(CAST(0 AS DOUBLE), acc.up + (e.up - mu - k)),
+              'dn': greatest(CAST(0 AS DOUBLE), acc.dn + (mu - e.up - k))})
+        END AS cs
+      FROM r)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, mu, sigma,
+      cs.mxu AS max_cusum_up, cs.mxd AS max_cusum_down,
+      cs.au AS n_alarms_up, cs.ad AS n_alarms_down
+    FROM f"""
+
+  // -------------------------------------------------------- OLS trend
+  /** Per-type OLS revenue trend: slope, intercept, and R² of
+    * cents ~ day fitted per event_type — the in-engine "is this
+    * series growing and how fast" answer a monitoring mart serves
+    * without a modeling sidecar (the closed-form twin of q154's
+    * Pearson audit; q43/W7 forecast consumes level, this reports
+    * direction).
+    *
+    * Float parity: x = integer day offset from the shared 1970
+    * epoch, y = exact cents; the five moments accumulate as exact
+    * decimal(38,0) sums, each casts to double once, and
+    * slope/intercept/R² are then ONE identical IEEE expression per
+    * column on both engines (q154 cookbook). Zero-variance series
+    * yield nulls, not NaN. */
+  val q159TrendOls: Q = (s, d) => {
+    import s.implicits._
+    val base = daily(s, d)
+      .select($"event_type",
+        datediff($"d", to_date(lit("1970-01-01"))).cast("long").as("x"),
+        $"cents".as("y"))
+    val m = base.groupBy($"event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
+        sum($"y".cast("decimal(38,0)")).cast("double").as("sy"),
+        sum(($"x" * $"y").cast("decimal(38,0)")).cast("double").as("sxy"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"),
+        sum(($"y".cast("decimal(19,0)") * $"y".cast("decimal(19,0)")))
+          .cast("double").as("syy"))
+    m.withColumn("vx", $"n" * $"sxx" - $"sx" * $"sx")
+      .withColumn("vy", $"n" * $"syy" - $"sy" * $"sy")
+      .withColumn("cov", $"n" * $"sxy" - $"sx" * $"sy")
+      .withColumn("slope", when($"vx" > 0.0, $"cov" / $"vx"))
+      .withColumn("intercept",
+        when($"vx" > 0.0, ($"sy" - $"cov" / $"vx" * $"sx") / $"n"))
+      .withColumn("r2",
+        when($"vx" > 0.0 && $"vy" > 0.0,
+          ($"cov" * $"cov") / ($"vx" * $"vy")))
+      .select($"event_type", $"n".cast("long").as("n_days"),
+        $"slope", $"intercept", $"r2")
+  }
+  val o159: String = s"""
+    WITH daily AS ($dailySql),
+    base AS (
+      SELECT event_type,
+        CAST(d - DATE '1970-01-01' AS BIGINT) AS x,
+        cents AS y
+      FROM daily),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+          AS DOUBLE) AS syy
+      FROM base GROUP BY event_type),
+    v AS (
+      SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy,
+        n * sxy - sx * sy AS cov
+      FROM m)
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      CASE WHEN vx > 0.0 THEN cov / vx END AS slope,
+      CASE WHEN vx > 0.0 THEN (sy - cov / vx * sx) / n END AS intercept,
+      CASE WHEN vx > 0.0 AND vy > 0.0
+        THEN (cov * cov) / (vx * vy) END AS r2
+    FROM v"""
+
   val queries: Map[String, Q] = Map(
     "q40_rolling_zscore" -> q40RollingZscore,
     "q41_gap_fill" -> q41GapFill,
     "q42_missing_days" -> q42MissingDays,
     "q43_naive_lag" -> q43NaiveLag,
     "q44_deposit_schedule" -> q44DepositSchedule,
-    "q45_islands" -> q45Islands)
+    "q45_islands" -> q45Islands,
+    "q158_cusum_drift" -> q158CusumDrift,
+    "q159_trend_ols" -> q159TrendOls)
 
   val oracles: Map[String, String] = Map(
     "q40_rolling_zscore" -> o40,
@@ -278,5 +469,7 @@ object WindowOps {
     "q42_missing_days" -> o42,
     "q43_naive_lag" -> o43,
     "q44_deposit_schedule" -> o44,
-    "q45_islands" -> o45)
+    "q45_islands" -> o45,
+    "q158_cusum_drift" -> o158,
+    "q159_trend_ols" -> o159)
 }
