@@ -156,6 +156,44 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------------- incremental cluster upkeep
+  /** Incremental duplicate-cluster maintenance: yesterday's labels +
+    * today's NEW edges → updated labels, WITHOUT re-scanning the old
+    * edge set — the nightly path of a corpus-scale dedup service
+    * (q83's batch CC is the weekly rebuild; q141 proves the same
+    * incremental-vs-recompute contract for mart algebra).
+    *
+    * Old clusters enter the propagation CONTRACTED to their label
+    * edges (member → comp), so the incremental graph is
+    * |old labels| + |new edges| rows, not |all edges|. Labels are
+    * member-min ids and contraction preserves both connectivity and
+    * the component min, so the result is IDENTICAL to a batch
+    * recompute over all edges — which is exactly what the oracle
+    * runs. The deterministic old/new split (an edge is "new" when
+    * either endpoint ≡ 0 mod 7) makes both engines construct the
+    * same scenario. */
+  val q163IncrementalClusters: Q = (s, d) => {
+    val edges = DedupOps.q60SimHashPairs(s, d)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint()
+    val isNew = col("src") % 7 === 0 || col("dst") % 7 === 0
+    val oldLabels = connectedComponents(edges.filter(!isNew))
+    // contracted old state: every member points at its label; the
+    // self-edge of each representative is redundant and dropped
+    val inc = oldLabels.filter(col("doc_id") =!= col("comp"))
+      .select(col("doc_id").as("src"), col("comp").as("dst"))
+      .unionByName(edges.filter(isNew))
+    val labels = connectedComponents(inc)
+    val sizes = labels.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+  /** Oracle: the FULL batch recompute (o83 verbatim) — identical
+    * output proves the contraction algebra lossless. */
+  val o163: String = o83
+
   // ------------------------------------------------------------ TF-IDF
   /** TF-IDF-style term relevance: term frequency per (doc, term) ×
     * inverse document frequency, top-3 terms per sampled doc.
@@ -1767,6 +1805,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
     "q147_method_agreement" -> q147MethodAgreement,
@@ -1802,6 +1841,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,
     "q147_method_agreement" -> o147,

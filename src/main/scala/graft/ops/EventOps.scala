@@ -465,6 +465,49 @@ object EventOps {
       string_agg(event_type, ' ' ORDER BY ts, event_id) AS seq
     FROM numbered GROUP BY user_id, session_id"""
 
+  // ------------------------------------------- Markov transitions
+  /** First-order Markov transition census over user event streams:
+    * (from_type → to_type) transition counts in (ts, event_id) order
+    * per user, with the row-conditional P(to | from) — the
+    * sequence-model census behind next-event prediction, journey
+    * mining, and impossible-transition anomaly flags (q130 emits the
+    * sequences; this is their aggregated model).
+    *
+    * 100 TB design: ONE keyed window (lag per user) feeding a
+    * map-side-combined census bounded by types²; the per-from totals
+    * are a types-bounded broadcast. P is a single IEEE division of
+    * exact counts — hash-identical cross-engine. */
+  val q160MarkovTransitions: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val census = Tables.events(s, d)
+      .withColumn("from_type", lag($"event_type", 1).over(w))
+      .filter($"from_type".isNotNull)
+      .groupBy($"from_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = census.groupBy($"from_type")
+      .agg(sum($"n").cast("long").as("tot"))
+    census.join(broadcast(totals), Seq("from_type"))
+      .select($"from_type", $"event_type".as("to_type"),
+        $"n".cast("long").as("n"),
+        ($"n".cast("double") / $"tot".cast("double")).as("p"))
+  }
+  val o160 = """
+    WITH trans AS (
+      SELECT lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events),
+    census AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM trans WHERE from_type IS NOT NULL GROUP BY 1, 2),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM census GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+      CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+    FROM census c JOIN tot t USING (from_type)"""
+
   // ------------------------------------------- rolling active users
   /** DAU / trailing-7-day WAU / stickiness per day — the activity
     * triple on every growth dashboard. The naive spelling is a
@@ -1044,6 +1087,7 @@ object EventOps {
     "q131_rolling_active" -> q131RollingActive,
     "q129_winsorize" -> q129Winsorize,
     "q130_session_seq" -> q130SessionSeq,
+    "q160_markov_transitions" -> q160MarkovTransitions,
     "q120_feature_snapshot" -> q120FeatureSnapshot,
     "q77_json_extract" -> q77JsonExtract,
     "q78_sessionize_batch" -> q78SessionizeBatch,
@@ -1066,6 +1110,7 @@ object EventOps {
     "q131_rolling_active" -> o131,
     "q129_winsorize" -> o129,
     "q130_session_seq" -> o130,
+    "q160_markov_transitions" -> o160,
     "q120_feature_snapshot" -> o120,
     "q77_json_extract" -> o77,
     "q78_sessionize_batch" -> o78,

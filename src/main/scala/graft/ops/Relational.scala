@@ -945,9 +945,61 @@ object Relational {
         / CAST(SUM(cents) OVER () AS DOUBLE) AS revenue_share
     FROM census"""
 
+  // ------------------------------------------------- Gini coefficient
+  /** Customer-revenue Gini coefficient — the scalar twin of q153's
+    * decile table: G = (2·Σi·yᵢ − (n+1)·Σy) / (n·Σy) over revenues
+    * ranked ascending (ties broken on custkey so both engines rank
+    * identically). 0 = perfectly even, →1 = winner-takes-all; the
+    * one number a concentration dashboard tracks over time.
+    *
+    * Float parity: ranks and cents are exact integers; the two
+    * moment sums accumulate as decimal(38,0), cast to double once,
+    * and G is one identical IEEE expression. 100 TB design: the fact
+    * collapses to the customer census first; the rank window rides
+    * the census (q153's tier note applies). */
+  val q161GiniRevenue: Q = (s, d) => {
+    import s.implicits._
+    val custRev = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    val w = Window.orderBy($"cents".asc, $"o_custkey".asc)
+    custRev
+      .withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum($"cents".cast("decimal(38,0)")).cast("double").as("sy"),
+        sum(($"i" * $"cents").cast("decimal(38,0)")).cast("double")
+          .as("siy"))
+      .select($"n".cast("long").as("n_customers"),
+        $"sy".cast("long").as("total_cents"),
+        ((lit(2.0) * $"siy" - ($"n" + 1.0) * $"sy")
+          / ($"n" * $"sy")).as("gini"))
+  }
+  val o161 = """
+    WITH cust AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+          AS cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT cents,
+        CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+          AS BIGINT) AS i
+      FROM cust),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DOUBLE) AS siy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+      CAST(sy AS BIGINT) AS total_cents,
+      (2.0 * siy - (n + 1.0) * sy) / (n * sy) AS gini
+    FROM m"""
+
   val queries: Map[String, Q] = Map(
     "q152_hier_share" -> q152HierShare,
     "q153_pareto_deciles" -> q153ParetoDeciles,
+    "q161_gini_revenue" -> q161GiniRevenue,
     "q150_fulfillment_latency" -> q150FulfillmentLatency,
     "q151_rank_shift" -> q151RankShift,
     "q140_fk_audit" -> q140FkAudit,
@@ -978,6 +1030,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q152_hier_share" -> o152,
     "q153_pareto_deciles" -> o153,
+    "q161_gini_revenue" -> o161,
     "q150_fulfillment_latency" -> o150,
     "q151_rank_shift" -> o151,
     "q140_fk_audit" -> o140,

@@ -453,7 +453,54 @@ object WindowOps {
         THEN (cov * cov) / (vx * vy) END AS r2
     FROM v"""
 
+  // --------------------------------------------- weekday seasonality
+  /** Day-of-week seasonality profile per event_type: mean cents per
+    * weekday ÷ the type's overall daily mean — the multiplicative
+    * seasonal index the naive forecaster (W7/q43) implicitly assumes
+    * and a capacity planner reads directly. Spark `dayofweek` is
+    * 1=Sun..7=Sat; DuckDB's is 0=Sun..6=Sat (+1 aligns — the q44
+    * mapping).
+    *
+    * 100 TB design: two nested map-side-combined censuses
+    * (type×dow → type); the 7-rows-per-type census joins its
+    * broadcast type totals; indices are IEEE divisions of exact
+    * integer sums, written identically on both engines. */
+  val q162DowSeasonality: Q = (s, d) => {
+    import s.implicits._
+    val byDow = daily(s, d)
+      .groupBy($"event_type", dayofweek($"d").cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        sum($"cents").cast("long").as("cents"))
+    val totals = byDow.groupBy($"event_type")
+      .agg(sum($"n_days").cast("long").as("tot_days"),
+        sum($"cents").cast("long").as("tot_cents"))
+    byDow.join(broadcast(totals), Seq("event_type"))
+      .select($"event_type", $"dow", $"n_days",
+        ($"cents".cast("double") / $"n_days".cast("double"))
+          .as("mean_cents"),
+        (($"cents".cast("double") / $"n_days".cast("double"))
+          / ($"tot_cents".cast("double") / $"tot_days".cast("double")))
+          .as("seasonal_idx"))
+  }
+  val o162 = s"""
+    WITH daily AS ($dailySql),
+    by_dow AS (
+      SELECT event_type, CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+        COUNT(*) AS n_days, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM daily GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, CAST(SUM(n_days) AS BIGINT) AS tot_days,
+        CAST(SUM(cents) AS BIGINT) AS tot_cents
+      FROM by_dow GROUP BY 1)
+    SELECT b.event_type, b.dow, b.n_days,
+      CAST(b.cents AS DOUBLE) / CAST(b.n_days AS DOUBLE) AS mean_cents,
+      (CAST(b.cents AS DOUBLE) / CAST(b.n_days AS DOUBLE))
+        / (CAST(t.tot_cents AS DOUBLE) / CAST(t.tot_days AS DOUBLE))
+        AS seasonal_idx
+    FROM by_dow b JOIN tot t USING (event_type)"""
+
   val queries: Map[String, Q] = Map(
+    "q162_dow_seasonality" -> q162DowSeasonality,
     "q40_rolling_zscore" -> q40RollingZscore,
     "q41_gap_fill" -> q41GapFill,
     "q42_missing_days" -> q42MissingDays,
@@ -464,6 +511,7 @@ object WindowOps {
     "q159_trend_ols" -> q159TrendOls)
 
   val oracles: Map[String, String] = Map(
+    "q162_dow_seasonality" -> o162,
     "q40_rolling_zscore" -> o40,
     "q41_gap_fill" -> o41,
     "q42_missing_days" -> o42,
