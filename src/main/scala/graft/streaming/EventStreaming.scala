@@ -512,6 +512,64 @@ object EventStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ------------------------------------------------ drift monitoring
+  final case class DriftAlarm(event_type: String, ts: java.sql.Timestamp,
+                              side: String, cusum: Double)
+  final case class CusumState(up: Double, dn: Double)
+
+  /** Streaming CUSUM drift monitor — the streaming twin of the batch
+    * q158 detector, split the way production monitoring splits: the
+    * BATCH tier fits the baseline (per-type μ/σ, the q158 profile)
+    * and the stream folds each arriving value into one-sided CUSUM
+    * state against that FIXED baseline (allowance k = σ/2, threshold
+    * h = 4σ), emitting an alarm row the moment either side crosses h
+    * and then resetting that side — alert-and-reset, so a sustained
+    * level shift alarms once per crossing rather than once per event
+    * (the BurstProcessor contract).
+    *
+    * State is TWO DOUBLES per event_type (O(types), timer-free);
+    * each micro-batch folds in (ts, event_id) order so crash-replays
+    * reproduce the same walk. Types absent from the baseline emit
+    * nothing — monitoring without a baseline is noise. */
+  final class DriftProcessor(baseline: Map[String, (Double, Double)])
+      extends StatefulProcessor[String, Event, DriftAlarm] {
+    @transient private var st: ValueState[CusumState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("cusum",
+        Encoders.product[CusumState], TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[DriftAlarm] =
+      baseline.get(key) match {
+        case Some((mu, sigma)) if sigma > 0.0 =>
+          val k = sigma * 0.5
+          val h = sigma * 4.0
+          var s = if (st.exists()) st.get() else CusumState(0.0, 0.0)
+          val out = scala.collection.mutable.ListBuffer.empty[DriftAlarm]
+          rows.toArray.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
+            e =>
+              var up = math.max(0.0, s.up + (e.value - mu - k))
+              var dn = math.max(0.0, s.dn + (mu - e.value - k))
+              if (up > h) { out += DriftAlarm(key, e.ts, "up", up); up = 0.0 }
+              if (dn > h) { out += DriftAlarm(key, e.ts, "down", dn); dn = 0.0 }
+              s = CusumState(up, dn)
+          }
+          st.update(s)
+          out.iterator
+        case _ => Iterator.empty
+      }
+  }
+
+  /** [[DriftProcessor]] wired to a stream: pure keyed state, no
+    * timers, Append mode (alarms are immutable facts). */
+  def monitorDrift(events: Dataset[Event],
+                   baseline: Map[String, (Double, Double)])
+      : Dataset[DriftAlarm] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new DriftProcessor(baseline),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** STREAM-STREAM interval join: each purchase enriched with the same
     * user's signup inside the trailing `lookback` — the streaming
     * attribution join. Both sides carry watermarks and the join

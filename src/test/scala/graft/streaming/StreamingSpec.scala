@@ -369,6 +369,61 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CUSUM drift monitor alarms on sustained shift, resets, stays quiet") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    // baseline mu=10, sigma=2 → k=1, h=8; values at 15 add 4 per event
+    // to the up-side, so the 3rd shifted event crosses (12 > 8),
+    // alarms, resets — and the next 3 cross again exactly once
+    val q = EventStreaming.monitorDrift(input.toDS(),
+        Map("click" -> (10.0, 2.0)))
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    try {
+      // in-baseline values: no alarm
+      input.addData((1 to 4).map(i => EventStreaming.Event(
+        i.toLong, ts(s"2024-01-01 10:0$i:00"), 1, "click", 10.0)): _*)
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 0)
+      // sustained +5 shift across two micro-batches (state carries)
+      input.addData((5 to 7).map(i => EventStreaming.Event(
+        i.toLong, ts(s"2024-01-01 10:1${i - 5}:00"), 1, "click", 15.0)): _*)
+      q.processAllAvailable()
+      input.addData((8 to 10).map(i => EventStreaming.Event(
+        i.toLong, ts(s"2024-01-01 10:2${i - 8}:00"), 1, "click", 15.0)): _*)
+      q.processAllAvailable()
+      val alarms = spark.table("drift").collect()
+      assert(alarms.length == 2, alarms.mkString(","))
+      assert(alarms.forall(_.getAs[String]("side") == "up"))
+      assert(alarms.forall(_.getAs[Double]("cusum") == 12.0))
+      // a type with no baseline emits nothing
+      input.addData(EventStreaming.Event(11,
+        ts("2024-01-01 10:30:00"), 1, "view", 999.0))
+      q.processAllAvailable()
+      assert(spark.table("drift").count() == 2)
+      // downward shift: values at 4 add 10-4-1=5 per event to dn;
+      // crosses on the 2nd (10 > 8)
+      input.addData((12 to 13).map(i => EventStreaming.Event(
+        i.toLong, ts(s"2024-01-01 10:4${i - 12}:00"), 1, "click", 4.0)): _*)
+      q.processAllAvailable()
+      val down = spark.table("drift").collect()
+        .filter(_.getAs[String]("side") == "down")
+      assert(down.length == 1 && down.head.getAs[Double]("cusum") == 10.0)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static snapshot dedup passes only novel fingerprints") {
     val s = spark
     import s.implicits._
