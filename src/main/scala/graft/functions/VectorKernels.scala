@@ -59,6 +59,13 @@ object VectorKernelsUtil {
 
 private[functions] trait VectorBinary extends BinaryExpression {
   override def nullIntolerant: Boolean = true
+  // nullable even when both children are non-nullable: mismatched
+  // lengths and null ELEMENTS yield NULL. Without this override,
+  // nullSafeCodeGen's non-nullable branch never declares ev.isNull,
+  // the snippet below assigns to an undeclared variable, and every
+  // plan containing a kernel call silently falls back to interpreted
+  // projection — the exact cost these kernels exist to remove.
+  override def nullable: Boolean = true
   override def dataType: DataType = DoubleType
   protected def isF(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

@@ -767,6 +767,77 @@ object CorpusOps {
         AS BIGINT) AS redacted_chars
     FROM documents GROUP BY source"""
 
+  // ------------------------------------------------- PII class census
+  /** PII detection census by PATTERN CLASS: emails, phone numbers,
+    * and IPv4 addresses each counted separately per source — the
+    * report a privacy review reads before choosing masking rules
+    * (q100 is the generic blocklist redactor; this is its typed-PII
+    * face, where each class gets its own precision/masking policy).
+    *
+    * The synthetic corpus carries no natural PII, so the query PLANTS
+    * it deterministically (mod-sliced doc_ids get an email / phone /
+    * IP appended — mirrored in the oracle SQL, the q55 non-vacuity
+    * recipe) and the detector runs over the augmented text. Patterns
+    * stay inside the RE2 ∩ java.util.regex dialect so both engines
+    * match identically.
+    *
+    * 100 TB design: per-row regexes, one map-side-combined census
+    * keyed on (source, class) — text never shuffles. */
+  private val PiiClasses: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b",
+    "ipv4" -> "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b")
+
+  val q164PiiCensus: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" call 555-123-4567"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 19 === 0, lit(" from 10.0.0.1"))
+          .otherwise(lit(""))))
+    val perClass = PiiClasses.map { case (cls, re) =>
+      docs.select(col("source"), lit(cls).as("pii_class"),
+        size(regexp_extract_all(col("aug"), lit(re), lit(0)))
+          .cast("long").as("n_hits"))
+    }.reduce(_ unionByName _)
+    perClass.groupBy(col("source"), col("pii_class"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_hits") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_docs_hit"),
+        sum(col("n_hits")).cast("long").as("n_hits"))
+  }
+  val o164: String = {
+    // DuckDB single-quoted strings pass backslashes through verbatim,
+    // so the Scala-level pattern (one backslash) embeds directly
+    val arms = PiiClasses.map { case (cls, re) =>
+      s"""SELECT source, '$cls' AS pii_class,
+            CAST(len(regexp_extract_all(aug, '$re')) AS BIGINT) AS n_hits
+          FROM aug"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH aug AS (
+      SELECT source,
+        text
+          || (CASE WHEN doc_id % 13 = 0
+              THEN ' contact user' || doc_id || '@example.com'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 17 = 0 THEN ' call 555-123-4567'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 19 = 0 THEN ' from 10.0.0.1'
+              ELSE '' END) AS aug
+      FROM documents),
+    per_class AS (
+      $arms)
+    SELECT source, pii_class, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_docs_hit,
+      CAST(SUM(n_hits) AS BIGINT) AS n_hits
+    FROM per_class GROUP BY 1, 2"""
+  }
+
   // ------------------------------------------------- length quantiles
   /** Exact per-language length quantiles (p25/p50/p75/p90) via the
     * rank spelling: row_number over (n_chars, doc_id) within each
@@ -1805,6 +1876,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
@@ -1841,6 +1913,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,

@@ -267,6 +267,74 @@ object TextOps {
       FROM docs)
     WHERE doc_id <> canonical_id"""
 
+  // ------------------------------------------- canonical-form dedup
+  /** Normalized (canonical-form) exact dedup: lowercase, strip
+    * punctuation, collapse whitespace, THEN fingerprint — catching
+    * the case/punctuation variants raw exact dedup (q54) is blind to
+    * ("Hello, World!" vs "hello world"), the standard first
+    * normalization tier of corpus dedup.
+    *
+    * The synthetic corpus has no natural case variants, so the input
+    * unions an UPPERCASED replayed slice (shifted doc_id, SAME
+    * source — the q55 non-vacuity recipe, mirrored in the oracle
+    * SQL): raw dedup sees those as distinct, canonical dedup
+    * collapses them, and the census reports exactly that gap per
+    * source.
+    *
+    * 100 TB design: normalization is per-row codegen'd string ops;
+    * a raw fingerprint maps to exactly one canonical fingerprint, so
+    * BOTH distinct counts come from three nested map-side-combined
+    * aggregates over 8-byte keys — no countDistinct, no Expand, and
+    * text never shuffles. */
+  val q165CanonDedup: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    val replay = base.filter($"doc_id" % 23 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(2000000L))
+      .withColumn("text", upper($"text"))
+    val canon = trim(regexp_replace(
+      regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+    val fps = base.unionByName(replay)
+      .select($"source", fingerprintCol.as("raw_fp"),
+        fingerprintOf(canon).as("canon_fp"))
+    fps.groupBy($"source", $"canon_fp", $"raw_fp")
+      .agg(count(lit(1)).as("n_rows"))
+      .groupBy($"source", $"canon_fp")
+      .agg(sum($"n_rows").as("n_rows"), count(lit(1)).as("n_raw"))
+      .groupBy($"source")
+      .agg(sum($"n_rows").cast("long").as("n_docs"),
+        sum($"n_raw").cast("long").as("n_raw_distinct"),
+        count(lit(1)).as("n_canon_distinct"),
+        (sum($"n_raw") - count(lit(1))).cast("long")
+          .as("n_norm_variants"))
+  }
+  val o165: String = {
+    val canonSql = fingerprintSqlOf(
+      "trim(regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")
+    s"""
+    WITH docs AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, source, upper(text) AS text
+      FROM documents WHERE doc_id % 23 = 0),
+    fps AS (
+      SELECT source, $fingerprintSql AS raw_fp, $canonSql AS canon_fp
+      FROM docs),
+    l0 AS (
+      SELECT source, canon_fp, raw_fp, COUNT(*) AS n_rows
+      FROM fps GROUP BY 1, 2, 3),
+    l1 AS (
+      SELECT source, canon_fp, CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+             COUNT(*) AS n_raw
+      FROM l0 GROUP BY 1, 2)
+    SELECT source, CAST(SUM(n_rows) AS BIGINT) AS n_docs,
+      CAST(SUM(n_raw) AS BIGINT) AS n_raw_distinct,
+      COUNT(*) AS n_canon_distinct,
+      CAST(SUM(n_raw) - COUNT(*) AS BIGINT) AS n_norm_variants
+    FROM l1 GROUP BY source"""
+  }
+
   // ---------------------------------------------------- curation e2e
   /** The capstone corpus-curation pipeline, composed from the
     * primitives: quality gate (stop-ratio + length composite ≥ 0.4) →
@@ -371,7 +439,8 @@ object TextOps {
     "q52_lang_id" -> q52LangId,
     "q53_fingerprint" -> q53Fingerprint,
     "q54_exact_dedup" -> q54ExactDedup,
-    "q55_dedup_assign" -> q55DedupAssign)
+    "q55_dedup_assign" -> q55DedupAssign,
+    "q165_canon_dedup" -> q165CanonDedup)
 
   val oracles: Map[String, String] = Map(
     "q82_curation" -> o82,
@@ -381,5 +450,6 @@ object TextOps {
     "q52_lang_id" -> o52,
     "q53_fingerprint" -> o53,
     "q54_exact_dedup" -> o54,
-    "q55_dedup_assign" -> o55)
+    "q55_dedup_assign" -> o55,
+    "q165_canon_dedup" -> o165)
 }
