@@ -767,6 +767,32 @@ object CorpusOps {
         AS BIGINT) AS redacted_chars
     FROM documents GROUP BY source"""
 
+  // --------------------------------------- sketch length quantiles
+  /** The 100 TB spelling of [[q101LengthQuantiles]]: Spark's
+    * GK-sketch `percentile_approx` replaces the exact rank window, so
+    * the whole profile is ONE map-side-combined aggregate — q101's
+    * exact spelling needs a full per-language sort (the rank window)
+    * plus a second count window, which is the quantile profiler's
+    * cost ceiling at scale. min/max/count stay exact.
+    *
+    * Like q155: sketch estimates are engine-specific, so no DuckDB
+    * oracle row (rows-only check); QueriesSpec pins the estimates
+    * against q101's exact ranks within the sketch's accuracy
+    * envelope, and PlanContractSpec pins the window-free plan. */
+  val q168LengthQuantilesSketch: Q = (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        percentile_approx(col("n_chars"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.9)),
+          lit(10000)).as("q"),
+        max(col("n_chars")).as("max_chars"))
+      .select(col("lang"), col("n_docs"), col("min_chars"),
+        col("q")(0).as("p25_est"), col("q")(1).as("p50_est"),
+        col("q")(2).as("p75_est"), col("q")(3).as("p90_est"),
+        col("max_chars"))
+
   // ------------------------------------------------- PII class census
   /** PII detection census by PATTERN CLASS: emails, phone numbers,
     * and IPv4 addresses each counted separately per source — the
@@ -1876,6 +1902,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q168_length_quantiles_sketch" -> q168LengthQuantilesSketch,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,

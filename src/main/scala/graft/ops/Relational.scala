@@ -595,6 +595,90 @@ object Relational {
       FROM feed)
     WHERE rn = 1 AND op <> 'D'"""
 
+  // ------------------------------------------------- snapshot diff
+  /** Snapshot-diff census: given two VERSIONS of a table (v1, v2 —
+    * here derived deterministically from `orders`: v1 drops keys
+    * ≡0 mod 11, v2 drops keys ≡0 mod 13 and bumps the price of keys
+    * ≡0 mod 7), classify every key as added / removed / changed /
+    * unchanged and report counts + the changed-rows price delta per
+    * order status. This is the data-versioning regression report a
+    * pipeline runs after every re-extraction — q132 APPLIES a change
+    * feed; this DERIVES the change set from two materialized states.
+    *
+    * 100 TB design: NOT a full-outer self-join — both versions union
+    * with a tag and ONE aggregate keyed on the merge key classifies
+    * each key (map-side combine halves the shuffle for unchanged
+    * keys, the dominant class); the tiny census re-aggregate follows.
+    * Money deltas route through exact decimal(18,2). */
+  val q169SnapshotDiff: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)").as("p"))
+    val v1 = o.filter($"o_orderkey" % 11 =!= 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"p".cast("double").as("price"), lit(1).as("v"))
+    val v2 = o.filter($"o_orderkey" % 13 =!= 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderkey" % 7 === 0,
+          ($"p" + lit(5)).cast("decimal(18,2)").cast("double"))
+          .otherwise($"p".cast("double")).as("price"),
+        lit(2).as("v"))
+    val per = v1.unionByName(v2)
+      .groupBy($"o_orderkey")
+      .agg(max(when($"v" === 1, 1L).otherwise(0L)).as("in1"),
+        max(when($"v" === 2, 1L).otherwise(0L)).as("in2"),
+        max(when($"v" === 1, $"price")).as("p1"),
+        max(when($"v" === 2, $"price")).as("p2"),
+        max($"o_orderstatus").as("status"))
+    per
+      .withColumn("diff_class",
+        when($"in1" === 0, "added")
+          .when($"in2" === 0, "removed")
+          .when($"p1" =!= $"p2", "changed")
+          .otherwise("unchanged"))
+      .groupBy($"status", $"diff_class")
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when($"diff_class" === "changed",
+          $"p2".cast("decimal(18,2)") - $"p1".cast("decimal(18,2)"))
+          .otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double").as("price_delta"))
+  }
+  val o169 = """
+    WITH o AS (SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+               FROM orders),
+    t AS (
+      SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price,
+             1 AS v
+      FROM o WHERE o_orderkey % 11 <> 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN CAST(CAST(p + 5 AS DECIMAL(18,2)) AS DOUBLE)
+               ELSE CAST(p AS DOUBLE) END,
+             2
+      FROM o WHERE o_orderkey % 13 <> 0),
+    per AS (
+      SELECT o_orderkey,
+        MAX(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS in1,
+        MAX(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS in2,
+        MAX(CASE WHEN v = 1 THEN price END) AS p1,
+        MAX(CASE WHEN v = 2 THEN price END) AS p2,
+        MAX(o_orderstatus) AS status
+      FROM t GROUP BY 1),
+    cls AS (
+      SELECT *, CASE WHEN in1 = 0 THEN 'added'
+                     WHEN in2 = 0 THEN 'removed'
+                     WHEN p1 <> p2 THEN 'changed'
+                     ELSE 'unchanged' END AS diff_class
+      FROM per)
+    SELECT status, diff_class, COUNT(*) AS n_keys,
+      CAST(SUM(CASE WHEN diff_class = 'changed'
+        THEN CAST(p2 AS DECIMAL(18,2)) - CAST(p1 AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS price_delta
+    FROM cls GROUP BY 1, 2"""
+
   // ------------------------------------------------- skew diagnostic
   /** Join-key skew diagnostic over lineitem's orderkey — the "measure
     * before you salt" ops report (q79 is the salting cure; this is the
@@ -1005,6 +1089,7 @@ object Relational {
     "q140_fk_audit" -> q140FkAudit,
     "q135_skew_diagnostic" -> q135SkewDiagnostic,
     "q132_cdc_apply" -> q132CdcApply,
+    "q169_snapshot_diff" -> q169SnapshotDiff,
     "q128_table_profile" -> q128TableProfile,
     "q155_table_profile_sketch" -> q155TableProfileSketch,
     "q127_star_join" -> q127StarJoin,
@@ -1036,6 +1121,7 @@ object Relational {
     "q140_fk_audit" -> o140,
     "q135_skew_diagnostic" -> o135,
     "q132_cdc_apply" -> o132,
+    "q169_snapshot_diff" -> o169,
     "q128_table_profile" -> o128,
     "q127_star_join" -> o127,
     "q01_agg_pricing" -> o01,

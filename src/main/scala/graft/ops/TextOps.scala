@@ -335,6 +335,155 @@ object TextOps {
     FROM l1 GROUP BY source"""
   }
 
+  // ------------------------------------------- rule-based quality gate
+  /** Gopher-style per-rule quality census: four independent boolean
+    * document rules — token count ≥ 20, mean word length ≥ 4.5,
+    * ≥ 2 stopwords, type-token ratio ≥ 0.5 — each counted separately
+    * per source plus the all-rules conjunction. Unlike q51's composite
+    * score (one scalar, one threshold), the per-rule breakdown is what
+    * a filtering-pipeline audit reads: it shows WHICH rule each
+    * source's documents fail before anyone tunes thresholds.
+    *
+    * Every rule is spelled in pure integer arithmetic (the mean-length
+    * rule as 2·(chars−(tokens−1)) ≥ 9·tokens — no division, no
+    * doubles), so oracle parity is exact by construction.
+    *
+    * 100 TB design: per-row codegen'd array ops feeding ONE
+    * map-side-combined census keyed on source — text never shuffles. */
+  val q166GopherRules: Q = (s, d) => {
+    import s.implicits._
+    val n = size(toks($"text"))
+    val c = length($"text")
+    val nStop = expr(
+      s"size(filter(split(text, ' '), t -> t IN ($StopList)))")
+    val nDist = size(array_distinct(toks($"text")))
+    Tables.documents(s, d)
+      .select($"source",
+        when(n >= 20, 1L).otherwise(0L).as("p_wc"),
+        when(lit(2) * (c - (n - 1)) >= lit(9) * n, 1L).otherwise(0L)
+          .as("p_wlen"),
+        when(nStop >= 2, 1L).otherwise(0L).as("p_stop"),
+        when(lit(2) * nDist >= n, 1L).otherwise(0L).as("p_ttr"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"p_wc").cast("long").as("n_pass_wordcount"),
+        sum($"p_wlen").cast("long").as("n_pass_wordlen"),
+        sum($"p_stop").cast("long").as("n_pass_stopwords"),
+        sum($"p_ttr").cast("long").as("n_pass_ttr"),
+        sum($"p_wc" * $"p_wlen" * $"p_stop" * $"p_ttr").cast("long")
+          .as("n_pass_all"))
+  }
+  val o166: String = s"""
+    WITH r AS (
+      SELECT source,
+        CASE WHEN len(string_split(text, ' ')) >= 20
+          THEN 1 ELSE 0 END AS p_wc,
+        CASE WHEN 2 * (length(text) - (len(string_split(text, ' ')) - 1))
+                  >= 9 * len(string_split(text, ' '))
+          THEN 1 ELSE 0 END AS p_wlen,
+        CASE WHEN len(list_filter(string_split(text, ' '),
+                     t -> t IN ($StopList))) >= 2
+          THEN 1 ELSE 0 END AS p_stop,
+        CASE WHEN 2 * len(list_distinct(string_split(text, ' ')))
+                  >= len(string_split(text, ' '))
+          THEN 1 ELSE 0 END AS p_ttr
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(p_wc) AS BIGINT) AS n_pass_wordcount,
+      CAST(SUM(p_wlen) AS BIGINT) AS n_pass_wordlen,
+      CAST(SUM(p_stop) AS BIGINT) AS n_pass_stopwords,
+      CAST(SUM(p_ttr) AS BIGINT) AS n_pass_ttr,
+      CAST(SUM(p_wc * p_wlen * p_stop * p_ttr) AS BIGINT) AS n_pass_all
+    FROM r GROUP BY source"""
+
+  // ------------------------------------------- truncation/prefix dupes
+  /** Truncation-duplicate detection: documents whose text is a strict
+    * PREFIX of another document — the re-crawl-cut-off-mid-page /
+    * context-window-clipped case that exact dedup (different lengths →
+    * different fingerprints) and shingle Jaccard (a half-length prefix
+    * sits near J = 0.5, under typical thresholds) both miss.
+    *
+    * Candidate blocking on the fingerprint of the first 32 chars: a
+    * prefix pair by definition agrees on any head slice, so blocks
+    * keyed on the head fingerprint contain every prefix pair whose
+    * short side is ≥ 32 chars; pairs verify in-row with an actual
+    * starts_with. The corpus carries no natural truncations, so the
+    * input unions a half-length replayed slice (the q55 non-vacuity
+    * recipe, mirrored in the oracle SQL).
+    *
+    * 100 TB design: the q58 posting-list layout — ONE exchange keyed
+    * on the 8-byte head fingerprint, block-size cap 100 (an oversized
+    * block is boilerplate, not truncation), pair generation + prefix
+    * verification in-row over the sorted block. No self-join, no
+    * cross join; text travels once, inside its block row. */
+  val q167PrefixDupes: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text", $"n_chars")
+    val replay = base.filter($"doc_id" % 29 === 0 && $"n_chars" >= 80)
+      .withColumn("doc_id", $"doc_id" + lit(3000000L))
+      .withColumn("text", expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))"))
+      .withColumn("n_chars", expr("n_chars DIV 2"))
+    val blocks = base.unionByName(replay)
+      .withColumn("pk", fingerprintOf(expr("substring(text, 1, 32)")))
+      .groupBy($"pk")
+      .agg(collect_list(struct($"n_chars".as("len"), $"doc_id",
+        $"source", $"text")).as("ds"))
+      .filter(size($"ds").between(2, 100))
+      .withColumn("ds", sort_array($"ds")) // (len, doc_id) asc
+    val pairs = blocks.select(explode(expr(
+      """filter(
+           flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               x -> named_struct(
+                 'source', element_at(ds, i).source,
+                 'short_id', element_at(ds, i).doc_id,
+                 'lost', x.len - element_at(ds, i).len,
+                 'ok', CASE WHEN x.len > element_at(ds, i).len
+                         AND startswith(x.text, element_at(ds, i).text)
+                       THEN 1 ELSE 0 END)))),
+           p -> p.ok = 1)""")).as("pr"))
+    pairs
+      .groupBy($"pr.source".as("source"), $"pr.short_id".as("short_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"pr.lost").as("chars_lost"))
+      .groupBy($"source")
+      .agg(sum($"n_pairs").cast("long").as("n_prefix_pairs"),
+        count(lit(1)).as("n_truncated_docs"),
+        sum($"chars_lost").cast("long").as("chars_lost"))
+  }
+  val o167: String = {
+    val pkSql = fingerprintSqlOf("substring(text, 1, 32)")
+    s"""
+    WITH docs AS (
+      SELECT doc_id, source, text, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, source,
+        substring(text, 1, CAST(n_chars // 2 AS INT)) AS text,
+        n_chars // 2 AS n_chars
+      FROM documents WHERE doc_id % 29 = 0 AND n_chars >= 80),
+    keyed AS (
+      SELECT doc_id, source, text, n_chars, $pkSql AS pk FROM docs),
+    ok_blocks AS (
+      SELECT pk FROM keyed GROUP BY pk
+      HAVING COUNT(*) BETWEEN 2 AND 100),
+    k AS (SELECT keyed.* FROM keyed JOIN ok_blocks USING (pk)),
+    pairs AS (
+      SELECT a.source AS source, a.doc_id AS short_id,
+        b.n_chars - a.n_chars AS lost
+      FROM k a JOIN k b
+        ON a.pk = b.pk AND a.n_chars < b.n_chars
+        AND starts_with(b.text, a.text)),
+    per_doc AS (
+      SELECT source, short_id, COUNT(*) AS n_pairs,
+        SUM(lost) AS chars_lost
+      FROM pairs GROUP BY 1, 2)
+    SELECT source, CAST(SUM(n_pairs) AS BIGINT) AS n_prefix_pairs,
+      COUNT(*) AS n_truncated_docs,
+      CAST(SUM(chars_lost) AS BIGINT) AS chars_lost
+    FROM per_doc GROUP BY source"""
+  }
+
   // ---------------------------------------------------- curation e2e
   /** The capstone corpus-curation pipeline, composed from the
     * primitives: quality gate (stop-ratio + length composite ≥ 0.4) →
@@ -440,7 +589,9 @@ object TextOps {
     "q53_fingerprint" -> q53Fingerprint,
     "q54_exact_dedup" -> q54ExactDedup,
     "q55_dedup_assign" -> q55DedupAssign,
-    "q165_canon_dedup" -> q165CanonDedup)
+    "q165_canon_dedup" -> q165CanonDedup,
+    "q166_gopher_rules" -> q166GopherRules,
+    "q167_prefix_dupes" -> q167PrefixDupes)
 
   val oracles: Map[String, String] = Map(
     "q82_curation" -> o82,
@@ -451,5 +602,7 @@ object TextOps {
     "q53_fingerprint" -> o53,
     "q54_exact_dedup" -> o54,
     "q55_dedup_assign" -> o55,
-    "q165_canon_dedup" -> o165)
+    "q165_canon_dedup" -> o165,
+    "q166_gopher_rules" -> o166,
+    "q167_prefix_dupes" -> o167)
 }

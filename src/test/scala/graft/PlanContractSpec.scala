@@ -120,6 +120,17 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), p.take(2000))
   }
 
+  test("q168: the sketch quantile profiler is window-free, one agg pass") {
+    // the exact q101 pays a per-language rank window (full sort) by
+    // design (oracle-exact); the production spelling must stay a
+    // single map-side-combined aggregate
+    val p = plan("q168_length_quantiles_sketch")
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Sort"), p.take(3000))
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      p.take(2000))
+  }
+
   test("no query plans a cartesian product or unintended broadcast NLJ") {
     // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
     // (constant-size broadcast side); q12's validity-window range join

@@ -57,6 +57,32 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q168 sketch quantiles track exact ranks within GK error") {
+    val exact = SparkEntry.queries("q101_length_quantiles")(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val est = SparkEntry.queries("q168_length_quantiles_sketch")(spark, sf)
+      .collect()
+    assert(est.length == exact.size)
+    est.foreach { r =>
+      val lang = r.getString(0)
+      val ex = exact(lang)
+      // count/min/max stay exact
+      assert(r.getAs[Long]("n_docs") == ex.getAs[Long]("n_docs"), lang)
+      assert(r.getAs[Long]("min_chars") == ex.getAs[Long]("min_chars"), lang)
+      assert(r.getAs[Long]("max_chars") == ex.getAs[Long]("max_chars"), lang)
+      // GK sketch at accuracy 10000: rank error ≤ n/10000, which at
+      // test scale is sub-1-rank — allow the one-rank discretization
+      // gap between ceil-rank (q101) and the sketch's floor pick
+      val spread = ex.getAs[Long]("max_chars") - ex.getAs[Long]("min_chars")
+      for ((e, a) <- Seq("p25" -> "p25_est", "p50" -> "p50_est",
+        "p75" -> "p75_est", "p90" -> "p90_est")) {
+        val d = math.abs(r.getAs[Long](a) - ex.getAs[Long](e)).toDouble
+        assert(d <= math.max(1.0, 0.1 * spread.toDouble),
+          s"$lang $e: est ${r.getAs[Long](a)} vs exact ${ex.getAs[Long](e)}")
+      }
+    }
+  }
+
   test("q01 pricing summary has the 6 flag/status groups") {
     val rows = SparkEntry.queries("q01_agg_pricing")(spark, sf).collect()
     assert(rows.length == 6)
