@@ -156,6 +156,78 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------------------- duplication PageRank
+  /** PageRank (3 unrolled power iterations, damping 0.85) over the
+    * UNDIRECTED near-dup graph of q60's verified SimHash pairs —
+    * duplication centrality: the "template hub" documents whose text
+    * radiates through the most near-copies. q83's connected
+    * components say WHICH docs cluster together; this ranks WITHIN
+    * the cluster structure (a hub joined to many satellites outranks
+    * a chain member even in the same component), which is what a
+    * boilerplate hunt actually reads. Every node has degree ≥ 1 by
+    * construction (nodes are edge endpoints), so there is no
+    * dangling-mass term.
+    *
+    * Float parity: each neighbor contribution r/deg is floored to a
+    * 1e-12 fixed-point long BEFORE the cross-row sum (the memory-
+    * cookbook spelling — cross-row double addition is
+    * order-dependent; the long sum is exact), then one double
+    * multiply-add per node per iteration.
+    *
+    * 100 TB design: the textbook distributed PageRank layout — the
+    * edge list (with source degree) materializes ONCE
+    * (localCheckpoint; Catalyst has no DataFrame-level common-subtree
+    * reuse, so the unrolled loop would otherwise recompute the q60
+    * candidate generation every iteration), and each iteration is one
+    * join on the rank frontier + one map-side-combined sum keyed on
+    * the destination. Iteration state is (node, rank) — 16 bytes —
+    * never text. */
+  val q171PagerankDupGraph: Q = (s, d) => {
+    import s.implicits._
+    val e0 = DedupOps.q60SimHashPairs(s, d).select($"doc_a", $"doc_b")
+    val ed = e0.select($"doc_a".as("u"), $"doc_b".as("v"))
+      .unionByName(e0.select($"doc_b".as("u"), $"doc_a".as("v")))
+    val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
+    val edeg = ed.join(deg, Seq("u")).localCheckpoint()
+    var ranks = deg.select($"u", lit(1.0).as("r"))
+    for (_ <- 1 to 3) {
+      ranks = edeg.join(ranks, Seq("u"))
+        .withColumn("c_fp",
+          floor($"r" / $"deg".cast("double") * lit(1.0e12)))
+        .groupBy($"v")
+        .agg(sum($"c_fp").as("s_fp"))
+        .select($"v".as("u"),
+          (lit(0.15) + lit(0.85) *
+            ($"s_fp".cast("double") / lit(1.0e12))).as("r"))
+    }
+    edeg.select($"u", $"deg").distinct()
+      .join(ranks, Seq("u"))
+      .select($"u".as("doc_id"), $"deg".cast("long").as("degree"),
+        $"r".as("pagerank"))
+  }
+  val o171: String = {
+    def iter(prev: String, next: String) = s"""
+    $next AS (
+      SELECT ed.v AS u,
+        0.15 + 0.85 * (CAST(SUM(CAST(FLOOR(
+            $prev.r / CAST(deg.deg AS DOUBLE) * 1e12) AS BIGINT))
+          AS DOUBLE) / 1e12) AS r
+      FROM ed
+      JOIN $prev ON ed.u = $prev.u
+      JOIN deg ON deg.u = ed.u
+      GROUP BY ed.v)"""
+    s"""
+    WITH e0 AS (${DedupOps.o60}),
+    ed AS (SELECT doc_a AS u, doc_b AS v FROM e0
+           UNION ALL
+           SELECT doc_b AS u, doc_a AS v FROM e0),
+    deg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u),
+    r0 AS (SELECT u, 1.0 AS r FROM deg),${iter("r0", "r1")},${iter("r1", "r2")},${iter("r2", "r3")}
+    SELECT deg.u AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
+           r3.r AS pagerank
+    FROM deg JOIN r3 ON r3.u = deg.u"""
+  }
+
   // --------------------------------------- incremental cluster upkeep
   /** Incremental duplicate-cluster maintenance: yesterday's labels +
     * today's NEW edges → updated labels, WITHOUT re-scanning the old
@@ -1903,6 +1975,7 @@ object CorpusOps {
 
   val queries: Map[String, Q] = Map(
     "q168_length_quantiles_sketch" -> q168LengthQuantilesSketch,
+    "q171_pagerank_dup_graph" -> q171PagerankDupGraph,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
@@ -1940,6 +2013,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q171_pagerank_dup_graph" -> o171,
     "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,

@@ -220,6 +220,84 @@ object DedupOps {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5"""
 
+  // ------------------------------------------- sparse cosine pairs
+  /** Term-weighted cosine similarity join over sparse TF vectors via
+    * a df-capped inverted TERM index — the weighted counterpart of
+    * q58's set-based Jaccard: repeated terms count (tf products in
+    * the dot), not just membership. This is the classic sparse-vector
+    * similarity join (the non-embedding half of near-dup detection).
+    *
+    * Float parity: dot and both squared norms are EXACT integer sums
+    * (tf products); the only floating point is the final
+    * dot / (√na²·√nb²), every operation of which is IEEE
+    * correctly-rounded from identical integer inputs — bit-equal
+    * across engines with zero fixed-point scaffolding.
+    *
+    * 100 TB design: the q58 posting-list layout — term-df cap bounds
+    * every posting list, pair generation happens in-row over the
+    * sorted (doc, tf) list, ONE term-keyed exchange, and the norm
+    * census reuses the same exchange's output. No self-join. */
+  private val MaxTermDf = 100
+
+  val q170CosinePairs: Q = (s, d) => {
+    import s.implicits._
+    val tf = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val postings = tf.groupBy($"term")
+      .agg(sort_array(collect_list(struct($"doc_id", $"tf"))).as("ds"))
+      .filter(size($"ds") <= MaxTermDf)
+    val norms = postings
+      .select(explode($"ds").as("e"))
+      .groupBy($"e.doc_id".as("doc_id"))
+      .agg(sum($"e.tf" * $"e.tf").as("n2"))
+    val dots = postings.filter(size($"ds") >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               x -> named_struct('doc_a', element_at(ds, i).doc_id,
+                                 'doc_b', x.doc_id,
+                                 'prod', element_at(ds, i).tf * x.tf))))"""))
+        .as("pr"))
+      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .agg(sum($"pr.prod").as("dot"))
+    dots
+      .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na2")),
+        Seq("doc_a"))
+      .join(norms.select($"doc_id".as("doc_b"), $"n2".as("nb2")),
+        Seq("doc_b"))
+      .withColumn("cosine", $"dot".cast("double") /
+        (sqrt($"na2".cast("double")) * sqrt($"nb2".cast("double"))))
+      .filter($"cosine" >= 0.8)
+      .select($"doc_a", $"doc_b", $"cosine")
+  }
+  val o170: String = s"""
+    WITH tf AS (
+      SELECT doc_id, t AS term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+            FROM documents)
+      GROUP BY 1, 2),
+    kept AS (SELECT term FROM tf GROUP BY term
+             HAVING COUNT(*) <= $MaxTermDf),
+    k AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM k GROUP BY 1),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.tf * b.tf) AS dot
+      FROM k a JOIN k b ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        AS cosine
+    FROM dots
+    JOIN norms na ON na.doc_id = doc_a
+    JOIN norms nb ON nb.doc_id = doc_b
+    WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        >= 0.8"""
+
   // ------------------------------------------------------------ SimHash
   /** 32-bit SimHash per doc: per bit, the sign of the sum of ±1 votes
     * from every token hash — computed by the native `simhash32_native`
@@ -537,7 +615,8 @@ object DedupOps {
     "q57_lsh_buckets" -> q57LshBuckets,
     "q58_jaccard_pairs" -> q58JaccardPairs,
     "q59_simhash" -> q59SimHash,
-    "q60_simhash_pairs" -> q60SimHashPairs)
+    "q60_simhash_pairs" -> q60SimHashPairs,
+    "q170_cosine_pairs" -> q170CosinePairs)
 
   val oracles: Map[String, String] = Map(
     "q56_minhash" -> o56,
@@ -547,5 +626,6 @@ object DedupOps {
     "q57_lsh_buckets" -> o57,
     "q58_jaccard_pairs" -> o58,
     "q59_simhash" -> o59,
-    "q60_simhash_pairs" -> o60)
+    "q60_simhash_pairs" -> o60,
+    "q170_cosine_pairs" -> o170)
 }
