@@ -156,6 +156,115 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------------------- vocabulary coverage
+  /** Out-of-vocabulary census: build the global top-1000 vocabulary
+    * (count desc, term asc — deterministic), then report each
+    * source's token coverage against it — total tokens, in-vocab
+    * tokens, distinct OOV types, and the OOV rate. This is the
+    * tokenizer-coverage report read before fixing a vocab size or
+    * shipping a tokenizer to a new domain: a source with high OOV
+    * rate will fragment into subwords and blow the token budget.
+    *
+    * 100 TB design: term census map-side combines; the global top-k
+    * is a TakeOrdered heap (no full sort), and its 1000 rows
+    * broadcast back into the per-source census join — the corpus
+    * text itself is scanned once and never shuffled. */
+  val q175OovCoverage: Q = (s, d) => {
+    import s.implicits._
+    val occ = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).as("c"))
+    val vocab = occ.groupBy($"term")
+      .agg(sum($"c").as("n"))
+      .orderBy($"n".desc, $"term".asc)
+      .limit(1000)
+      .select($"term", lit(1L).as("in_vocab"))
+    occ.join(broadcast(vocab), Seq("term"), "left")
+      .withColumn("in_vocab", coalesce($"in_vocab", lit(0L)))
+      .groupBy($"source")
+      .agg(sum($"c").cast("long").as("n_tokens"),
+        sum($"c" * $"in_vocab").cast("long").as("n_in_vocab"),
+        sum(lit(1L) - $"in_vocab").cast("long").as("n_oov_types"),
+        ((sum($"c") - sum($"c" * $"in_vocab")).cast("double")
+          / sum($"c").cast("double")).as("oov_rate"))
+  }
+  val o175: String = """
+    WITH occ AS (
+      SELECT source, term, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    vocab AS (
+      SELECT term, 1 AS in_vocab
+      FROM (SELECT term, SUM(c) AS n FROM occ GROUP BY term)
+      ORDER BY n DESC, term ASC LIMIT 1000),
+    j AS (
+      SELECT occ.source, occ.c,
+        COALESCE(vocab.in_vocab, 0) AS in_vocab
+      FROM occ LEFT JOIN vocab USING (term))
+    SELECT source,
+      CAST(SUM(c) AS BIGINT) AS n_tokens,
+      CAST(SUM(c * in_vocab) AS BIGINT) AS n_in_vocab,
+      CAST(SUM(1 - in_vocab) AS BIGINT) AS n_oov_types,
+      CAST(SUM(c) - SUM(c * in_vocab) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        AS oov_rate
+    FROM j GROUP BY source"""
+
+  // --------------------------------------------- token diversity
+  /** Simpson token-diversity census per source: Simpson index
+    * λ = Σc²/n² (the probability two random tokens coincide), its
+    * Gini–Simpson complement 1−λ, and the inverse-Simpson effective
+    * vocabulary size n²/Σc² — the diversity numbers an ecology-style
+    * corpus audit quotes (and the entropy-free spelling: both factors
+    * are EXACT integer sums, so unlike Shannon entropy no ln() has to
+    * agree across engines — the only floating point is one
+    * correctly-rounded divide per output cell).
+    *
+    * 100 TB design: two nested map-side-combined aggregates over
+    * (source, term) then source — the word-count shape; no
+    * countDistinct, no window, text never shuffles. */
+  val q176TokenDiversity: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"source")
+      .agg(sum($"c").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum($"c" * $"c").cast("long").as("sum_c2"))
+      .select($"source", $"n_tokens", $"n_types",
+        ($"sum_c2".cast("double")
+          / ($"n_tokens".cast("double") * $"n_tokens".cast("double")))
+          .as("simpson"),
+        (lit(1.0) - $"sum_c2".cast("double")
+          / ($"n_tokens".cast("double") * $"n_tokens".cast("double")))
+          .as("gini_simpson"),
+        (($"n_tokens".cast("double") * $"n_tokens".cast("double"))
+          / $"sum_c2".cast("double")).as("inv_simpson"))
+  }
+  val o176: String = """
+    WITH c AS (
+      SELECT source, term, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY 1, 2),
+    s AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        COUNT(*) AS n_types, CAST(SUM(c * c) AS BIGINT) AS sum_c2
+      FROM c GROUP BY source)
+    SELECT source, n_tokens, n_types,
+      CAST(sum_c2 AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        AS simpson,
+      1.0 - CAST(sum_c2 AS DOUBLE)
+        / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        AS gini_simpson,
+      (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        / CAST(sum_c2 AS DOUBLE) AS inv_simpson
+    FROM s"""
+
   // --------------------------------------------- duplication PageRank
   /** PageRank (3 unrolled power iterations, damping 0.85) over the
     * UNDIRECTED near-dup graph of q60's verified SimHash pairs —
@@ -1976,6 +2085,8 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q168_length_quantiles_sketch" -> q168LengthQuantilesSketch,
     "q171_pagerank_dup_graph" -> q171PagerankDupGraph,
+    "q175_oov_coverage" -> q175OovCoverage,
+    "q176_token_diversity" -> q176TokenDiversity,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
@@ -2014,6 +2125,8 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q171_pagerank_dup_graph" -> o171,
+    "q175_oov_coverage" -> o175,
+    "q176_token_diversity" -> o176,
     "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,

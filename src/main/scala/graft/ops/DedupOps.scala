@@ -220,6 +220,93 @@ object DedupOps {
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5"""
 
+  // ------------------------------------------- containment pairs
+  /** Shingle-set CONTAINMENT pairs (Broder's C(A,B) = |A∩B| / |A|,
+    * reported for the smaller set of each pair): detects a document
+    * embedded ANYWHERE inside another — quote inclusion, article +
+    * wrapper-page, mid-stream truncation. Jaccard misses these (a
+    * half-length containment sits at J ≈ 0.5, at/below threshold) and
+    * q167's prefix detector only catches the position-zero case; the
+    * asymmetric denominator is exactly what changes.
+    *
+    * The corpus has no natural containments beyond its full near-dups,
+    * so the input unions a half-length replayed slice (mod 31 — the
+    * q55 non-vacuity recipe, mirrored in the oracle): those pairs land
+    * at C ≈ 1.0 while their Jaccard stays ≈ 0.5.
+    *
+    * 100 TB design: identical layout to q58 — ONE shingle-keyed
+    * exchange, df-capped posting lists, in-row pair generation; only
+    * the final scoring expression differs (i / min(na, nb)). */
+  val q174ContainmentPairs: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text", $"n_chars")
+    val replay = base.filter($"doc_id" % 31 === 0 && $"n_chars" >= 80)
+      .withColumn("doc_id", $"doc_id" + lit(4000000L))
+      .withColumn("text",
+        expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))"))
+    val exploded = withShingles(base.unionByName(replay))
+      .select($"doc_id", explode(array_distinct($"shs")).as("sh"))
+    val postings = exploded.groupBy($"sh")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") <= MaxShingleDf)
+    val sizes = postings
+      .select(explode($"docs").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = postings
+      .filter(size($"docs") >= 2)
+      .withColumn("ds", sort_array($"docs"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(slice(ds, i + 1, size(ds) - i),
+               x -> named_struct('doc_a', element_at(ds, i),
+                                 'doc_b', x))))""")).as("pr"))
+    pairs
+      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
+      .withColumn("containment",
+        $"i".cast("double") / least($"na", $"nb").cast("double"))
+      .filter($"containment" >= 0.9)
+      .withColumn("inner_id",
+        when($"na" <= $"nb", $"doc_a").otherwise($"doc_b"))
+      .withColumn("outer_id",
+        when($"na" <= $"nb", $"doc_b").otherwise($"doc_a"))
+      .select($"inner_id", $"outer_id", $"containment")
+  }
+  val o174: String = s"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id,
+        substring(text, 1, CAST(n_chars // 2 AS INT)) AS text
+      FROM documents WHERE doc_id % 31 = 0 AND n_chars >= 80),
+    sh0 AS (
+      SELECT DISTINCT doc_id, unnest(shs) AS sh
+      FROM (SELECT doc_id, $shinglesSql AS shs
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM docs))),
+    kept AS (SELECT sh FROM sh0 GROUP BY sh
+             HAVING COUNT(*) <= $MaxShingleDf),
+    sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN kept USING (sh)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_a, doc_b, sa.n AS na, sb.n AS nb,
+        CAST(i AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+          AS containment
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT
+      CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS inner_id,
+      CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS outer_id,
+      containment
+    FROM scored WHERE containment >= 0.9"""
+
   // ------------------------------------------- sparse cosine pairs
   /** Term-weighted cosine similarity join over sparse TF vectors via
     * a df-capped inverted TERM index — the weighted counterpart of
@@ -616,7 +703,8 @@ object DedupOps {
     "q58_jaccard_pairs" -> q58JaccardPairs,
     "q59_simhash" -> q59SimHash,
     "q60_simhash_pairs" -> q60SimHashPairs,
-    "q170_cosine_pairs" -> q170CosinePairs)
+    "q170_cosine_pairs" -> q170CosinePairs,
+    "q174_containment_pairs" -> q174ContainmentPairs)
 
   val oracles: Map[String, String] = Map(
     "q56_minhash" -> o56,
@@ -627,5 +715,6 @@ object DedupOps {
     "q58_jaccard_pairs" -> o58,
     "q59_simhash" -> o59,
     "q60_simhash_pairs" -> o60,
-    "q170_cosine_pairs" -> o170)
+    "q170_cosine_pairs" -> o170,
+    "q174_containment_pairs" -> o174)
 }

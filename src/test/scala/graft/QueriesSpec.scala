@@ -83,6 +83,35 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q167 detects every planted half-length truncation") {
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 29 === 0 && col("n_chars") >= 80)
+      .count()
+    val found = SparkEntry.queries("q167_prefix_dupes")(spark, sf)
+      .agg(sum(col("n_truncated_docs"))).collect()(0).getLong(0)
+    // every planted truncation is ≥ 40 chars, so it blocks with its
+    // original on the 32-char head fingerprint and must be found;
+    // natural prefix pairs may add to the count
+    assert(found >= planted, s"found $found < planted $planted")
+  }
+
+  test("q171 pagerank conserves mass and respects the damping floor") {
+    val rows = SparkEntry.queries("q171_pagerank_dup_graph")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toDouble
+    val mass = rows.map(_.getAs[Double]("pagerank")).sum
+    // undirected graph, no dangling nodes: each iteration maps total
+    // mass m -> 0.15·n + 0.85·m (modulo 1e-12 fixed-point flooring),
+    // so from m0 = n the total stays n
+    assert(math.abs(mass - n) / n < 1e-6, s"mass $mass vs n $n")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("pagerank") >= 0.15 - 1e-9,
+        s"rank below damping floor: $r")
+      assert(r.getAs[Long]("degree") >= 1L, r.toString)
+    }
+  }
+
   test("q01 pricing summary has the 6 flag/status groups") {
     val rows = SparkEntry.queries("q01_agg_pricing")(spark, sf).collect()
     assert(rows.length == 6)
