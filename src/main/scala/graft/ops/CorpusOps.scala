@@ -156,6 +156,76 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------------------- replica checksums
+  /** Merkle-lite replica reconciliation: per-partition (here: per
+    * source) ORDER-INDEPENDENT checksums — row count, bit_xor of the
+    * content fingerprint, and a modular fingerprint sum — computed on
+    * two replicas of the corpus and compared at checksum grain. This
+    * is how a 100 TB mirror is audited: each side scans itself once,
+    * ships one census row per partition, and only partitions whose
+    * checksums disagree ever get row-level diffing (q169 is the
+    * row-grain diff that follows). Replica B plants the divergence
+    * deterministically (drops doc_ids ≡0 mod 83, rewrites the text of
+    * ids ≡0 mod 101), so exactly the sources holding those ids
+    * mismatch.
+    *
+    * XOR is associative/commutative with no overflow, so it combines
+    * map-side in any order; the mod-1e9+7 sum is a second independent
+    * lane (XOR alone is blind to an even number of identical flips).
+    * Both engines compute identical values — the checksums themselves
+    * are the oracle-checked output. */
+  val q177ReplicaChecksums: Q = (s, d) => {
+    import s.implicits._
+    val a = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    val b = a.filter($"doc_id" % 83 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 101 === 0, concat($"text", lit(" [edited]")))
+          .otherwise($"text"))
+    def census(df: org.apache.spark.sql.DataFrame, side: String) =
+      df.withColumn("fp", TextOps.fingerprintCol)
+        .groupBy($"source")
+        .agg(count(lit(1)).as(s"n_rows_$side"),
+          expr("bit_xor(fp)").as(s"xor_$side"),
+          sum(pmod($"fp", lit(1000000007L))).cast("long")
+            .as(s"sum_$side"))
+    census(a, "a").join(census(b, "b"), Seq("source"), "full_outer")
+      .select($"source",
+        coalesce($"n_rows_a", lit(0L)).as("n_rows_a"),
+        coalesce($"n_rows_b", lit(0L)).as("n_rows_b"),
+        coalesce($"xor_a", lit(0L)).as("xor_a"),
+        coalesce($"xor_b", lit(0L)).as("xor_b"),
+        when($"n_rows_a" === $"n_rows_b"
+          && $"xor_a" === $"xor_b" && $"sum_a" === $"sum_b", 1L)
+          .otherwise(0L).as("is_match"))
+  }
+  val o177: String = s"""
+    WITH a AS (SELECT doc_id, source, text FROM documents),
+    b AS (
+      SELECT doc_id, source,
+        CASE WHEN doc_id % 101 = 0 THEN text || ' [edited]'
+             ELSE text END AS text
+      FROM a WHERE doc_id % 83 <> 0),
+    ca AS (
+      SELECT source, COUNT(*) AS n_rows_a,
+        bit_xor(${TextOps.fingerprintSql}) AS xor_a,
+        CAST(SUM(((${TextOps.fingerprintSql}) % 1000000007 + 1000000007)
+          % 1000000007) AS BIGINT) AS sum_a
+      FROM a GROUP BY source),
+    cb AS (
+      SELECT source, COUNT(*) AS n_rows_b,
+        bit_xor(${TextOps.fingerprintSql}) AS xor_b,
+        CAST(SUM(((${TextOps.fingerprintSql}) % 1000000007 + 1000000007)
+          % 1000000007) AS BIGINT) AS sum_b
+      FROM b GROUP BY source)
+    SELECT source,
+      COALESCE(n_rows_a, 0) AS n_rows_a,
+      COALESCE(n_rows_b, 0) AS n_rows_b,
+      COALESCE(xor_a, 0) AS xor_a,
+      COALESCE(xor_b, 0) AS xor_b,
+      CAST(CASE WHEN n_rows_a = n_rows_b AND xor_a = xor_b
+            AND sum_a = sum_b THEN 1 ELSE 0 END AS BIGINT) AS is_match
+    FROM ca FULL OUTER JOIN cb USING (source)"""
+
   // --------------------------------------------- vocabulary coverage
   /** Out-of-vocabulary census: build the global top-1000 vocabulary
     * (count desc, term asc — deterministic), then report each
@@ -2087,6 +2157,7 @@ object CorpusOps {
     "q171_pagerank_dup_graph" -> q171PagerankDupGraph,
     "q175_oov_coverage" -> q175OovCoverage,
     "q176_token_diversity" -> q176TokenDiversity,
+    "q177_replica_checksums" -> q177ReplicaChecksums,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
@@ -2127,6 +2198,7 @@ object CorpusOps {
     "q171_pagerank_dup_graph" -> o171,
     "q175_oov_coverage" -> o175,
     "q176_token_diversity" -> o176,
+    "q177_replica_checksums" -> o177,
     "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
