@@ -1074,7 +1074,80 @@ object EventOps {
     WHERE event_type = 'purchase'
       AND (prev_view_us IS NOT NULL OR next_view_us IS NOT NULL)"""
 
+  // --------------------------------------- conversion attribution
+  /** First-touch / last-touch revenue attribution: every purchase
+    * credits its value to the user's FIRST preceding non-purchase
+    * event type (the channel that acquired them) and to the LAST one
+    * before the purchase (the channel that closed) — the two standard
+    * single-touch attribution models, reported side by side per
+    * event type. q144 measures conversion LATENCY; this allocates
+    * conversion REVENUE.
+    *
+    * 100 TB design: ONE keyed window pass (both touches come from the
+    * same user-partitioned frame ending 1 row before the purchase —
+    * the sessionization shuffle), the role union is two projections
+    * of the bounded purchase set, and the census is a tiny keyed agg.
+    * Money through decimal(18,2); no self-join. */
+  val q178Attribution: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when($"event_type" =!= "purchase", $"event_type")
+    val attributed = Tables.events(s, d)
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase" && $"first_touch".isNotNull)
+      .select($"first_touch", $"last_touch",
+        $"value".cast("decimal(18,2)").as("v"))
+    val roles = attributed
+      .select($"first_touch".as("event_type"), lit("f").as("role"), $"v")
+      .unionByName(attributed
+        .select($"last_touch".as("event_type"), lit("l").as("role"), $"v"))
+    roles.groupBy($"event_type")
+      .agg(sum(when($"role" === "f", 1L).otherwise(0L)).cast("long")
+          .as("n_first_touch"),
+        coalesce(sum(when($"role" === "f", $"v")).cast("double"),
+          lit(0.0)).as("first_touch_value"),
+        sum(when($"role" === "l", 1L).otherwise(0L)).cast("long")
+          .as("n_last_touch"),
+        coalesce(sum(when($"role" === "l", $"v")).cast("double"),
+          lit(0.0)).as("last_touch_value"))
+  }
+  val o178 = """
+    WITH t AS (
+      SELECT event_type, value,
+        first_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS first_touch,
+        last_value(CASE WHEN event_type <> 'purchase'
+            THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          AS last_touch
+      FROM events),
+    a AS (
+      SELECT first_touch, last_touch, CAST(value AS DECIMAL(18,2)) AS v
+      FROM t WHERE event_type = 'purchase' AND first_touch IS NOT NULL),
+    roles AS (
+      SELECT first_touch AS event_type, 'f' AS role, v FROM a
+      UNION ALL
+      SELECT last_touch, 'l', v FROM a)
+    SELECT event_type,
+      CAST(SUM(CASE WHEN role = 'f' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_first_touch,
+      COALESCE(CAST(SUM(CASE WHEN role = 'f' THEN v END) AS DOUBLE), 0.0)
+        AS first_touch_value,
+      CAST(SUM(CASE WHEN role = 'l' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_last_touch,
+      COALESCE(CAST(SUM(CASE WHEN role = 'l' THEN v END) AS DOUBLE), 0.0)
+        AS last_touch_value
+    FROM roles GROUP BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "q178_attribution" -> q178Attribution,
     "q148_nearest_event" -> q148NearestEvent,
     "q146_mad_anomaly" -> q146MadAnomaly,
     "q144_time_to_convert" -> q144TimeToConvert,
@@ -1098,6 +1171,7 @@ object EventOps {
     "q97_asof_native" -> q97AsofNative)
 
   val oracles: Map[String, String] = Map(
+    "q178_attribution" -> o178,
     "q148_nearest_event" -> o148,
     "q146_mad_anomaly" -> o146,
     "q144_time_to_convert" -> o144,

@@ -112,6 +112,88 @@ object CorpusStreaming {
       }
       .start()
 
+  /** INCREMENTAL maintenance of the q177 replica checksums: every
+    * micro-batch folds its per-source delta census into the persisted
+    * checksum table with pure column algebra — count adds, the
+    * fingerprint XOR xors (XOR is its own inverse-free merge), and
+    * the mod-1e9+7 sum adds modularly. All three lanes are group
+    * homomorphisms, so incrementally-maintained state coincides
+    * exactly with a from-scratch recompute over everything ingested —
+    * the contract StreamingSpec pins (two batches ≡ one batch).
+    *
+    * Layout follows [[graft.ops.Scd2.maintainDim]]: each commit
+    * writes version directory `v<batchId>` (replay of an uncommitted
+    * batch overwrites the SAME version — idempotent), reads the
+    * previous version, never reads what it overwrites. The table is
+    * partition-grain (one row per source), so at 100 TB/day intake
+    * the maintained state is bytes while the audit it powers (q177
+    * against a mirror) would otherwise rescan the corpus. */
+  def maintainChecksums(docs: DataFrame, tableDir: String,
+                        checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeChecksums(batch, tableDir, batchId)
+      }
+      .start()
+
+  /** One merge commit — separated so the incremental ≡ recompute
+    * contract is testable without a streaming harness. */
+  private[streaming] def mergeChecksums(batch: DataFrame,
+                                        tableDir: String,
+                                        batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val delta = checksumCensus(batch)
+    // merge against the latest version STRICTLY BEFORE this batch:
+    // a replayed (crashed-uncommitted) batch re-reads its own
+    // predecessor and overwrites its own version — idempotent;
+    // reading `v$batchId` itself would double-merge the delta
+    val merged = versionIds(tableDir).filter(_ < batchId)
+      .sorted.lastOption match {
+      case Some(v) =>
+        spark.read.parquet(s"$tableDir/v$v").unionByName(delta)
+          .groupBy(col("source"))
+          .agg(sum(col("n_rows")).cast("long").as("n_rows"),
+            expr("bit_xor(xor_fp)").as("xor_fp"),
+            pmod(sum(col("sum_fp")), lit(1000000007L)).cast("long")
+              .as("sum_fp"))
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+    versionIds(tableDir).filter(_ < batchId - 3).foreach { old =>
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tableDir, s"v$old"))
+        .deleteRecursively()
+    }
+  }
+
+  /** The per-source checksum census (q177's three lanes, with the
+    * modular sum kept canonical so merges stay in-range forever). */
+  private[streaming] def checksumCensus(docs: DataFrame): DataFrame =
+    withFingerprint(docs)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("xor_fp"),
+        pmod(sum(pmod(col("fp"), lit(1000000007L))), lit(1000000007L))
+          .cast("long").as("sum_fp"))
+
+  /** The checksum table as of its latest committed version. */
+  def currentChecksums(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String): Option[DataFrame] =
+    latestVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/v$v"))
+
+  private def versionIds(dir: String): Seq[Long] = {
+    val f = new java.io.File(dir)
+    if (!f.isDirectory) Seq.empty
+    else f.listFiles().toSeq
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .flatMap(d => scala.util.Try(d.getName.drop(1).toLong).toOption)
+  }
+
+  private def latestVersion(dir: String): Option[Long] =
+    versionIds(dir).sorted.lastOption
+
   /** Per-source intake census over the deduped stream: docs admitted
     * per (window, source) — the monitoring mart an intake pipeline
     * alerts on when a source's novel-document rate collapses (all

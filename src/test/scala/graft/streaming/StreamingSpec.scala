@@ -661,4 +661,36 @@ class StreamingSpec extends AnyFunSuite {
         rows.mkString(";"))
     } finally q.stop()
   }
+
+  test("incremental checksum maintenance coincides with one-shot recompute") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma", "s0"), (2L, "delta epsilon", "s0"),
+      (3L, "zeta eta theta", "s1"), (4L, "iota kappa", "s1"),
+      (5L, "lambda mu nu xi", "s0"))
+      .toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("cksum").toString
+    // incremental: two commits (batch 0 = first 3 rows, batch 1 = rest)
+    CorpusStreaming.mergeChecksums(
+      docs.filter($"doc_id" <= 3), s"$tmp/inc", 0L)
+    CorpusStreaming.mergeChecksums(
+      docs.filter($"doc_id" > 3), s"$tmp/inc", 1L)
+    // recompute: everything in one commit
+    CorpusStreaming.mergeChecksums(docs, s"$tmp/full", 0L)
+    def table(dir: String) =
+      CorpusStreaming.currentChecksums(spark, dir).get.collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_rows"),
+          r.getAs[Long]("xor_fp"), r.getAs[Long]("sum_fp"))).toSet
+    val inc = table(s"$tmp/inc")
+    assert(inc == table(s"$tmp/full"), s"inc=$inc")
+    assert(inc.map(_._1) == Set("s0", "s1"))
+    assert(inc.find(_._1 == "s0").get._2 == 3L)
+    // replay of the SAME batch id must be idempotent (overwrite, not
+    // double-merge): re-commit batch 1 and expect an unchanged table
+    CorpusStreaming.mergeChecksums(
+      docs.filter($"doc_id" > 3), s"$tmp/inc", 1L)
+    assert(table(s"$tmp/inc") == inc)
+  }
 }
