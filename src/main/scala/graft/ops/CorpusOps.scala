@@ -156,6 +156,97 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------------------- KS distribution drift
+  /** Exact two-sample Kolmogorov–Smirnov drift: for every source, the
+    * KS statistic D = max_v |CDF_source(v) − CDF_global(v)| of its
+    * document-length distribution against the whole corpus, plus the
+    * length at which the maximum divergence occurs — the
+    * distribution-shift alarm a mixture pipeline reads when one
+    * source's content changes shape (CUSUM q158 watches a MEAN drift;
+    * KS sees any distributional change).
+    *
+    * Exact-parity spelling: CDFs are integer cumulative counts on the
+    * shared value grid, compared cross-multiplied
+    * (|cum_s·n_g − cum_g·n_s|, all int64 — safe while total rows
+    * < 3e9, i.e. products < 9e18), so the only floating point is the
+    * final division of the winning numerator.
+    *
+    * 100 TB design: the corpus collapses to a (source, length) census
+    * first (map-side combine); everything after runs on the value
+    * GRID (distinct lengths — a bounded domain; an unbounded
+    * continuous statistic would be quantized first), including the
+    * sources × grid cross join, both cumulative windows, and the
+    * argmax join-back. Corpus rows are touched once. */
+  val q179KsDrift: Q = (s, d) => {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .groupBy($"source", $"n_chars".as("v"))
+      .agg(count(lit(1)).as("c"))
+    val grid = counts.groupBy($"v").agg(sum($"c").cast("long").as("cg"))
+    val wg = Window.orderBy($"v".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gcum = grid
+      .withColumn("cum_g", sum($"cg").over(wg).cast("long"))
+    val totals = counts.groupBy($"source")
+      .agg(sum($"c").cast("long").as("n_s"))
+    val ngRow = grid.agg(sum($"cg").cast("long").as("n_g"))
+    val ws = Window.partitionBy($"source").orderBy($"v".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = gcum.crossJoin(broadcast(totals))
+      .join(counts, Seq("source", "v"), "left")
+      .withColumn("c0", coalesce($"c", lit(0L)))
+      .withColumn("cum_s", sum($"c0").over(ws).cast("long"))
+      .crossJoin(broadcast(ngRow))
+      .withColumn("num", abs($"cum_s" * $"n_g" - $"cum_g" * $"n_s"))
+    val m = scored.groupBy($"source")
+      .agg(max($"num").as("maxnum"), max($"n_s").as("n_docs"),
+        max($"n_g").as("n_g"))
+    m.join(scored.select($"source", $"num", $"v"),
+        m("source") === scored("source") && $"num" === m("maxnum"))
+      .groupBy(m("source").as("source"), $"n_docs", $"maxnum", $"n_g")
+      .agg(min($"v").as("ks_at"))
+      .select($"source", $"n_docs", $"ks_at",
+        ($"maxnum".cast("double")
+          / ($"n_docs".cast("double") * $"n_g".cast("double")))
+          .as("d_stat"))
+  }
+  val o179: String = """
+    WITH counts AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    grid AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cg
+             FROM counts GROUP BY v),
+    gcum AS (
+      SELECT v, cg, CAST(SUM(cg) OVER (ORDER BY v ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_g
+      FROM grid),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+               FROM counts GROUP BY source),
+    ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_g FROM grid),
+    f AS (
+      SELECT t.source, g.v, g.cum_g, t.n_s,
+        CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY t.source
+          ORDER BY g.v ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_s
+      FROM gcum g
+      CROSS JOIN totals t
+      LEFT JOIN counts c ON c.source = t.source AND c.v = g.v),
+    scored AS (
+      SELECT source, v, n_s,
+        abs(cum_s * (SELECT n_g FROM ng) - cum_g * n_s) AS num
+      FROM f),
+    m AS (SELECT source, MAX(num) AS maxnum, MAX(n_s) AS n_docs
+          FROM scored GROUP BY source)
+    SELECT m.source, m.n_docs, MIN(s.v) AS ks_at,
+      CAST(m.maxnum AS DOUBLE)
+        / (CAST(m.n_docs AS DOUBLE)
+           * CAST((SELECT n_g FROM ng) AS DOUBLE)) AS d_stat
+    FROM m JOIN scored s
+      ON s.source = m.source AND s.num = m.maxnum
+    GROUP BY m.source, m.n_docs, m.maxnum"""
+
   // --------------------------------------------- replica checksums
   /** Merkle-lite replica reconciliation: per-partition (here: per
     * source) ORDER-INDEPENDENT checksums — row count, bit_xor of the
@@ -2158,6 +2249,7 @@ object CorpusOps {
     "q175_oov_coverage" -> q175OovCoverage,
     "q176_token_diversity" -> q176TokenDiversity,
     "q177_replica_checksums" -> q177ReplicaChecksums,
+    "q179_ks_drift" -> q179KsDrift,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
@@ -2199,6 +2291,7 @@ object CorpusOps {
     "q175_oov_coverage" -> o175,
     "q176_token_diversity" -> o176,
     "q177_replica_checksums" -> o177,
+    "q179_ks_drift" -> o179,
     "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,

@@ -141,12 +141,15 @@ class PlanContractSpec extends AnyFunSuite {
     // q113 cross-joins the single packed-codebook broadcast row;
     // q117 composes those single-row broadcasts plus q62's
     // constant-size ground-truth query broadcast
+    // q179 crosses the tiny value GRID with the per-source totals
+    // census (|sources| broadcast rows) plus a single-row global
+    // total — census-grain by construction, never corpus rows
     val intendedNlj = Set("q12_range_join", "q62_knn_brute",
       "q65_ivf_assign", "q84_semantic_dedup", "q90_mixture_weights",
       "q91_semdedup_centroid", "q96_length_histogram",
       "q18_qa_summary", "q92_funnel", "q102_lloyd_step",
       "q113_pq_encode", "q117_ivfpq_search",
-      "q135_skew_diagnostic")
+      "q135_skew_diagnostic", "q179_ks_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
