@@ -679,6 +679,124 @@ object Relational {
         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS price_delta
     FROM cls GROUP BY 1, 2"""
 
+  // ------------------------------------------------- profile drift
+  /** Column-profile drift between two snapshot versions: per column,
+    * row/null/distinct counts and numeric min/max on BOTH versions
+    * plus a drift flag — the schema-level regression report that runs
+    * before q169's row-level diff (a profile delta tells you WHICH
+    * column moved; the row diff tells you which keys). Versions are
+    * q169's deterministic derivation from `orders`.
+    *
+    * 100 TB design: each column profiles through a two-level census
+    * (groupBy value → aggregate) — map-side combine, NO Expand (the
+    * q128 exact profiler's cost ceiling); the per-column frames union
+    * at one row per column per version, and the final diff joins two
+    * column-grain frames. The oracle spells the same numbers with
+    * plain COUNT(DISTINCT) — different plan, same values. */
+  val q180ProfileDrift: Q = (s, d) => {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"o_totalprice".cast("decimal(18,2)").as("p"))
+    val v1 = o.filter($"o_orderkey" % 11 =!= 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        $"p".cast("double").as("price"))
+    val v2 = o.filter($"o_orderkey" % 13 =!= 0)
+      .select($"o_orderkey", $"o_orderstatus",
+        when($"o_orderkey" % 7 === 0,
+          ($"p" + lit(5)).cast("decimal(18,2)").cast("double"))
+          .otherwise($"p".cast("double")).as("price"))
+    def prof(df: org.apache.spark.sql.DataFrame, cname: String,
+             isNum: Boolean, side: String) = {
+      val census = df.groupBy(col(cname).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      census.agg(
+        sum($"cnt").cast("long").as(s"n_rows_$side"),
+        sum(when($"v".isNull, $"cnt").otherwise(0L)).cast("long")
+          .as(s"n_nulls_$side"),
+        count(when($"v".isNotNull, lit(1))).as(s"n_distinct_$side"),
+        (if (isNum) min($"v".cast("double"))
+         else lit(null).cast("double")).as(s"min_num_$side"),
+        (if (isNum) max($"v".cast("double"))
+         else lit(null).cast("double")).as(s"max_num_$side"))
+        .select(lit(cname).as("column_name"), col("*"))
+    }
+    val cols = Seq(("o_orderkey", true), ("o_orderstatus", false),
+      ("price", true))
+    val pa = cols.map { case (c, n) => prof(v1, c, n, "a") }
+      .reduce(_ unionByName _)
+    val pb = cols.map { case (c, n) => prof(v2, c, n, "b") }
+      .reduce(_ unionByName _)
+    pa.join(pb, Seq("column_name"))
+      .withColumn("drift",
+        when($"n_distinct_a" =!= $"n_distinct_b"
+          || $"n_nulls_a" =!= $"n_nulls_b"
+          || ($"min_num_a".isNotNull
+              && $"min_num_a" =!= $"min_num_b")
+          || ($"max_num_a".isNotNull
+              && $"max_num_a" =!= $"max_num_b"), 1L).otherwise(0L))
+      .select($"column_name", $"n_rows_a", $"n_rows_b",
+        $"n_nulls_a", $"n_nulls_b", $"n_distinct_a", $"n_distinct_b",
+        $"min_num_a", $"min_num_b", $"max_num_a", $"max_num_b",
+        $"drift")
+  }
+  val o180 = """
+    WITH o AS (SELECT o_orderkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
+               FROM orders),
+    v1 AS (SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price
+           FROM o WHERE o_orderkey % 11 <> 0),
+    v2 AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN CAST(CAST(p + 5 AS DECIMAL(18,2)) AS DOUBLE)
+               ELSE CAST(p AS DOUBLE) END AS price
+           FROM o WHERE o_orderkey % 13 <> 0),
+    pa AS (
+      SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows_a,
+        COUNT(*) - COUNT(o_orderkey) AS n_nulls_a,
+        COUNT(DISTINCT o_orderkey) AS n_distinct_a,
+        CAST(MIN(o_orderkey) AS DOUBLE) AS min_num_a,
+        CAST(MAX(o_orderkey) AS DOUBLE) AS max_num_a
+      FROM v1
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+        COUNT(*) - COUNT(o_orderstatus),
+        COUNT(DISTINCT o_orderstatus),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM v1
+      UNION ALL
+      SELECT 'price', COUNT(*), COUNT(*) - COUNT(price),
+        COUNT(DISTINCT price),
+        MIN(price), MAX(price)
+      FROM v1),
+    pb AS (
+      SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows_b,
+        COUNT(*) - COUNT(o_orderkey) AS n_nulls_b,
+        COUNT(DISTINCT o_orderkey) AS n_distinct_b,
+        CAST(MIN(o_orderkey) AS DOUBLE) AS min_num_b,
+        CAST(MAX(o_orderkey) AS DOUBLE) AS max_num_b
+      FROM v2
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(*),
+        COUNT(*) - COUNT(o_orderstatus),
+        COUNT(DISTINCT o_orderstatus),
+        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      FROM v2
+      UNION ALL
+      SELECT 'price', COUNT(*), COUNT(*) - COUNT(price),
+        COUNT(DISTINCT price),
+        MIN(price), MAX(price)
+      FROM v2)
+    SELECT column_name, n_rows_a, n_rows_b, n_nulls_a, n_nulls_b,
+      n_distinct_a, n_distinct_b, min_num_a, min_num_b,
+      max_num_a, max_num_b,
+      CAST(CASE WHEN n_distinct_a <> n_distinct_b
+             OR n_nulls_a <> n_nulls_b
+             OR (min_num_a IS NOT NULL AND min_num_a <> min_num_b)
+             OR (max_num_a IS NOT NULL AND max_num_a <> max_num_b)
+           THEN 1 ELSE 0 END AS BIGINT) AS drift
+    FROM pa JOIN pb USING (column_name)"""
+
   // ------------------------------------------------- skew diagnostic
   /** Join-key skew diagnostic over lineitem's orderkey — the "measure
     * before you salt" ops report (q79 is the salting cure; this is the
@@ -1090,6 +1208,7 @@ object Relational {
     "q135_skew_diagnostic" -> q135SkewDiagnostic,
     "q132_cdc_apply" -> q132CdcApply,
     "q169_snapshot_diff" -> q169SnapshotDiff,
+    "q180_profile_drift" -> q180ProfileDrift,
     "q128_table_profile" -> q128TableProfile,
     "q155_table_profile_sketch" -> q155TableProfileSketch,
     "q127_star_join" -> q127StarJoin,
@@ -1122,6 +1241,7 @@ object Relational {
     "q135_skew_diagnostic" -> o135,
     "q132_cdc_apply" -> o132,
     "q169_snapshot_diff" -> o169,
+    "q180_profile_drift" -> o180,
     "q128_table_profile" -> o128,
     "q127_star_join" -> o127,
     "q01_agg_pricing" -> o01,

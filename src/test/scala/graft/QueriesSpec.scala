@@ -112,6 +112,31 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q176 diversity indices respect their analytic bounds") {
+    SparkEntry.queries("q176_token_diversity")(spark, sf)
+      .collect().foreach { r =>
+        val simpson = r.getAs[Double]("simpson")
+        val inv = r.getAs[Double]("inv_simpson")
+        val types = r.getAs[Long]("n_types").toDouble
+        // λ ∈ (0,1]; effective vocab ∈ [1, n_types]
+        assert(simpson > 0.0 && simpson <= 1.0, r.toString)
+        assert(inv >= 1.0 - 1e-9 && inv <= types + 1e-9, r.toString)
+        assert(math.abs(r.getAs[Double]("gini_simpson")
+          - (1.0 - simpson)) < 1e-15, r.toString)
+      }
+  }
+
+  test("q179 KS statistic is a valid distance in [0,1]") {
+    val rows = SparkEntry.queries("q179_ks_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Double]("d_stat")
+      assert(d >= 0.0 && d <= 1.0, r.toString)
+    }
+    // at least one source must diverge from the pooled distribution
+    assert(rows.exists(_.getAs[Double]("d_stat") > 0.0))
+  }
+
   test("q01 pricing summary has the 6 flag/status groups") {
     val rows = SparkEntry.queries("q01_agg_pricing")(spark, sf).collect()
     assert(rows.length == 6)
