@@ -679,6 +679,74 @@ object Relational {
         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS price_delta
     FROM cls GROUP BY 1, 2"""
 
+  // ------------------------------------------------- Benford audit
+  /** Benford first-digit audit over order totals: the observed
+    * leading-digit distribution against Benford's law — the
+    * data-forensics screen for fabricated or truncated monetary data
+    * (organic multi-scale amounts follow log₁₀(1+1/d); capped,
+    * rounded, or synthesized ones visibly do not). Reports per digit
+    * the count, observed share, expected share, and absolute
+    * deviation; the mean absolute deviation is what an audit
+    * thresholds (MAD > 0.015 ≈ nonconformity in the Nigrini scale).
+    *
+    * Parity: the expected shares are DECIMAL LITERALS spelled
+    * identically in both engines (no log evaluated at query time),
+    * and observed shares divide exact integer counts — every double
+    * derives from identical inputs via correctly-rounded ops.
+    *
+    * 100 TB design: first digit is per-row string arithmetic; the
+    * census is 9 cells via one map-side-combined aggregate. */
+  private val BenfordP: Seq[(Int, String)] = Seq(
+    1 -> "0.3010299956639812", 2 -> "0.17609125905568124",
+    3 -> "0.12493873660829992", 4 -> "0.09691001300805642",
+    5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+    7 -> "0.05799194697768673", 8 -> "0.05115252244738129",
+    9 -> "0.04575749056067514")
+
+  val q182BenfordAudit: Q = (s, d) => {
+    import s.implicits._
+    val expected = BenfordP.map { case (dg, p) =>
+      s"WHEN digit = $dg THEN CAST($p AS DOUBLE)"
+    }.mkString("CASE ", " ", " END")
+    val digits = Tables.orders(s, d)
+      // leading digit of the integer part: totals are ≥ 1, so the
+      // first character of the integer cast is the first digit.
+      // floor() BEFORE the bigint cast: DuckDB's decimal→bigint cast
+      // ROUNDS while Spark's truncates — flooring first makes the
+      // value integral so both casts are the identity
+      .select(substring(floor($"o_totalprice".cast("decimal(18,2)"))
+        .cast("bigint").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n"))
+    digits
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .select($"digit", $"n".cast("long").as("n"),
+        ($"n".cast("double") / $"total".cast("double")).as("share"),
+        expr(expected).as("benford_p"))
+      .withColumn("abs_dev",
+        abs($"share" - $"benford_p"))
+  }
+  val o182: String = {
+    val expected = BenfordP.map { case (dg, p) =>
+      s"WHEN digit = $dg THEN CAST($p AS DOUBLE)"
+    }.mkString("CASE ", " ", " END")
+    s"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(floor(CAST(o_totalprice
+          AS DECIMAL(18,2))) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER)
+        AS digit
+      FROM orders),
+    census AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM census)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+      CAST(n AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+        AS share,
+      $expected AS benford_p,
+      abs(CAST(n AS DOUBLE) / CAST((SELECT total FROM t) AS DOUBLE)
+        - ($expected)) AS abs_dev
+    FROM census"""
+  }
+
   // ------------------------------------------------- profile drift
   /** Column-profile drift between two snapshot versions: per column,
     * row/null/distinct counts and numeric min/max on BOTH versions
@@ -1209,6 +1277,7 @@ object Relational {
     "q132_cdc_apply" -> q132CdcApply,
     "q169_snapshot_diff" -> q169SnapshotDiff,
     "q180_profile_drift" -> q180ProfileDrift,
+    "q182_benford_audit" -> q182BenfordAudit,
     "q128_table_profile" -> q128TableProfile,
     "q155_table_profile_sketch" -> q155TableProfileSketch,
     "q127_star_join" -> q127StarJoin,
@@ -1242,6 +1311,7 @@ object Relational {
     "q132_cdc_apply" -> o132,
     "q169_snapshot_diff" -> o169,
     "q180_profile_drift" -> o180,
+    "q182_benford_audit" -> o182,
     "q128_table_profile" -> o128,
     "q127_star_join" -> o127,
     "q01_agg_pricing" -> o01,

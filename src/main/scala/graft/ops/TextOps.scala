@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline over the
@@ -335,6 +336,94 @@ object TextOps {
     FROM l1 GROUP BY source"""
   }
 
+  // ----------------------------------------- inter-rater agreement
+  /** Cohen's kappa for the language-ID heuristic against the declared
+    * label — chance-corrected agreement from q52's confusion matrix:
+    * κ = (p_o − p_e) / (1 − p_e) with p_o the trace share and p_e the
+    * expected agreement Σ rowᵢ·colᵢ / n². The reliability number an
+    * annotation audit quotes (raw accuracy flatters a skewed label
+    * distribution; κ does not). Exact rational spelling: every term
+    * is an integer count product until the final divides; the
+    * declared-label domain here is the marker languages plus 'xx'
+    * (other), grouped so the matrix is closed.
+    *
+    * 100 TB design: one map-side-combined confusion census (bounded:
+    * |langs|² cells), then driver-scale arithmetic on the cells. */
+  val q181KappaAudit: Q = (s, d) => {
+    import s.implicits._
+    val conf = q52LangId(s, d)
+      .withColumn("declared",
+        when($"lang".isin("de", "en", "es", "fr"), $"lang")
+          .otherwise(lit("xx")))
+      .groupBy($"declared", $"predicted")
+      .agg(sum($"n_docs").as("n"))
+    val cells = conf
+      .withColumn("total", sum($"n").over(Window.partitionBy()))
+      .withColumn("agree",
+        when($"declared" === $"predicted", $"n").otherwise(lit(0L)))
+    val rows = cells.groupBy($"declared")
+      .agg(sum($"n").as("row_n"), max($"total").as("total"),
+        sum($"agree").as("agree_n"))
+    val colsN = cells.groupBy($"predicted").agg(sum($"n").as("col_n"))
+    rows.join(colsN, rows("declared") === colsN("predicted"), "left")
+      .select($"declared", $"row_n",
+        coalesce($"col_n", lit(0L)).as("col_n"),
+        $"agree_n", $"total")
+      .agg(max($"total").cast("long").as("n_docs"),
+        sum($"agree_n").cast("long").as("n_agree"),
+        sum($"row_n" * coalesce($"col_n", lit(0L))).cast("long")
+          .as("sum_rowcol"))
+      .select($"n_docs", $"n_agree",
+        ($"n_agree".cast("double") / $"n_docs".cast("double"))
+          .as("p_observed"),
+        ($"sum_rowcol".cast("double")
+          / ($"n_docs".cast("double") * $"n_docs".cast("double")))
+          .as("p_expected"),
+        (($"n_agree".cast("double") / $"n_docs".cast("double")
+          - $"sum_rowcol".cast("double")
+            / ($"n_docs".cast("double") * $"n_docs".cast("double")))
+          / (lit(1.0) - $"sum_rowcol".cast("double")
+            / ($"n_docs".cast("double") * $"n_docs".cast("double"))))
+          .as("kappa"))
+  }
+  val o181: String = s"""
+    WITH conf0 AS (${o52}),
+    conf AS (
+      SELECT CASE WHEN lang IN ('de','en','es','fr') THEN lang
+                  ELSE 'xx' END AS declared,
+             predicted, CAST(SUM(n_docs) AS BIGINT) AS n
+      FROM conf0 GROUP BY 1, 2),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM conf),
+    rows_n AS (
+      SELECT declared, CAST(SUM(n) AS BIGINT) AS row_n,
+        CAST(SUM(CASE WHEN declared = predicted THEN n ELSE 0 END)
+          AS BIGINT) AS agree_n
+      FROM conf GROUP BY declared),
+    cols_n AS (
+      SELECT predicted, CAST(SUM(n) AS BIGINT) AS col_n
+      FROM conf GROUP BY predicted),
+    terms AS (
+      SELECT r.declared, r.row_n, COALESCE(c.col_n, 0) AS col_n,
+        r.agree_n, (SELECT total FROM tot) AS total
+      FROM rows_n r LEFT JOIN cols_n c ON c.predicted = r.declared),
+    s AS (
+      SELECT CAST(MAX(total) AS BIGINT) AS n_docs,
+        CAST(SUM(agree_n) AS BIGINT) AS n_agree,
+        CAST(SUM(row_n * col_n) AS BIGINT) AS sum_rowcol
+      FROM terms)
+    SELECT n_docs, n_agree,
+      CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE) AS p_observed,
+      CAST(sum_rowcol AS DOUBLE)
+        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        AS p_expected,
+      (CAST(n_agree AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        - CAST(sum_rowcol AS DOUBLE)
+          / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+      / (1.0 - CAST(sum_rowcol AS DOUBLE)
+          / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)))
+        AS kappa
+    FROM s"""
+
   // ------------------------------------------- rule-based quality gate
   /** Gopher-style per-rule quality census: four independent boolean
     * document rules — token count ≥ 20, mean word length ≥ 4.5,
@@ -591,7 +680,8 @@ object TextOps {
     "q55_dedup_assign" -> q55DedupAssign,
     "q165_canon_dedup" -> q165CanonDedup,
     "q166_gopher_rules" -> q166GopherRules,
-    "q167_prefix_dupes" -> q167PrefixDupes)
+    "q167_prefix_dupes" -> q167PrefixDupes,
+    "q181_kappa_audit" -> q181KappaAudit)
 
   val oracles: Map[String, String] = Map(
     "q82_curation" -> o82,
@@ -604,5 +694,6 @@ object TextOps {
     "q55_dedup_assign" -> o55,
     "q165_canon_dedup" -> o165,
     "q166_gopher_rules" -> o166,
-    "q167_prefix_dupes" -> o167)
+    "q167_prefix_dupes" -> o167,
+    "q181_kappa_audit" -> o181)
 }
