@@ -512,6 +512,64 @@ object EventStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // --------------------------------------------- touch attribution
+  final case class Attribution(user_id: Long, purchase_id: Long,
+                               first_touch: String, last_touch: String,
+                               value: Double)
+  final case class TouchState(first_touch: String, last_touch: String)
+
+  /** Streaming first/last-touch attribution — the streaming twin of
+    * the batch q178 report. One ValueState row per user carries the
+    * first-ever and most recent non-purchase event type; each
+    * purchase emits an attribution row crediting both, the same
+    * allocation q178 derives with a keyed window over full history.
+    * Purchases before any touch emit nothing (q178's
+    * `first_touch IS NOT NULL` gate). Each micro-batch folds in
+    * (ts, event_id) order, so crash-replays reproduce the same walk.
+    *
+    * 100 TB design: state is two strings per user (O(users),
+    * timer-free, point get/put per touched key); output volume tracks
+    * purchases, not events. The q178 census aggregates these rows
+    * downstream. Late cross-batch reordering is accepted the way
+    * every online attribution system accepts it — the batch q178 over
+    * the event log is the reconciliation. */
+  final class AttributionProcessor
+      extends StatefulProcessor[Long, Event, Attribution] {
+    @transient private var st: ValueState[TouchState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("touches",
+        Encoders.product[TouchState], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues)
+        : Iterator[Attribution] = {
+      val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+      val out = Seq.newBuilder[Attribution]
+      var s = if (st.exists()) st.get() else TouchState(null, null)
+      sorted.foreach { e =>
+        if (e.event_type == "purchase") {
+          if (s.first_touch != null)
+            out += Attribution(key, e.event_id, s.first_touch,
+              s.last_touch, e.value)
+        } else {
+          s = TouchState(
+            if (s.first_touch == null) e.event_type else s.first_touch,
+            e.event_type)
+        }
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** [[AttributionProcessor]] wired to a stream: pure keyed state,
+    * no timers — Append mode (attribution rows are immutable facts). */
+  def attributeStream(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new AttributionProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------------------ drift monitoring
   final case class DriftAlarm(event_type: String, ts: java.sql.Timestamp,
                               side: String, cusum: Double)

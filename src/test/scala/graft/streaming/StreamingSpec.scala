@@ -369,6 +369,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("touch attribution credits first/last across batches, gates no-touch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[EventStreaming.Event]
+    input.addData(
+      // user 1 (out of order in the batch): view → click → purchase
+      EventStreaming.Event(3, ts("2024-01-01 10:02:00"), 1, "purchase", 50.0),
+      EventStreaming.Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0.0),
+      EventStreaming.Event(2, ts("2024-01-01 10:01:00"), 1, "click", 0.0),
+      // user 2: purchase with NO prior touch → gated
+      EventStreaming.Event(4, ts("2024-01-01 10:03:00"), 2, "purchase", 9.0))
+    val q = EventStreaming.attributeStream(input.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val b1 = spark.table("attr").collect()
+      assert(b1.length == 1, b1.mkString(";"))
+      assert(b1(0).getAs[Long]("purchase_id") == 3L &&
+        b1(0).getAs[String]("first_touch") == "view" &&
+        b1(0).getAs[String]("last_touch") == "click" &&
+        b1(0).getAs[Double]("value") == 50.0)
+      // batch 2: state persisted — a new touch moves last but not
+      // first; user 2's first touch arrives, then converts
+      input.addData(
+        EventStreaming.Event(5, ts("2024-01-01 11:00:00"), 1, "signup", 0.0),
+        EventStreaming.Event(6, ts("2024-01-01 11:01:00"), 1, "purchase", 25.0),
+        EventStreaming.Event(7, ts("2024-01-01 11:02:00"), 2, "view", 0.0),
+        EventStreaming.Event(8, ts("2024-01-01 11:03:00"), 2, "purchase", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("attr").collect()
+        .map(r => r.getAs[Long]("purchase_id") -> r).toMap
+      assert(rows.size == 3, rows.keySet.toString)
+      assert(rows(6L).getAs[String]("first_touch") == "view" &&
+        rows(6L).getAs[String]("last_touch") == "signup")
+      assert(rows(8L).getAs[String]("first_touch") == "view" &&
+        rows(8L).getAs[String]("last_touch") == "view" &&
+        rows(8L).getAs[Double]("value") == 8.0)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("CUSUM drift monitor alarms on sustained shift, resets, stays quiet") {
     val s = spark
     import s.implicits._
