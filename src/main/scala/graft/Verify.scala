@@ -16,13 +16,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // dev loop: SPARK_GRAFT_ONLY=q53_fingerprint,q55_dedup_assign
-    // restricts the dump (same contract as Bench); driver leaves it
-    // unset and gets the full registry
+    // dev loop: SPARK_GRAFT_ONLY=q53,q55 restricts the dump — SUBSTRING
+    // match, the same contract as Bench (exact-name matching here made
+    // a Bench-style filter select nothing and read as a clean run);
+    // driver leaves it unset and gets the full registry
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def keep(name: String): Boolean =
+      only.forall(_.exists(name.contains))
     val selected = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => keep(name) }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -43,7 +46,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -66,6 +66,19 @@ object DedupOps {
       .select(col("doc_id"), col("shs"), col("thm"))
       .localCheckpoint()
 
+  /** In-row unordered-pair generation over a SORTED array column:
+    * for every i < j the expression emits `body`, with
+    * `element_at(<arr>, i)` as the left element and lambda variable
+    * `x` as the right. The 1-based element_at / slice arithmetic is
+    * subtle and used to be copy-pasted per query — this ONE spelling
+    * now serves every posting-list pair path (q58, q60, q156, q157,
+    * q167, q170, q174); callers wrap it in explode()/filter() as
+    * their shape needs. */
+  private[ops] def pairGenExpr(arr: String, body: String): String =
+    s"""flatten(transform(sequence(1, size($arr) - 1),
+          i -> transform(slice($arr, i + 1, size($arr) - i),
+            x -> $body)))"""
+
   // ------------------------------------------------------------ MinHash
   /** MinHash signature: 4 independent hash functions (a*x+b mod p) over
     * the shingle set; per-doc minimum each. The standard Broder
@@ -186,11 +199,9 @@ object DedupOps {
     val pairs = postings
       .filter(size($"docs") >= 2)
       .withColumn("ds", sort_array($"docs"))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               x -> named_struct('doc_a', element_at(ds, i),
-                                 'doc_b', x))))""")).as("pr"))
+      .select(explode(expr(pairGenExpr("ds",
+        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
+        .as("pr"))
     pairs
       .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
       .agg(count(lit(1)).as("i"))
@@ -242,7 +253,7 @@ object DedupOps {
     val base = Tables.documents(s, d)
       .select($"doc_id", $"source", $"text", $"n_chars")
     val replay = base.filter($"doc_id" % 31 === 0 && $"n_chars" >= 80)
-      .withColumn("doc_id", $"doc_id" + lit(4000000L))
+      .withColumn("doc_id", $"doc_id" + lit(4L << 40))
       .withColumn("text",
         expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))"))
     val exploded = withShingles(base.unionByName(replay))
@@ -256,11 +267,9 @@ object DedupOps {
     val pairs = postings
       .filter(size($"docs") >= 2)
       .withColumn("ds", sort_array($"docs"))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               x -> named_struct('doc_a', element_at(ds, i),
-                                 'doc_b', x))))""")).as("pr"))
+      .select(explode(expr(pairGenExpr("ds",
+        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
+        .as("pr"))
     pairs
       .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
       .agg(count(lit(1)).as("i"))
@@ -279,7 +288,7 @@ object DedupOps {
     WITH docs AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + 4000000 AS doc_id,
+      SELECT doc_id + 4398046511104 AS doc_id,
         substring(text, 1, CAST(n_chars // 2 AS INT)) AS text
       FROM documents WHERE doc_id % 31 = 0 AND n_chars >= 80),
     sh0 AS (
@@ -340,13 +349,10 @@ object DedupOps {
       .groupBy($"e.doc_id".as("doc_id"))
       .agg(sum($"e.tf" * $"e.tf").as("n2"))
     val dots = postings.filter(size($"ds") >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               x -> named_struct('doc_a', element_at(ds, i).doc_id,
-                                 'doc_b', x.doc_id,
-                                 'prod', element_at(ds, i).tf * x.tf))))"""))
-        .as("pr"))
+      .select(explode(expr(pairGenExpr("ds",
+        """named_struct('doc_a', element_at(ds, i).doc_id,
+             'doc_b', x.doc_id,
+             'prod', element_at(ds, i).tf * x.tf)"""))).as("pr"))
       .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
       .agg(sum($"pr.prod").as("dot"))
     dots
@@ -450,14 +456,11 @@ object DedupOps {
         .as("ds"))
       .filter(size($"ds") >= 2)
     posts
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               x -> named_struct(
-                 'doc_a', element_at(ds, i).doc_id,
-                 'doc_b', x.doc_id,
-                 'sa', element_at(ds, i).simhash,
-                 'sb', x.simhash))))""")).as("pr"))
+      .select(explode(expr(pairGenExpr("ds",
+        """named_struct('doc_a', element_at(ds, i).doc_id,
+             'doc_b', x.doc_id,
+             'sa', element_at(ds, i).simhash,
+             'sb', x.simhash)"""))).as("pr"))
       .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
         $"pr.sa".as("sa"), $"pr.sb".as("sb"))
       .distinct()
@@ -570,11 +573,9 @@ object DedupOps {
     val inter = srcSh.groupBy($"sh")
       .agg(sort_array(collect_list($"source")).as("ss"))
       .filter(size($"ss") >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ss) - 1),
-             i -> transform(slice(ss, i + 1, size(ss) - i),
-               x -> named_struct('source_a', element_at(ss, i),
-                                 'source_b', x))))""")).as("pr"))
+      .select(explode(expr(pairGenExpr("ss",
+        "named_struct('source_a', element_at(ss, i), 'source_b', x)")))
+        .as("pr"))
       .groupBy($"pr.source_a".as("source_a"), $"pr.source_b".as("source_b"))
       .agg(count(lit(1)).as("i"))
     val est = (0 until 4).map(j =>
@@ -645,7 +646,15 @@ object DedupOps {
     * 100 TB design: candidates generate in-row from band-keyed
     * posting lists (one exchange, the q60 layout — never a signature
     * self-join); the two text lookups are hash joins on doc_id; the
-    * quadratic kernel touches only surviving pairs. */
+    * quadratic kernel touches only surviving pairs.
+    *
+    * Parity note: Spark's levenshtein counts CODEPOINT edits while
+    * DuckDB's counts BYTE edits (häus→haus is 1 vs 2), so both
+    * engines compare the texts' ASCII projection — where bytes and
+    * codepoints coincide — and normalize by the projected length.
+    * Byte-exact multi-byte edit distance is not cross-engine
+    * portable; the projection makes the divergence impossible
+    * instead of merely unexercised. */
   val q157EditVerify: Q = (s, d) => {
     import s.implicits._
     val cand = q56MinHash(s, d)
@@ -656,11 +665,9 @@ object DedupOps {
       .groupBy($"b.band", $"b.k1", $"b.k2")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds") >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               x -> named_struct('doc_a', element_at(ds, i),
-                                 'doc_b', x))))""")).as("pr"))
+      .select(explode(expr(pairGenExpr("ds",
+        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
+        .as("pr"))
       .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
       .distinct()
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
@@ -669,9 +676,11 @@ object DedupOps {
         Seq("doc_a"))
       .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")),
         Seq("doc_b"))
+      .withColumn("ta", regexp_replace($"ta", "[^\\x00-\\x7F]", ""))
+      .withColumn("tb", regexp_replace($"tb", "[^\\x00-\\x7F]", ""))
       .withColumn("lev", levenshtein($"ta", $"tb").cast("long"))
       .withColumn("norm_dist", $"lev".cast("double")
-        / greatest(length($"ta"), length($"tb")).cast("double"))
+        / greatest(length($"ta"), length($"tb"), lit(1)).cast("double"))
       .filter($"norm_dist" <= 0.4)
       .select($"doc_a", $"doc_b", $"lev", $"norm_dist")
   }
@@ -682,15 +691,20 @@ object DedupOps {
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
          OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
-    v AS (
+    proj AS (
       SELECT doc_a, doc_b,
-        CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
-        CAST(levenshtein(da.text, db.text) AS DOUBLE)
-          / CAST(greatest(length(da.text), length(db.text)) AS DOUBLE)
-          AS norm_dist
+        regexp_replace(da.text, '[^\\x00-\\x7F]', '', 'g') AS ta,
+        regexp_replace(db.text, '[^\\x00-\\x7F]', '', 'g') AS tb
       FROM cand
       JOIN documents da ON da.doc_id = cand.doc_a
-      JOIN documents db ON db.doc_id = cand.doc_b)
+      JOIN documents db ON db.doc_id = cand.doc_b),
+    v AS (
+      SELECT doc_a, doc_b,
+        CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+        CAST(levenshtein(ta, tb) AS DOUBLE)
+          / CAST(greatest(length(ta), length(tb), 1) AS DOUBLE)
+          AS norm_dist
+      FROM proj)
     SELECT doc_a, doc_b, lev, norm_dist FROM v
     WHERE norm_dist <= 0.4"""
 

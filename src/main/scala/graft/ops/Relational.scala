@@ -610,21 +610,48 @@ object Relational {
     * each key (map-side combine halves the shuffle for unchanged
     * keys, the dominant class); the tiny census re-aggregate follows.
     * Money deltas route through exact decimal(18,2). */
-  val q169SnapshotDiff: Q = (s, d) => {
+  /** The deterministic two-version snapshot derivation from `orders`,
+    * shared by q169 (row-grain diff) and q180 (column-profile drift):
+    * v1 drops keys ≡0 mod 11; v2 drops keys ≡0 mod 13 and bumps the
+    * price of keys ≡0 mod 7 by 5. ONE definition (and one SQL CTE
+    * prefix below) so the profile-then-rows narrative can't silently
+    * diverge between the two reports. */
+  private def snapshotVersions(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val o = Tables.orders(s, d)
       .select($"o_orderkey", $"o_orderstatus",
         $"o_totalprice".cast("decimal(18,2)").as("p"))
     val v1 = o.filter($"o_orderkey" % 11 =!= 0)
       .select($"o_orderkey", $"o_orderstatus",
-        $"p".cast("double").as("price"), lit(1).as("v"))
+        $"p".cast("double").as("price"))
     val v2 = o.filter($"o_orderkey" % 13 =!= 0)
       .select($"o_orderkey", $"o_orderstatus",
         when($"o_orderkey" % 7 === 0,
           ($"p" + lit(5)).cast("decimal(18,2)").cast("double"))
-          .otherwise($"p".cast("double")).as("price"),
-        lit(2).as("v"))
-    val per = v1.unionByName(v2)
+          .otherwise($"p".cast("double")).as("price"))
+    (v1, v2)
+  }
+
+  /** DuckDB twin of [[snapshotVersions]] — CTE bodies for `v1`/`v2`
+    * (callers prepend `WITH`). */
+  private val snapshotVersionsSql: String = """
+    o AS (SELECT o_orderkey, o_orderstatus,
+            CAST(o_totalprice AS DECIMAL(18,2)) AS p
+          FROM orders),
+    v1 AS (SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price
+           FROM o WHERE o_orderkey % 11 <> 0),
+    v2 AS (SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN CAST(CAST(p + 5 AS DECIMAL(18,2)) AS DOUBLE)
+               ELSE CAST(p AS DOUBLE) END AS price
+           FROM o WHERE o_orderkey % 13 <> 0)"""
+
+  val q169SnapshotDiff: Q = (s, d) => {
+    import s.implicits._
+    val (v1, v2) = snapshotVersions(s, d)
+    val per = v1.withColumn("v", lit(1))
+      .unionByName(v2.withColumn("v", lit(2)))
       .groupBy($"o_orderkey")
       .agg(max(when($"v" === 1, 1L).otherwise(0L)).as("in1"),
         max(when($"v" === 2, 1L).otherwise(0L)).as("in2"),
@@ -644,21 +671,12 @@ object Relational {
           .otherwise(lit(0).cast("decimal(18,2)")))
           .cast("double").as("price_delta"))
   }
-  val o169 = """
-    WITH o AS (SELECT o_orderkey, o_orderstatus,
-                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
-               FROM orders),
+  val o169 = s"""
+    WITH $snapshotVersionsSql,
     t AS (
-      SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price,
-             1 AS v
-      FROM o WHERE o_orderkey % 11 <> 0
+      SELECT o_orderkey, o_orderstatus, price, 1 AS v FROM v1
       UNION ALL
-      SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 7 = 0
-               THEN CAST(CAST(p + 5 AS DECIMAL(18,2)) AS DOUBLE)
-               ELSE CAST(p AS DOUBLE) END,
-             2
-      FROM o WHERE o_orderkey % 13 <> 0),
+      SELECT o_orderkey, o_orderstatus, price, 2 AS v FROM v2),
     per AS (
       SELECT o_orderkey,
         MAX(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS in1,
@@ -763,17 +781,7 @@ object Relational {
     * plain COUNT(DISTINCT) — different plan, same values. */
   val q180ProfileDrift: Q = (s, d) => {
     import s.implicits._
-    val o = Tables.orders(s, d)
-      .select($"o_orderkey", $"o_orderstatus",
-        $"o_totalprice".cast("decimal(18,2)").as("p"))
-    val v1 = o.filter($"o_orderkey" % 11 =!= 0)
-      .select($"o_orderkey", $"o_orderstatus",
-        $"p".cast("double").as("price"))
-    val v2 = o.filter($"o_orderkey" % 13 =!= 0)
-      .select($"o_orderkey", $"o_orderstatus",
-        when($"o_orderkey" % 7 === 0,
-          ($"p" + lit(5)).cast("decimal(18,2)").cast("double"))
-          .otherwise($"p".cast("double")).as("price"))
+    val (v1, v2) = snapshotVersions(s, d)
     def prof(df: org.apache.spark.sql.DataFrame, cname: String,
              isNum: Boolean, side: String) = {
       val census = df.groupBy(col(cname).as("v"))
@@ -808,17 +816,8 @@ object Relational {
         $"min_num_a", $"min_num_b", $"max_num_a", $"max_num_b",
         $"drift")
   }
-  val o180 = """
-    WITH o AS (SELECT o_orderkey, o_orderstatus,
-                 CAST(o_totalprice AS DECIMAL(18,2)) AS p
-               FROM orders),
-    v1 AS (SELECT o_orderkey, o_orderstatus, CAST(p AS DOUBLE) AS price
-           FROM o WHERE o_orderkey % 11 <> 0),
-    v2 AS (SELECT o_orderkey, o_orderstatus,
-             CASE WHEN o_orderkey % 7 = 0
-               THEN CAST(CAST(p + 5 AS DECIMAL(18,2)) AS DOUBLE)
-               ELSE CAST(p AS DOUBLE) END AS price
-           FROM o WHERE o_orderkey % 13 <> 0),
+  val o180 = s"""
+    WITH $snapshotVersionsSql,
     pa AS (
       SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows_a,
         COUNT(*) - COUNT(o_orderkey) AS n_nulls_a,

@@ -247,7 +247,7 @@ object TextOps {
     val base = Tables.documents(s, d)
       .select($"doc_id", $"source", $"text")
     val replay = base.filter($"doc_id" % 97 === 0)
-      .withColumn("doc_id", $"doc_id" + lit(1000000L))
+      .withColumn("doc_id", $"doc_id" + lit(1L << 40))
       .withColumn("source", lit("replay"))
     val docs = base.unionByName(replay).withColumn("fp", fingerprintCol)
     val canon = docs.groupBy($"fp", $"text")
@@ -260,7 +260,7 @@ object TextOps {
     WITH docs AS (
       SELECT doc_id, source, text FROM documents
       UNION ALL
-      SELECT doc_id + 1000000 AS doc_id, 'replay' AS source, text
+      SELECT doc_id + 1099511627776 AS doc_id, 'replay' AS source, text
       FROM documents WHERE doc_id % 97 = 0)
     SELECT doc_id, canonical_id, source FROM (
       SELECT doc_id, source,
@@ -291,7 +291,7 @@ object TextOps {
     import s.implicits._
     val base = Tables.documents(s, d).select($"doc_id", $"source", $"text")
     val replay = base.filter($"doc_id" % 23 === 0)
-      .withColumn("doc_id", $"doc_id" + lit(2000000L))
+      .withColumn("doc_id", $"doc_id" + lit(2L << 40))
       .withColumn("text", upper($"text"))
     val canon = trim(regexp_replace(
       regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
@@ -317,7 +317,7 @@ object TextOps {
     WITH docs AS (
       SELECT doc_id, source, text FROM documents
       UNION ALL
-      SELECT doc_id + 2000000 AS doc_id, source, upper(text) AS text
+      SELECT doc_id + 2199023255552 AS doc_id, source, upper(text) AS text
       FROM documents WHERE doc_id % 23 = 0),
     fps AS (
       SELECT source, $fingerprintSql AS raw_fp, $canonSql AS canon_fp
@@ -510,7 +510,7 @@ object TextOps {
     val base = Tables.documents(s, d)
       .select($"doc_id", $"source", $"text", $"n_chars")
     val replay = base.filter($"doc_id" % 29 === 0 && $"n_chars" >= 80)
-      .withColumn("doc_id", $"doc_id" + lit(3000000L))
+      .withColumn("doc_id", $"doc_id" + lit(3L << 40))
       .withColumn("text", expr("substring(text, 1, CAST(n_chars DIV 2 AS INT))"))
       .withColumn("n_chars", expr("n_chars DIV 2"))
     val blocks = base.unionByName(replay)
@@ -521,16 +521,14 @@ object TextOps {
       .filter(size($"ds").between(2, 100))
       .withColumn("ds", sort_array($"ds")) // (len, doc_id) asc
     val pairs = blocks.select(explode(expr(
-      """filter(
-           flatten(transform(sequence(1, size(ds) - 1),
-             i -> transform(slice(ds, i + 1, size(ds) - i),
-               x -> named_struct(
-                 'source', element_at(ds, i).source,
-                 'short_id', element_at(ds, i).doc_id,
-                 'lost', x.len - element_at(ds, i).len,
-                 'ok', CASE WHEN x.len > element_at(ds, i).len
-                         AND startswith(x.text, element_at(ds, i).text)
-                       THEN 1 ELSE 0 END)))),
+      s"""filter(${DedupOps.pairGenExpr("ds",
+        """named_struct(
+             'source', element_at(ds, i).source,
+             'short_id', element_at(ds, i).doc_id,
+             'lost', x.len - element_at(ds, i).len,
+             'ok', CASE WHEN x.len > element_at(ds, i).len
+                     AND startswith(x.text, element_at(ds, i).text)
+                   THEN 1 ELSE 0 END)""")},
            p -> p.ok = 1)""")).as("pr"))
     pairs
       .groupBy($"pr.source".as("source"), $"pr.short_id".as("short_id"))
@@ -547,7 +545,7 @@ object TextOps {
     WITH docs AS (
       SELECT doc_id, source, text, n_chars FROM documents
       UNION ALL
-      SELECT doc_id + 3000000 AS doc_id, source,
+      SELECT doc_id + 3298534883328 AS doc_id, source,
         substring(text, 1, CAST(n_chars // 2 AS INT)) AS text,
         n_chars // 2 AS n_chars
       FROM documents WHERE doc_id % 29 = 0 AND n_chars >= 80),

@@ -183,11 +183,17 @@ object CorpusStreaming {
                        tableDir: String): Option[DataFrame] =
     latestVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/v$v"))
 
+  /** Only COMMITTED versions count: Spark's parquet committer drops
+    * `_SUCCESS` at job completion, so a crash mid-write (or a reader
+    * racing a replay's overwrite) leaves a directory this listing
+    * ignores — both the merge's read-side and [[currentChecksums]]
+    * would otherwise serve a partially-written table as truth. */
   private def versionIds(dir: String): Seq[Long] = {
     val f = new java.io.File(dir)
     if (!f.isDirectory) Seq.empty
     else f.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .filter(d => d.isDirectory && d.getName.startsWith("v")
+        && new java.io.File(d, "_SUCCESS").isFile)
       .flatMap(d => scala.util.Try(d.getName.drop(1).toLong).toOption)
   }
 
