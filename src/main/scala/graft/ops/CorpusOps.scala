@@ -247,6 +247,78 @@ object CorpusOps {
       ON s.source = m.source AND s.num = m.maxnum
     GROUP BY m.source, m.n_docs, m.maxnum"""
 
+  // ----------------------------------------- chi-squared drift
+  /** Chi-squared categorical drift: per source, the χ² statistic of
+    * its LANGUAGE distribution against the pooled corpus expectation
+    * e = n_s·n_l/N — the categorical twin of q179's KS (KS sees a
+    * shifted ordinal distribution; χ² sees a reshuffled categorical
+    * one, e.g. a crawler suddenly returning the wrong-language pages).
+    * Missing (source, lang) cells still contribute n_s·n_l/N, so the
+    * grid completes via a census-scale cross join.
+    *
+    * Parity: each cell's deviation d = o·N − n_s·n_l is an exact
+    * int64 (safe while total rows < 3e9, the q179 bound); the cell
+    * term (d²/(N·n_s·n_l)) is computed in doubles from identical
+    * integers and FLOORED to 1e-9 fixed point before the cross-cell
+    * sum, so the statistic never depends on Spark's vs DuckDB's
+    * summation order.
+    *
+    * 100 TB design: corpus collapses to the (source, lang) census
+    * first; everything downstream is |sources|×|langs| cells. */
+  val q183Chi2Drift: Q = (s, d) => {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("o"))
+    val langTot = counts.groupBy($"lang")
+      .agg(sum($"o").cast("long").as("n_l"))
+    val srcTot = counts.groupBy($"source")
+      .agg(sum($"o").cast("long").as("n_s"))
+    val nRow = langTot.agg(sum($"n_l").cast("long").as("n"))
+    srcTot.crossJoin(broadcast(langTot))
+      .join(counts, Seq("source", "lang"), "left")
+      .withColumn("o0", coalesce($"o", lit(0L)))
+      .crossJoin(broadcast(nRow))
+      .withColumn("dev", $"o0" * $"n" - $"n_s" * $"n_l")
+      .withColumn("term_fp", floor(
+        ($"dev".cast("double") * $"dev".cast("double"))
+          / ($"n".cast("double") * $"n_s".cast("double")
+            * $"n_l".cast("double")) * lit(1.0e9)))
+      .groupBy($"source")
+      .agg(max($"n_s").as("n_docs"),
+        count(lit(1)).cast("long").as("n_cells"),
+        sum($"term_fp").as("chi2_fp"))
+      .select($"source", $"n_docs", $"n_cells",
+        ($"chi2_fp".cast("double") / lit(1.0e9)).as("chi2"))
+  }
+  val o183: String = """
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS o
+      FROM documents GROUP BY 1, 2),
+    lang_tot AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l
+                 FROM counts GROUP BY lang),
+    src_tot AS (SELECT source, CAST(SUM(o) AS BIGINT) AS n_s
+                FROM counts GROUP BY source),
+    nt AS (SELECT CAST(SUM(n_l) AS BIGINT) AS n FROM lang_tot),
+    cells AS (
+      SELECT s.source, s.n_s, l.lang, l.n_l,
+        COALESCE(c.o, 0) AS o0, (SELECT n FROM nt) AS n
+      FROM src_tot s
+      CROSS JOIN lang_tot l
+      LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang),
+    terms AS (
+      SELECT source, n_s,
+        CAST(FLOOR(
+          (CAST(o0 * n - n_s * n_l AS DOUBLE)
+            * CAST(o0 * n - n_s * n_l AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(n_s AS DOUBLE)
+            * CAST(n_l AS DOUBLE)) * 1e9) AS BIGINT) AS term_fp
+      FROM cells)
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+      CAST(COUNT(*) AS BIGINT) AS n_cells,
+      CAST(SUM(term_fp) AS DOUBLE) / 1e9 AS chi2
+    FROM terms GROUP BY source"""
+
   // --------------------------------------------- replica checksums
   /** Merkle-lite replica reconciliation: per-partition (here: per
     * source) ORDER-INDEPENDENT checksums — row count, bit_xor of the
@@ -2250,6 +2322,7 @@ object CorpusOps {
     "q176_token_diversity" -> q176TokenDiversity,
     "q177_replica_checksums" -> q177ReplicaChecksums,
     "q179_ks_drift" -> q179KsDrift,
+    "q183_chi2_drift" -> q183Chi2Drift,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
@@ -2292,6 +2365,7 @@ object CorpusOps {
     "q176_token_diversity" -> o176,
     "q177_replica_checksums" -> o177,
     "q179_ks_drift" -> o179,
+    "q183_chi2_drift" -> o183,
     "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
