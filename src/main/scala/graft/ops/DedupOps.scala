@@ -74,7 +74,7 @@ object DedupOps {
     * now serves every posting-list pair path (q58, q60, q156, q157,
     * q167, q170, q174); callers wrap it in explode()/filter() as
     * their shape needs. */
-  private[ops] def pairGenExpr(arr: String, body: String): String =
+  private[graft] def pairGenExpr(arr: String, body: String): String =
     s"""flatten(transform(sequence(1, size($arr) - 1),
           i -> transform(slice($arr, i + 1, size($arr) - i),
             x -> $body)))"""

@@ -23,6 +23,29 @@ object EngineProperties extends Properties("engine") {
     .withExtensions(new graft.functions.GraftExtensions)
     .getOrCreate()
 
+  // ---------------------------------------------------- pair generation
+  private val pairArr: Gen[List[Long]] =
+    Gen.choose(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100L, 100L))).map(_.distinct.sorted)
+
+  property("pairGenExpr emits exactly the i<j pairs of any sorted array") =
+    Prop.forAllNoShrink(pairArr) { arr =>
+      val s = spark
+      import s.implicits._
+      // seven posting-list queries (q58/q60/q156/q157/q167/q170/q174)
+      // share this one spelling — pin it against the direct Scala
+      // definition of "all unordered pairs, left element first"
+      val got = Seq(arr).toDF("ds")
+        .select(explode(expr(graft.ops.DedupOps.pairGenExpr("ds",
+          "named_struct('a', element_at(ds, i), 'b', x)"))).as("p"))
+        .select($"p.a", $"p.b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        i <- arr.indices; j <- (i + 1) until arr.size
+      } yield (arr(i), arr(j))).toSet
+      got == want
+    }
+
   // ---------------------------------------------------------- top-k
   private val topkRows: Gen[List[(Int, Int)]] =
     Gen.choose(0, 60).flatMap(n =>

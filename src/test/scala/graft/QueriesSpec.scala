@@ -137,6 +137,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Double]("d_stat") > 0.0))
   }
 
+  test("q183 chi-squared is non-negative and grid-complete") {
+    val nLangs = Tables.documents(spark, sf)
+      .select(col("lang")).distinct().count()
+    val rows = SparkEntry.queries("q183_chi2_drift")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("chi2") >= 0.0, r.toString)
+      // every source's grid must span ALL corpus languages (missing
+      // cells contribute expectation mass — dropping them understates)
+      assert(r.getAs[Long]("n_cells") == nLangs, r.toString)
+    }
+    assert(rows.exists(_.getAs[Double]("chi2") > 0.0))
+  }
+
   test("q01 pricing summary has the 6 flag/status groups") {
     val rows = SparkEntry.queries("q01_agg_pricing")(spark, sf).collect()
     assert(rows.length == 6)
