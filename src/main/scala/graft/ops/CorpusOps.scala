@@ -177,7 +177,12 @@ object CorpusOps {
     * continuous statistic would be quantized first), including the
     * sources × grid cross join, both cumulative windows, and the
     * argmax join-back. Corpus rows are touched once. */
-  val q179KsDrift: Q = (s, d) => {
+  /** The shared CDF grid behind the distribution-drift statistics
+    * (q179 KS, q184 Wasserstein): per (source, grid length v), the
+    * source and global cumulative counts plus both totals. The
+    * corpus collapses to the (source, length) census once; every
+    * row here is grid-scale (sources × distinct lengths). */
+  private def lengthCdfGrid(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val counts = Tables.documents(s, d)
       .groupBy($"source", $"n_chars".as("v"))
@@ -192,26 +197,19 @@ object CorpusOps {
     val ngRow = grid.agg(sum($"cg").cast("long").as("n_g"))
     val ws = Window.partitionBy($"source").orderBy($"v".asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val scored = gcum.crossJoin(broadcast(totals))
+    gcum.crossJoin(broadcast(totals))
       .join(counts, Seq("source", "v"), "left")
       .withColumn("c0", coalesce($"c", lit(0L)))
       .withColumn("cum_s", sum($"c0").over(ws).cast("long"))
       .crossJoin(broadcast(ngRow))
-      .withColumn("num", abs($"cum_s" * $"n_g" - $"cum_g" * $"n_s"))
-    val m = scored.groupBy($"source")
-      .agg(max($"num").as("maxnum"), max($"n_s").as("n_docs"),
-        max($"n_g").as("n_g"))
-    m.join(scored.select($"source", $"num", $"v"),
-        m("source") === scored("source") && $"num" === m("maxnum"))
-      .groupBy(m("source").as("source"), $"n_docs", $"maxnum", $"n_g")
-      .agg(min($"v").as("ks_at"))
-      .select($"source", $"n_docs", $"ks_at",
-        ($"maxnum".cast("double")
-          / ($"n_docs".cast("double") * $"n_g".cast("double")))
-          .as("d_stat"))
+      .select($"source", $"v", $"cum_s", $"cum_g", $"n_s", $"n_g")
   }
-  val o179: String = """
-    WITH counts AS (
+
+  /** DuckDB twin of [[lengthCdfGrid]] — CTE bodies ending in `f`
+    * with (source, v, cum_s, cum_g, n_s, n_g); callers prepend
+    * `WITH` and build on `f`. */
+  private val lengthCdfGridSql: String = """
+    counts AS (
       SELECT source, n_chars AS v, COUNT(*) AS c
       FROM documents GROUP BY 1, 2),
     grid AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cg
@@ -225,17 +223,36 @@ object CorpusOps {
                FROM counts GROUP BY source),
     ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS n_g FROM grid),
     f AS (
-      SELECT t.source, g.v, g.cum_g, t.n_s,
+      SELECT t.source, g.v, g.cum_g, t.n_s, (SELECT n_g FROM ng) AS n_g,
         CAST(SUM(COALESCE(c.c, 0)) OVER (PARTITION BY t.source
           ORDER BY g.v ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
           AS cum_s
       FROM gcum g
       CROSS JOIN totals t
-      LEFT JOIN counts c ON c.source = t.source AND c.v = g.v),
+      LEFT JOIN counts c ON c.source = t.source AND c.v = g.v)"""
+
+  val q179KsDrift: Q = (s, d) => {
+    import s.implicits._
+    val scored = lengthCdfGrid(s, d)
+      .withColumn("num", abs($"cum_s" * $"n_g" - $"cum_g" * $"n_s"))
+    val m = scored.groupBy($"source")
+      .agg(max($"num").as("maxnum"), max($"n_s").as("n_docs"),
+        max($"n_g").as("n_g"))
+    m.join(scored.select($"source", $"num", $"v"),
+        m("source") === scored("source") && $"num" === m("maxnum"))
+      .groupBy(m("source").as("source"), $"n_docs", $"maxnum", $"n_g")
+      .agg(min($"v").as("ks_at"))
+      .select($"source", $"n_docs", $"ks_at",
+        ($"maxnum".cast("double")
+          / ($"n_docs".cast("double") * $"n_g".cast("double")))
+          .as("d_stat"))
+  }
+  val o179: String = s"""
+    WITH $lengthCdfGridSql,
     scored AS (
       SELECT source, v, n_s,
-        abs(cum_s * (SELECT n_g FROM ng) - cum_g * n_s) AS num
+        abs(cum_s * n_g - cum_g * n_s) AS num
       FROM f),
     m AS (SELECT source, MAX(num) AS maxnum, MAX(n_s) AS n_docs
           FROM scored GROUP BY source)
@@ -246,6 +263,52 @@ object CorpusOps {
     FROM m JOIN scored s
       ON s.source = m.source AND s.num = m.maxnum
     GROUP BY m.source, m.n_docs, m.maxnum"""
+
+  // ----------------------------------------- Wasserstein drift
+  /** 1-D Wasserstein (earth mover's) drift: per source, the
+    * transport cost ∫|F_source − F_corpus| dv between its length
+    * distribution and the pooled corpus — the metric that SIZES a
+    * drift (how many character-units of mass must move) where q179's
+    * KS only reports the worst single point and so cannot tell a
+    * narrow spike from a wholesale shift.
+    *
+    * Same shared CDF grid, same int64 bound on the cross-multiplied
+    * deviation; each grid segment's term maps to 1e-9 fixed point
+    * BEFORE the cross-segment sum (identical operation order both
+    * engines), so the statistic never depends on summation order. */
+  val q184WassersteinDrift: Q = (s, d) => {
+    import s.implicits._
+    val wl = Window.partitionBy($"source").orderBy($"v".asc)
+    lengthCdfGrid(s, d)
+      .withColumn("dv",
+        coalesce(lead($"v", 1).over(wl) - $"v", lit(0L)))
+      .withColumn("term_fp", floor(
+        abs($"cum_s" * $"n_g" - $"cum_g" * $"n_s").cast("double")
+          / ($"n_s".cast("double") * $"n_g".cast("double"))
+          * $"dv".cast("double") * lit(1.0e9)))
+      .groupBy($"source")
+      .agg(max($"n_s").cast("long").as("n_docs"),
+        sum($"term_fp").as("emd_fp"))
+      .select($"source", $"n_docs",
+        ($"emd_fp".cast("double") / lit(1.0e9)).as("emd"))
+  }
+  val o184: String = s"""
+    WITH $lengthCdfGridSql,
+    seg AS (
+      SELECT source, n_s, cum_s, cum_g, n_g,
+        COALESCE(lead(v) OVER (PARTITION BY source ORDER BY v ASC) - v,
+          0) AS dv
+      FROM f),
+    terms AS (
+      SELECT source, n_s,
+        CAST(FLOOR(
+          CAST(abs(cum_s * n_g - cum_g * n_s) AS DOUBLE)
+            / (CAST(n_s AS DOUBLE) * CAST(n_g AS DOUBLE))
+            * CAST(dv AS DOUBLE) * 1e9) AS BIGINT) AS term_fp
+      FROM seg)
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+      CAST(SUM(term_fp) AS DOUBLE) / 1e9 AS emd
+    FROM terms GROUP BY source"""
 
   // ----------------------------------------- chi-squared drift
   /** Chi-squared categorical drift: per source, the χ² statistic of
@@ -2323,6 +2386,7 @@ object CorpusOps {
     "q177_replica_checksums" -> q177ReplicaChecksums,
     "q179_ks_drift" -> q179KsDrift,
     "q183_chi2_drift" -> q183Chi2Drift,
+    "q184_wasserstein_drift" -> q184WassersteinDrift,
     "q164_pii_census" -> q164PiiCensus,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
@@ -2366,6 +2430,7 @@ object CorpusOps {
     "q177_replica_checksums" -> o177,
     "q179_ks_drift" -> o179,
     "q183_chi2_drift" -> o183,
+    "q184_wasserstein_drift" -> o184,
     "q164_pii_census" -> o164,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,

@@ -149,7 +149,8 @@ class PlanContractSpec extends AnyFunSuite {
       "q91_semdedup_centroid", "q96_length_histogram",
       "q18_qa_summary", "q92_funnel", "q102_lloyd_step",
       "q113_pq_encode", "q117_ivfpq_search",
-      "q135_skew_diagnostic", "q179_ks_drift", "q183_chi2_drift")
+      "q135_skew_diagnostic", "q179_ks_drift", "q183_chi2_drift",
+      "q184_wasserstein_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
