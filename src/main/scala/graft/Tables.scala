@@ -33,14 +33,24 @@ object Tables {
   def part(s: SparkSession, d: String)      = t(s, d, "part")
   def orders(s: SparkSession, d: String)    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = t(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * parquet reader rejects; read nanos as long (legacy conf) and convert
-    * to a micros timestamp (matches DuckDB's nanos→micros truncation). */
+  /** events.parquet has shipped with two physical `ts` encodings across
+    * testdata generations: TIMESTAMP(NANOS) (vectorized reader rejects it
+    * unless nanos are surfaced as long, then ns→us matches DuckDB's
+    * truncation) and plain TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ).
+    * Normalize both to session-zone TimestampType (UTC everywhere here)
+    * so every downstream query sees one stable type. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String) = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = t(s, d, "embeddings")
