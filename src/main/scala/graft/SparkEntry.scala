@@ -20,7 +20,7 @@ object SparkEntry {
       ops.MartOps.queries ++ ops.MultiModal.queries ++
       ops.EventOps.queries ++ ops.ScaleOps.queries ++
       ops.DomainParity.queries ++ ops.CorpusOps.queries ++
-      ops.Scd2.queries
+      ops.Scd2.queries ++ ops.InsightOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -31,5 +31,5 @@ object SparkEntry {
       ops.MartOps.oracles ++ ops.MultiModal.oracles ++
       ops.EventOps.oracles ++ ops.ScaleOps.oracles ++
       ops.DomainParity.oracles ++ ops.CorpusOps.oracles ++
-      ops.Scd2.oracles
+      ops.Scd2.oracles ++ ops.InsightOps.oracles
 }

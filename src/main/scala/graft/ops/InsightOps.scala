@@ -1,0 +1,408 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-5 analytics + curation additions: customer RFM segmentation,
+  * market-basket lift, weighted priority sampling, Matryoshka
+  * embedding-truncation audit, exact-dup metadata-conflict census, and
+  * C4-style per-source quota enforcement.
+  *
+  * Parity conventions follow the repo cookbook: money through
+  * decimal(18,2); cross-row double sums through floor-scaled int64
+  * summed as decimal(38,0) (order-independent at any scale); single
+  * IEEE divide/sqrt at the end (bit-equal across engines); every
+  * ranking carries a total tie-break key.
+  */
+object InsightOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------ RFM segments
+  /** Customer RFM segmentation (recency/frequency/monetary scoring —
+    * the standard CRM cut of an orders fact; reference's per-entity
+    * profile family, sales_by_ticket.py metadata joins). Fixed score
+    * thresholds rather than ntile: quantile edges are engine- and
+    * partition-order-specific on ties, fixed cuts are deterministic
+    * everywhere. Segment census: one groupBy orders (map-side
+    * combined) + one groupBy segment — both shuffles on small keys;
+    * no window, no distinct. */
+  val q185RfmSegments: Q = (s, d) => {
+    import s.implicits._
+    val ref = lit("2001-08-01").cast("date")
+    val perCust = Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(ref, max($"o_orderdate".cast("date"))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum($"o_totalprice".cast("decimal(18,2)")).as("monetary"))
+    val scored = perCust
+      .withColumn("r", when($"recency_days" <= 90, 3)
+        .when($"recency_days" <= 365, 2).otherwise(1))
+      .withColumn("f", when($"frequency" >= 15, 3)
+        .when($"frequency" >= 8, 2).otherwise(1))
+      .withColumn("m", when($"monetary" >= 4000000.0, 3)
+        .when($"monetary" >= 1500000.0, 2).otherwise(1))
+    scored
+      .groupBy(concat($"r".cast("string"), $"f".cast("string"),
+        $"m".cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum($"recency_days").cast("double") / count(lit(1)))
+          .as("avg_recency_days"),
+        (sum($"frequency").cast("double") / count(lit(1)))
+          .as("avg_frequency"),
+        sum($"monetary").cast("double").as("total_monetary"))
+  }
+  val o185: String = """
+    WITH c AS (
+      SELECT o_custkey,
+        date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                  DATE '2001-08-01') AS recency_days,
+        COUNT(*) AS frequency,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT *,
+        CASE WHEN recency_days <= 90 THEN 3
+             WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r,
+        CASE WHEN frequency >= 15 THEN 3
+             WHEN frequency >= 8 THEN 2 ELSE 1 END AS f,
+        CASE WHEN monetary >= 4000000.0 THEN 3
+             WHEN monetary >= 1500000.0 THEN 2 ELSE 1 END AS m
+      FROM c)
+    SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        AS segment,
+      COUNT(*) AS n_customers,
+      CAST(SUM(recency_days) AS DOUBLE) / COUNT(*) AS avg_recency_days,
+      CAST(SUM(frequency) AS DOUBLE) / COUNT(*) AS avg_frequency,
+      CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM s GROUP BY 1"""
+
+  // --------------------------------------------------- basket lift
+  /** Market-basket brand-affinity: for brand pairs co-bought in the
+    * same order, support and lift. The per-order brand set comes from
+    * ONE order-keyed aggregate (collect_set; brands per order is
+    * bounded by the 25-brand domain) and pairs are generated IN-ROW
+    * from the sorted set — the q58 posting-list layout, no self-join
+    * of the order×brand frame. Per-brand supports ride the same
+    * exploded frame; lift's numerator/denominator stay integer
+    * (support·N vs support·support) with ONE IEEE divide at the end.
+    *
+    * 100 TB design: `part` is a dimension (broadcast); the only big
+    * shuffle is the order-keyed aggregate, map-side combined; pair
+    * census keys are 2×25 strings. */
+  val q186BasketLift: Q = (s, d) => {
+    import s.implicits._
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"p_brand")).as("bs"))
+      .localCheckpoint() // reused by pair census + brand supports + N
+    val nOrders = ob.select(count(lit(1)).as("n_orders"))
+    val brandSupport = ob
+      .select(explode($"bs").as("brand"))
+      .groupBy($"brand").agg(count(lit(1)).as("sup"))
+    val pairs = ob
+      .filter(size($"bs") >= 2)
+      .select(explode(expr(DedupOps.pairGenExpr("bs",
+        "named_struct('brand_a', element_at(bs, i), 'brand_b', x)")))
+        .as("pr"))
+      .groupBy($"pr.brand_a".as("brand_a"), $"pr.brand_b".as("brand_b"))
+      .agg(count(lit(1)).as("support_ab"))
+      .filter($"support_ab" >= 20)
+    pairs
+      .join(broadcast(brandSupport)
+        .select($"brand".as("brand_a"), $"sup".as("sup_a")), Seq("brand_a"))
+      .join(broadcast(brandSupport)
+        .select($"brand".as("brand_b"), $"sup".as("sup_b")), Seq("brand_b"))
+      .crossJoin(broadcast(nOrders))
+      .select($"brand_a", $"brand_b", $"support_ab",
+        (($"support_ab" * $"n_orders").cast("double")
+          / ($"sup_a" * $"sup_b").cast("double")).as("lift"))
+  }
+  val o186: String = """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM ob),
+    sup AS (SELECT p_brand, COUNT(*) AS sup FROM ob GROUP BY 1),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        COUNT(*) AS support_ab
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+    SELECT brand_a, brand_b, support_ab,
+      CAST(support_ab * n.n_orders AS DOUBLE)
+        / CAST(sa.sup * sb.sup AS DOUBLE) AS lift
+    FROM pairs
+    JOIN sup sa ON sa.p_brand = brand_a
+    JOIN sup sb ON sb.p_brand = brand_b
+    CROSS JOIN n"""
+
+  // ---------------------------------------------- weighted sampling
+  /** Weighted sampling without replacement, A-ES shape (Efraimidis–
+    * Spirakis): each doc gets priority u/w — u a seeded uniform from
+    * the q81 two-round mod-prime hash, w = n_chars — and the k
+    * smallest priorities win, so selection probability scales with
+    * weight. The float key u^(1/w) of the textbook construction is
+    * replaced by INTEGER u·SCALE div w: same ordering semantics for
+    * sampling purposes, zero cross-engine float risk, ANSI-safe
+    * (u < 1e9+7, SCALE 1e6 → product < 1.1e15). TakeOrdered (top-k
+    * heaps, no global sort) serves the k rows.
+    *
+    * 100 TB design: per-row integer hash, one k-bounded TakeOrdered —
+    * the same shape every "sample k docs by quality weight" curation
+    * step needs; reproducible by any engine (full oracle). */
+  val q187WeightedSample: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("priority",
+        expr(s"(((pmod(doc_id, 1000000007) * 2654435761 + ${42L * 40503L})" +
+          s" % 1000000007) * 2654435761) % 1000000007 * 1000000 div n_chars"))
+      .select($"doc_id", $"n_chars".as("weight"), $"priority")
+      .orderBy($"priority".asc, $"doc_id".asc)
+      .limit(100)
+  }
+  val o187: String = {
+    val uSql = s"((((doc_id % 1000000007) * 2654435761 + ${42L * 40503L})" +
+      " % 1000000007) * 2654435761) % 1000000007"
+    s"""
+    SELECT doc_id, n_chars AS weight,
+      ($uSql * 1000000) // n_chars AS priority
+    FROM documents
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT 100"""
+  }
+
+  // ------------------------------------------- Matryoshka truncation
+  /** Embedding-truncation (Matryoshka) quality audit: for prefix
+    * dimensions m ∈ {8,16,32} of the 64-dim vectors, the cosine
+    * between the full vector and its m-dim truncation reduces to
+    * ‖v[1..m]‖ / ‖v‖ — one in-row prefix-sum-of-squares per m over
+    * the SAME left-fold order on both engines (bit-equal doubles),
+    * then sqrt+divide (both correctly rounded IEEE ops). Cross-row
+    * aggregation routes each cosine through floor(x·1e15) int64 and
+    * sums those as decimal(38,0): exact, order-independent, no
+    * overflow at any corpus size.
+    *
+    * The audit a retrieval team runs before adopting truncated
+    * embeddings: how much similarity mass the first m dims carry. */
+  val q188MatryoshkaAudit: Q = (s, d) => {
+    import s.implicits._
+    def ss(m: Int): Column = expr(
+      s"""aggregate(slice(embedding, 1, $m), CAST(0.0 AS DOUBLE),
+           (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""")
+    val withCos = Tables.embeddings(s, d)
+      .withColumn("ss_full", ss(64))
+      .withColumn("cos8", sqrt(ss(8) / $"ss_full"))
+      .withColumn("cos16", sqrt(ss(16) / $"ss_full"))
+      .withColumn("cos32", sqrt(ss(32) / $"ss_full"))
+    withCos
+      .select(expr(
+        """explode(array(
+             named_struct('m', 8,  'c', cos8),
+             named_struct('m', 16, 'c', cos16),
+             named_struct('m', 32, 'c', cos32))) AS e"""))
+      .select($"e.m".as("m"), $"e.c".as("c"))
+      .groupBy($"m")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum(floor($"c" * 1e15).cast("decimal(38,0)"))
+          .cast("double") / 1e15 / count(lit(1))).as("avg_cosine"),
+        min($"c").as("min_cosine"))
+  }
+  val o188: String = {
+    def ssSql(m: Int) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(embedding[1:$m],
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+            (a, x) -> a + x)"""
+    s"""
+    WITH c AS (
+      SELECT vec_id, sqrt(${ssSql(8)} / ${ssSql(64)}) AS cos8,
+        sqrt(${ssSql(16)} / ${ssSql(64)}) AS cos16,
+        sqrt(${ssSql(32)} / ${ssSql(64)}) AS cos32
+      FROM embeddings),
+    u AS (
+      SELECT 8 AS m, cos8 AS c FROM c
+      UNION ALL SELECT 16 AS m, cos16 AS c FROM c
+      UNION ALL SELECT 32 AS m, cos32 AS c FROM c)
+    SELECT m, COUNT(*) AS n_vectors,
+      CAST(SUM(CAST(floor(c * 1e15) AS DECIMAL(38,0))) AS DOUBLE)
+        / 1e15 / COUNT(*) AS avg_cosine,
+      MIN(c) AS min_cosine
+    FROM u GROUP BY m"""
+  }
+
+  // ------------------------------------- dup metadata conflicts
+  /** Exact-duplicate metadata-conflict census: dup groups (same text,
+    * ≥2 docs) whose members DISAGREE on lang or source — the
+    * provenance-reconciliation problem every multi-source corpus
+    * merge hits (which label survives dedup?). The synthetic corpus
+    * has no cross-source exact dups, so the input unions a replayed
+    * slice with relabeled source and a second slice with relabeled
+    * lang (shifted doc_id at 3·2⁴⁰ / 4·2⁴⁰ — the planted-replay
+    * recipe, mirrored in the oracle SQL).
+    *
+    * 100 TB design: groups keyed on the 8-byte fingerprint with text
+    * as collision tiebreak; per-group lang/source cardinalities come
+    * from distinct-collapsing map-side-combined aggregates (the
+    * per-group domains are tiny) — no window, document bodies shuffle
+    * once. */
+  val q189DupMetaConflict: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"source", $"text")
+    val srcReplay = base.filter($"doc_id" % 41 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(3L << 40))
+      .withColumn("source", lit("mirror"))
+    val langReplay = base.filter($"doc_id" % 53 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(4L << 40))
+      .withColumn("lang", lit("und"))
+    val groups = base.unionByName(srcReplay).unionByName(langReplay)
+      .withColumn("fp", TextOps.fingerprintCol)
+      .groupBy($"fp", $"text")
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set($"lang")).cast("long").as("n_langs"),
+        size(collect_set($"source")).cast("long").as("n_sources"))
+      .filter($"n_docs" >= 2 &&
+        ($"n_langs" >= 2 || $"n_sources" >= 2))
+    groups
+      .groupBy(when($"n_langs" >= 2 && $"n_sources" >= 2, "both")
+        .when($"n_langs" >= 2, "lang").otherwise("source")
+        .as("conflict"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"n_docs").cast("long").as("n_docs"),
+        max($"n_docs").cast("long").as("max_group"))
+  }
+  val o189: String = """
+    WITH docs AS (
+      SELECT doc_id, lang, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3298534883328, lang, 'mirror' AS source, text
+      FROM documents WHERE doc_id % 41 = 0
+      UNION ALL
+      SELECT doc_id + 4398046511104, 'und' AS lang, source, text
+      FROM documents WHERE doc_id % 53 = 0),
+    g AS (
+      SELECT text, COUNT(*) AS n_docs,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(DISTINCT source) AS n_sources
+      FROM docs GROUP BY text
+      HAVING COUNT(*) >= 2
+        AND (COUNT(DISTINCT lang) >= 2 OR COUNT(DISTINCT source) >= 2))
+    SELECT CASE WHEN n_langs >= 2 AND n_sources >= 2 THEN 'both'
+                WHEN n_langs >= 2 THEN 'lang' ELSE 'source' END
+        AS conflict,
+      COUNT(*) AS n_groups,
+      CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      CAST(MAX(n_docs) AS BIGINT) AS max_group
+    FROM g GROUP BY 1"""
+
+  // ------------------------------------------- per-source quota
+  /** C4/RefinedWeb-style per-source quota: keep at most K=10 docs per
+    * source, ranked by quality (desc) with doc_id as total tiebreak;
+    * report per source what survived and what the cap cost. The keep
+    * rank is a per-source window — partitioned by the quota key, so
+    * at 100 TB each source's rows sort locally within its hash
+    * partition (bounded by the per-source document count, the very
+    * quantity the quota bounds); skewed mega-sources are exactly the
+    * rows the cap discards, and RewriteWindowTopK can replan the
+    * rank≤K shape into k-bounded heaps where it fires. */
+  val q190SourceQuota: Q = (s, d) => {
+    import s.implicits._
+    val K = 10
+    val w = Window.partitionBy($"source")
+      .orderBy($"quality".desc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .withColumn("quality", TextOps.qualityCol)
+      .withColumn("rk", row_number().over(w))
+      .groupBy($"source")
+      .agg(
+        sum(when($"rk" <= K, 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"rk" > K, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"rk" <= K, $"n_chars").otherwise(0L)).cast("long")
+          .as("kept_chars"),
+        sum(when($"rk" > K, $"n_chars").otherwise(0L)).cast("long")
+          .as("dropped_chars"))
+  }
+  val o190: String = s"""
+    WITH r AS (
+      SELECT source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY (${TextOps.qualitySql}) DESC, doc_id ASC) AS rk
+      FROM documents)
+    SELECT source,
+      CAST(SUM(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rk > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      CAST(SUM(CASE WHEN rk <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+        AS kept_chars,
+      CAST(SUM(CASE WHEN rk > 10 THEN n_chars ELSE 0 END) AS BIGINT)
+        AS dropped_chars
+    FROM r GROUP BY source"""
+
+  // --------------------------------------- time-decay engagement
+  /** Exponentially time-decayed engagement scoring: each event
+    * contributes weight(type) · 0.5^⌊age_days/7⌋ (one-week half-life)
+    * toward its user's score. The decay factor is a power of two with
+    * a SMALL integer exponent (capped at 20), so every term is a
+    * dyadic rational with ≤20 fractional bits and ≤3 integral bits —
+    * their double sum is EXACT and order-independent without any
+    * decimal routing (the float-parity cookbook's cheapest trick:
+    * pick constants whose arithmetic is closed in binary).
+    *
+    * 100 TB design: per-row date math + a lookup CASE, one map-side-
+    * combined groupBy user — the minimal shape for any "recency-
+    * weighted user feature" job. */
+  val q191DecayEngagement: Q = (s, d) => {
+    import s.implicits._
+    val ref = lit("2024-01-31").cast("date")
+    val age = datediff(ref, $"ts".cast("date"))
+    val k = least(floor(age / 7).cast("int"), lit(20))
+    val weight = when($"event_type" === "purchase", 5.0)
+      .when($"event_type" === "signup", 3.0)
+      .when($"event_type" === "click", 2.0)
+      .when($"event_type" === "view", 1.0)
+      .otherwise(0.0)
+    Tables.events(s, d)
+      .select($"user_id", (weight * pow(lit(0.5), k)).as("term"))
+      .groupBy($"user_id")
+      .agg(sum($"term").as("score"),
+        count(lit(1)).as("n_events"))
+      .filter($"score" > 0.0)
+  }
+  val o191: String = """
+    SELECT user_id,
+      SUM(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+            WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.0 ELSE 0.0 END
+          * power(0.5, least(date_diff('day', CAST(ts AS DATE),
+              DATE '2024-01-31') // 7, 20))) AS score,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    HAVING SUM(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
+            WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.0 ELSE 0.0 END
+          * power(0.5, least(date_diff('day', CAST(ts AS DATE),
+              DATE '2024-01-31') // 7, 20))) > 0.0"""
+
+  val queries: Map[String, Q] = Map(
+    "q185_rfm_segments" -> q185RfmSegments,
+    "q186_basket_lift" -> q186BasketLift,
+    "q187_weighted_sample" -> q187WeightedSample,
+    "q188_matryoshka_audit" -> q188MatryoshkaAudit,
+    "q189_dup_meta_conflict" -> q189DupMetaConflict,
+    "q190_source_quota" -> q190SourceQuota,
+    "q191_decay_engagement" -> q191DecayEngagement)
+
+  val oracles: Map[String, String] = Map(
+    "q185_rfm_segments" -> o185,
+    "q186_basket_lift" -> o186,
+    "q187_weighted_sample" -> o187,
+    "q188_matryoshka_audit" -> o188,
+    "q189_dup_meta_conflict" -> o189,
+    "q190_source_quota" -> o190,
+    "q191_decay_engagement" -> o191)
+}

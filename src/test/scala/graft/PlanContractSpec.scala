@@ -150,7 +150,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q18_qa_summary", "q92_funnel", "q102_lloyd_step",
       "q113_pq_encode", "q117_ivfpq_search",
       "q135_skew_diagnostic", "q179_ks_drift", "q183_chi2_drift",
-      "q184_wasserstein_drift")
+      "q184_wasserstein_drift",
+      // q186 crosses the single-row order-count aggregate into the
+      // 25²-bounded brand-pair census (lift's denominator scalar)
+      "q186_basket_lift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
