@@ -75,8 +75,13 @@ object DedupOps {
     * q167, q170, q174); callers wrap it in explode()/filter() as
     * their shape needs. */
   private[graft] def pairGenExpr(arr: String, body: String): String =
-    s"""flatten(transform(sequence(1, size($arr) - 1),
-          i -> transform(slice($arr, i + 1, size($arr) - i),
+    // TOTAL on any array: sequence(a, b) counts DOWN when b < a, so a
+    // size-0/1 input would iterate i ∈ {1, 0[, -1]} and evaluate
+    // element_at(…, 0) — a runtime error. greatest() pins the outer
+    // range to [1,1] and empties the inner slice instead (same
+    // guard idiom as withShingles); size ≥ 2 inputs are unchanged.
+    s"""flatten(transform(sequence(1, greatest(size($arr) - 1, 1)),
+          i -> transform(slice($arr, i + 1, greatest(size($arr) - i, 0)),
             x -> $body)))"""
 
   // ------------------------------------------------------------ MinHash

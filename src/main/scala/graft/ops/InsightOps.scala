@@ -388,7 +388,262 @@ object InsightOps {
           * power(0.5, least(date_diff('day', CAST(ts AS DATE),
               DATE '2024-01-31') // 7, 20))) > 0.0"""
 
+  // ------------------------------------------- trailing revenue
+  /** Calendar-aligned trailing 7-/28-day revenue with week-over-week
+    * growth — the shape of every "rolling KPI" mart. The windows run
+    * over the DAILY CENSUS (one row per day), not the order rows: the
+    * first aggregate collapses the fact table map-side, and the
+    * global ordered window then sees a bounded, census-grain input
+    * (ROWS ≈ days of history — thousands, at any fact-table scale).
+    * Sums stay decimal(18,2) end to end; the growth ratio is the one
+    * double divide. */
+  val q192TrailingRevenue: Q = (s, d) => {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_orderdate".cast("date").as("day"))
+      .agg(sum($"o_totalprice".cast("decimal(18,2)")).as("rev"))
+      .withColumn("day_idx",
+        datediff($"day", lit("1995-01-01").cast("date")).cast("long"))
+    val w7 = Window.orderBy($"day_idx").rangeBetween(-6, 0)
+    val w28 = Window.orderBy($"day_idx").rangeBetween(-27, 0)
+    val lagW = Window.orderBy($"day_idx")
+    daily
+      .withColumn("sum7", sum($"rev").over(w7))
+      .withColumn("sum28", sum($"rev").over(w28))
+      .withColumn("prev7", lag($"sum7", 7).over(lagW))
+      .select(date_format($"day", "yyyy-MM-dd").as("day"),
+        $"rev".cast("double").as("rev"),
+        $"sum7".cast("double").as("sum7"),
+        $"sum28".cast("double").as("sum28"),
+        (($"sum7" - $"prev7").cast("double") / $"prev7".cast("double"))
+          .as("wow_growth"))
+  }
+  val o192: String = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+        date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+          AS day_idx
+      FROM orders GROUP BY 1, 3),
+    w AS (
+      SELECT day, rev, day_idx,
+        SUM(rev) OVER (ORDER BY day_idx
+          RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS sum7,
+        SUM(rev) OVER (ORDER BY day_idx
+          RANGE BETWEEN 27 PRECEDING AND CURRENT ROW) AS sum28
+      FROM daily),
+    w2 AS (
+      SELECT *, LAG(sum7, 7) OVER (ORDER BY day_idx) AS prev7 FROM w)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+      CAST(rev AS DOUBLE) AS rev,
+      CAST(sum7 AS DOUBLE) AS sum7,
+      CAST(sum28 AS DOUBLE) AS sum28,
+      CAST(sum7 - prev7 AS DOUBLE) / CAST(prev7 AS DOUBLE) AS wow_growth
+    FROM w2"""
+
+  // ------------------------------------------- behavior path census
+  /** Top event-type trigrams per user stream (the "what do users do
+    * in sequence" path census, the 3-step extension of q160's Markov
+    * transitions). Consecutiveness comes from one keyed window (lag×2
+    * over user_id ordered by ts with event_id as total tiebreak) —
+    * no self-joins; the census is map-side combined and the top-20 is
+    * a k-bounded TakeOrdered, not a global sort. */
+  val q193PathTrigrams: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(s, d)
+      .withColumn("a", lag($"event_type", 2).over(w))
+      .withColumn("b", lag($"event_type", 1).over(w))
+      .filter($"a".isNotNull)
+      .groupBy(concat_ws(">", $"a", $"b", $"event_type").as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path".asc)
+      .limit(20)
+  }
+  val o193: String = """
+    WITH t AS (
+      SELECT event_type,
+        LAG(event_type, 2) OVER w AS a,
+        LAG(event_type, 1) OVER w AS b
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+    SELECT a || '>' || b || '>' || event_type AS path, COUNT(*) AS n
+    FROM t WHERE a IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20"""
+
+  // ------------------------------------------- dedup threshold sweep
+  /** Jaccard-threshold calibration sweep: how many near-dup pairs
+    * (and distinct dropped docs) survive at each candidate threshold
+    * 0.5…0.9 — the "choose the dedup knob" audit every curation run
+    * does before committing. ONE q58 pair derivation feeds all five
+    * thresholds (the sweep is a 5× in-row explode of the bounded pair
+    * set, not five corpus scans); the distinct-doc count is a
+    * two-level aggregate, no countDistinct. */
+  val q194JaccardSweep: Q = (s, d) => {
+    import s.implicits._
+    val perDoc = DedupOps.q58JaccardPairs(s, d)
+      .select(explode(expr("array(0.5D, 0.6D, 0.7D, 0.8D, 0.9D)"))
+        .as("threshold"), $"doc_b", $"jaccard")
+      .filter($"jaccard" >= $"threshold")
+      .groupBy($"threshold", $"doc_b")
+      .agg(count(lit(1)).as("np"))
+    perDoc.groupBy($"threshold")
+      .agg(sum($"np").cast("long").as("n_pairs"),
+        count(lit(1)).as("n_dropped_docs"))
+  }
+  val o194: String = s"""
+    WITH jacc AS (${DedupOps.o58}),
+    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+    perdoc AS (
+      SELECT threshold, doc_b, COUNT(*) AS np
+      FROM jacc, th WHERE jaccard >= threshold
+      GROUP BY 1, 2)
+    SELECT threshold, CAST(SUM(np) AS BIGINT) AS n_pairs,
+      COUNT(*) AS n_dropped_docs
+    FROM perdoc GROUP BY 1"""
+
+  // ------------------------------------------- power iteration
+  /** One distributed power-iteration step toward the top eigenvector
+    * of the embedding Gram matrix (Σ x·xᵀ): v₁ ∝ Σ x·(x·v₀) with
+    * v₀ = (1/8,…,1/8) (exactly dyadic for the 64-dim table). The
+    * per-row dot x·v₀ is a fixed left fold (bit-equal across
+    * engines); the per-dimension cross-row sum routes through
+    * floor(x·p·1e9) int64 (safe to ~2·10⁹ vectors; the decimal lane
+    * would lift that) and the 64-entry result normalizes against a
+    * decimal-exact Σ s² — every float op from identical integers.
+    * The PCA/embedding-whitening building block: matvec as
+    * posexplode + keyed census, nothing wider than (dim, sum) ever
+    * shuffles. */
+  val q195PowerIteration: Q = (s, d) => {
+    import s.implicits._
+    val withP = Tables.embeddings(s, d)
+      .withColumn("p", expr(
+        """aggregate(embedding, CAST(0.0 AS DOUBLE),
+             (a, x) -> a + CAST(x AS DOUBLE)) * 0.125D"""))
+    val sums = withP
+      .select(posexplode($"embedding").as(Seq("dim0", "x")), $"p")
+      .select(($"dim0" + 1).as("dim"),
+        floor($"x".cast("double") * $"p" * lit(1e9)).as("c"))
+      .groupBy($"dim")
+      .agg(sum($"c").as("sraw"))
+    val win = Window.partitionBy() // 64-row census
+    sums
+      .withColumn("norm2",
+        sum($"sraw".cast("decimal(19,0)") * $"sraw".cast("decimal(19,0)"))
+          .over(win))
+      .select($"dim".cast("long").as("dim"),
+        ($"sraw".cast("double") / 1e9).as("component"),
+        ($"sraw".cast("double") / sqrt($"norm2".cast("double")))
+          .as("v_next"))
+  }
+  val o195: String = """
+    WITH p AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(embedding, x -> CAST(x AS DOUBLE))),
+          (a, x) -> a + x) * 0.125 AS p
+      FROM embeddings),
+    c AS (
+      SELECT i AS dim,
+        CAST(floor(CAST(embedding[i] AS DOUBLE) * p * 1e9) AS BIGINT) AS c
+      FROM p, generate_series(1, 64) t(i)),
+    sums AS (SELECT dim, SUM(c) AS sraw FROM c GROUP BY 1),
+    n AS (SELECT *,
+      SUM(CAST(sraw AS DECIMAL(19,0)) * CAST(sraw AS DECIMAL(19,0)))
+        OVER () AS norm2 FROM sums)
+    SELECT CAST(dim AS BIGINT) AS dim,
+      CAST(sraw AS DOUBLE) / 1e9 AS component,
+      CAST(sraw AS DOUBLE) / sqrt(CAST(norm2 AS DOUBLE)) AS v_next
+    FROM n"""
+
+  // ------------------------------------------------- BM25 retrieval
+  /** BM25 top-k retrieval for a fixed conjunctive query, with the
+    * classic log-idf replaced by its exact odds argument
+    * (N−df+0.5)/(df+0.5) — the q182 convention: no runtime log on
+    * either engine, every factor an IEEE op over identical integers
+    * (log is monotone, so which documents saturate/win is driven by
+    * the same tf/len machinery; the absolute scores are the
+    * documented surrogate). Corpus stats (N, Σlen, per-term df) come
+    * from ONE single-row census broadcast into the scoring scan;
+    * the top-20 is a k-bounded TakeOrdered.
+    *
+    * 100 TB design: two passes over `documents` (stats census +
+    * score), both map-side combined / per-row; no inverted index is
+    * materialized because the query is fixed — the per-term tf is a
+    * codegen'd in-row filter count. */
+  private val Bm25Terms = Seq("spark", "join", "window", "stream")
+  private val (bmK1, bmB) = ("1.2", "0.75")
+
+  val q196Bm25TopK: Q = (s, d) => {
+    import s.implicits._
+    def tf(t: String) =
+      expr(s"CAST(size(filter(split(text, ' '), x -> x = '$t')) AS BIGINT)")
+    val base = Tables.documents(s, d)
+      .select($"doc_id" +: size(split($"text", " ")).cast("long").as("len") +:
+        Bm25Terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
+      .localCheckpoint() // one tokenize feeds stats + scoring
+    val statCols = sum($"len").as("sum_len") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val scored = base.crossJoin(broadcast(stats))
+      .withColumn("avglen",
+        $"sum_len".cast("double") / $"n_docs".cast("double"))
+    val termScore = Bm25Terms.indices.map { i =>
+      val tfD = col(s"tf$i").cast("double")
+      val odds = (($"n_docs" - col(s"df$i")).cast("double") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      odds * (tfD * lit(2.2)) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+          ($"len".cast("double") / $"avglen")))
+    }.reduceLeft(_ + _)
+    scored
+      .withColumn("score", termScore)
+      .filter($"score" > 0.0)
+      .select($"doc_id", $"score")
+      .orderBy($"score".desc, $"doc_id".asc)
+      .limit(20)
+  }
+  val o196: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(string_split(text, ' '), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n        ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n        ")
+    val score = Bm25Terms.indices.map { i =>
+      s"""((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         * (CAST(tf$i AS DOUBLE) * 2.2)
+         / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+            * (CAST(len AS DOUBLE) / avglen)))"""
+    }.mkString(" + ")
+    s"""
+    WITH base AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+        $tfs
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(len) AS BIGINT) AS sum_len,
+        $dfs
+      FROM base),
+    scored AS (
+      SELECT doc_id,
+        ($score) AS score
+      FROM base CROSS JOIN stats,
+        LATERAL (SELECT CAST(sum_len AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                 AS avglen) a)
+    SELECT doc_id, score FROM scored WHERE score > 0.0
+    ORDER BY score DESC, doc_id ASC LIMIT 20"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q192_trailing_revenue" -> q192TrailingRevenue,
+    "q193_path_trigrams" -> q193PathTrigrams,
+    "q194_jaccard_sweep" -> q194JaccardSweep,
+    "q195_power_iteration" -> q195PowerIteration,
+    "q196_bm25_topk" -> q196Bm25TopK,
     "q185_rfm_segments" -> q185RfmSegments,
     "q186_basket_lift" -> q186BasketLift,
     "q187_weighted_sample" -> q187WeightedSample,
@@ -398,6 +653,11 @@ object InsightOps {
     "q191_decay_engagement" -> q191DecayEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q192_trailing_revenue" -> o192,
+    "q193_path_trigrams" -> o193,
+    "q194_jaccard_sweep" -> o194,
+    "q195_power_iteration" -> o195,
+    "q196_bm25_topk" -> o196,
     "q185_rfm_segments" -> o185,
     "q186_basket_lift" -> o186,
     "q187_weighted_sample" -> o187,

@@ -153,7 +153,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q184_wasserstein_drift",
       // q186 crosses the single-row order-count aggregate into the
       // 25²-bounded brand-pair census (lift's denominator scalar)
-      "q186_basket_lift")
+      "q186_basket_lift",
+      // q196 crosses the single-row corpus-stats census (N, Σlen,
+      // per-term df) into the scoring scan — the BM25 constants
+      "q196_bm25_topk")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
