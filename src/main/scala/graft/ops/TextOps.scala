@@ -581,22 +581,32 @@ object TextOps {
     * layout the standalone queries use. */
   val q82Curation: Q = (s, d) => {
     import s.implicits._
+    // ONE scan + tokenize + shingle of the corpus (localCheckpointed)
+    // feeds BOTH stages: the quality/canon gate reads text/quality off
+    // it, the near-dup pair source derives from its `shs` column via
+    // jaccardFrom — previously the q58 derivation re-scanned and
+    // re-shingled the full corpus (ROADMAP gap 6; at 100 TB this is
+    // the "materialize the shingle table once" layout q98 uses).
+    val basis = DedupOps.withShingles(
+      Tables.documents(s, d)
+        .withColumn("quality", qualityExpr)
+        .withColumn("n_tokens", size(toks($"text"))))
+      .select($"doc_id", $"lang", $"text", $"quality", $"n_tokens", $"shs")
+      .localCheckpoint()
     // exact-dedup stage keyed on (fingerprint, text) like q55: the
     // groupBy's map-side combine collapses hot duplicates pre-shuffle,
     // and the canonical row's attributes come out of the same agg
     // (min_by for lang; n_tokens is a function of text, constant per
     // group) — no window over document bodies, no join-back needed
     // since only canonical rows survive this stage anyway
-    val canon = Tables.documents(s, d)
-      .withColumn("quality", qualityExpr)
-      .withColumn("n_tokens", size(toks($"text")))
+    val canon = basis
       .filter($"quality" >= 0.4 && $"lang".isin("en", "es", "fr"))
       .withColumn("fp", fingerprintCol)
       .groupBy($"fp", $"text")
       .agg(min($"doc_id").as("doc_id"),
         min_by($"lang", $"doc_id").as("lang"),
         min($"n_tokens").as("n_tokens"))
-    val dropped = DedupOps.q58JaccardPairs(s, d)
+    val dropped = DedupOps.jaccardFrom(basis)
       .select($"doc_b".as("doc_id")).distinct()
     canon.join(dropped, Seq("doc_id"), "left_anti")
       .groupBy($"lang")
