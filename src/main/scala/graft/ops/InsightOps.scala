@@ -638,7 +638,157 @@ object InsightOps {
     ORDER BY score DESC, doc_id ASC LIMIT 20"""
   }
 
+  // --------------------------------------------- triangle census
+  /** Triangle census of the near-dup graph: edges from q60's banded
+    * SimHash pairs (a<b), ordered-triple join for triangles, degree
+    * census for wedges, global transitivity 3T/W — the graph-shape
+    * audit that tells a dedup pipeline whether its pair evidence is
+    * clumpy (boilerplate families, high transitivity) or stringy
+    * (chains of borderline pairs — exactly where transitive-closure
+    * dedup over-merges).
+    *
+    * 100 TB design: every join is driven by the banding-bounded edge
+    * set (never the corpus); the edge frame materializes once and
+    * feeds degree census + all three triangle legs. The scalar
+    * censuses cross-combine as single-row broadcasts. */
+  val q197TriangleCensus: Q = (s, d) => {
+    import s.implicits._
+    val edges = DedupOps.q60SimHashPairs(s, d)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    val wedges = edges
+      .select(explode(array($"doc_a", $"doc_b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) div 2")).cast("long").as("n_wedges"))
+    val tri = edges.select($"doc_a".as("a"), $"doc_b".as("b"))
+      .join(edges.select($"doc_a".as("b"), $"doc_b".as("c")), Seq("b"))
+      .join(edges.select($"doc_a".as("a"), $"doc_b".as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(broadcast(wedges)).crossJoin(broadcast(tri))
+      .select($"n_edges", $"n_wedges", $"n_triangles",
+        when($"n_wedges" > 0,
+          lit(3.0) * $"n_triangles".cast("double")
+            / $"n_wedges".cast("double"))
+          .as("transitivity"))
+  }
+  val o197: String = s"""
+    WITH e AS (SELECT doc_a, doc_b FROM (${DedupOps.o60})),
+    ne AS (SELECT COUNT(*) AS n_edges FROM e),
+    deg AS (
+      SELECT v, COUNT(*) AS deg FROM (
+        SELECT doc_a AS v FROM e UNION ALL SELECT doc_b AS v FROM e)
+      GROUP BY v),
+    w AS (SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+        JOIN e e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+    SELECT n_edges, n_wedges, n_triangles,
+      CASE WHEN n_wedges > 0 THEN 3.0 * CAST(n_triangles AS DOUBLE)
+        / CAST(n_wedges AS DOUBLE) END AS transitivity
+    FROM ne CROSS JOIN w CROSS JOIN tri"""
+
+  // ---------------------------------------- quality percentile map
+  /** Per-language percent-rank calibration of the quality score:
+    * maps every document's raw composite quality onto its [0,1]
+    * within-language percentile — the normalization a mixed-corpus
+    * quality threshold actually needs (raw score distributions differ
+    * by language; percentiles compare like with like). Total order
+    * (quality, doc_id) makes rank = row_number, so the classic
+    * (rank−1)/(n−1) is deterministic on ties in BOTH engines. The
+    * window partitions by language — per-partition sort, no global
+    * ordering, scales with the largest language. */
+  val q198QualityPercentile: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy($"quality".asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .withColumn("quality", TextOps.qualityCol)
+      .select($"doc_id", $"lang", $"quality",
+        percent_rank().over(w).as("pctl"))
+  }
+  val o198: String = s"""
+    SELECT doc_id, lang, (${TextOps.qualitySql}) AS quality,
+      percent_rank() OVER (PARTITION BY lang
+        ORDER BY (${TextOps.qualitySql}) ASC, doc_id ASC) AS pctl
+    FROM documents"""
+
+  // ------------------------------------------------ z-order audit
+  /** Z-order (Morton) layout audit: interleave 16-bit (order-day,
+    * price-bucket) keys with the classic mask-spread ladder, bucket
+    * the curve into 4096-wide blocks, and measure what a 64-day date
+    * range-scan would read under that layout — blocks touched vs
+    * total and the row read-amplification. This is the
+    * multi-dimensional clustering primitive (Delta/Iceberg Z-ORDER):
+    * computing the key is engine work (pure int64 bit arithmetic,
+    * codegen'd per-row), writers then range-partition on it; the
+    * audit quantifies the co-location the layout buys BEFORE a
+    * petabyte rewrite commits to it.
+    *
+    * One census aggregation tree: per-block counts + match counts,
+    * then a single-row rollup — no joins, no window. */
+  private def zSpread(e: String, shl: (String, Int) => String): String = {
+    val a = s"(($e | ${shl(e, 8)}) & 16711935)"
+    val b = s"(($a | ${shl(a, 4)}) & 252645135)"
+    val c = s"(($b | ${shl(b, 2)}) & 858993459)"
+    s"(($c | ${shl(c, 1)}) & 1431655765)"
+  }
+
+  val q199ZorderAudit: Q = (s, d) => {
+    import s.implicits._
+    val shl = (x: String, n: Int) => s"shiftleft($x, $n)"
+    val day = "datediff(CAST(o_orderdate AS DATE), DATE'1995-01-01')"
+    val blocks = Tables.orders(s, d)
+      .withColumn("xk", expr(s"CAST($day AS BIGINT) & 65535"))
+      .withColumn("yk", expr(
+        "CAST(floor(o_totalprice / 1000.0) AS BIGINT) & 65535"))
+      .withColumn("z", expr(
+        s"${zSpread("xk", shl)} | shiftleft(${zSpread("yk", shl)}, 1)"))
+      .withColumn("block", expr("shiftright(z, 12)"))
+      .withColumn("m", expr(
+        s"CASE WHEN $day BETWEEN 512 AND 575 THEN 1L ELSE 0L END"))
+      .groupBy($"block")
+      .agg(count(lit(1)).as("n"), sum($"m").as("nm"))
+    blocks.agg(
+      count(lit(1)).as("blocks_total"),
+      sum(when($"nm" > 0, 1L).otherwise(0L)).as("blocks_touched"),
+      sum($"nm").cast("long").as("matching_rows"),
+      sum(when($"nm" > 0, $"n").otherwise(0L)).cast("long")
+        .as("rows_in_touched"))
+      .withColumn("read_amplification",
+        $"rows_in_touched".cast("double") / $"matching_rows".cast("double"))
+  }
+  val o199: String = {
+    val shl = (x: String, n: Int) => s"($x << $n)"
+    val day = "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+    s"""
+    WITH k AS (
+      SELECT CAST($day AS BIGINT) & 65535 AS xk,
+        CAST(floor(o_totalprice / 1000.0) AS BIGINT) & 65535 AS yk,
+        CASE WHEN $day BETWEEN 512 AND 575
+          THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS m
+      FROM orders),
+    z AS (
+      SELECT (${zSpread("xk", shl)} | ${shl(zSpread("yk", shl), 1)})
+        >> 12 AS block, m FROM k),
+    blocks AS (
+      SELECT block, COUNT(*) AS n, SUM(m) AS nm FROM z GROUP BY block)
+    SELECT COUNT(*) AS blocks_total,
+      CAST(SUM(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS blocks_touched,
+      CAST(SUM(nm) AS BIGINT) AS matching_rows,
+      CAST(SUM(CASE WHEN nm > 0 THEN n ELSE 0 END) AS BIGINT)
+        AS rows_in_touched,
+      CAST(SUM(CASE WHEN nm > 0 THEN n ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(nm) AS DOUBLE) AS read_amplification
+    FROM blocks"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q197_triangle_census" -> q197TriangleCensus,
+    "q198_quality_percentile" -> q198QualityPercentile,
+    "q199_zorder_audit" -> q199ZorderAudit,
     "q192_trailing_revenue" -> q192TrailingRevenue,
     "q193_path_trigrams" -> q193PathTrigrams,
     "q194_jaccard_sweep" -> q194JaccardSweep,
@@ -653,6 +803,9 @@ object InsightOps {
     "q191_decay_engagement" -> q191DecayEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q197_triangle_census" -> o197,
+    "q198_quality_percentile" -> o198,
+    "q199_zorder_audit" -> o199,
     "q192_trailing_revenue" -> o192,
     "q193_path_trigrams" -> o193,
     "q194_jaccard_sweep" -> o194,

@@ -212,4 +212,65 @@ object CorpusStreaming {
         sum(length(col("text"))).as("n_chars"))
       .select(col("window.start").as("window_start"),
         col("source"), col("n_new_docs"), col("n_chars"))
+
+  // ------------------------------------------------ per-source quota
+  /** Admission verdict for one intake document under the running
+    * per-source cap: `n_admitted` is the source's total AFTER this
+    * document (unchanged when rejected). */
+  final case class QuotaVerdict(doc_id: Long, source: String,
+                                admitted: Boolean, n_admitted: Long)
+
+  /** Streaming twin of batch q190's per-source quota: admit at most
+    * `cap` documents per source ACROSS the stream's lifetime, with one
+    * `ValueState[Long]` counter per source — constant state per key
+    * regardless of intake volume (the counter, never the documents).
+    * Within a micro-batch, rows fold in (ts, doc_id) order so replays
+    * and engine parallelism cannot reorder admission — the same
+    * determinism discipline as FeatureProcessor. Rejected documents
+    * are EMITTED with `admitted = false` rather than dropped, so the
+    * overflow is routable to a quarantine sink for later rebalancing
+    * (the same inspectability contract as [[routeByQuality]]).
+    *
+    * No timers: quota state never expires by time (a lifetime cap).
+    * A per-epoch quota would wrap this in a MapState keyed by epoch
+    * with an event-time GC timer — see BurstProcessor's scaladoc for
+    * the timer-mode caveats. */
+  final class QuotaProcessor(cap: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DocEvent, QuotaVerdict] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var admitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState("admitted", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocEvent],
+                                 tv: TimerValues): Iterator[QuotaVerdict] = {
+      var c = if (admitted.exists) admitted.get else 0L
+      val out = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.doc_id))
+        .map { e =>
+          val admit = c < cap
+          if (admit) c += 1
+          QuotaVerdict(e.doc_id, key, admit, c)
+        }
+      admitted.update(c)
+      out.iterator
+    }
+  }
+
+  /** [[QuotaProcessor]] wired to the intake stream, keyed by source. */
+  def quotaBySource(docs: Dataset[DocEvent], cap: Long)
+      : Dataset[QuotaVerdict] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new QuotaProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

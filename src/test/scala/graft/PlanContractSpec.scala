@@ -156,7 +156,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q186_basket_lift",
       // q196 crosses the single-row corpus-stats census (N, Σlen,
       // per-term df) into the scoring scan — the BM25 constants
-      "q196_bm25_topk")
+      "q196_bm25_topk",
+      // q197 combines three single-row graph censuses (edge, wedge,
+      // triangle counts) into the one-row transitivity report
+      "q197_triangle_census")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

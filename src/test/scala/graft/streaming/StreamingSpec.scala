@@ -476,6 +476,56 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("per-source quota admits up to cap across batches, emits overflow") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    // batch 1: three docs for s0 (cap 2 → third rejected), one for s1
+    input.addData(
+      CorpusStreaming.DocEvent(3, ts("2024-01-01 10:02:00"), "c", "s0"),
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), "a", "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:01:00"), "b", "s0"),
+      CorpusStreaming.DocEvent(4, ts("2024-01-01 10:00:00"), "d", "s1"))
+    val q = CorpusStreaming.quotaBySource(input.toDS(), cap = 2)
+      .writeStream.format("memory").queryName("quota")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val r1 = spark.table("quota").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted"))
+        .toMap
+      // (ts, doc_id) fold order: docs 1,2 admitted, 3 over cap
+      assert(r1 == Map(1L -> true, 2L -> true, 3L -> false, 4L -> true),
+        r1.toString)
+      // batch 2: counter SURVIVES for s0 (still full); s1 has room
+      input.addData(
+        CorpusStreaming.DocEvent(5, ts("2024-01-01 11:00:00"), "e", "s0"),
+        CorpusStreaming.DocEvent(6, ts("2024-01-01 11:00:00"), "f", "s1"))
+      q.processAllAvailable()
+      val r2 = spark.table("quota").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("admitted"))
+        .toMap
+      assert(!r2(5L) && r2(6L), r2.toString)
+      // admitted totals never exceed the cap
+      val maxBySrc = spark.table("quota").collect()
+        .groupBy(_.getAs[String]("source"))
+        .map { case (src, rs) =>
+          src -> rs.map(_.getAs[Long]("n_admitted")).max }
+      assert(maxBySrc.values.forall(_ <= 2), maxBySrc.toString)
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static snapshot dedup passes only novel fingerprints") {
     val s = spark
     import s.implicits._
