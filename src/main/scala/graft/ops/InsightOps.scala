@@ -785,7 +785,165 @@ object InsightOps {
     FROM blocks"""
   }
 
+  // ------------------------------------------- shard-boundary dups
+  /** Shard-boundary overlap detection: document A's LAST 8 tokens
+    * equal document B's FIRST 8 tokens — the signature of a corpus
+    * split on byte boundaries mid-document (each shard half carries
+    * the overlap region its splitter duplicated). q167 catches
+    * position-zero prefix dups and q174 full containment; this is the
+    * remaining seam case. Keys are 8-byte fingerprints of the 8-token
+    * head/tail strings (equi-join, never a text join), verified by
+    * exact string equality of the overlap region.
+    *
+    * The synthetic corpus has no natural seams, so the input unions a
+    * SPLIT replay: docs (id % 41 = 0, ≥ 24 tokens) re-enter as two
+    * half-shards sharing an 8-token overlap (ids at 5·2⁴⁰ + 2k / +1 —
+    * the planted-replay recipe, mirrored in the oracle SQL). */
+  val q200ShardOverlap: Q = (s, d) => {
+    import s.implicits._
+    val ov = 8
+    val base = Tables.documents(s, d).select($"doc_id", $"source", $"text")
+    val splitSrc = base.filter($"doc_id" % 41 === 0)
+      .withColumn("ts", split($"text", " "))
+      .withColumn("n", size($"ts"))
+      .filter($"n" >= 24)
+      .withColumn("h", expr("n div 2"))
+    val shardA = splitSrc.select(
+      ($"doc_id" * 2 + lit(5L << 40)).as("doc_id"), $"source",
+      array_join(expr(s"slice(ts, 1, h + ${ov / 2})"), " ").as("text"))
+    val shardB = splitSrc.select(
+      ($"doc_id" * 2 + lit((5L << 40) + 1)).as("doc_id"), $"source",
+      array_join(expr(s"slice(ts, h - ${ov / 2 - 1}, n - h + ${ov / 2})"),
+        " ").as("text"))
+    val docs = base.unionByName(shardA).unionByName(shardB)
+      .withColumn("ts", split($"text", " "))
+      .withColumn("n", size($"ts"))
+      .filter($"n" >= ov)
+      .withColumn("head_s", array_join(expr(s"slice(ts, 1, $ov)"), " "))
+      .withColumn("tail_s",
+        array_join(expr(s"slice(ts, n - ${ov - 1}, $ov)"), " "))
+    val tails = docs.select($"doc_id".as("doc_a"), $"source".as("source_a"),
+      TextOps.fingerprintOf($"tail_s").as("fp"), $"tail_s")
+    val heads = docs.select($"doc_id".as("doc_b"), $"source".as("source_b"),
+      TextOps.fingerprintOf($"head_s").as("fp"), $"head_s")
+    tails.join(heads, Seq("fp"))
+      .filter($"doc_a" =!= $"doc_b" && $"tail_s" === $"head_s")
+      .groupBy($"source_a".as("source"))
+      .agg(count(lit(1)).as("n_seam_pairs"),
+        min($"doc_a").cast("long").as("min_doc_a"))
+  }
+  val o200: String = {
+    val ov = 8
+    s"""
+    WITH src AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ts,
+        len(string_split(text, ' ')) AS n,
+        len(string_split(text, ' ')) // 2 AS h
+      FROM documents WHERE doc_id % 41 = 0
+        AND len(string_split(text, ' ')) >= 24),
+    docs AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 5497558138880, source,
+        array_to_string(ts[1 : h + ${ov / 2}], ' ')
+      FROM src
+      UNION ALL
+      SELECT doc_id * 2 + 5497558138881, source,
+        array_to_string(ts[h - ${ov / 2 - 1} : n], ' ')
+      FROM src),
+    keyed AS (
+      SELECT doc_id, source,
+        array_to_string(string_split(text, ' ')[1 : $ov], ' ') AS head_s,
+        array_to_string(string_split(text, ' ')
+          [len(string_split(text, ' ')) - ${ov - 1} :
+           len(string_split(text, ' '))], ' ') AS tail_s
+      FROM docs WHERE len(string_split(text, ' ')) >= $ov)
+    SELECT a.source AS source, COUNT(*) AS n_seam_pairs,
+      CAST(MIN(a.doc_id) AS BIGINT) AS min_doc_a
+    FROM keyed a JOIN keyed b
+      ON a.tail_s = b.head_s AND a.doc_id <> b.doc_id
+    GROUP BY a.source"""
+  }
+
+  // ---------------------------------------------- k-core peeling
+  /** 2-core of the near-dup graph by three unrolled peeling rounds:
+    * drop degree-<2 vertices, drop edges that lost an endpoint,
+    * repeat — emitting (round, n_nodes, n_edges) so the census shows
+    * the graph's loose fringe dissolving and its dense core
+    * stabilizing. The dense core is where transitive-closure dedup is
+    * trustworthy; chains that vanish by round 2 are the borderline
+    * pairs a curation run re-verifies instead of merging. Bounded
+    * unrolling (like q171's PageRank) keeps the plan static; every
+    * round touches only the banding-bounded edge set. */
+  val q201KcorePeel: Q = (s, d) => {
+    import s.implicits._
+    val e0 = DedupOps.q60SimHashPairs(s, d)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    def peel(e: DataFrame): DataFrame = {
+      val keep = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= 2)
+        .select($"v")
+      e.join(keep.withColumnRenamed("v", "doc_a"), Seq("doc_a"))
+        .join(keep.withColumnRenamed("v", "doc_b"), Seq("doc_b"))
+        .select($"doc_a", $"doc_b")
+    }
+    val e1 = peel(e0).localCheckpoint()
+    val e2 = peel(e1).localCheckpoint()
+    val e3 = peel(e2)
+    def cens(e: DataFrame, r: Int): DataFrame = {
+      val s2 = e.sparkSession
+      import s2.implicits._
+      val nodes = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
+        .distinct().agg(count(lit(1)).as("n_nodes"))
+      val edges = e.agg(count(lit(1)).as("n_edges"))
+      nodes.crossJoin(broadcast(edges)).select(lit(r).as("round"),
+        $"n_nodes", $"n_edges")
+    }
+    cens(e0, 0).unionByName(cens(e1, 1))
+      .unionByName(cens(e2, 2)).unionByName(cens(e3, 3))
+  }
+  val o201: String = s"""
+    WITH e0 AS (SELECT doc_a, doc_b FROM (${DedupOps.o60})),
+    k1 AS (SELECT v FROM (
+        SELECT v, COUNT(*) AS deg FROM (
+          SELECT doc_a AS v FROM e0 UNION ALL SELECT doc_b AS v FROM e0)
+        GROUP BY v) WHERE deg >= 2),
+    e1 AS (SELECT e0.doc_a, e0.doc_b FROM e0
+      JOIN k1 a ON a.v = e0.doc_a JOIN k1 b ON b.v = e0.doc_b),
+    k2 AS (SELECT v FROM (
+        SELECT v, COUNT(*) AS deg FROM (
+          SELECT doc_a AS v FROM e1 UNION ALL SELECT doc_b AS v FROM e1)
+        GROUP BY v) WHERE deg >= 2),
+    e2 AS (SELECT e1.doc_a, e1.doc_b FROM e1
+      JOIN k2 a ON a.v = e1.doc_a JOIN k2 b ON b.v = e1.doc_b),
+    k3 AS (SELECT v FROM (
+        SELECT v, COUNT(*) AS deg FROM (
+          SELECT doc_a AS v FROM e2 UNION ALL SELECT doc_b AS v FROM e2)
+        GROUP BY v) WHERE deg >= 2),
+    e3 AS (SELECT e2.doc_a, e2.doc_b FROM e2
+      JOIN k3 a ON a.v = e2.doc_a JOIN k3 b ON b.v = e2.doc_b)
+    SELECT 0 AS round,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+         SELECT doc_a AS v FROM e0 UNION ALL SELECT doc_b AS v FROM e0)))
+        AS n_nodes,
+      (SELECT COUNT(*) FROM e0) AS n_edges
+    UNION ALL SELECT 1,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+         SELECT doc_a AS v FROM e1 UNION ALL SELECT doc_b AS v FROM e1))),
+      (SELECT COUNT(*) FROM e1)
+    UNION ALL SELECT 2,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+         SELECT doc_a AS v FROM e2 UNION ALL SELECT doc_b AS v FROM e2))),
+      (SELECT COUNT(*) FROM e2)
+    UNION ALL SELECT 3,
+      (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (
+         SELECT doc_a AS v FROM e3 UNION ALL SELECT doc_b AS v FROM e3))),
+      (SELECT COUNT(*) FROM e3)"""
+
   val queries: Map[String, Q] = Map(
+    "q200_shard_overlap" -> q200ShardOverlap,
+    "q201_kcore_peel" -> q201KcorePeel,
     "q197_triangle_census" -> q197TriangleCensus,
     "q198_quality_percentile" -> q198QualityPercentile,
     "q199_zorder_audit" -> q199ZorderAudit,
@@ -803,6 +961,8 @@ object InsightOps {
     "q191_decay_engagement" -> q191DecayEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q200_shard_overlap" -> o200,
+    "q201_kcore_peel" -> o201,
     "q197_triangle_census" -> o197,
     "q198_quality_percentile" -> o198,
     "q199_zorder_audit" -> o199,

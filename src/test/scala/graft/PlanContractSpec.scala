@@ -159,7 +159,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q196_bm25_topk",
       // q197 combines three single-row graph censuses (edge, wedge,
       // triangle counts) into the one-row transitivity report
-      "q197_triangle_census")
+      "q197_triangle_census",
+      // q201 pairs each peeling round's single-row node and edge
+      // censuses into that round's report row
+      "q201_kcore_peel")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
