@@ -95,6 +95,63 @@ class QueriesSpec extends AnyFunSuite {
     assert(found >= planted, s"found $found < planted $planted")
   }
 
+  test("q188 truncation cosines are in (0,1] and monotone in prefix width") {
+    val rows = SparkEntry.queries("q188_matryoshka_audit")(spark, sf)
+      .collect().map(r => r.getAs[Long]("m") ->
+        (r.getAs[Double]("avg_cosine"), r.getAs[Double]("min_cosine"))).toMap
+    assert(rows.keySet == Set(8L, 16L, 32L))
+    rows.values.foreach { case (avg, min) =>
+      assert(min > 0.0 && min <= avg && avg <= 1.0 + 1e-12, rows.toString)
+    }
+    // a longer prefix carries at least as much norm: averages ascend
+    assert(rows(8L)._1 <= rows(16L)._1 && rows(16L)._1 <= rows(32L)._1,
+      rows.toString)
+  }
+
+  test("q195 emits a unit vector aligned with the dominant component") {
+    val rows = SparkEntry.queries("q195_power_iteration")(spark, sf)
+      .collect()
+    assert(rows.length == 64)
+    val norm2 = rows.map(r => math.pow(r.getAs[Double]("v_next"), 2)).sum
+    // fixed-point flooring costs at most ~1e-9 per dim
+    assert(math.abs(norm2 - 1.0) < 1e-6, s"|v|^2 = $norm2")
+  }
+
+  test("q197 transitivity stays within its analytic bounds") {
+    val r = SparkEntry.queries("q197_triangle_census")(spark, sf)
+      .collect().head
+    val (e, w, t) = (r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(e >= 0 && w >= 0 && t >= 0)
+    // every triangle closes three wedges
+    assert(3 * t <= w || w == 0, r.toString)
+    if (w > 0)
+      assert(r.getAs[Double]("transitivity") >= 0.0 &&
+        r.getAs[Double]("transitivity") <= 1.0 + 1e-12)
+  }
+
+  test("q199 z-order audit satisfies its block-accounting identities") {
+    val r = SparkEntry.queries("q199_zorder_audit")(spark, sf)
+      .collect().head
+    val (bt, btt) = (r.getAs[Long]("blocks_total"),
+      r.getAs[Long]("blocks_touched"))
+    val (m, rit) = (r.getAs[Long]("matching_rows"),
+      r.getAs[Long]("rows_in_touched"))
+    assert(btt <= bt && m <= rit, r.toString)
+    assert(m > 0, "the planted 64-day window must match rows")
+    assert(r.getAs[Double]("read_amplification") >= 1.0)
+  }
+
+  test("q201 peeling is monotone and never drops below the 2-core") {
+    val rows = SparkEntry.queries("q201_kcore_peel")(spark, sf)
+      .collect().sortBy(_.getAs[Int]("round"))
+      .map(r => (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))
+    assert(rows.length == 4)
+    rows.sliding(2).foreach { case Array((n0, e0), (n1, e1)) =>
+      assert(n1 <= n0 && e1 <= e0, rows.mkString(";"))
+    }
+  }
+
   test("q171 pagerank conserves mass and respects the damping floor") {
     val rows = SparkEntry.queries("q171_pagerank_dup_graph")(spark, sf)
       .collect()
