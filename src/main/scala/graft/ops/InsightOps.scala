@@ -815,6 +815,8 @@ object InsightOps {
       ($"doc_id" * 2 + lit((5L << 40) + 1)).as("doc_id"), $"source",
       array_join(expr(s"slice(ts, h - ${ov / 2 - 1}, n - h + ${ov / 2})"),
         " ").as("text"))
+    // checkpointed: the keyed frame feeds BOTH join sides — without it
+    // the scan + planted-split union would execute twice
     val docs = base.unionByName(shardA).unionByName(shardB)
       .withColumn("ts", split($"text", " "))
       .withColumn("n", size($"ts"))
@@ -822,6 +824,8 @@ object InsightOps {
       .withColumn("head_s", array_join(expr(s"slice(ts, 1, $ov)"), " "))
       .withColumn("tail_s",
         array_join(expr(s"slice(ts, n - ${ov - 1}, $ov)"), " "))
+      .select($"doc_id", $"source", $"head_s", $"tail_s")
+      .localCheckpoint()
     val tails = docs.select($"doc_id".as("doc_a"), $"source".as("source_a"),
       TextOps.fingerprintOf($"tail_s").as("fp"), $"tail_s")
     val heads = docs.select($"doc_id".as("doc_b"), $"source".as("source_b"),
