@@ -35,6 +35,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(undeclared.isEmpty, s"oracle without query: $undeclared")
   }
 
+  test("every query has an oracle, sketch spellings excepted") {
+    // a silently missing oracle would downgrade that query to the
+    // driver's rows-only check — only the two estimate-valued sketch
+    // queries are legitimately oracle-free
+    val rowsOnly = Set("q155_table_profile_sketch",
+      "q168_length_quantiles_sketch")
+    val missing =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"query without oracle: $missing")
+  }
+
   test("q155 sketch profiler tracks exact distincts within HLL error") {
     val exact = SparkEntry.queries("q128_table_profile")(spark, sf)
       .collect().map(r => r.getString(0) ->
