@@ -96,6 +96,62 @@ object Shingles3Util {
   }
 }
 
+/** Native kernel for the 4-lane MinHash signature (q56/q57/q107/q156
+  * and every LSH-banded candidate path): all four per-lane minima of
+  * (a·x + b) mod P in ONE pass over the shingle array, replacing four
+  * separate `array_min(transform(...))` spellings whose interpreted
+  * lambdas each re-walk (and re-allocate) the array per row. Lane
+  * constants are [[graft.ops.DedupOps]]'s `ab` table verbatim; empty
+  * shingle arrays yield null lanes, exactly like `array_min` over an
+  * empty transform — the composed spelling is kept as the
+  * ScalaCheck-pinned parity witness. */
+object MinHash4Util {
+  private val P = 1000000007L
+  private val A = Array(37L, 101L, 8191L, 577L)
+  private val B = Array(17L, 89L, 131L, 7L)
+
+  def minhash4(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](4)
+    if (n > 0) {
+      var j = 0
+      while (j < 4) {
+        val a = A(j)
+        val b = B(j)
+        var m = Long.MaxValue
+        var i = 0
+        while (i < n) {
+          val h = (a * arr.getLong(i) + b) % P
+          if (h < m) m = h
+          i += 1
+        }
+        out(j) = m
+        j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `minhash4_native(array<bigint>)` → array<bigint> (4 lanes; null
+  * lanes for an empty shingle set). */
+case class MinHash4(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = true)
+  override def nullSafeEval(input: Any): Any =
+    MinHash4Util.minhash4(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHash4Util.minhash4($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : MinHash4 = copy(child = newChild)
+  override def prettyName: String = "minhash4"
+}
+
 /** `shingles3_native(string)` → array<bigint>. */
 case class Shingles3(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true

@@ -181,6 +181,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "fingerprint64_native"),
       (children: Seq[Expression]) => Fingerprint64(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("minhash4_native"),
+      new ExpressionInfo(classOf[MinHash4].getName,
+        "minhash4_native"),
+      (children: Seq[Expression]) => MinHash4(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("dot_f32_native"),
       new ExpressionInfo(classOf[DotProduct].getName,
         "dot_f32_native"),

@@ -93,7 +93,22 @@ object DedupOps {
   /** Signature derivation from an already-shingled frame — split out
     * so composites (q107) can share ONE shingle materialization
     * between the signature and pair paths. */
-  private[ops] def minhashFrom(base: DataFrame): DataFrame = {
+  private[graft] def minhashFrom(base: DataFrame): DataFrame = {
+    // native one-pass kernel: all four lane minima in a single walk of
+    // the shingle array (the composed 4× array_min(transform(...))
+    // spelling below re-walks it per lane, interpreted)
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    base
+      .withColumn("mh", bridge.column(graft.functions.MinHash4(
+        bridge.expression(col("shs")))))
+      .select(col("doc_id"), col("mh").getItem(0).as("mh0"),
+        col("mh").getItem(1).as("mh1"), col("mh").getItem(2).as("mh2"),
+        col("mh").getItem(3).as("mh3"))
+  }
+
+  /** The composed spelling of [[minhashFrom]] — the parity witness the
+    * native kernel is property-tested against. */
+  private[graft] def minhashFromComposed(base: DataFrame): DataFrame = {
     val s = ab.zipWithIndex.foldLeft(base) { case (df, ((a, b), j)) =>
       df.withColumn(s"mh$j",
         expr(s"array_min(transform(shs, x -> ($a * x + $b) % $P))"))

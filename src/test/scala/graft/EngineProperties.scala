@@ -96,6 +96,22 @@ object EngineProperties extends Properties("engine") {
       got == ref
     }
 
+  property("minhash4_native == composed 4-lane array_min spelling") =
+    Prop.forAllNoShrink(Gen.listOfN(6,
+      Gen.choose(0, 10).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 1000000006L))))) { arrs =>
+      val s = spark
+      import s.implicits._
+      val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("doc_id", "shs")
+      def sig(v: org.apache.spark.sql.DataFrame) =
+        v.orderBy($"doc_id").collect()
+          .map(r => (0 to 3).map(j =>
+            if (r.isNullAt(j + 1)) None else Some(r.getLong(j + 1)))).toSeq
+      sig(graft.ops.DedupOps.minhashFrom(df)) ==
+        sig(graft.ops.DedupOps.minhashFromComposed(df))
+    }
+
   property("shingles3_native == composed HOF spelling, any text") =
     Prop.forAllNoShrink(Gen.listOfN(8, fpText)) { texts =>
       val s = spark
