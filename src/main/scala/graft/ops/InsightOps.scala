@@ -945,7 +945,237 @@ object InsightOps {
          SELECT doc_a AS v FROM e3 UNION ALL SELECT doc_b AS v FROM e3))),
       (SELECT COUNT(*) FROM e3)"""
 
+  // ------------------------------------- functional-dependency audit
+  /** Functional-dependency audit — the schema-profiling primitive
+    * behind key inference and normalization checks: for each candidate
+    * FD X→Y, how many X values map to MORE than one Y (violations).
+    * Three candidates spanning the spectrum: nation→region (true FD
+    * by construction — 0 violations calibrate the audit),
+    * brand→type and custkey→priority over the facts (violated —
+    * the interesting rows). Each FD is two nested map-side-combined
+    * aggregates over its key pair; no countDistinct, no Expand. */
+  val q202FdAudit: Q = (s, d) => {
+    import s.implicits._
+    def fd(name: String, df: DataFrame, x: String, y: String): DataFrame =
+      df.select(col(x).as("xk"), col(y).as("yk"))
+        .groupBy($"xk", $"yk").agg(count(lit(1)).as("n"))
+        .groupBy($"xk").agg(count(lit(1)).as("n_y"))
+        .agg(lit(name).as("fd"),
+          count(lit(1)).as("n_keys"),
+          sum(when($"n_y" > 1, 1L).otherwise(0L)).as("n_violating"))
+    fd("nation_region", Tables.nation(s, d), "n_nationkey", "n_regionkey")
+      .unionByName(fd("brand_type",
+        Tables.part(s, d), "p_brand", "p_type"))
+      .unionByName(fd("cust_priority",
+        Tables.orders(s, d), "o_custkey", "o_orderpriority"))
+      .withColumn("violation_rate",
+        $"n_violating".cast("double") / $"n_keys".cast("double"))
+  }
+  val o202: String = """
+    WITH f1 AS (
+      SELECT 'nation_region' AS fd, COUNT(*) AS n_keys,
+        CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating
+      FROM (SELECT n_nationkey, COUNT(*) AS n_y FROM
+        (SELECT n_nationkey, n_regionkey, COUNT(*) AS n FROM nation
+         GROUP BY 1, 2) GROUP BY 1)),
+    f2 AS (
+      SELECT 'brand_type' AS fd, COUNT(*) AS n_keys,
+        CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating
+      FROM (SELECT p_brand, COUNT(*) AS n_y FROM
+        (SELECT p_brand, p_type, COUNT(*) AS n FROM part
+         GROUP BY 1, 2) GROUP BY 1)),
+    f3 AS (
+      SELECT 'cust_priority' AS fd, COUNT(*) AS n_keys,
+        CAST(SUM(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violating
+      FROM (SELECT o_custkey, COUNT(*) AS n_y FROM
+        (SELECT o_custkey, o_orderpriority, COUNT(*) AS n FROM orders
+         GROUP BY 1, 2) GROUP BY 1))
+    SELECT fd, n_keys, n_violating,
+      CAST(n_violating AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        AS violation_rate
+    FROM (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+          UNION ALL SELECT * FROM f3)"""
+
+  // ------------------------------------- attribution-window sweep
+  /** Conversion-window sensitivity sweep: signup→purchase conversion
+    * rate under attribution windows of 1 hour / 1 day / 7 days — the
+    * q194 calibration pattern applied to funnel policy. ONE scan
+    * derives each user's first signup and first post-signup purchase;
+    * the three windows are an in-row explode of that bounded per-user
+    * census. Integer micros everywhere, one divide per row. */
+  val q203AttributionSweep: Q = (s, d) => {
+    import s.implicits._
+    val perUser = Tables.events(s, d)
+      .filter($"event_type".isin("signup", "purchase"))
+      .groupBy($"user_id")
+      .agg(
+        min(when($"event_type" === "signup", unix_micros($"ts")))
+          .as("t_signup"),
+        min(when($"event_type" === "purchase", unix_micros($"ts")))
+          .as("t_any_purchase"))
+      .filter($"t_signup".isNotNull)
+    val windowed = Tables.events(s, d)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("t_p"))
+      .join(perUser.select($"user_id", $"t_signup"), Seq("user_id"))
+      .filter($"t_p" >= $"t_signup")
+      .groupBy($"user_id", $"t_signup")
+      .agg(min($"t_p").as("t_conv"))
+    val signups = perUser.select($"user_id", $"t_signup")
+      .join(windowed.select($"user_id", $"t_conv"), Seq("user_id"), "left")
+    signups
+      .select($"user_id", $"t_signup", $"t_conv", explode(expr(
+        "array(named_struct('w', 'h1',  'us', 3600000000L)," +
+          "named_struct('w', 'd1', 'us', 86400000000L)," +
+          "named_struct('w', 'd7', 'us', 604800000000L))")).as("win"))
+      .groupBy($"win.w".as("window"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when($"t_conv".isNotNull &&
+          $"t_conv" - $"t_signup" <= $"win.us", 1L).otherwise(0L))
+          .as("n_converted"))
+      .withColumn("conversion_rate",
+        $"n_converted".cast("double") / $"n_signups".cast("double"))
+  }
+  val o203: String = """
+    WITH su AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+          AS t_signup
+      FROM events WHERE event_type IN ('signup', 'purchase')
+      GROUP BY 1
+      HAVING MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        IS NOT NULL),
+    conv AS (
+      SELECT e.user_id, su.t_signup, MIN(epoch_us(e.ts)) AS t_conv
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.t_signup
+      GROUP BY 1, 2),
+    base AS (
+      SELECT su.user_id, su.t_signup, conv.t_conv
+      FROM su LEFT JOIN conv ON su.user_id = conv.user_id),
+    wins AS (
+      SELECT * FROM (VALUES ('h1', 3600000000), ('d1', 86400000000),
+        ('d7', 604800000000)) AS t(w, us))
+    SELECT w AS "window", COUNT(*) AS n_signups,
+      CAST(SUM(CASE WHEN t_conv IS NOT NULL
+        AND t_conv - t_signup <= us THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_converted,
+      CAST(SUM(CASE WHEN t_conv IS NOT NULL
+        AND t_conv - t_signup <= us THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*) AS conversion_rate
+    FROM base CROSS JOIN wins
+    GROUP BY w"""
+
+  // --------------------------------- join-cardinality estimator audit
+  /** Join-cardinality estimator audit: for two M:N self-join keys,
+    * the EXACT output size Σ c(k)² (from the key census — the join is
+    * never executed) against the optimizer-textbook uniform estimate
+    * N²/d, with the ratio exposing key skew — the audit behind "why
+    * did my self-join explode". All integers until the final ratios;
+    * the per-key census is map-side combined. */
+  val q204JoinCardAudit: Q = (s, d) => {
+    import s.implicits._
+    def audit(name: String, df: DataFrame, k: String): DataFrame =
+      df.select(col(k).as("k"))
+        .groupBy($"k").agg(count(lit(1)).as("c"))
+        .agg(lit(name).as("join_key"),
+          sum($"c").cast("long").as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          sum($"c" * $"c").cast("long").as("exact_join_rows"))
+    audit("events_user", Tables.events(s, d), "user_id")
+      .unionByName(audit("lineitem_part", Tables.lineitem(s, d),
+        "l_partkey"))
+      .withColumn("est_uniform",
+        ($"n_rows" * $"n_rows").cast("double") / $"n_keys".cast("double"))
+      .withColumn("skew_factor",
+        $"exact_join_rows".cast("double") / $"est_uniform")
+  }
+  val o204: String = """
+    WITH a AS (
+      SELECT 'events_user' AS join_key,
+        CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        CAST(SUM(c * c) AS BIGINT) AS exact_join_rows
+      FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)),
+    b AS (
+      SELECT 'lineitem_part' AS join_key,
+        CAST(SUM(c) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+        CAST(SUM(c * c) AS BIGINT) AS exact_join_rows
+      FROM (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1))
+    SELECT join_key, n_rows, n_keys, exact_join_rows,
+      CAST(n_rows * n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        AS est_uniform,
+      CAST(exact_join_rows AS DOUBLE)
+        / (CAST(n_rows * n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+        AS skew_factor
+    FROM (SELECT * FROM a UNION ALL SELECT * FROM b)"""
+
+  // ------------------------------------- session-duration census
+  /** Session-shape census: q78's 30-minute gap sessionization rolled
+    * into a per-size-bucket distribution (how long and how heavy
+    * sessions are by event count) — the session-quality profile an
+    * engagement dashboard leads with. Durations are integer seconds;
+    * bucket labels are fixed cuts; one keyed window + two censuses. */
+  val q205SessionShape: Q = (s, d) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val sess = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val sessions = Tables.events(s, d)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+          unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum($"new_session").over(sess))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max(unix_micros($"ts")) - min(unix_micros($"ts")))
+          / lit(1000000L)).cast("long").as("dur_s"))
+    sessions
+      .groupBy(when($"n_events" === 1, "1")
+        .when($"n_events" <= 4, "2-4")
+        .when($"n_events" <= 9, "5-9").otherwise("10+")
+        .as("size_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"dur_s").cast("long").as("total_dur_s"),
+        max($"dur_s").cast("long").as("max_dur_s"),
+        (sum($"dur_s").cast("double") / count(lit(1))).as("avg_dur_s"))
+  }
+  val o205: String = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS session_id, ts
+      FROM marked),
+    agg AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 1000000 AS dur_s
+      FROM sess GROUP BY 1, 2)
+    SELECT CASE WHEN n_events = 1 THEN '1'
+                WHEN n_events <= 4 THEN '2-4'
+                WHEN n_events <= 9 THEN '5-9' ELSE '10+' END
+        AS size_bucket,
+      COUNT(*) AS n_sessions,
+      CAST(SUM(dur_s) AS BIGINT) AS total_dur_s,
+      CAST(MAX(dur_s) AS BIGINT) AS max_dur_s,
+      CAST(SUM(dur_s) AS DOUBLE) / COUNT(*) AS avg_dur_s
+    FROM agg GROUP BY 1"""
+
   val queries: Map[String, Q] = Map(
+    "q202_fd_audit" -> q202FdAudit,
+    "q203_attribution_sweep" -> q203AttributionSweep,
+    "q204_join_card_audit" -> q204JoinCardAudit,
+    "q205_session_shape" -> q205SessionShape,
     "q200_shard_overlap" -> q200ShardOverlap,
     "q201_kcore_peel" -> q201KcorePeel,
     "q197_triangle_census" -> q197TriangleCensus,
@@ -965,6 +1195,10 @@ object InsightOps {
     "q191_decay_engagement" -> q191DecayEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q202_fd_audit" -> o202,
+    "q203_attribution_sweep" -> o203,
+    "q204_join_card_audit" -> o204,
+    "q205_session_shape" -> o205,
     "q200_shard_overlap" -> o200,
     "q201_kcore_peel" -> o201,
     "q197_triangle_census" -> o197,
