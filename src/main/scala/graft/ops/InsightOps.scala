@@ -361,7 +361,11 @@ object InsightOps {
     import s.implicits._
     val ref = lit("2024-01-31").cast("date")
     val age = datediff(ref, $"ts".cast("date"))
-    val k = least(floor(age / 7).cast("int"), lit(20))
+    // greatest(·, 0): if the driver ever regenerates events past the
+    // reference date, negative ages would diverge between engines
+    // (Spark floor → -inf, DuckDB // → toward zero) — clamp keeps the
+    // query total under any future data time range.
+    val k = least(greatest(floor(age / 7).cast("int"), lit(0)), lit(20))
     val weight = when($"event_type" === "purchase", 5.0)
       .when($"event_type" === "signup", 3.0)
       .when($"event_type" === "click", 2.0)
@@ -378,15 +382,15 @@ object InsightOps {
     SELECT user_id,
       SUM(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
             WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.0 ELSE 0.0 END
-          * power(0.5, least(date_diff('day', CAST(ts AS DATE),
-              DATE '2024-01-31') // 7, 20))) AS score,
+          * power(0.5, least(greatest(date_diff('day', CAST(ts AS DATE),
+              DATE '2024-01-31') // 7, 0), 20))) AS score,
       COUNT(*) AS n_events
     FROM events
     GROUP BY user_id
     HAVING SUM(CASE event_type WHEN 'purchase' THEN 5.0 WHEN 'signup' THEN 3.0
             WHEN 'click' THEN 2.0 WHEN 'view' THEN 1.0 ELSE 0.0 END
-          * power(0.5, least(date_diff('day', CAST(ts AS DATE),
-              DATE '2024-01-31') // 7, 20))) > 0.0"""
+          * power(0.5, least(greatest(date_diff('day', CAST(ts AS DATE),
+              DATE '2024-01-31') // 7, 0), 20))) > 0.0"""
 
   // ------------------------------------------- trailing revenue
   /** Calendar-aligned trailing 7-/28-day revenue with week-over-week
@@ -573,7 +577,12 @@ object InsightOps {
     * materialized because the query is fixed — the per-term tf is a
     * codegen'd in-row filter count. */
   private val Bm25Terms = Seq("spark", "join", "window", "stream")
-  private val (bmK1, bmB) = ("1.2", "0.75")
+  // k1+1 and 1−b are bit-exact double derivations (1.0+1.2 == 2.2,
+  // 1−0.75 == 0.25), and both spellings interpolate the SAME Scala
+  // doubles — editing k1/b propagates to Spark AND the oracle.
+  private val (bmK1, bmB) = (1.2, 0.75)
+  private val bmK1Plus1 = 1.0 + bmK1
+  private val bmOneMinusB = 1.0 - bmB
 
   val q196Bm25TopK: Q = (s, d) => {
     import s.implicits._
@@ -594,8 +603,8 @@ object InsightOps {
       val tfD = col(s"tf$i").cast("double")
       val odds = (($"n_docs" - col(s"df$i")).cast("double") + lit(0.5)) /
         (col(s"df$i").cast("double") + lit(0.5))
-      odds * (tfD * lit(2.2)) /
-        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) *
+      odds * (tfD * lit(bmK1Plus1)) /
+        (tfD + lit(bmK1) * (lit(bmOneMinusB) + lit(bmB) *
           ($"len".cast("double") / $"avglen")))
     }.reduceLeft(_ + _)
     scored
@@ -614,8 +623,8 @@ object InsightOps {
       .mkString(",\n        ")
     val score = Bm25Terms.indices.map { i =>
       s"""((CAST(n_docs - df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
-         * (CAST(tf$i AS DOUBLE) * 2.2)
-         / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+         * (CAST(tf$i AS DOUBLE) * $bmK1Plus1)
+         / (CAST(tf$i AS DOUBLE) + $bmK1 * ($bmOneMinusB + $bmB
             * (CAST(len AS DOUBLE) / avglen)))"""
     }.mkString(" + ")
     s"""

@@ -4,6 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -43,12 +44,13 @@ final class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = XlsxDataSource.listXlsx(XlsxDataSource.pathOf(options))
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    val files = XlsxDataSource.listXlsx(XlsxDataSource.pathOf(options), conf)
     require(files.nonEmpty,
       s"no .xlsx files under ${XlsxDataSource.pathOf(options)}")
     val sheet = Option(options.get("sheet"))
     val width = files.map { f =>
-      val wb = Xlsx.read(XlsxDataSource.readBytes(f))
+      val wb = Xlsx.read(XlsxDataSource.readBytes(f, conf))
       val g = wb.grid(XlsxDataSource.chooseSheet(wb.sheetNames, sheet))
       if (g.isEmpty) 0 else g.map(_.size).max
     }.max
@@ -84,8 +86,24 @@ private[sources] object XlsxDataSource {
       case None => names.headOption.getOrElse(sys.error("workbook has no sheets"))
     }
 
-  def listXlsx(path: String): Seq[String] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+  /** Hadoop `Configuration` is not `Serializable`; this wrapper rides the
+    * task closure so executors never need an active `SparkSession` (there
+    * is none on a real cluster — only the driver holds one). */
+  final class SerializableHadoopConf(@transient var value: Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Driver-side only: enumerate workbooks for planning/inference. */
+  def listXlsx(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
@@ -95,8 +113,7 @@ private[sources] object XlsxDataSource {
     all.map(_.toString).filter(_.endsWith(".xlsx")).sorted
   }
 
-  def readBytes(file: String): Array[Byte] = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+  def readBytes(file: String, conf: Configuration): Array[Byte] = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -133,33 +150,40 @@ private final class XlsxScanBuilder(full: StructType, path: String,
 
 private final class XlsxScan(required: StructType, path: String,
                              sheet: Option[String]) extends Scan with Batch {
+  // Captured on the driver at planning time; shipped (serialized) inside
+  // the reader factory so executor-side readers never touch SparkSession.
+  private val hadoopConf = new XlsxDataSource.SerializableHadoopConf(
+    SparkSession.active.sparkContext.hadoopConfiguration)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    XlsxDataSource.listXlsx(path)
+    XlsxDataSource.listXlsx(path, hadoopConf.value)
       .map(f => XlsxFilePartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new XlsxReaderFactory(required, sheet)
+    new XlsxReaderFactory(required, sheet, hadoopConf)
 }
 
 private final case class XlsxFilePartition(file: String)
     extends InputPartition
 
-private final class XlsxReaderFactory(required: StructType,
-                                      sheet: Option[String])
+private final class XlsxReaderFactory(
+    required: StructType,
+    sheet: Option[String],
+    hadoopConf: XlsxDataSource.SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new XlsxPartitionReader(p.asInstanceOf[XlsxFilePartition].file,
-      required, sheet)
+      required, sheet, hadoopConf)
 }
 
 /** One workbook = one partition: the zip+StAX parse runs once inside
   * the executor; only the pruned columns materialize per row. */
-private final class XlsxPartitionReader(file: String, required: StructType,
-                                        sheet: Option[String])
+private final class XlsxPartitionReader(
+    file: String, required: StructType, sheet: Option[String],
+    hadoopConf: XlsxDataSource.SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
   private val grid: Vector[Vector[String]] = {
-    val wb = Xlsx.read(XlsxDataSource.readBytes(file))
+    val wb = Xlsx.read(XlsxDataSource.readBytes(file, hadoopConf.value))
     wb.grid(XlsxDataSource.chooseSheet(wb.sheetNames, sheet))
   }
   // required-column accessors resolved once per partition, not per row

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -149,7 +150,8 @@ object CorpusStreaming {
     // a replayed (crashed-uncommitted) batch re-reads its own
     // predecessor and overwrites its own version — idempotent;
     // reading `v$batchId` itself would double-merge the delta
-    val merged = versionIds(tableDir).filter(_ < batchId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val merged = versionIds(tableDir, conf).filter(_ < batchId)
       .sorted.lastOption match {
       case Some(v) =>
         spark.read.parquet(s"$tableDir/v$v").unionByName(delta)
@@ -161,10 +163,9 @@ object CorpusStreaming {
       case None => delta
     }
     merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
-    versionIds(tableDir).filter(_ < batchId - 3).foreach { old =>
-      import scala.reflect.io.Directory
-      new Directory(new java.io.File(tableDir, s"v$old"))
-        .deleteRecursively()
+    versionIds(tableDir, conf).filter(_ < batchId - 3).foreach { old =>
+      val p = new HPath(s"$tableDir/v$old")
+      p.getFileSystem(conf).delete(p, true)
     }
   }
 
@@ -181,24 +182,33 @@ object CorpusStreaming {
   /** The checksum table as of its latest committed version. */
   def currentChecksums(spark: org.apache.spark.sql.SparkSession,
                        tableDir: String): Option[DataFrame] =
-    latestVersion(tableDir).map(v => spark.read.parquet(s"$tableDir/v$v"))
+    latestVersion(tableDir, spark.sparkContext.hadoopConfiguration)
+      .map(v => spark.read.parquet(s"$tableDir/v$v"))
 
   /** Only COMMITTED versions count: Spark's parquet committer drops
     * `_SUCCESS` at job completion, so a crash mid-write (or a reader
     * racing a replay's overwrite) leaves a directory this listing
     * ignores — both the merge's read-side and [[currentChecksums]]
-    * would otherwise serve a partially-written table as truth. */
-  private def versionIds(dir: String): Seq[Long] = {
-    val f = new java.io.File(dir)
-    if (!f.isDirectory) Seq.empty
-    else f.listFiles().toSeq
-      .filter(d => d.isDirectory && d.getName.startsWith("v")
-        && new java.io.File(d, "_SUCCESS").isFile)
-      .flatMap(d => scala.util.Try(d.getName.drop(1).toLong).toOption)
+    * would otherwise serve a partially-written table as truth.
+    * Listed through the Hadoop FileSystem API, so the versioned layout
+    * works on any supported store (HDFS/S3A/local), not just local FS. */
+  private def versionIds(dir: String,
+                         conf: org.apache.hadoop.conf.Configuration)
+      : Seq[Long] = {
+    val p = new HPath(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v")
+        && fs.exists(new HPath(st.getPath, "_SUCCESS")))
+      .flatMap(st =>
+        scala.util.Try(st.getPath.getName.drop(1).toLong).toOption)
   }
 
-  private def latestVersion(dir: String): Option[Long] =
-    versionIds(dir).sorted.lastOption
+  private def latestVersion(dir: String,
+                            conf: org.apache.hadoop.conf.Configuration)
+      : Option[Long] =
+    versionIds(dir, conf).sorted.lastOption
 
   /** Per-source intake census over the deduped stream: docs admitted
     * per (window, source) — the monitoring mart an intake pipeline
