@@ -67,7 +67,10 @@ object Extraction {
         .findFirstMatchIn(text).map(_.group(1))
         .getOrElse(throw new ExtractionError(
           "export JSON missing 'fileBase64'"))
-      (defaultName, java.util.Base64.getDecoder.decode(b64))
+      // extraction.py:708 — the JSON may carry its own fileName
+      val name = "\"fileName\"\\s*:\\s*\"([^\"]+)\"".r
+        .findFirstMatchIn(text).map(_.group(1)).getOrElse(defaultName)
+      (name, java.util.Base64.getDecoder.decode(b64))
     } else {
       val name = contentDispositionFilename(contentDisposition)
         .getOrElse(defaultName)
