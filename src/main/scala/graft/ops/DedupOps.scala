@@ -448,54 +448,108 @@ object DedupOps {
     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
 
   /** SimHash near-dup pairs: LSH on the two 16-bit halves (pairs must
-    * agree on at least one half), then exact Hamming ≤ 2 verify —
-    * banded, never quadratic.
+    * agree on at least one half), then exact Hamming ≤ 2 verify.
     *
-    * Layout (same as q58's): the signature table feeds ONE band-keyed
-    * exchange that aggregates each (band, half-value) bucket's posting
-    * list, and candidate pairs are generated IN-ROW from the sorted
-    * list — the earlier spelling self-joined the signature subtree
-    * twice (four plan copies of the SimHash computation); this one
-    * computes signatures once and never materializes a join build
-    * side. The `distinct` dedupes pairs that agree on BOTH halves. */
+    * Degenerate-skew hardening (the round-5 verdict's #1): identical
+    * signatures are PRE-COLLAPSED into (signature, member-ids) groups
+    * before banding, so the planted-replay/boilerplate case — N
+    * near-identical docs sharing one signature — contributes ONE
+    * entry per band bucket instead of N, and its hamming-0 member
+    * pairs are emitted directly from the group row (they are the
+    * OUTPUT's own cardinality, not candidate waste; run exact dedup
+    * q54 first if that output itself is too large). Residual buckets
+    * are then capped at [[MaxBandBucket]] DISTINCT signatures — the
+    * q58 `MaxShingleDf` convention, MIRRORED in the oracle, so a
+    * 16-bit half shared by hundreds of distinct signatures (corpus-
+    * wide noise, no near-dup signal) is dropped identically by both
+    * engines at any scale. Cross-signature candidates Hamming-verify
+    * BEFORE member expansion, so failing signature pairs never
+    * expand into doc pairs.
+    *
+    * Layout: ONE group-by-signature exchange (checkpointed — it feeds
+    * both the clique path and the banding path), one band-keyed
+    * exchange over distinct signatures, in-row pair generation; no
+    * join build side ever materializes. */
   val q60SimHashPairs: Q = (s, d) => simhashPairsFrom(q59SimHash(s, d))
+
+  /** Max DISTINCT signatures per LSH band bucket fed to candidate
+    * generation (q60/q157). Over-cap buckets carry no near-dup signal
+    * (a 16-bit agreement shared by >cap distinct signatures is
+    * background collision, not similarity) and would cost C(n,2)
+    * candidate structs in one row. Mirrored in the oracles, so the
+    * cap is engine-identical at any scale. */
+  private[graft] val MaxBandBucket = 100
 
   /** Pair derivation from an already-computed signature frame (see
     * [[minhashFrom]] / [[jaccardFrom]] for the pattern). */
   private[ops] def simhashPairsFrom(sig: DataFrame): DataFrame = {
     val s = sig.sparkSession
     import s.implicits._
-    val posts = sig
-      .select($"doc_id", $"simhash", expr(
+    // hamming-0 cliques: one row per distinct signature; consumed by
+    // both the within-pairs and the banding path → checkpoint the
+    // (bounded: ≤ one row per distinct signature) frame.
+    val groups = sig.groupBy($"simhash")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .localCheckpoint()
+    val within = groups
+      .filter(size($"ids") >= 2)
+      .select($"simhash", explode(expr(pairGenExpr("ids",
+        "named_struct('doc_a', element_at(ids, i), 'doc_b', x)")))
+        .as("pr"))
+      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
+        expr("bit_count(simhash ^ simhash)").as("hamming"))
+    val posts = groups
+      .select($"simhash", $"ids", expr(
         """explode(array(
              named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
              named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
            AS b"""))
       .groupBy($"b.band", $"b.bk")
-      .agg(sort_array(collect_list(struct($"doc_id", $"simhash")))
-        .as("ds"))
-      .filter(size($"ds") >= 2)
-    posts
-      .select(explode(expr(pairGenExpr("ds",
-        """named_struct('doc_a', element_at(ds, i).doc_id,
-             'doc_b', x.doc_id,
-             'sa', element_at(ds, i).simhash,
-             'sb', x.simhash)"""))).as("pr"))
-      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
-        $"pr.sa".as("sa"), $"pr.sb".as("sb"))
-      .distinct()
+      .agg(sort_array(collect_list(struct($"simhash", $"ids"))).as("gs"))
+      .filter(size($"gs") >= 2)
+      .filter(size($"gs") <= MaxBandBucket) // mirrored in o60
+    val cross = posts
+      .select(explode(expr(pairGenExpr("gs",
+        """named_struct('sa', element_at(gs, i).simhash,
+             'ia', element_at(gs, i).ids,
+             'sb', x.simhash, 'ib', x.ids)"""))).as("pr"))
+      .select($"pr.sa".as("sa"), $"pr.ia".as("ia"),
+        $"pr.sb".as("sb"), $"pr.ib".as("ib"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      // verify at SIGNATURE grain, before member expansion
       .filter($"hamming" <= 2)
-      .select($"doc_a", $"doc_b", $"hamming")
+      // a both-halves agreement appears in both bands: dedupe the
+      // (small, verified) signature pairs, never doc pairs
+      .distinct()
+      .select(explode(expr(
+        """flatten(transform(ia, a -> transform(ib, b ->
+             named_struct('doc_a', least(a, b),
+                          'doc_b', greatest(a, b)))))""")).as("pr"),
+        $"hamming")
+      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
+        $"hamming")
+    // within ∩ cross = ∅ (cross pairs differ in signature) and both
+    // sides are duplicate-free — no final distinct needed.
+    within.unionByName(cross)
   }
   val o60: String = s"""
     WITH sig AS (${o59}),
+    bh0 AS (SELECT simhash >> 16 AS bk, COUNT(DISTINCT simhash) AS nsig
+            FROM sig GROUP BY 1),
+    bh1 AS (SELECT simhash & 65535 AS bk, COUNT(DISTINCT simhash) AS nsig
+            FROM sig GROUP BY 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       AND ((a.simhash >> 16) = (b.simhash >> 16)
-         OR (a.simhash & 65535) = (b.simhash & 65535)))
+      FROM sig a
+      JOIN sig b ON a.doc_id < b.doc_id
+      LEFT JOIN bh0 ON bh0.bk = (a.simhash >> 16)
+      LEFT JOIN bh1 ON bh1.bk = (a.simhash & 65535)
+      WHERE a.simhash = b.simhash
+         OR ((a.simhash >> 16) = (b.simhash >> 16)
+             AND bh0.nsig <= ${MaxBandBucket})
+         OR ((a.simhash & 65535) = (b.simhash & 65535)
+             AND bh1.nsig <= ${MaxBandBucket}))
     SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
     FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
 
@@ -665,8 +719,12 @@ object DedupOps {
     *
     * 100 TB design: candidates generate in-row from band-keyed
     * posting lists (one exchange, the q60 layout — never a signature
-    * self-join); the two text lookups are hash joins on doc_id; the
-    * quadratic kernel touches only surviving pairs.
+    * self-join), with identical full signatures PRE-COLLAPSED into
+    * groups (a replayed corpus contributes one banding entry, not N)
+    * and residual buckets capped at [[MaxBandBucket]] distinct
+    * signatures, mirrored in the oracle; the two text lookups are
+    * hash joins on doc_id; the quadratic kernel touches only
+    * surviving pairs.
     *
     * Parity note: Spark's levenshtein counts CODEPOINT edits while
     * DuckDB's counts BYTE edits (häus→haus is 1 vs 2), so both
@@ -677,19 +735,37 @@ object DedupOps {
     * instead of merely unexercised. */
   val q157EditVerify: Q = (s, d) => {
     import s.implicits._
-    val cand = q56MinHash(s, d)
-      .select($"doc_id", expr(
+    // identical full signatures → one group; their member pairs are
+    // candidates by construction (they agree on BOTH bands)
+    val groups = q56MinHash(s, d)
+      .groupBy($"mh0", $"mh1", $"mh2", $"mh3")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .localCheckpoint()
+    val within = groups
+      .filter(size($"ids") >= 2)
+      .select(explode(expr(pairGenExpr("ids",
+        "named_struct('doc_a', element_at(ids, i), 'doc_b', x)")))
+        .as("pr"))
+      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+    val cross = groups
+      .select($"ids", expr(
         """explode(array(
              named_struct('band', 0, 'k1', mh0, 'k2', mh1),
              named_struct('band', 1, 'k1', mh2, 'k2', mh3))) AS b"""))
       .groupBy($"b.band", $"b.k1", $"b.k2")
-      .agg(sort_array(collect_list($"doc_id")).as("ds"))
-      .filter(size($"ds") >= 2)
-      .select(explode(expr(pairGenExpr("ds",
-        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
-        .as("pr"))
-      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
-      .distinct()
+      .agg(sort_array(collect_list($"ids")).as("gs"))
+      .filter(size($"gs") >= 2)
+      .filter(size($"gs") <= MaxBandBucket) // mirrored in o157
+      .select(explode(expr(pairGenExpr("gs",
+        "named_struct('ia', element_at(gs, i), 'ib', x)"))).as("pr"))
+      .select(explode(expr(
+        """flatten(transform(pr.ia, a -> transform(pr.ib, b ->
+             named_struct('doc_a', least(a, b),
+                          'doc_b', greatest(a, b)))))""")).as("p2"))
+      .select($"p2.doc_a".as("doc_a"), $"p2.doc_b".as("doc_b"))
+    // distinct signatures agreeing on both bands would be identical —
+    // impossible — so cross pairs are unique and disjoint from within
+    val cand = within.unionByName(cross)
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
     cand
       .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")),
@@ -706,11 +782,21 @@ object DedupOps {
   }
   val o157: String = s"""
     WITH sig AS (${o56}),
+    dsig AS (SELECT DISTINCT mh0, mh1, mh2, mh3 FROM sig),
+    bb0 AS (SELECT mh0, mh1, COUNT(*) AS nsig FROM dsig GROUP BY 1, 2),
+    bb1 AS (SELECT mh2, mh3, COUNT(*) AS nsig FROM dsig GROUP BY 1, 2),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
-         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))),
+      FROM sig a
+      JOIN sig b ON a.doc_id < b.doc_id
+      LEFT JOIN bb0 ON bb0.mh0 = a.mh0 AND bb0.mh1 = a.mh1
+      LEFT JOIN bb1 ON bb1.mh2 = a.mh2 AND bb1.mh3 = a.mh3
+      WHERE (a.mh0 = b.mh0 AND a.mh1 = b.mh1
+             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+         OR (a.mh0 = b.mh0 AND a.mh1 = b.mh1
+             AND bb0.nsig <= ${MaxBandBucket})
+         OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3
+             AND bb1.nsig <= ${MaxBandBucket})),
     proj AS (
       SELECT doc_a, doc_b,
         regexp_replace(da.text, '[^\\x00-\\x7F]', '', 'g') AS ta,
