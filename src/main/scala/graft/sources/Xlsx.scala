@@ -65,6 +65,117 @@ object Xlsx {
     f
   }
 
+  // ------------------------------------------------ date-serial styles
+  /** What a numFmt renders: date, time-of-day, or both. */
+  private[sources] sealed trait DateKind
+  private[sources] case object DateOnly extends DateKind
+  private[sources] case object TimeOnly extends DateKind
+  private[sources] case object DateAndTime extends DateKind
+
+  /** Per-cell-style date decoding context parsed from `xl/styles.xml`
+    * (+ the workbook's date1904 flag): `kinds(s)` answers whether
+    * cell-style index `s` formats its numeric value as a date serial.
+    * Wansoft exports carry no date cells, but `format("xlsx")` is a
+    * public surface now — any real workbook with typed date columns
+    * hits this path. */
+  private[sources] final case class XlsxStyles(
+      kinds: Vector[Option[DateKind]], date1904: Boolean) {
+    def kindOf(styleIdx: Int): Option[DateKind] =
+      if (styleIdx >= 0 && styleIdx < kinds.length) kinds(styleIdx)
+      else None
+  }
+  private[sources] val NoStyles = XlsxStyles(Vector.empty, date1904 = false)
+
+  /** Builtin numFmtIds that render date serials (ECMA-376 §18.8.30). */
+  private def builtinDateKind(id: Int): Option[DateKind] = id match {
+    case i if (14 to 17).contains(i) => Some(DateOnly)
+    case i if (18 to 21).contains(i) => Some(TimeOnly)
+    case 22 => Some(DateAndTime)
+    case i if (27 to 36).contains(i) => Some(DateOnly) // East-Asian dates
+    case i if (45 to 47).contains(i) => Some(TimeOnly)
+    case i if (50 to 58).contains(i) => Some(DateOnly)
+    case _ => None
+  }
+
+  /** Custom format-code classifier (the POI `isADateFormat` shape):
+    * strip quoted literals, `[...]` blocks and `\`-escapes, then look
+    * for date/time placeholder letters. A lone `m` next to `h`/`s`
+    * context is a minute, not a month. */
+  private[sources] def formatDateKind(code: String): Option[DateKind] = {
+    val stripped = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+      .toLowerCase
+    val hasTime = stripped.contains('h') ||
+      (stripped.contains('s') && stripped.contains(':'))
+    val hasDate = stripped.contains('y') || stripped.contains('d') ||
+      (stripped.contains('m') && !hasTime)
+    (hasDate, hasTime) match {
+      case (true, true)  => Some(DateAndTime)
+      case (true, false) => Some(DateOnly)
+      case (false, true) => Some(TimeOnly)
+      case _             => None
+    }
+  }
+
+  /** styles.xml → per-cellXf date kind (custom `numFmts` first, then
+    * the builtin table). */
+  private def parseStyles(xml: Array[Byte]): Vector[Option[DateKind]] = {
+    val r = xif.createXMLStreamReader(new ByteArrayInputStream(xml))
+    val custom = mutable.Map.empty[Int, Option[DateKind]]
+    val xfs = Vector.newBuilder[Option[DateKind]]
+    var inCellXfs = false
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "numFmt" =>
+                val id = r.getAttributeValue(null, "numFmtId")
+                val code = r.getAttributeValue(null, "formatCode")
+                if (id != null && code != null)
+                  custom(id.toInt) = formatDateKind(code)
+              case "cellXfs" => inCellXfs = true
+              case "xf" if inCellXfs =>
+                val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+                  .map(_.toInt).getOrElse(0)
+                xfs += custom.getOrElse(fmt, builtinDateKind(fmt))
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            if (r.getLocalName == "cellXfs") inCellXfs = false
+          case _ => ()
+        }
+      }
+    } finally r.close()
+    xfs.result()
+  }
+
+  /** Excel serial → grid string. Serials count days from 1899-12-30
+    * (the 1900-leap-bug-compatible base every reader uses) or
+    * 1904-01-01 in date1904 workbooks; the fraction is time-of-day.
+    * Date-kinded cells with a midnight fraction render as bare ISO
+    * dates — the shape `to_date` parses directly; a nonzero time
+    * appends ` HH:mm:ss`. */
+  private[sources] def serialToString(serial: Double, kind: DateKind,
+                                      date1904: Boolean): String = {
+    val base = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+               else java.time.LocalDate.of(1899, 12, 30)
+    var days = math.floor(serial).toLong
+    var secs = math.round((serial - days) * 86400.0)
+    if (secs >= 86400) { days += 1; secs = 0 } // rounding rollover
+    kind match {
+      case TimeOnly => fmtTime(secs)
+      case _ =>
+        val d = base.plusDays(days)
+        if (secs == 0) d.toString else s"$d ${fmtTime(secs)}"
+    }
+  }
+
+  private def fmtTime(secs: Long): String =
+    f"${secs / 3600}%02d:${secs % 3600 / 60}%02d:${secs % 60}%02d"
+
   /** "B3" → 0-based column 1 (letters only; digits are the row). */
   private[sources] def colOf(ref: String): Int = {
     var c = 0
@@ -110,8 +221,9 @@ object Xlsx {
   /** One worksheet XML → dense grid (absent rows/cells become null so
     * `_row` always equals the sheet row, as the cleaners' header
     * offsets require). */
-  private def parseSheet(xml: Array[Byte],
-                         sst: Vector[String]): Vector[Vector[String]] = {
+  private def parseSheet(xml: Array[Byte], sst: Vector[String],
+                         styles: XlsxStyles = NoStyles)
+      : Vector[Vector[String]] = {
     val r = xif.createXMLStreamReader(new ByteArrayInputStream(xml))
     val cells = mutable.Map.empty[(Int, Int), String]
     var maxRow = -1
@@ -119,6 +231,7 @@ object Xlsx {
     var row = -1      // 0-based sheet row of the current <row>
     var col = -1      // 0-based column of the current <c>
     var cellType = ""
+    var styleIdx = -1 // current <c>'s s= attribute (cellXfs index)
     var inV = false
     var inIsT = false
     val text = new StringBuilder
@@ -126,6 +239,16 @@ object Xlsx {
       val value = cellType match {
         case "s" => sst(v.trim.toInt)
         case "b" => if (v.trim == "1") "TRUE" else "FALSE"
+        case "" | "n" =>
+          // date-styled numeric cells decode their serial; any other
+          // numeric (or unparseable) value passes through verbatim
+          styles.kindOf(styleIdx) match {
+            case Some(kind) =>
+              v.trim.toDoubleOption
+                .map(serialToString(_, kind, styles.date1904))
+                .getOrElse(v)
+            case None => v
+          }
         case _ => v
       }
       cells((row, col)) = value
@@ -146,6 +269,8 @@ object Xlsx {
                 col = if (ra != null) colOf(ra) else col + 1
                 val t = r.getAttributeValue(null, "t")
                 cellType = if (t == null) "" else t
+                val sa = r.getAttributeValue(null, "s")
+                styleIdx = if (sa == null) -1 else sa.toInt
               case "v" => inV = true; text.setLength(0)
               // inline strings accumulate across rich-text runs: reset
               // at <is>, append per <t>, emit at </is>
@@ -176,6 +301,8 @@ object Xlsx {
     val parts = entries(bytes)
     val sst = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Vector.empty)
+    val styleKinds = parts.get("xl/styles.xml").map(parseStyles)
+      .getOrElse(Vector.empty)
     // rels: rId -> target (relative to xl/ unless absolute)
     val rels = mutable.Map.empty[String, String]
     parts.get("xl/_rels/workbook.xml.rels").foreach { relXml =>
@@ -198,24 +325,32 @@ object Xlsx {
     val wb = parts.getOrElse("xl/workbook.xml",
       sys.error("not an xlsx: no xl/workbook.xml"))
     val wr = xif.createXMLStreamReader(new ByteArrayInputStream(wb))
+    var date1904 = false
     try {
       while (wr.hasNext) {
-        if (wr.next() == XMLStreamConstants.START_ELEMENT &&
-            wr.getLocalName == "sheet") {
-          val name = wr.getAttributeValue(null, "name")
-          // r:id is namespaced; scan attributes by local name
-          val rid = (0 until wr.getAttributeCount)
-            .find(i => wr.getAttributeLocalName(i) == "id")
-            .map(wr.getAttributeValue)
-            .getOrElse(sys.error(s"sheet '$name' has no r:id"))
-          sheets += ((name, rid))
+        if (wr.next() == XMLStreamConstants.START_ELEMENT) {
+          wr.getLocalName match {
+            case "workbookPr" =>
+              val d = wr.getAttributeValue(null, "date1904")
+              date1904 = d == "1" || d == "true"
+            case "sheet" =>
+              val name = wr.getAttributeValue(null, "name")
+              // r:id is namespaced; scan attributes by local name
+              val rid = (0 until wr.getAttributeCount)
+                .find(i => wr.getAttributeLocalName(i) == "id")
+                .map(wr.getAttributeValue)
+                .getOrElse(sys.error(s"sheet '$name' has no r:id"))
+              sheets += ((name, rid))
+            case _ => ()
+          }
         }
       }
     } finally wr.close()
+    val styles = XlsxStyles(styleKinds, date1904)
     Workbook(sheets.result().map { case (name, rid) =>
       val path = rels.getOrElse(rid, sys.error(s"no rel for $rid"))
       name -> parseSheet(parts.getOrElse(path,
-        sys.error(s"missing part $path")), sst)
+        sys.error(s"missing part $path")), sst, styles)
     })
   }
 
@@ -246,6 +381,7 @@ object Xlsx {
         "<Default Extension=\"rels\" ContentType=\"application/vnd.openxmlformats-package.relationships+xml\"/>" +
         "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
         "<Override PartName=\"/xl/workbook.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml\"/>" +
+        "<Override PartName=\"/xl/styles.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml\"/>" +
         (1 to n).map(i =>
           s"<Override PartName=\"/xl/worksheets/sheet$i.xml\" ContentType=\"application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml\"/>")
           .mkString + "</Types>")
@@ -263,7 +399,21 @@ object Xlsx {
         "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
         (1 to n).map(i =>
           s"<Relationship Id=\"rId$i\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet\" Target=\"worksheets/sheet$i.xml\"/>")
-          .mkString + "</Relationships>")
+          .mkString +
+        s"<Relationship Id=\"rId${n + 1}\" Type=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles\" Target=\"styles.xml\"/>" +
+        "</Relationships>")
+      // cellXfs: 0 = general, 1 = builtin date (numFmtId 14),
+      // 2 = builtin datetime (numFmtId 22) — what date cells reference
+      part("xl/styles.xml", decl +
+        "<styleSheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+        "<fonts count=\"1\"><font/></fonts>" +
+        "<fills count=\"1\"><fill/></fills>" +
+        "<borders count=\"1\"><border/></borders>" +
+        "<cellStyleXfs count=\"1\"><xf/></cellStyleXfs>" +
+        "<cellXfs count=\"3\"><xf numFmtId=\"0\"/>" +
+        "<xf numFmtId=\"14\" applyNumberFormat=\"1\"/>" +
+        "<xf numFmtId=\"22\" applyNumberFormat=\"1\"/></cellXfs>" +
+        "</styleSheet>")
       sheets.zipWithIndex.foreach { case ((_, rows), si) =>
         val body = new StringBuilder(decl)
         body.append("<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\"><sheetData>")
@@ -285,6 +435,24 @@ object Xlsx {
               case v @ (_: Int | _: Long | _: Short | _: Byte |
                         _: java.math.BigDecimal | _: BigDecimal) =>
                 body.append(s"""<c r="$ref"><v>$v</v></c>""")
+              // typed dates/timestamps → date-styled serials, so the
+              // cell survives a round trip as a DATE cell (style 1 =
+              // numFmt 14, style 2 = numFmt 22)
+              case v: java.time.LocalDate =>
+                body.append(
+                  s"""<c r="$ref" s="1"><v>${dateSerial(v)}</v></c>""")
+              case v: java.sql.Date =>
+                body.append(s"""<c r="$ref" s="1"><v>${
+                  dateSerial(v.toLocalDate)}</v></c>""")
+              case v: java.time.LocalDateTime =>
+                body.append(s"""<c r="$ref" s="2"><v>${
+                  dateSerial(v.toLocalDate)}${timeFrac(v.toLocalTime)
+                  }</v></c>""")
+              case v: java.sql.Timestamp =>
+                val ldt = v.toLocalDateTime
+                body.append(s"""<c r="$ref" s="2"><v>${
+                  dateSerial(ldt.toLocalDate)}${timeFrac(ldt.toLocalTime)
+                  }</v></c>""")
               case v =>
                 body.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v.toString)}</t></is></c>""")
             }
@@ -295,6 +463,24 @@ object Xlsx {
         part(s"xl/worksheets/sheet${si + 1}.xml", body.toString)
       }
     } finally z.close()
+  }
+
+  /** Days since the 1900-system base (matches [[serialToString]]). */
+  private def dateSerial(d: java.time.LocalDate): Long =
+    java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.of(1899, 12, 30), d)
+
+  /** Time-of-day as the serial's fraction, ".5"-style suffix ("" at
+    * midnight so pure dates stay integral). */
+  private def timeFrac(t: java.time.LocalTime): String = {
+    val secs = t.toSecondOfDay
+    if (secs == 0) ""
+    // plain decimal, locale-free (toString of a small double would go
+    // scientific: 1s = 1.157e-5); 10 digits ≈ millisecond precision
+    else java.math.BigDecimal.valueOf(secs.toLong)
+      .divide(java.math.BigDecimal.valueOf(86400L), 10,
+        java.math.RoundingMode.HALF_UP)
+      .toPlainString.drop(1) // "0.5000000000" → ".5000000000"
   }
 
   private[sources] def colLetters(c0: Int): String = {

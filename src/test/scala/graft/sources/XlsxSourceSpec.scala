@@ -74,4 +74,24 @@ class XlsxSourceSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("Nope") || e.getCause != null)
   }
+
+  test("dated workbook round-trips: date serials decode through the " +
+    "DSv2 reader") {
+    val dir = Files.createTempDirectory("xlsx-dates").toFile.getPath
+    val bytes = Xlsx.writeBytes(Seq("Fechas" -> Seq(
+      Seq("Fecha", "Momento", "Importe"),
+      Seq(java.time.LocalDate.of(2025, 1, 15),
+        java.time.LocalDateTime.of(2025, 1, 15, 14, 30, 0), 12.5),
+      Seq(java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 23:59:59"), 7.0))))
+    Files.write(java.nio.file.Paths.get(dir, "dated.xlsx"), bytes)
+    val rows = spark.read.format("xlsx").option("sheet", "Fechas")
+      .load(dir).orderBy("_row").collect()
+    assert(rows(1).getString(2) == "2025-01-15")
+    assert(rows(1).getString(3) == "2025-01-15 14:30:00")
+    assert(rows(2).getString(2) == "2024-02-29") // leap day exact
+    assert(rows(2).getString(3) == "2024-02-29 23:59:59")
+    // non-date numerics untouched
+    assert(rows(1).getString(4) == "12.5")
+  }
 }

@@ -275,4 +275,89 @@ class XlsxSpec extends AnyFunSuite {
     assert(g(1) == Vector("2025-01-15", "Kavia", "5000.0", "12"))
     assert(g(2)(2) == "61234.5")
   }
+
+  test("format-code classifier: dates, times, money, quoted literals") {
+    assert(Xlsx.formatDateKind("dd/mm/yyyy").contains(Xlsx.DateOnly))
+    assert(Xlsx.formatDateKind("[$-409]d-mmm-yy").contains(Xlsx.DateOnly))
+    assert(Xlsx.formatDateKind("hh:mm").contains(Xlsx.TimeOnly))
+    assert(Xlsx.formatDateKind("mm:ss").contains(Xlsx.TimeOnly))
+    assert(Xlsx.formatDateKind("yyyy-mm-dd hh:mm")
+      .contains(Xlsx.DateAndTime))
+    assert(Xlsx.formatDateKind("#,##0.00").isEmpty)
+    assert(Xlsx.formatDateKind("0.00%").isEmpty)
+    // y/d inside quoted literals are text, not placeholders
+    assert(Xlsx.formatDateKind("\"day total\" 0.00").isEmpty)
+  }
+
+  test("serial decoding: builtin styles, custom numFmt, date1904, " +
+    "and string-path parity through the cleaner") {
+    def z(parts: (String, String)*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zo = new java.util.zip.ZipOutputStream(bos)
+      parts.foreach { case (n, body) =>
+        zo.putNextEntry(new java.util.zip.ZipEntry(n))
+        zo.write(body.getBytes("UTF-8"))
+        zo.closeEntry()
+      }
+      zo.close()
+      bos.toByteArray
+    }
+    def wb(date1904: Boolean, sheetXml: String): Array[Byte] = z(
+      "xl/workbook.xml" ->
+        s"""<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+             xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           <workbookPr date1904="${if (date1904) "1" else "0"}"/>
+           <sheets><sheet name="Datos" sheetId="1" r:id="rId1"/></sheets>
+           </workbook>""",
+      "xl/_rels/workbook.xml.rels" ->
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+           <Relationship Id="rId1" Type="w" Target="/xl/worksheets/sheet1.xml"/>
+           </Relationships>""",
+      "xl/styles.xml" ->
+        // xf0 general, xf1 builtin date 14, xf2 CUSTOM dd/mm/yyyy,
+        // xf3 builtin datetime 22, xf4 custom money (NOT a date)
+        """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+           <numFmts count="2">
+             <numFmt numFmtId="164" formatCode="dd/mm/yyyy"/>
+             <numFmt numFmtId="165" formatCode="&quot;$&quot;#,##0.00"/>
+           </numFmts>
+           <cellXfs count="5"><xf numFmtId="0"/>
+             <xf numFmtId="14" applyNumberFormat="1"/>
+             <xf numFmtId="164" applyNumberFormat="1"/>
+             <xf numFmtId="22" applyNumberFormat="1"/>
+             <xf numFmtId="165" applyNumberFormat="1"/></cellXfs>
+           </styleSheet>""",
+      "xl/worksheets/sheet1.xml" -> sheetXml)
+
+    // 45658 = 2025-01-01 in the 1900 system
+    val g = Xlsx.read(wb(date1904 = false,
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         <row r="1"><c r="A1" s="1"><v>45658</v></c>
+           <c r="B1" s="2"><v>45658</v></c>
+           <c r="C1" s="3"><v>45658.604166666664</v></c>
+           <c r="D1" s="4"><v>45658</v></c>
+           <c r="E1"><v>45658</v></c></row>
+         </sheetData></worksheet>""")).grid("Datos")
+    assert(g(0)(0) == "2025-01-01")           // builtin date
+    assert(g(0)(1) == "2025-01-01")           // custom dd/mm/yyyy
+    assert(g(0)(2) == "2025-01-01 14:30:00")  // datetime w/ fraction
+    assert(g(0)(3) == "45658")                // money style: raw
+    assert(g(0)(4) == "45658")                // unstyled: raw
+
+    // date1904 workbooks rebase: 44196 = 2025-01-01 in the 1904 system
+    val g4 = Xlsx.read(wb(date1904 = true,
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         <row r="1"><c r="A1" s="1"><v>44196</v></c></row>
+         </sheetData></worksheet>""")).grid("Datos")
+    assert(g4(0)(0) == "2025-01-01")
+
+    // the decoded ISO string parses through the multi-format cleaner
+    // IDENTICALLY to the reference's string path ("01/01/2025")
+    val s = spark
+    import s.implicits._
+    val parsed = Seq(g(0)(0), "01/01/2025").toDF("d")
+      .select(graft.functions.Cleaning.parseDateMulti($"d").as("p"))
+      .collect().map(_.getDate(0).toString)
+    assert(parsed.toSet == Set("2025-01-01"))
+  }
 }
