@@ -566,7 +566,208 @@ object DomainParity {
            (o_orderkey % 10 = 0) AS elimination_present
     FROM orders WHERE o_orderkey % 15 = 0 AND o_orderkey % 97 <> 0"""
 
+  // ------------------------------------------------------ W7/W9 (e2e)
+  /** Payments mart synthesized from `events`: sucursal = event_type,
+    * buckets split by user hash, money as integer CENTS carried in
+    * DOUBLE columns. Every downstream double sum in the forecast
+    * orchestration therefore stays on integers < 2⁵³ — exact in IEEE
+    * regardless of partition/summation order, so the e2e pipeline is
+    * hash-comparable with no decimal routing. */
+  private def forecastMart(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def bucket(r: Int) =
+      (sum(when(pmod($"user_id", lit(3)) === r,
+          $"value".cast("decimal(28,2)"))
+        .otherwise(lit(0).cast("decimal(28,2)"))) * 100)
+        .cast("long").cast("double")
+    Tables.events(s, d)
+      .groupBy($"event_type".as("sucursal"), to_date($"ts").as("fecha"))
+      .agg(bucket(0).as("ingreso_efectivo"),
+        bucket(1).as("ingreso_credito"),
+        bucket(2).as("ingreso_debito"))
+  }
+
+  /** The REAL orchestration path ([[Forecast.runPaymentsForecast]]):
+    * ingreso_total → densify → ≥ minObs guard → NaiveLastWeek →
+    * deposit schedule. Holidays are derived from the data (max date
+    * −6/−13) so the lag-7 candidate skip fires deterministically: the
+    * first two weeks-back candidates of early targets are
+    * holiday-adjacent and the model must walk to k=3
+    * (naive.py:92-176, api.py:179-362). minObs=14 (not the default
+    * 30) so a driver-side regeneration with a shorter range cannot
+    * turn the guard into a data-dependent throw. */
+  private def forecastRun(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    val mart = forecastMart(s, d)
+    val maxD = mart.agg(max($"fecha")).collect()(0).getDate(0).toLocalDate
+    val hols = Set(maxD.minusDays(6), maxD.minusDays(13))
+    Forecast.runPaymentsForecast(mart, horizonDays = 7, holidays = hols,
+      minObs = 14)
+  }
+
+  private val forecastSqlBase: String = """
+    mart AS (
+      SELECT event_type AS sucursal, CAST(ts AS DATE) AS fecha,
+        CAST(CAST(SUM(CASE WHEN user_id % 3 = 0
+              THEN CAST(value AS DECIMAL(28,2))
+              ELSE CAST(0 AS DECIMAL(28,2)) END) * 100 AS BIGINT)
+          AS DOUBLE) AS ingreso_efectivo,
+        CAST(CAST(SUM(CASE WHEN user_id % 3 = 1
+              THEN CAST(value AS DECIMAL(28,2))
+              ELSE CAST(0 AS DECIMAL(28,2)) END) * 100 AS BIGINT)
+          AS DOUBLE) AS ingreso_credito,
+        CAST(CAST(SUM(CASE WHEN user_id % 3 = 2
+              THEN CAST(value AS DECIMAL(28,2))
+              ELSE CAST(0 AS DECIMAL(28,2)) END) * 100 AS BIGINT)
+          AS DOUBLE) AS ingreso_debito
+      FROM events GROUP BY 1, 2),
+    longm AS (
+      SELECT sucursal, fecha, 'ingreso_efectivo' AS metric,
+             ingreso_efectivo AS valor FROM mart
+      UNION ALL SELECT sucursal, fecha, 'ingreso_credito',
+             ingreso_credito FROM mart
+      UNION ALL SELECT sucursal, fecha, 'ingreso_debito',
+             ingreso_debito FROM mart
+      UNION ALL SELECT sucursal, fecha, 'ingreso_total',
+             ingreso_efectivo + ingreso_credito + ingreso_debito
+             FROM mart),
+    cal AS (
+      SELECT sucursal, metric, unnest(generate_series(min(fecha),
+             max(fecha), INTERVAL 1 DAY))::DATE AS fecha
+      FROM longm GROUP BY sucursal, metric),
+    series AS (
+      SELECT cal.sucursal, cal.metric, cal.fecha,
+             COALESCE(SUM(longm.valor), 0.0) AS valor
+      FROM cal LEFT JOIN longm
+        ON cal.sucursal = longm.sucursal AND cal.metric = longm.metric
+       AND cal.fecha = longm.fecha
+      GROUP BY cal.sucursal, cal.metric, cal.fecha),
+    hol AS (
+      SELECT ((SELECT max(fecha) FROM mart) - 6) AS h
+      UNION ALL SELECT ((SELECT max(fecha) FROM mart) - 13)),
+    bounds AS (
+      SELECT sucursal, metric, max(fecha) AS last_date
+      FROM series GROUP BY 1, 2 HAVING COUNT(*) >= 14),
+    targets AS (
+      SELECT sucursal, metric, last_date,
+             last_date + step::INTEGER AS fecha
+      FROM bounds, generate_series(1, 7) AS st(step)),
+    cands AS (
+      SELECT t.sucursal, t.metric, t.fecha, ks.k,
+             t.fecha - (7 * ks.k)::INTEGER AS src
+      FROM targets t, generate_series(1, 52) AS ks(k)
+      WHERE t.fecha - (7 * ks.k)::INTEGER <= t.last_date
+        AND NOT EXISTS (SELECT 1 FROM hol
+          WHERE hol.h BETWEEN t.fecha - (7 * ks.k)::INTEGER - 1
+                          AND t.fecha - (7 * ks.k)::INTEGER + 1)),
+    firstc AS (
+      SELECT *, row_number() OVER (PARTITION BY sucursal, metric, fecha
+                                   ORDER BY k) AS rn
+      FROM cands),
+    fc AS (
+      SELECT f.sucursal, f.fecha, f.metric,
+             COALESCE(s.valor, 0.0) AS valor
+      FROM firstc f LEFT JOIN series s
+        ON f.sucursal = s.sucursal AND f.metric = s.metric
+       AND f.src = s.fecha
+      WHERE f.rn = 1
+      UNION ALL
+      SELECT t.sucursal, t.fecha, t.metric, 0.0 AS valor
+      FROM targets t ANTI JOIN cands c
+        ON t.sucursal = c.sucursal AND t.metric = c.metric
+       AND t.fecha = c.fecha)"""
+
+  /** NaiveLastWeek forecast END-TO-END through the real orchestration
+    * (densify → guard → model → long frame). The oracle restates the
+    * lag-7-with-holiday-skip candidate walk in SQL. */
+  val q206NaiveForecastE2e: Q = (s, d) => {
+    import s.implicits._
+    val (fc, _) = forecastRun(s, d)
+    fc.select($"sucursal", date_format($"fecha", "yyyy-MM-dd").as("fecha"),
+      $"metric", $"valor")
+  }
+  val o206: String = s"""
+    WITH $forecastSqlBase
+    SELECT sucursal, strftime(fecha, '%Y-%m-%d') AS fecha, metric, valor
+    FROM fc"""
+
+  /** Deposit schedule END-TO-END from the same forecast run
+    * ([[Forecast.depositSchedule]]): hist-else-forecast daily totals,
+    * weekday-conditional cash/card batching summed across branches
+    * (cash_flow.py:19-85). DuckDB dayofweek is 0=Sun..6=Sat vs
+    * Spark's 1..7 — the CASE arms are shifted accordingly. */
+  val q207DepositFlowE2e: Q = (s, d) => {
+    import s.implicits._
+    val (_, dep) = forecastRun(s, d)
+    dep.select(date_format($"fecha", "yyyy-MM-dd").as("fecha"),
+      $"efectivo", $"credito", $"debito", $"total")
+  }
+  val o207: String = s"""
+    WITH $forecastSqlBase,
+    lasth AS (SELECT max(fecha) AS lh FROM mart),
+    histdaily AS (
+      SELECT fecha AS dday, SUM(ingreso_efectivo) AS ingreso_efectivo,
+             SUM(ingreso_credito) AS ingreso_credito,
+             SUM(ingreso_debito) AS ingreso_debito
+      FROM mart GROUP BY 1),
+    fcdaily AS (
+      SELECT fecha AS dday,
+        SUM(CASE WHEN metric = 'ingreso_efectivo' THEN valor
+                 ELSE 0.0 END) AS ingreso_efectivo,
+        SUM(CASE WHEN metric = 'ingreso_credito' THEN valor
+                 ELSE 0.0 END) AS ingreso_credito,
+        SUM(CASE WHEN metric = 'ingreso_debito' THEN valor
+                 ELSE 0.0 END) AS ingreso_debito
+      FROM fc GROUP BY 1),
+    dailyu AS (
+      SELECT * FROM histdaily WHERE dday <= (SELECT lh FROM lasth)
+      UNION ALL
+      SELECT * FROM fcdaily WHERE dday > (SELECT lh FROM lasth)),
+    deps AS (SELECT DISTINCT fecha AS dep FROM fc),
+    cashsrc AS (
+      SELECT dep, unnest(CASE dayofweek(dep)
+        WHEN 1 THEN [dep - 3, dep - 2, dep - 1]
+        WHEN 3 THEN [dep - 2, dep - 1]
+        WHEN 5 THEN [dep - 2, dep - 1]
+        ELSE [] END) AS dday
+      FROM deps),
+    cardsrc AS (
+      SELECT dep, unnest(CASE dayofweek(dep)
+        WHEN 1 THEN [dep - 3, dep - 2, dep - 1]
+        WHEN 0 THEN [dep - 2]
+        WHEN 6 THEN [dep - 1]
+        ELSE [dep - 1] END) AS dday
+      FROM deps),
+    cash AS (
+      SELECT dep, COALESCE(SUM(COALESCE(du.ingreso_efectivo, 0.0)), 0.0)
+               AS efectivo
+      FROM cashsrc c LEFT JOIN dailyu du ON c.dday = du.dday
+      GROUP BY dep),
+    cred AS (
+      SELECT dep, COALESCE(SUM(COALESCE(du.ingreso_credito, 0.0)), 0.0)
+               AS credito
+      FROM cardsrc c LEFT JOIN dailyu du ON c.dday = du.dday
+      GROUP BY dep),
+    deb AS (
+      SELECT dep, COALESCE(SUM(COALESCE(du.ingreso_debito, 0.0)), 0.0)
+               AS debito
+      FROM cardsrc c LEFT JOIN dailyu du ON c.dday = du.dday
+      GROUP BY dep)
+    SELECT strftime(deps.dep, '%Y-%m-%d') AS fecha,
+           COALESCE(cash.efectivo, 0.0) AS efectivo,
+           COALESCE(cred.credito, 0.0) AS credito,
+           COALESCE(deb.debito, 0.0) AS debito,
+           COALESCE(cash.efectivo, 0.0) + COALESCE(cred.credito, 0.0)
+             + COALESCE(deb.debito, 0.0) AS total
+    FROM deps
+    LEFT JOIN cash ON deps.dep = cash.dep
+    LEFT JOIN cred ON deps.dep = cred.dep
+    LEFT JOIN deb ON deps.dep = deb.dep"""
+
   val queries: Map[String, Q] = Map(
+    "q206_naive_forecast_e2e" -> q206NaiveForecastE2e,
+    "q207_deposit_flow_e2e" -> q207DepositFlowE2e,
     "q38_staging_clean" -> q38StagingClean,
     "q37_payments_mart" -> q37PaymentsMart,
     "q27_transfer_bucket" -> q27TransferBucket,
@@ -581,6 +782,8 @@ object DomainParity {
     "q36_keyword_cols" -> q36KeywordCols)
 
   val oracles: Map[String, String] = Map(
+    "q206_naive_forecast_e2e" -> o206,
+    "q207_deposit_flow_e2e" -> o207,
     "q38_staging_clean" -> o38,
     "q37_payments_mart" -> o37,
     "q27_transfer_bucket" -> o27,

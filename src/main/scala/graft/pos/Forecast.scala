@@ -237,13 +237,14 @@ object Forecast {
   def runPaymentsForecast(mart: DataFrame, horizonDays: Int = 7,
                           metrics: Seq[String] = DefaultMetrics,
                           holidays: Set[LocalDate] = Set.empty,
-                          model: String = "naive")
+                          model: String = "naive",
+                          minObs: Int = 30)
       : (DataFrame, DataFrame) = {
     val withTotal = withIngresoTotal(mart)
     val series = buildDailySeries(withTotal, metrics)
     val fc = model match {
-      case "naive" => naiveForecast(series, horizonDays, holidays)
-      case "arima" => arimaForecast(series, horizonDays)
+      case "naive" => naiveForecast(series, horizonDays, holidays, minObs)
+      case "arima" => arimaForecast(series, horizonDays, minObs)
       case other => throw new ConfigError(s"unknown model: $other")
     }
     (fc, depositSchedule(fc, withTotal))
