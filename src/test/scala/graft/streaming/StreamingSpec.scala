@@ -795,4 +795,143 @@ class StreamingSpec extends AnyFunSuite {
       docs.filter($"doc_id" > 3), s"$tmp/inc", 1L)
     assert(table(s"$tmp/inc") == inc)
   }
+
+  // ----------------------------------------------------- parity pins
+  // The streaming processors are TWINS of batch queries; these tests
+  // pin that the two spellings cannot drift: same fixture in, same
+  // sessions / survivors out.
+
+  private val utcFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  test("parity: batch q78 sessionization ≡ streaming SessionProcessor") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic fixture: 8 users, ~20 events each, integer values
+    // (value_cents stays exact through the double path), gaps that
+    // sometimes exceed the 30-min session cut. Timestamps built from
+    // epoch millis so batch (session-TZ UTC) and streaming (Timestamp)
+    // render identically regardless of JVM default zone.
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      .toEpochMilli
+    val rnd = new scala.util.Random(42)
+    var eid = 0L
+    val events = (1L to 8L).flatMap { u =>
+      var t = base + rnd.nextInt(3600) * 1000L
+      (0 until 20).map { _ =>
+        t += (rnd.nextInt(50) + 1) * 60 * 1000L // 1..50 min steps
+        eid += 1
+        EventStreaming.Event(eid, new java.sql.Timestamp(t), u,
+          "click", (rnd.nextInt(500) + 1).toDouble)
+      }
+    }
+    // batch side: the REAL q78 over the same rows written as a table
+    val tmp = java.nio.file.Files.createTempDirectory("sesspar").toString
+    events.toDF().withColumn("props",
+        org.apache.spark.sql.functions.lit("{}"))
+      .write.parquet(s"$tmp/events.parquet")
+    val batch = graft.ops.EventOps.q78SessionizeBatch(spark, tmp)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("session_start"), r.getAs[String]("session_end"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("value_cents"))).toSet
+
+    // streaming side: one micro-batch of data, then a far-future
+    // sentinel (twice — the watermark computed in batch N applies in
+    // N+1) so event-time timers flush every open session.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreaming.Event]
+      input.addData(events)
+      val q = EventStreaming.sessionizeTws(input.toDS())
+        .writeStream.format("memory").queryName("parity_sess")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        val sentinel = base + 10L * 24 * 3600 * 1000
+        input.addData(EventStreaming.Event(90001,
+          new java.sql.Timestamp(sentinel), 9999, "click", 1.0))
+        q.processAllAvailable()
+        input.addData(EventStreaming.Event(90002,
+          new java.sql.Timestamp(sentinel + 60000), 9999, "click", 1.0))
+        q.processAllAvailable()
+        val stream = spark.table("parity_sess")
+          .as[EventStreaming.Session].collect()
+          .filter(_.user_id != 9999L)
+          .map(ss => (ss.user_id,
+            utcFmt.format(ss.session_start.toInstant),
+            utcFmt.format(ss.session_end.toInstant),
+            ss.n_events, math.round(ss.total_value * 100)))
+          .toSet
+        assert(batch.nonEmpty && batch == stream,
+          s"batch=${batch.size} stream=${stream.size} " +
+            s"onlyBatch=${(batch -- stream).take(3)} " +
+            s"onlyStream=${(stream -- batch).take(3)}")
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("parity: batch q54 exact-dedup census ≡ dedupStream survivors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 docs over ≤20 distinct texts; duplicate texts stay WITHIN one
+    // source (dedupStream is global — cross-source dups would drop in
+    // the stream but count as per-source distinct in the census).
+    // The fingerprint's token hash is (first char, length)-based, so
+    // cross-source distinguishing tokens must differ in FIRST char
+    // ("zebra"/"quill") and the numeric suffix stays single-digit —
+    // "10"/"11" would collide.
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { i =>
+      val src = if (i <= 22) "s0" else "s1"
+      val word = if (src == "s0") "zebra" else "quill"
+      val text = s"$word corpus document body ${rnd.nextInt(10)}"
+      CorpusStreaming.DocEvent(i,
+        new java.sql.Timestamp(1709251200000L + i * 1000), text, src)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("dedpar").toString
+    docs.toDF().select($"doc_id", $"text", $"source")
+      .write.parquet(s"$tmp/documents.parquet")
+    val census = graft.ops.TextOps.q54ExactDedup(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_distinct"))).toMap
+    val batchFps = CorpusStreaming
+      .withFingerprint(docs.toDF()).select($"fp")
+      .distinct().as[Long].collect().toSet
+
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(docs)
+    val q = CorpusStreaming.dedupStream(input.toDS())
+      .writeStream.format("memory").queryName("parity_dedup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val survivors = spark.table("parity_dedup").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("fp")))
+      // fingerprint SET parity: the stream keeps exactly one doc per
+      // distinct content key, the same keys the batch census counts
+      assert(survivors.map(_._2).toSet == batchFps)
+      assert(survivors.length == batchFps.size) // no double-emission
+      val perSource = survivors.groupBy(_._1).map { case (k, v) =>
+        (k, v.length.toLong)
+      }
+      for ((src, (_, nDistinct)) <- census)
+        assert(perSource(src) == nDistinct,
+          s"$src: stream=${perSource(src)} batch=$nDistinct")
+      // and the census arithmetic holds on the fixture (real dups)
+      assert(census.values.exists { case (nDocs, nDist) =>
+        nDocs > nDist })
+    } finally q.stop()
+  }
 }
