@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * compute-heavy queries. */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val loadStart = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -58,7 +59,33 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":[${failed.mkString(",")}],"sf":"$sfDir"}""")
+    // Provenance: single-query numbers on this box inflate 3-4x when
+    // anything else (another sbt, a test suite) runs concurrently, and
+    // round-over-round comparisons have been misled by it. Record the
+    // 1-min load average before/after so a polluted run is visible in
+    // the artifact itself; `concurrent` flags a machine that was
+    // already busy when the suite started.
+    val loadEnd = load1()
+    val concurrent = loadStart > 4.0
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":[${failed.mkString(",")}],"sf":"$sfDir",""" +
+      s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""cpus":$cpus,"concurrent":$concurrent}"""
+    println(json)
+    // the driver captures stdout with a bounded tail that has truncated
+    // the per-query map before (BENCH_r05); keep a full copy on disk
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_LAST.json"),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
+
+  /** 1-minute load average, -1 if unavailable. */
+  private def load1(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
 }
