@@ -247,6 +247,13 @@ object Forecast {
       case "arima" => arimaForecast(series, horizonDays, minObs)
       case other => throw new ConfigError(s"unknown model: $other")
     }
-    (fc, depositSchedule(fc, withTotal))
+    // The schedule derives deposits + all three bucket totals from the
+    // forecast frame — five references, each of which would re-execute
+    // the entire candidate-walk subtree. The forecast output is tiny
+    // (branches x metrics x horizon), so materialize it once; at
+    // cluster scale this is the same call the q82 curation capstone
+    // makes on its shared shingle basis.
+    val fcM = fc.localCheckpoint()
+    (fcM, depositSchedule(fcM, withTotal))
   }
 }
