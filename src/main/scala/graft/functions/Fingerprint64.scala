@@ -134,6 +134,52 @@ object MinHash4Util {
   }
 }
 
+/** Native kernel for winnowing fingerprint selection (q208 and the
+  * MOSS-style repeated-span detector): the distinct window-4 minima
+  * of the shingle stream in ONE pass, replacing the composed
+  * `array_distinct(transform(sequence(...), i -> array_min(slice(...))))`
+  * spelling whose interpreted lambdas allocate a 4-element slice per
+  * window per row. Bit contract (ScalaCheck-pinned against the
+  * composed witness): windows are every 4 consecutive shingles;
+  * fewer than 4 shingles degenerate to the one whole-array window;
+  * empty input selects nothing; distinctness keeps first-occurrence
+  * order (array_distinct semantics — order is irrelevant to the
+  * exploded consumers but the parity pin compares arrays). */
+object Winnow4Util {
+  private val W = 4
+
+  def winnow(arr: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (n < W) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val v = arr.getLong(i); if (v < m) m = v; i += 1 }
+      seen.add(m)
+    } else {
+      var i = 0
+      val last = n - W
+      while (i <= last) {
+        var m = arr.getLong(i)
+        var j = i + 1
+        val end = i + W
+        while (j < end) { val v = arr.getLong(j); if (v < m) m = v; j += 1 }
+        seen.add(m)
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** `minhash4_native(array<bigint>)` → array<bigint> (4 lanes; null
   * lanes for an empty shingle set). */
 case class MinHash4(child: Expression) extends UnaryExpression {
@@ -150,6 +196,24 @@ case class MinHash4(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression)
       : MinHash4 = copy(child = newChild)
   override def prettyName: String = "minhash4"
+}
+
+/** `winnow4_native(array<bigint>)` → array<bigint> (distinct window-4
+  * minima; whole-array min below 4 elements; empty → empty). */
+case class Winnow4(child: Expression) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    Winnow4Util.winnow(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.Winnow4Util.winnow($c)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : Winnow4 = copy(child = newChild)
+  override def prettyName: String = "winnow4"
 }
 
 /** `shingles3_native(string)` → array<bigint>. */

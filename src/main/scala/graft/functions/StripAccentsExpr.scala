@@ -186,6 +186,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "minhash4_native"),
       (children: Seq[Expression]) => MinHash4(children.head)))
     ext.injectFunction((
+      FunctionIdentifier("winnow4_native"),
+      new ExpressionInfo(classOf[Winnow4].getName,
+        "winnow4_native"),
+      (children: Seq[Expression]) => Winnow4(children.head)))
+    ext.injectFunction((
       FunctionIdentifier("dot_f32_native"),
       new ExpressionInfo(classOf[DotProduct].getName,
         "dot_f32_native"),

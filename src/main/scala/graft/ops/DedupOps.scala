@@ -814,7 +814,109 @@ object DedupOps {
     SELECT doc_a, doc_b, lev, norm_dist FROM v
     WHERE norm_dist <= 0.4"""
 
+  // ------------------------------------------------------- winnowing
+  /** Winnowing window: each run of [[WinnowW]] consecutive shingle
+    * hashes contributes its minimum. Guarantee (Schleimer, Wilkerson
+    * & Aiken, "Winnowing: Local Algorithms for Document
+    * Fingerprinting", SIGMOD 2003): selected density ≤ 2/(W+1), and
+    * any token run of ≥ W+2 tokens (W shingle windows) shared by two
+    * documents yields at least one SHARED selected fingerprint. */
+  private[ops] val WinnowW = 4
+
+  /** Adds `sel` — the winnowed fingerprint set — to a shingled frame
+    * via the native one-pass [[graft.functions.Winnow4]] kernel.
+    * Entirely IN-ROW: window minima over the shingle array; docs with
+    * fewer than W shingles contribute their global minimum (the
+    * degenerate one-window case), empty docs select nothing. */
+  private[graft] def withWinnowed(base: DataFrame): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    base.withColumn("sel", bridge.column(graft.functions.Winnow4(
+      bridge.expression(col("shs")))))
+  }
+
+  /** The composed spelling of [[withWinnowed]] — the ScalaCheck-pinned
+    * parity witness of the native kernel. The CASE guard keeps
+    * `sequence` ascending (the [[pairGenExpr]] partiality lesson —
+    * sequence(1,0) counts DOWN); the filter() arm makes the < W
+    * branch total (empty array → [null] → []). */
+  private[graft] def withWinnowedComposed(base: DataFrame): DataFrame =
+    base.withColumn("sel", expr(s"""
+      CASE WHEN size(shs) >= $WinnowW THEN
+        array_distinct(transform(sequence(1, size(shs) - ${WinnowW - 1}),
+          i -> array_min(slice(shs, i, $WinnowW))))
+      ELSE filter(array(array_min(shs)), x -> x IS NOT NULL) END"""))
+
+  /** Winnowing fingerprint match pairs — the MOSS shape: cross-doc
+    * REPEATED-SPAN detection with a locality guarantee exact dedup
+    * lacks (any shared run ≥ W+2 tokens is caught) and MinHash only
+    * offers in expectation. Reports pairs sharing ≥ 2 selected
+    * fingerprints with both selection sizes and the shared-span
+    * containment i / min(|A|, |B|).
+    *
+    * 100 TB design: selection never shuffles raw shingles — only the
+    * ≤ 2/(W+1)-dense selected set explodes; then exactly q58's layout
+    * (ONE fingerprint-keyed exchange, df-capped posting lists, in-row
+    * bounded pair generation, sizes counted AFTER the cap so both
+    * sides of the containment see the same sets). */
+  val q208Winnowing: Q = (s, d) => {
+    import s.implicits._
+    val base = withWinnowed(withShingles(
+      Tables.documents(s, d).select($"doc_id", $"text")))
+    val exploded = base.select($"doc_id", explode($"sel").as("fp"))
+    val postings = exploded.groupBy($"fp")
+      .agg(collect_list($"doc_id").as("docs"))
+      .filter(size($"docs") <= MaxShingleDf)
+    val sizes = postings
+      .select(explode($"docs").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = postings
+      .filter(size($"docs") >= 2)
+      .withColumn("ds", sort_array($"docs"))
+      .select(explode(expr(pairGenExpr("ds",
+        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
+        .as("pr"))
+    pairs
+      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 2)
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("sel_a")),
+        Seq("doc_a"))
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("sel_b")),
+        Seq("doc_b"))
+      .withColumn("span_containment", $"n_shared".cast("double") /
+        least($"sel_a", $"sel_b").cast("double"))
+      .select($"doc_a", $"doc_b", $"n_shared", $"sel_a", $"sel_b",
+        $"span_containment")
+  }
+  val o208: String = s"""
+    WITH selb AS (
+      SELECT doc_id,
+        CASE WHEN len(shs) >= $WinnowW THEN
+          list_distinct(list_transform(
+            generate_series(1, len(shs) - ${WinnowW - 1}),
+            i -> list_min(list_slice(shs, i, i + ${WinnowW - 1}))))
+        ELSE list_filter([list_min(shs)], x -> x IS NOT NULL) END AS sel
+      FROM (SELECT doc_id, $shinglesSql AS shs
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))),
+    sh0 AS (SELECT doc_id, unnest(sel) AS fp FROM selb),
+    kept AS (SELECT fp FROM sh0 GROUP BY fp
+             HAVING COUNT(*) <= $MaxShingleDf),
+    sh AS (SELECT sh0.doc_id, sh0.fp FROM sh0 JOIN kept USING (fp)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT doc_a, doc_b, n_shared, sa.n AS sel_a, sb.n AS sel_b,
+      CAST(n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+        AS span_containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b"""
+
   val queries: Map[String, Q] = Map(
+    "q208_winnowing" -> q208Winnowing,
     "q56_minhash" -> q56MinHash,
     "q107_minhash_estimate" -> q107MinhashEstimate,
     "q156_source_overlap" -> q156SourceOverlap,
@@ -827,6 +929,7 @@ object DedupOps {
     "q174_containment_pairs" -> q174ContainmentPairs)
 
   val oracles: Map[String, String] = Map(
+    "q208_winnowing" -> o208,
     "q56_minhash" -> o56,
     "q107_minhash_estimate" -> o107,
     "q156_source_overlap" -> o156,

@@ -283,4 +283,111 @@ object CorpusStreaming {
       .transformWithState(new QuotaProcessor(cap),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** One LSH band-bucket membership row: `bkey` = "band|h1|h2" from
+    * the doc's MinHash signature (band 0 = lanes 0,1; band 1 =
+    * lanes 2,3 — exactly q57's banding). */
+  final case class BandEntry(bkey: String, doc_id: Long, tsMillis: Long)
+
+  /** A streaming near-dup candidate: two docs that agreed on one
+    * whole signature band. `saturated = true` rows are NOT pairs —
+    * they mark an arrival REFUSED by a full bucket (doc_b = -1), the
+    * stream's spelling of the batch overflow census. */
+  final case class LshCandidate(band: Int, h1: Long, h2: Long,
+                                doc_a: Long, doc_b: Long,
+                                saturated: Boolean)
+
+  /** STREAMING LSH candidate generation — the online twin of q57's
+    * band buckets with the banded generators' bucket cap: per
+    * band-bucket, membership lives in a ListState bounded by `cap`;
+    * an arriving doc emits one candidate pair against each stored
+    * member, then joins the bucket. Output per bucket is therefore
+    * ≤ C(cap, 2) pairs FOREVER, whatever a degenerate boilerplate
+    * bucket sees — the same bound the batch side enforces by
+    * dropping over-cap buckets. (Batch drops retroactively; a stream
+    * cannot un-emit, so it stops ADMITTING instead and emits a
+    * `saturated` marker per refused arrival — routable to the same
+    * quarantine/monitoring sink as [[QuotaProcessor]] overflow.)
+    *
+    * A pair agreeing on BOTH bands emits under each (q57 counts per
+    * band the same way); the downstream verifier dedups when it
+    * Jaccard/Hamming-checks candidates — exactly the batch contract.
+    * Replayed doc_ids (at-least-once sources) are membership-deduped
+    * in-bucket, so replays emit no duplicate pairs. */
+  final class BandBucketProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, BandEntry, LshCandidate] {
+    import org.apache.spark.sql.streaming.{ListState, OutputMode,
+      TTLConfig, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      members = getHandle.getListState("members", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandEntry],
+                                 tv: TimerValues)
+        : Iterator[LshCandidate] = {
+      val parts = key.split('|')
+      val (band, h1, h2) =
+        (parts(0).toInt, parts(1).toLong, parts(2).toLong)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      members.get().foreach(buf += _)
+      val out =
+        scala.collection.mutable.ListBuffer.empty[LshCandidate]
+      var grew = false
+      rows.toSeq.sortBy(e => (e.tsMillis, e.doc_id)).foreach { e =>
+        if (!buf.contains(e.doc_id)) {
+          if (buf.length < cap) {
+            buf.foreach { m =>
+              out += LshCandidate(band, h1, h2, math.min(m, e.doc_id),
+                math.max(m, e.doc_id), saturated = false)
+            }
+            buf += e.doc_id
+            grew = true
+          } else {
+            out += LshCandidate(band, h1, h2, e.doc_id, -1L,
+              saturated = true)
+          }
+        }
+      }
+      if (grew) { members.clear(); members.put(buf.toArray) }
+      out.iterator
+    }
+  }
+
+  /** [[BandBucketProcessor]] wired to the intake stream: signature =
+    * the SAME native MinHash4 kernel as batch q56 (so batch indexes
+    * and stream candidates interoperate), banded exactly like q57.
+    * Docs with no shingles (null signature lanes) carry no LSH signal
+    * and are filtered before keying. */
+  def lshCandidatesStream(docs: Dataset[DocEvent],
+                          cap: Int = graft.ops.DedupOps.MaxBandBucket)
+      : Dataset[LshCandidate] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    // same native kernel as minhashFrom, inlined to carry `ts` through
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    val sig = graft.ops.DedupOps.withShingles(
+        docs.toDF().select(col("doc_id"), col("ts"), col("text")))
+      .withColumn("mh", bridge.column(graft.functions.MinHash4(
+        bridge.expression(col("shs")))))
+      .select(col("doc_id"), col("ts"),
+        col("mh").getItem(0).as("mh0"), col("mh").getItem(1).as("mh1"),
+        col("mh").getItem(2).as("mh2"), col("mh").getItem(3).as("mh3"))
+      .filter(col("mh0").isNotNull)
+    sig
+      .select(expr("""explode(array(
+          named_struct('band', 0, 'h1', mh0, 'h2', mh1),
+          named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"""),
+        col("doc_id"), unix_millis(col("ts")).as("tsMillis"))
+      .select(concat_ws("|", col("b.band"), col("b.h1"), col("b.h2"))
+        .as("bkey"), col("doc_id"), col("tsMillis"))
+      .as[BandEntry]
+      .groupByKey(_.bkey)
+      .transformWithState(new BandBucketProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -112,6 +112,21 @@ object EngineProperties extends Properties("engine") {
         sig(graft.ops.DedupOps.minhashFromComposed(df))
     }
 
+  property("winnow4_native == composed window-min spelling, any array") =
+    Prop.forAllNoShrink(Gen.listOfN(6,
+      Gen.choose(0, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0L, 1000000006L))))) { arrs =>
+      val s = spark
+      import s.implicits._
+      val df = arrs.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("doc_id", "shs")
+      def sel(v: org.apache.spark.sql.DataFrame) =
+        v.orderBy($"doc_id").select($"sel").collect()
+          .map(_.getSeq[Long](0).toList).toSeq
+      sel(graft.ops.DedupOps.withWinnowed(df)) ==
+        sel(graft.ops.DedupOps.withWinnowedComposed(df))
+    }
+
   property("shingles3_native == composed HOF spelling, any text") =
     Prop.forAllNoShrink(Gen.listOfN(8, fpText)) { texts =>
       val s = spark

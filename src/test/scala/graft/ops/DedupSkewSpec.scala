@@ -88,4 +88,56 @@ class DedupSkewSpec extends AnyFunSuite {
       PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // --------------------------------------------------- winnowing (q208)
+
+  private def winnowedSets(texts: Seq[(Long, String)]): Map[Long, Set[Long]] = {
+    val s = spark
+    import s.implicits._
+    DedupOps.withWinnowed(DedupOps.withShingles(
+        texts.toDF("doc_id", "text")))
+      .select($"doc_id", $"sel").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+  }
+
+  test("winnowing guarantee: a shared run of ≥ W+2 tokens always " +
+    "shares a selected fingerprint, whatever surrounds it") {
+    // two docs embed the same 8-token run (> W+2 = 6) at arbitrary
+    // positions inside otherwise-disjoint random token streams
+    val word = Gen.choose('b', 'y').flatMap(c =>
+      Gen.choose(1, 6).map(len => c.toString * len))
+    val stream = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, word))
+    val run = "zz qq ww rr tt uu vv ss"
+    val prop = Prop.forAllNoShrink(stream, stream, stream, stream) {
+      (a1, a2, b1, b2) =>
+        val docA = (a1 :+ run) ++ a2
+        val docB = (b1 :+ run) ++ b2
+        val sets = winnowedSets(Seq(
+          1L -> docA.mkString(" "), 2L -> docB.mkString(" ")))
+        (sets(1L) intersect sets(2L)).nonEmpty
+    }
+    val res = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("winnowing coverage: every W-window of the shingle stream " +
+    "contains a selected fingerprint; short/empty docs are total") {
+    val sets = winnowedSets(Seq(
+      1L -> "aa bb cc dd ee ff gg hh ii jj",
+      2L -> "aa bb cc",    // exactly one shingle (< W) -> its min
+      3L -> "aa",          // no shingles -> empty selection
+      4L -> ""))
+    val s = spark
+    import s.implicits._
+    val shs = DedupOps.withShingles(
+        Seq(1L -> "aa bb cc dd ee ff gg hh ii jj").toDF("doc_id", "text"))
+      .select($"shs").collect()(0).getSeq[Long](0)
+    val w = DedupOps.WinnowW
+    (0 to shs.length - w).foreach { i =>
+      assert(sets(1L).contains(shs.slice(i, i + w).min),
+        s"window at $i lost its minimum")
+    }
+    assert(sets(2L).size == 1 && sets(3L).isEmpty && sets(4L).isEmpty)
+  }
 }

@@ -796,6 +796,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(table(s"$tmp/inc") == inc)
   }
 
+  test("streaming LSH candidates: band matches pair across batches, " +
+    "replays dedup, full buckets saturate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val textA = "alpha beta gamma delta epsilon zeta eta theta"
+      val textB = "one two three four five six seven"
+      val input = MemoryStream[CorpusStreaming.DocEvent]
+      input.addData(
+        CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), textA, "s0"),
+        CorpusStreaming.DocEvent(2, ts("2024-01-01 10:00:01"), textB, "s0"))
+      val q = CorpusStreaming
+        .lshCandidatesStream(input.toDS(), cap = 2)
+        .writeStream.format("memory").queryName("lsh_cand")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        // disjoint texts: no bucket overlaps yet
+        assert(spark.table("lsh_cand").count() == 0)
+        // identical content arrives later -> both bands pair (1,3);
+        // a replayed doc_id 1 must add nothing
+        input.addData(
+          CorpusStreaming.DocEvent(3, ts("2024-01-01 10:05:00"), textA, "s1"),
+          CorpusStreaming.DocEvent(1, ts("2024-01-01 10:05:01"), textA, "s0"))
+        q.processAllAvailable()
+        val pairs = spark.table("lsh_cand").collect()
+          .map(r => (r.getAs[Int]("band"), r.getAs[Long]("doc_a"),
+            r.getAs[Long]("doc_b"), r.getAs[Boolean]("saturated")))
+        assert(pairs.toSet == Set((0, 1L, 3L, false), (1, 1L, 3L, false)),
+          pairs.mkString(";"))
+        // bucket already holds {1, 3} = cap -> a third copy saturates
+        // (marker rows, not pairs) on both bands
+        input.addData(
+          CorpusStreaming.DocEvent(4, ts("2024-01-01 10:10:00"), textA, "s2"))
+        q.processAllAvailable()
+        val sat = spark.table("lsh_cand").collect()
+          .filter(_.getAs[Boolean]("saturated"))
+          .map(r => (r.getAs[Int]("band"), r.getAs[Long]("doc_a"),
+            r.getAs[Long]("doc_b")))
+        assert(sat.toSet == Set((0, 4L, -1L), (1, 4L, -1L)))
+        // and no pair rows beyond the original two
+        assert(spark.table("lsh_cand").collect()
+          .count(!_.getAs[Boolean]("saturated")) == 2)
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   // ----------------------------------------------------- parity pins
   // The streaming processors are TWINS of batch queries; these tests
   // pin that the two spellings cannot drift: same fixture in, same
