@@ -1180,7 +1180,69 @@ object InsightOps {
       CAST(SUM(dur_s) AS DOUBLE) / COUNT(*) AS avg_dur_s
     FROM agg GROUP BY 1"""
 
+  // --------------------------------------------------- k-anonymity
+  /** k-anonymity release audit over a generalization ladder — the
+    * privacy gate a dataset passes before rows leave the platform:
+    * a row is re-identifiable when its quasi-identifier (QI) tuple
+    * is shared by fewer than k records. Three ladder rungs in ONE
+    * pass via ROLLUP(seg, nat, bal_bucket) — each rung drops the
+    * most identifying attribute: (segment, nation, balance-bucket) →
+    * (segment, nation) → (segment). Per rung: distinct QI groups,
+    * groups under k, and rows at risk (Σ sizes of small groups).
+    *
+    * 100 TB design: the rollup Expand is ×4 over a THREE-column
+    * projection with map-side partial counts — one shuffle keyed on
+    * (gid, QI), then a 3-row summary; the alternative is one full
+    * scan per rung. No windows, no distinct, exact integers end to
+    * end. The oracle states each rung as an explicit aggregate
+    * (semantics, not plan). */
+  val q209KAnonymity: Q = (s, d) => {
+    import s.implicits._
+    val k = 5
+    val qi = Tables.customer(s, d).select(
+      $"c_mktsegment".as("seg"), $"c_nationkey".as("nat"),
+      floor($"c_acctbal" / 1000.0).cast("long").as("bal_bucket"))
+    // gid bits (MSB = first rollup column): (seg,nat,bal)=0,
+    // (seg,nat)=1, (seg)=3, ()=7 — the grand total is not a rung
+    val groups = qi.rollup($"seg", $"nat", $"bal_bucket")
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      .filter($"gid" =!= 7)
+    groups.groupBy($"gid")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when($"n" < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when($"n" < k, $"n").otherwise(0L)).as("rows_at_risk"))
+      .select(
+        when($"gid" === 0, "seg_nat_bal").when($"gid" === 1, "seg_nat")
+          .otherwise("seg").as("rung"),
+        $"n_groups", $"n_small_groups", $"rows_at_risk")
+  }
+  val o209: String = """
+    WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+      FROM customer),
+    g0 AS (SELECT COUNT(*) AS n FROM qi GROUP BY seg, nat, bal_bucket),
+    g1 AS (SELECT COUNT(*) AS n FROM qi GROUP BY seg, nat),
+    g2 AS (SELECT COUNT(*) AS n FROM qi GROUP BY seg)
+    SELECT 'seg_nat_bal' AS rung, COUNT(*) AS n_groups,
+      CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_small_groups,
+      CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        AS rows_at_risk
+    FROM g0
+    UNION ALL
+    SELECT 'seg_nat', COUNT(*),
+      CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+    FROM g1
+    UNION ALL
+    SELECT 'seg', COUNT(*),
+      CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+    FROM g2"""
+
   val queries: Map[String, Q] = Map(
+    "q209_k_anonymity" -> q209KAnonymity,
     "q202_fd_audit" -> q202FdAudit,
     "q203_attribution_sweep" -> q203AttributionSweep,
     "q204_join_card_audit" -> q204JoinCardAudit,
@@ -1204,6 +1266,7 @@ object InsightOps {
     "q191_decay_engagement" -> q191DecayEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q209_k_anonymity" -> o209,
     "q202_fd_audit" -> o202,
     "q203_attribution_sweep" -> o203,
     "q204_join_card_audit" -> o204,
