@@ -863,9 +863,13 @@ object DedupOps {
     val base = withWinnowed(withShingles(
       Tables.documents(s, d).select($"doc_id", $"text")))
     val exploded = base.select($"doc_id", explode($"sel").as("fp"))
+    // checkpointed: feeds both the size census (joined twice) and the
+    // pair path — without it the scan+shingle+winnow subtree executes
+    // once per consumer (the q60/q157 groups convention)
     val postings = exploded.groupBy($"fp")
       .agg(collect_list($"doc_id").as("docs"))
       .filter(size($"docs") <= MaxShingleDf)
+      .localCheckpoint()
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))

@@ -55,13 +55,26 @@ object Extraction {
       .map(_.stripPrefix("UTF-8''"))
   }
 
-  /** Export response decode: JSON `{"fileBase64": …}` or a direct
-    * attachment (extraction.py:702-714). */
+  /** Export response decode: JSON `{"fileBase64": …}`, a direct
+    * attachment, or — anything else — the reference's
+    * unexpected-content-type raise with the body prefix for
+    * diagnostics (extraction.py:702-720). The JSON fallback name is
+    * UNDATED (`{report}.xlsx`, extraction.py:708) while the
+    * attachment fallback is dated (`{report}_{start}_{end}.xlsx`,
+    * :713) — the reference uses different defaults per branch, so
+    * the two are separate parameters. The raise matters
+    * operationally: an expired session answers the export POST with
+    * 200 + an HTML login page, and without the guard that HTML would
+    * be stored as a workbook and fail much later, far from the auth
+    * fault. */
   def decodeExport(contentType: String, body: Array[Byte],
                    contentDisposition: String = "",
-                   defaultName: String = "export.xlsx")
+                   defaultName: String = "export.xlsx",
+                   attachmentDefaultName: String = null)
       : (String, Array[Byte]) = {
-    if (contentType != null && contentType.contains("application/json")) {
+    val ct = Option(contentType).getOrElse("").toLowerCase
+    val cd = Option(contentDisposition).getOrElse("")
+    if (ct.contains("application/json")) {
       val text = new String(body, java.nio.charset.StandardCharsets.UTF_8)
       val b64 = "\"fileBase64\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(text).map(_.group(1))
@@ -71,10 +84,18 @@ object Extraction {
       val name = "\"fileName\"\\s*:\\s*\"([^\"]+)\"".r
         .findFirstMatchIn(text).map(_.group(1)).getOrElse(defaultName)
       (name, java.util.Base64.getDecoder.decode(b64))
-    } else {
-      val name = contentDispositionFilename(contentDisposition)
-        .getOrElse(defaultName)
+    } else if (ct.contains("application/vnd") ||
+        ct.contains("application/octet-stream") ||
+        cd.toLowerCase.contains("attachment")) {
+      val name = contentDispositionFilename(cd)
+        .getOrElse(Option(attachmentDefaultName).getOrElse(defaultName))
       (name, body)
+    } else {
+      val preview = new String(body.take(300),
+        java.nio.charset.StandardCharsets.UTF_8)
+      throw new ExtractionError(
+        s"Export returned unexpected content-type $ct. " +
+          s"Body starts: $preview")
     }
   }
 

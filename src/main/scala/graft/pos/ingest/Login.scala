@@ -356,8 +356,11 @@ object Login {
         "401 Unauthorized on export — auth expired or CSRF missing.")
     ensureOk(r,
       s"Export failed for ${d.reportName} $subsidiaryId $start..$end")
+    // JSON fallback is UNDATED, attachment fallback dated
+    // (extraction.py:708 vs :713)
     Extraction.decodeExport(r.contentType, r.body, r.contentDisposition,
-      defaultName = s"${d.reportName}_${start}_${end}.xlsx")
+      defaultName = s"${d.reportName}.xlsx",
+      attachmentDefaultName = s"${d.reportName}_${start}_${end}.xlsx")
   }
 
   /** `extraction.py:723-770` — named sales reports route through the
@@ -404,6 +407,7 @@ object Login {
     }
     ensureOk(r, "ExportTransfersIssued failed")
     Extraction.decodeExport(r.contentType, r.body, r.contentDisposition,
-      defaultName = s"TransfersIssued_${start}_${end}.xlsx")
+      defaultName = "TransfersIssued.xlsx",
+      attachmentDefaultName = s"TransfersIssued_${start}_${end}.xlsx")
   }
 }

@@ -102,12 +102,18 @@ object Xlsx {
     * for date/time placeholder letters. A lone `m` next to `h`/`s`
     * context is a minute, not a month. */
   private[sources] def formatDateKind(code: String): Option[DateKind] = {
+    // elapsed-duration brackets ([h]:mm, [mm]:ss — worked-hours
+    // formats) are TIME markers and must be seen BEFORE the general
+    // [...] strip removes them (POI's isADateFormat does the same);
+    // color/condition blocks like [Red] or [>=100] don't match
+    val elapsed =
+      "\\[(h+|m+|s+)\\]".r.findFirstIn(code.toLowerCase).isDefined
     val stripped = code
       .replaceAll("\"[^\"]*\"", "")
       .replaceAll("\\[[^\\]]*\\]", "")
       .replaceAll("\\\\.", "")
       .toLowerCase
-    val hasTime = stripped.contains('h') ||
+    val hasTime = elapsed || stripped.contains('h') ||
       (stripped.contains('s') && stripped.contains(':'))
     val hasDate = stripped.contains('y') || stripped.contains('d') ||
       (stripped.contains('m') && !hasTime)
@@ -445,14 +451,11 @@ object Xlsx {
                 body.append(s"""<c r="$ref" s="1"><v>${
                   dateSerial(v.toLocalDate)}</v></c>""")
               case v: java.time.LocalDateTime =>
-                body.append(s"""<c r="$ref" s="2"><v>${
-                  dateSerial(v.toLocalDate)}${timeFrac(v.toLocalTime)
-                  }</v></c>""")
+                body.append(
+                  s"""<c r="$ref" s="2"><v>${dateTimeSerial(v)}</v></c>""")
               case v: java.sql.Timestamp =>
-                val ldt = v.toLocalDateTime
                 body.append(s"""<c r="$ref" s="2"><v>${
-                  dateSerial(ldt.toLocalDate)}${timeFrac(ldt.toLocalTime)
-                  }</v></c>""")
+                  dateTimeSerial(v.toLocalDateTime)}</v></c>""")
               case v =>
                 body.append(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${xmlEscape(v.toString)}</t></is></c>""")
             }
@@ -470,17 +473,20 @@ object Xlsx {
     java.time.temporal.ChronoUnit.DAYS.between(
       java.time.LocalDate.of(1899, 12, 30), d)
 
-  /** Time-of-day as the serial's fraction, ".5"-style suffix ("" at
-    * midnight so pure dates stay integral). */
-  private def timeFrac(t: java.time.LocalTime): String = {
-    val secs = t.toSecondOfDay
-    if (secs == 0) ""
-    // plain decimal, locale-free (toString of a small double would go
-    // scientific: 1s = 1.157e-5); 10 digits ≈ millisecond precision
-    else java.math.BigDecimal.valueOf(secs.toLong)
-      .divide(java.math.BigDecimal.valueOf(86400L), 10,
-        java.math.RoundingMode.HALF_UP)
-      .toPlainString.drop(1) // "0.5000000000" → ".5000000000"
+  /** Date+time serial as exact decimal ARITHMETIC (days + secs/86400),
+    * not string concatenation: a pre-1899-12-30 date has a NEGATIVE
+    * day serial, and "-1" ++ ".75" would read as -1.75 where the
+    * correct serial is -1 + 0.75 = -0.25. Plain decimal rendering is
+    * locale-free and never scientific; 10 digits ≈ ms precision. */
+  private def dateTimeSerial(ldt: java.time.LocalDateTime): String = {
+    val days = dateSerial(ldt.toLocalDate)
+    val secs = ldt.toLocalTime.toSecondOfDay
+    if (secs == 0) days.toString
+    else java.math.BigDecimal.valueOf(days)
+      .add(java.math.BigDecimal.valueOf(secs.toLong)
+        .divide(java.math.BigDecimal.valueOf(86400L), 10,
+          java.math.RoundingMode.HALF_UP))
+      .toPlainString
   }
 
   private[sources] def colLetters(c0: Int): String = {

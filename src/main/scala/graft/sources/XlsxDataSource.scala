@@ -86,22 +86,6 @@ private[sources] object XlsxDataSource {
       case None => names.headOption.getOrElse(sys.error("workbook has no sheets"))
     }
 
-  /** Hadoop `Configuration` is not `Serializable`; this wrapper rides the
-    * task closure so executors never need an active `SparkSession` (there
-    * is none on a real cluster — only the driver holds one). */
-  final class SerializableHadoopConf(@transient var value: Configuration)
-      extends Serializable {
-    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
-      out.defaultWriteObject()
-      value.write(out)
-    }
-    private def readObject(in: java.io.ObjectInputStream): Unit = {
-      in.defaultReadObject()
-      value = new Configuration(false)
-      value.readFields(in)
-    }
-  }
-
   /** Driver-side only: enumerate workbooks for planning/inference. */
   def listXlsx(path: String, conf: Configuration): Seq[String] = {
     val p = new Path(path)
@@ -152,7 +136,9 @@ private final class XlsxScan(required: StructType, path: String,
                              sheet: Option[String]) extends Scan with Batch {
   // Captured on the driver at planning time; shipped (serialized) inside
   // the reader factory so executor-side readers never touch SparkSession.
-  private val hadoopConf = new XlsxDataSource.SerializableHadoopConf(
+  private val hadoopConf = // Spark's own serializable Hadoop-conf wrapper: executors never
+  // touch SparkSession (there is none on a real cluster)
+  new org.apache.spark.util.SerializableConfiguration(
     SparkSession.active.sparkContext.hadoopConfiguration)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -169,7 +155,7 @@ private final case class XlsxFilePartition(file: String)
 private final class XlsxReaderFactory(
     required: StructType,
     sheet: Option[String],
-    hadoopConf: XlsxDataSource.SerializableHadoopConf)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new XlsxPartitionReader(p.asInstanceOf[XlsxFilePartition].file,
@@ -180,7 +166,7 @@ private final class XlsxReaderFactory(
   * the executor; only the pruned columns materialize per row. */
 private final class XlsxPartitionReader(
     file: String, required: StructType, sheet: Option[String],
-    hadoopConf: XlsxDataSource.SerializableHadoopConf)
+    hadoopConf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
   private val grid: Vector[Vector[String]] = {
     val wb = Xlsx.read(XlsxDataSource.readBytes(file, hadoopConf.value))

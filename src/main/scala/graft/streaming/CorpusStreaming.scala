@@ -313,7 +313,11 @@ object CorpusStreaming {
     * band the same way); the downstream verifier dedups when it
     * Jaccard/Hamming-checks candidates — exactly the batch contract.
     * Replayed doc_ids (at-least-once sources) are membership-deduped
-    * in-bucket, so replays emit no duplicate pairs. */
+    * in-bucket, so replays emit no duplicate PAIRS. Saturated markers
+    * are per-refused-ARRIVAL telemetry: a replay of a refused doc
+    * emits another marker (refused ids are deliberately not stored —
+    * that set is unbounded, the very thing the cap exists to avoid);
+    * consumers counting unique refused docs dedup on doc_id. */
   final class BandBucketProcessor(cap: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, BandEntry, LshCandidate] {

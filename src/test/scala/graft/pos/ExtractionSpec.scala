@@ -69,6 +69,26 @@ class ExtractionSpec extends AnyFunSuite {
     intercept[ExtractionError] {
       Extraction.decodeExport("application/json", "{}".getBytes)
     }
+    // attachment disposition alone (no vnd/octet-stream ct) still
+    // routes to the attachment branch (extraction.py:713)
+    val (n3, _) = Extraction.decodeExport("text/plain", payload,
+      """attachment; filename="a.xlsx"""")
+    assert(n3 == "a.xlsx")
+    // the dated default applies ONLY to the attachment branch
+    val (n4, _) = Extraction.decodeExport("application/vnd.ms-excel",
+      payload, "", defaultName = "R.xlsx",
+      attachmentDefaultName = "R_2025-01-01_2025-01-07.xlsx")
+    assert(n4 == "R_2025-01-01_2025-01-07.xlsx")
+  }
+
+  test("decodeExport: HTML response raises at the fault site " +
+    "(expired session must not be stored as a workbook)") {
+    val html = "<html><title>Login</title>…".getBytes("UTF-8")
+    val e = intercept[ExtractionError] {
+      Extraction.decodeExport("text/html; charset=utf-8", html)
+    }
+    assert(e.getMessage.contains("unexpected content-type text/html"))
+    assert(e.getMessage.contains("<title>Login</title>"))
   }
 
   test("planDownloads: gaps only, chunked to 180 days") {

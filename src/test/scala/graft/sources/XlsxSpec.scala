@@ -287,6 +287,26 @@ class XlsxSpec extends AnyFunSuite {
     assert(Xlsx.formatDateKind("0.00%").isEmpty)
     // y/d inside quoted literals are text, not placeholders
     assert(Xlsx.formatDateKind("\"day total\" 0.00").isEmpty)
+    // elapsed-duration brackets are TIME even though the [...] strip
+    // removes them (POI isADateFormat keeps [h]/[m]/[s])
+    assert(Xlsx.formatDateKind("[h]:mm").contains(Xlsx.TimeOnly))
+    assert(Xlsx.formatDateKind("[hh]:mm:ss").contains(Xlsx.TimeOnly))
+    assert(Xlsx.formatDateKind("[mm]:ss").contains(Xlsx.TimeOnly))
+    // color/condition blocks are not elapsed markers
+    assert(Xlsx.formatDateKind("[Red]#,##0.00").isEmpty)
+    assert(Xlsx.formatDateKind("[>=100]0.00").isEmpty)
+  }
+
+  test("writer datetime serials are arithmetic, not concatenated " +
+    "(negative pre-1900 serials round-trip)") {
+    val preEpoch = java.time.LocalDateTime.of(1899, 12, 29, 18, 0, 0)
+    val modern = java.time.LocalDateTime.of(2025, 1, 1, 14, 30, 0)
+    val bytes = Xlsx.writeBytes(Seq("Hoja1" -> Seq(
+      Seq[Any](preEpoch, modern))))
+    val g = Xlsx.read(bytes).grid("Hoja1")
+    // -1 + 0.75 must serialize as -0.25 (NOT "-1" ++ ".75" = -1.75)
+    assert(g(0)(0) == "1899-12-29 18:00:00", g(0)(0))
+    assert(g(0)(1) == "2025-01-01 14:30:00", g(0)(1))
   }
 
   test("serial decoding: builtin styles, custom numFmt, date1904, " +
