@@ -1241,7 +1241,80 @@ object InsightOps {
       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
     FROM g2"""
 
+  // ------------------------------------------------------- skyline
+  /** Skyline (Pareto-dominance front) — the multi-criteria "best
+    * offers" operator: per part, the point (min observed price, total
+    * quantity sold); a part is ON the front iff no other part is both
+    * cheaper-or-equal AND as-popular-or-more (strictly better in at
+    * least one). The classic OLAP operator Spark has no built-in for.
+    *
+    * 100 TB design, two phases, no quadratic dominance join:
+    * (1) GRID PRUNE — points bucketed on a fixed price grid; a point
+    * whose quantity ≤ the best quantity of ANY strictly-cheaper
+    * bucket is dominated by that bucket's witness and dropped
+    * in-stream (one ~100-row bucket census window + a broadcast
+    * join). By induction the witness chain terminates at a survivor,
+    * so the prune is sound. (2) EXACT STAIRCASE over the survivors'
+    * price census: a point is on the front iff it holds its price's
+    * max quantity and beats the running max of all strictly cheaper
+    * prices. The unpartitioned windows ride the bucket census
+    * (~100 rows) and the surviving near-front price census (the
+    * dominated mass never reaches them) — never the full point set. */
+  /** The two-phase skyline core over a (l_partkey, p minimize,
+    * q maximize) frame — split out so the prune-soundness property
+    * can drive it on arbitrary point sets (InsightSkySpec). */
+  private[graft] def skylineOf(pts: DataFrame,
+                               bucketWidth: Double): DataFrame = {
+    val s = pts.sparkSession
+    import s.implicits._
+    val bucketed =
+      pts.withColumn("b", floor($"p" / bucketWidth).cast("long"))
+    val wb = Window.orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val priorByBucket = bucketed.groupBy($"b")
+      .agg(max($"q").as("bmax"))
+      .withColumn("bprior", max($"bmax").over(wb))
+      .select($"b", $"bprior")
+    val surv = bucketed
+      .join(broadcast(priorByBucket), Seq("b"))
+      .filter($"bprior".isNull || $"q" > $"bprior")
+    val wp = Window.orderBy($"p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val stair = surv.groupBy($"p").agg(max($"q").as("pd"))
+      .withColumn("pprior", max($"pd").over(wp))
+    surv.join(stair, Seq("p"))
+      .filter($"q" === $"pd" && ($"pprior".isNull || $"pd" > $"pprior"))
+      .select($"l_partkey", $"p".cast("double").as("best_price"),
+        $"q".cast("double").as("total_qty"))
+  }
+
+  val q210Skyline: Q = (s, d) => {
+    import s.implicits._
+    val pts = Tables.lineitem(s, d)
+      .groupBy($"l_partkey")
+      .agg(min($"l_extendedprice".cast("decimal(18,2)")).as("p"),
+        sum($"l_quantity".cast("decimal(18,2)"))
+          .cast("decimal(18,2)").as("q"))
+    skylineOf(pts, bucketWidth = 1000.0)
+  }
+  val o210: String = """
+    WITH pts AS (
+      SELECT l_partkey,
+             min(CAST(l_extendedprice AS DECIMAL(18,2))) AS p,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+               AS DECIMAL(18,2)) AS q
+      FROM lineitem GROUP BY 1),
+    pc AS (SELECT p, max(q) AS pd FROM pts GROUP BY p),
+    st AS (SELECT p, pd, max(pd) OVER (ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pprior
+           FROM pc)
+    SELECT t.l_partkey, CAST(t.p AS DOUBLE) AS best_price,
+           CAST(t.q AS DOUBLE) AS total_qty
+    FROM pts t JOIN st ON t.p = st.p
+    WHERE t.q = st.pd AND (st.pprior IS NULL OR st.pd > st.pprior)"""
+
   val queries: Map[String, Q] = Map(
+    "q210_skyline" -> q210Skyline,
     "q209_k_anonymity" -> q209KAnonymity,
     "q202_fd_audit" -> q202FdAudit,
     "q203_attribution_sweep" -> q203AttributionSweep,
@@ -1266,6 +1339,7 @@ object InsightOps {
     "q191_decay_engagement" -> q191DecayEngagement)
 
   val oracles: Map[String, String] = Map(
+    "q210_skyline" -> o210,
     "q209_k_anonymity" -> o209,
     "q202_fd_audit" -> o202,
     "q203_attribution_sweep" -> o203,

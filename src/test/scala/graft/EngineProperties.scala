@@ -127,6 +127,31 @@ object EngineProperties extends Properties("engine") {
         sel(graft.ops.DedupOps.withWinnowedComposed(df))
     }
 
+  property("skyline two-phase (grid prune + staircase) == brute-force " +
+    "dominance on arbitrary points and bucket widths") =
+    Prop.forAllNoShrink(
+      Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 40), Gen.choose(0, 40)))),
+      Gen.oneOf(1.0, 3.0, 7.0, 1000.0)) { (raw, width) =>
+      val s = spark
+      import s.implicits._
+      val pts = raw.zipWithIndex.map { case ((p, q), i) =>
+        (i.toLong, BigDecimal(p).setScale(2), BigDecimal(q).setScale(2))
+      }
+      val df = pts.toDF("l_partkey", "p", "q")
+        .select($"l_partkey", $"p".cast("decimal(18,2)").as("p"),
+          $"q".cast("decimal(18,2)").as("q"))
+      val got = graft.ops.InsightOps.skylineOf(df, width)
+        .select($"l_partkey").as[Long].collect().toSet
+      // brute force: on the front iff nothing strictly dominates
+      val ref = pts.filter { case (i, p, q) =>
+        !pts.exists { case (j, p2, q2) =>
+          j != i && p2 <= p && q2 >= q && (p2 < p || q2 > q)
+        }
+      }.map(_._1).toSet
+      got == ref
+    }
+
   property("shingles3_native == composed HOF spelling, any text") =
     Prop.forAllNoShrink(Gen.listOfN(8, fpText)) { texts =>
       val s = spark
