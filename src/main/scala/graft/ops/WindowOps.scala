@@ -499,7 +499,82 @@ object WindowOps {
         AS seasonal_idx
     FROM by_dow b JOIN tot t USING (event_type)"""
 
+  // --------------------------------------------------- changepoint
+  /** Offline changepoint detection — one binary-segmentation step per
+    * event_type: the split day t maximizing the between-segment sum
+    * of squares BSS(t) = (S₁·n − S·t)² / (n·t·(n−t)) over the daily
+    * census (S₁ = prefix cents sum, S = total). The OFFLINE twin of
+    * the q158 CUSUM monitor: CUSUM watches a stream against a fitted
+    * baseline; this locates where a stored series' level shifted.
+    *
+    * Exactness: prefix/total sums and A(t) = S₁·n − S·t are exact
+    * int64 (|A| < 2⁵³ at any test SF, so its double image is exact);
+    * BSS is one identical IEEE expression of those exact integers on
+    * both engines. Argmax ties break on the earliest day. All windows
+    * ride the per-type DAILY census — keyed, bounded, never
+    * event-grain. */
+  val q211Changepoint: Q = (s, d) => {
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy($"event_type")
+    val pre = daily(s, d)
+      .withColumn("t", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"d")))
+      .withColumn("s1", sum($"cents").over(w))
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("stot", sum($"cents").over(tot))
+    val cand = pre.filter($"t" < $"n")
+      .withColumn("a", $"s1" * $"n" - $"stot" * $"t")
+      .withColumn("bss",
+        ($"a".cast("double") * $"a".cast("double")) /
+          ($"n".cast("double") * $"t".cast("double") *
+            ($"n" - $"t").cast("double")))
+    val wr = Window.partitionBy($"event_type")
+      .orderBy($"bss".desc, $"d".asc)
+    cand.withColumn("rn", row_number().over(wr)).filter($"rn" === 1)
+      .select($"event_type",
+        date_format($"d", "yyyy-MM-dd").as("split_day"),
+        ($"s1".cast("double") / $"t".cast("double"))
+          .as("mean_left_cents"),
+        (($"stot" - $"s1").cast("double") /
+          ($"n" - $"t").cast("double")).as("mean_right_cents"),
+        $"bss")
+  }
+  val o211: String = s"""
+    WITH daily AS ($dailySql),
+    pre AS (
+      SELECT event_type, d, cents,
+        row_number() OVER wo AS t,
+        SUM(cents) OVER w AS s1,
+        COUNT(*) OVER tot AS n,
+        SUM(cents) OVER tot AS stot
+      FROM daily
+      WINDOW wo AS (PARTITION BY event_type ORDER BY d),
+             w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             tot AS (PARTITION BY event_type)),
+    cand AS (
+      SELECT *, CAST(s1 * n - stot * t AS BIGINT) AS a
+      FROM pre WHERE t < n),
+    scored AS (
+      SELECT *, (CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)
+             * CAST(n - t AS DOUBLE)) AS bss
+      FROM cand),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY bss DESC, d ASC) AS rn
+      FROM scored)
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS split_day,
+      CAST(s1 AS DOUBLE) / CAST(t AS DOUBLE) AS mean_left_cents,
+      CAST(stot - s1 AS DOUBLE) / CAST(n - t AS DOUBLE)
+        AS mean_right_cents,
+      bss
+    FROM best WHERE rn = 1"""
+
   val queries: Map[String, Q] = Map(
+    "q211_changepoint" -> q211Changepoint,
     "q162_dow_seasonality" -> q162DowSeasonality,
     "q40_rolling_zscore" -> q40RollingZscore,
     "q41_gap_fill" -> q41GapFill,
@@ -511,6 +586,7 @@ object WindowOps {
     "q159_trend_ols" -> q159TrendOls)
 
   val oracles: Map[String, String] = Map(
+    "q211_changepoint" -> o211,
     "q162_dow_seasonality" -> o162,
     "q40_rolling_zscore" -> o40,
     "q41_gap_fill" -> o41,
