@@ -1248,18 +1248,20 @@ object InsightOps {
     * cheaper-or-equal AND as-popular-or-more (strictly better in at
     * least one). The classic OLAP operator Spark has no built-in for.
     *
-    * 100 TB design, two phases, no quadratic dominance join:
+    * 100 TB design, two phases, no quadratic dominance join and no
+    * global sort:
     * (1) GRID PRUNE — points bucketed on a fixed price grid; a point
     * whose quantity ≤ the best quantity of ANY strictly-cheaper
     * bucket is dominated by that bucket's witness and dropped
     * in-stream (one ~100-row bucket census window + a broadcast
     * join). By induction the witness chain terminates at a survivor,
-    * so the prune is sound. (2) EXACT STAIRCASE over the survivors'
-    * price census: a point is on the front iff it holds its price's
-    * max quantity and beats the running max of all strictly cheaper
-    * prices. The unpartitioned windows ride the bucket census
-    * (~100 rows) and the surviving near-front price census (the
-    * dominated mass never reaches them) — never the full point set. */
+    * so the prune is sound. (2) EXACT STAIRCASE, PER BUCKET: the
+    * prune leaves NO cross-bucket dominance — every survivor's
+    * quantity strictly beats all earlier buckets' best, and later
+    * buckets are strictly pricier — so the staircase window can
+    * partition by bucket (parallel, bounded by each bucket's
+    * surviving price census) instead of a single-task global sort.
+    * The only unpartitioned window is the fixed-size bucket census. */
   /** The two-phase skyline core over a (l_partkey, p minimize,
     * q maximize) frame — split out so the prune-soundness property
     * can drive it on arbitrary point sets (InsightSkySpec). */
@@ -1278,11 +1280,11 @@ object InsightOps {
     val surv = bucketed
       .join(broadcast(priorByBucket), Seq("b"))
       .filter($"bprior".isNull || $"q" > $"bprior")
-    val wp = Window.orderBy($"p")
+    val wp = Window.partitionBy($"b").orderBy($"p")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val stair = surv.groupBy($"p").agg(max($"q").as("pd"))
+    val stair = surv.groupBy($"b", $"p").agg(max($"q").as("pd"))
       .withColumn("pprior", max($"pd").over(wp))
-    surv.join(stair, Seq("p"))
+    surv.join(stair, Seq("b", "p"))
       .filter($"q" === $"pd" && ($"pprior".isNull || $"pd" > $"pprior"))
       .select($"l_partkey", $"p".cast("double").as("best_price"),
         $"q".cast("double").as("total_qty"))

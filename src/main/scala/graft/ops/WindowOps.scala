@@ -507,12 +507,16 @@ object WindowOps {
     * the q158 CUSUM monitor: CUSUM watches a stream against a fitted
     * baseline; this locates where a stored series' level shifted.
     *
-    * Exactness: prefix/total sums and A(t) = S₁·n − S·t are exact
-    * int64 (|A| < 2⁵³ at any test SF, so its double image is exact);
-    * BSS is one identical IEEE expression of those exact integers on
-    * both engines. Argmax ties break on the earliest day. All windows
-    * ride the per-type DAILY census — keyed, bounded, never
-    * event-grain. */
+    * Exactness: prefix/total sums are exact int64;
+    * A(t) = S₁·n − S·t routes through decimal(38,0) — a corpus with
+    * S ~ 10¹⁶ cents × 10³ days would overflow an int64 product (and
+    * Spark 4 ANSI would throw where DuckDB's HUGEINT sails on), while
+    * decimal(38) holds any realistic magnitude and DuckDB's HUGEINT
+    * carries the identical integer; both engines' double casts of
+    * that integer round identically. BSS is then one identical IEEE
+    * expression on both engines. Argmax ties break on the earliest
+    * day. All windows ride the per-type DAILY census — keyed,
+    * bounded, never event-grain. */
   val q211Changepoint: Q = (s, d) => {
     import s.implicits._
     val w = Window.partitionBy($"event_type").orderBy($"d")
@@ -525,7 +529,8 @@ object WindowOps {
       .withColumn("n", count(lit(1)).over(tot))
       .withColumn("stot", sum($"cents").over(tot))
     val cand = pre.filter($"t" < $"n")
-      .withColumn("a", $"s1" * $"n" - $"stot" * $"t")
+      .withColumn("a", $"s1".cast("decimal(38,0)") * $"n" -
+        $"stot".cast("decimal(38,0)") * $"t")
       .withColumn("bss",
         ($"a".cast("double") * $"a".cast("double")) /
           ($"n".cast("double") * $"t".cast("double") *
@@ -555,7 +560,7 @@ object WindowOps {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              tot AS (PARTITION BY event_type)),
     cand AS (
-      SELECT *, CAST(s1 * n - stot * t AS BIGINT) AS a
+      SELECT *, s1 * n - stot * t AS a  -- HUGEINT: SUM(BIGINT) widens
       FROM pre WHERE t < n),
     scored AS (
       SELECT *, (CAST(a AS DOUBLE) * CAST(a AS DOUBLE))

@@ -23,7 +23,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - metadata-ok-but-output-missing falls back to a FORCED
   *    re-aggregate (queries.py:137-142,"re-aggregating" warning);
   *  - day-level sales aggregation raises NotImplemented
-  *    (queries.py:138-139).
+  *    (queries.py:138-139);
+  *  - the PAYMENTS mart store is a CONSTANT name
+  *    (`aggregated_payments_daily`, queries.py:232) while manifests
+  *    are per-range: interleaving two ranges overwrites the store,
+  *    and a later call for the first range serves the second range's
+  *    rows from its still-ok manifest. Sales does not share the
+  *    hazard (its store names embed the range, queries.py:130-133).
+  *    Callers interleaving payment ranges — including
+  *    [[getPaymentsForecast]]'s 3-year window — should pass
+  *    `refresh = true` or use disjoint roots, exactly as users of the
+  *    reference must.
   */
 object PosQueries {
 
@@ -142,7 +152,12 @@ final class PosQueries(spark: SparkSession, rootDir: String) {
   def getPaymentsForecast(stages: EtlStages, asOf: String,
                           horizonWeeks: Int,
                           refresh: Boolean = false): DataFrame = {
-    val asOfDate = java.time.LocalDate.parse(asOf)
+    val asOfDate =
+      try java.time.LocalDate.parse(asOf)
+      catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new ConfigError(s"Invalid date format: ${e.getMessage}")
+      }
     val start = asOfDate.minusDays(3L * 365).toString
     val mart = getPayments(stages, start, asOfDate.toString, refresh)
     val (fc, _) =

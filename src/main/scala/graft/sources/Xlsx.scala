@@ -102,16 +102,19 @@ object Xlsx {
     * for date/time placeholder letters. A lone `m` next to `h`/`s`
     * context is a minute, not a month. */
   private[sources] def formatDateKind(code: String): Option[DateKind] = {
+    // quoted literals and escapes are text everywhere — strip them
+    // FIRST so a literal "[h]" inside quotes can't read as elapsed
+    val noQuotes = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\\\.", "")
     // elapsed-duration brackets ([h]:mm, [mm]:ss — worked-hours
     // formats) are TIME markers and must be seen BEFORE the general
     // [...] strip removes them (POI's isADateFormat does the same);
     // color/condition blocks like [Red] or [>=100] don't match
     val elapsed =
-      "\\[(h+|m+|s+)\\]".r.findFirstIn(code.toLowerCase).isDefined
-    val stripped = code
-      .replaceAll("\"[^\"]*\"", "")
+      "\\[(h+|m+|s+)\\]".r.findFirstIn(noQuotes.toLowerCase).isDefined
+    val stripped = noQuotes
       .replaceAll("\\[[^\\]]*\\]", "")
-      .replaceAll("\\\\.", "")
       .toLowerCase
     val hasTime = elapsed || stripped.contains('h') ||
       (stripped.contains('s') && stripped.contains(':'))

@@ -129,6 +129,34 @@ class PosQueriesSpec extends AnyFunSuite {
       q.getSales(st, "01/02/2025", "2025-01-31"))
   }
 
+  test("faithful quirk: the constant payments store name lets an " +
+    "interleaved range overwrite what an earlier range serves") {
+    val root = Files.createTempDirectory("posq").toString
+    val q = new PosQueries(spark, root)
+    val c = new Counters
+    val st = stages(c, () => c.aggregate.toLong)
+    q.getPayments(st, "2025-01-01", "2025-01-31") // marker 1
+    q.getPayments(st, "2025-02-01", "2025-02-28") // marker 2 overwrites
+    // January's manifests are all still ok -> serves FEBRUARY's store
+    // (exactly the reference's aggregated_payments_daily.csv behavior;
+    // refresh=true or disjoint roots are the caller's escape hatches)
+    val served = q.getPayments(st, "2025-01-01", "2025-01-31")
+    assert(c.aggregate == 2)
+    assert(served.select("agg_marker").collect()(0).getLong(0) == 2L)
+    // refresh recomputes the requested range
+    val fresh = q.getPayments(st, "2025-01-01", "2025-01-31",
+      refresh = true)
+    assert(fresh.select("agg_marker").collect()(0).getLong(0) == 3L)
+  }
+
+  test("getPaymentsForecast wraps a malformed asOf in ConfigError") {
+    val root = Files.createTempDirectory("posq").toString
+    val q = new PosQueries(spark, root)
+    val c = new Counters
+    intercept[ConfigError](q.getPaymentsForecast(
+      stages(c, () => 0L), asOf = "02/04/2025", horizonWeeks = 1))
+  }
+
   test("getPaymentsForecast: 3-year lookback window, weeks -> days, " +
     "forecast frame only") {
     val root = Files.createTempDirectory("posq").toString

@@ -295,6 +295,8 @@ class XlsxSpec extends AnyFunSuite {
     // color/condition blocks are not elapsed markers
     assert(Xlsx.formatDateKind("[Red]#,##0.00").isEmpty)
     assert(Xlsx.formatDateKind("[>=100]0.00").isEmpty)
+    // a literal "[h]" inside quotes is text, not an elapsed marker
+    assert(Xlsx.formatDateKind("0.00\" [h]\"").isEmpty)
   }
 
   test("writer datetime serials are arithmetic, not concatenated " +
