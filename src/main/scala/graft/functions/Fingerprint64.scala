@@ -180,6 +180,64 @@ object Winnow4Util {
   }
 }
 
+/** Native kernel for K-token window hashes (q213's exact shared-run
+  * detection): token hashes and the width-K rolling combine in ONE
+  * primitive-long pass, replacing a K-deep zip_with-over-slices chain
+  * whose interpreted lambdas re-evaluate the tokenize per slice and
+  * box every element (~2 s at sf0.1 for K = 8). Same bit contract as
+  * the composed chain (ScalaCheck-pinned in EngineProperties): token
+  * hash = first-codepoint·131 + codepoint-count, window hash = mod-P
+  * left fold with multiplier 100003; fewer than K tokens → empty
+  * array. Generalizes [[Shingles3Util]] (k = 3 is bit-identical to
+  * it). */
+object ShinglesKUtil {
+  private val Mod = 1000000007L
+
+  def shingles(s: UTF8String, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val parts = str.split(" ", -1)
+    val n = parts.length
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = parts(i)
+      val a = if (t.isEmpty) 0L else t.codePointAt(0).toLong
+      th(i) = a * 131L + t.codePointCount(0, t.length).toLong
+      i += 1
+    }
+    val m = math.max(n - k + 1, 0)
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      var acc = 0L
+      var x = 0
+      while (x < k) { acc = (acc * 100003L + th(j + x)) % Mod; x += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** `shinglesk_native`-shaped kernel: width-K window hashes of `child`
+  * (a text column); `k` is a plan-time constant, not a child
+  * expression. */
+case class ShinglesK(child: Expression, k: Int) extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShinglesKUtil.shingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShinglesKUtil.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShinglesK = copy(child = newChild)
+  override def prettyName: String = s"shingles$k"
+}
+
 /** `minhash4_native(array<bigint>)` → array<bigint> (4 lanes; null
   * lanes for an empty shingle set). */
 case class MinHash4(child: Expression) extends UnaryExpression {

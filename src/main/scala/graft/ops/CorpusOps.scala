@@ -1341,6 +1341,76 @@ object CorpusOps {
     FROM per_class GROUP BY 1, 2"""
   }
 
+  // --------------------------------------------- text hygiene census
+  /** Encoding/script hygiene census — the byte-level QA a web-scale
+    * corpus runs before tokenization: per source, how many documents
+    * carry (a) UTF-8-decoded-as-Latin-1 mojibake ("Ã©"-style
+    * artifacts), (b) the U+FFFD replacement character (lossy
+    * transcode), (c) zero-width characters (paste/SEO junk that
+    * silently corrupts token boundaries), (d) mixed Latin+Cyrillic
+    * script (homoglyph spoofing / encoding confusion). Each class has
+    * a distinct remediation (re-decode, drop, strip, flag), so they
+    * are counted separately — the typed-hygiene twin of q164's PII
+    * census.
+    *
+    * The synthetic corpus is pure ASCII, so the query PLANTS each
+    * anomaly deterministically on mod-sliced doc_ids (mirrored in the
+    * oracle — the q55/q164 non-vacuity recipe). Detectors are
+    * substring/char-class probes that mean the same thing in both
+    * engines: instr/strpos for the literal markers, a LITERAL-range
+    * regex for Cyrillic (both dialects treat [а-я] identically; no
+    * \\u escapes, which RE2 and java.util.regex spell differently).
+    *
+    * 100 TB design: per-row probes, ONE map-side-combined census keyed
+    * on source — text never shuffles. */
+  val q214TextHygiene: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" cafÃ©"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 23 === 0, lit(" bad�token"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 29 === 0, lit(" zero​width"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 31 === 0, lit(" pаypal"))
+          .otherwise(lit(""))))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(instr(col("aug"), "Ã") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_mojibake"),
+        sum(when(instr(col("aug"), "�") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_replacement"),
+        sum(when(instr(col("aug"), "​") > 0, 1L).otherwise(0L))
+          .cast("long").as("n_zero_width"),
+        sum(when(col("aug").rlike("[а-я]")
+              && col("aug").rlike("[a-z]"), 1L).otherwise(0L))
+          .cast("long").as("n_mixed_script"))
+  }
+  val o214: String = s"""
+    WITH aug AS (
+      SELECT source,
+        text
+          || (CASE WHEN doc_id % 11 = 0 THEN ' cafÃ©'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 23 = 0 THEN ' bad�token'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 29 = 0 THEN ' zero​width'
+              ELSE '' END)
+          || (CASE WHEN doc_id % 31 = 0 THEN ' pаypal'
+              ELSE '' END) AS aug
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN strpos(aug, 'Ã') > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_mojibake,
+      CAST(SUM(CASE WHEN strpos(aug, '�') > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_replacement,
+      CAST(SUM(CASE WHEN strpos(aug, '​') > 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_zero_width,
+      CAST(SUM(CASE WHEN regexp_matches(aug, '[а-я]')
+                     AND regexp_matches(aug, '[a-z]')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_script
+    FROM aug GROUP BY 1"""
+
   // ------------------------------------------------- length quantiles
   /** Exact per-language length quantiles (p25/p50/p75/p90) via the
     * rank spelling: row_number over (n_chars, doc_id) within each
@@ -2388,6 +2458,7 @@ object CorpusOps {
     "q183_chi2_drift" -> q183Chi2Drift,
     "q184_wasserstein_drift" -> q184WassersteinDrift,
     "q164_pii_census" -> q164PiiCensus,
+    "q214_text_hygiene" -> q214TextHygiene,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
@@ -2432,6 +2503,7 @@ object CorpusOps {
     "q183_chi2_drift" -> o183,
     "q184_wasserstein_drift" -> o184,
     "q164_pii_census" -> o164,
+    "q214_text_hygiene" -> o214,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,

@@ -3,6 +3,7 @@ package graft.ops
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Near-duplicate detection for the training-data pipeline:
   * MinHash signatures, LSH banding, n-gram (shingle) Jaccard, and
@@ -919,7 +920,243 @@ object DedupOps {
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b"""
 
+  // ------------------------------------- exact shared-run (substring)
+  /** Maximal shared token-run detection — the exact-substring dedup
+    * primitive (the suffix-array method's answer, computed with
+    * relational operators): for every candidate pair, the length in
+    * TOKENS of the longest contiguous run both documents share.
+    * Catches verbatim quotation / template reuse that Jaccard (q58)
+    * underweights and winnowing (q208) only samples.
+    *
+    * Spelling: [[RunK]]-token window hashes with positions (first
+    * occurrence per (doc, fp) — a window repeated within a doc
+    * anchors at its first site; runs through self-repetitive regions
+    * are reported conservatively shorter, never longer), df-capped
+    * postings, in-row pair generation, then the DIAGONAL-ISLANDS
+    * step: matches of a pair with equal pos_a − pos_b lie on one
+    * alignment diagonal, and a run of consecutive pos_a on a diagonal
+    * is a shared substring of run_tokens = consecutive_matches + K − 1.
+    * Pairs report their longest run and total run count, thresholded
+    * at [[MinRunTokens]].
+    *
+    * K = 8 (not the 3-shingles every Jaccard-family query uses) is
+    * load-bearing: the window width sets the chance-collision rate,
+    * and on this corpus's ~30-token vocabulary 3-shingles produce a
+    * millions-of-rows chance-match relation while 8-windows match
+    * essentially only real replays (the suffix-array literature's
+    * 50-token windows, scaled to these ~56-token docs). The window
+    * hash is a composed slice-fold (O(K) per window, interpreted —
+    * fine at window-count = doc length; a ShinglesK native kernel is
+    * the 100 TB path, same as Shingles3's).
+    *
+    * 100 TB design: one fp-keyed exchange (postings, df-capped at
+    * [[MaxShingleDf]] docs — the q58 bound), one pair-keyed exchange
+    * for the islands window; window partitions are per
+    * (pair, diagonal), bounded by document length — never
+    * corpus-scale. */
+  private[graft] val MinRunTokens = 12
+  private[graft] val RunK = 8
+
+  /** The composed spelling of the K-token window hash (K =
+    * [[RunK]]) — kept as the parity witness the native
+    * [[graft.functions.ShinglesK]] kernel is property-tested against.
+    * A zip_with CHAIN over shifted slices, NOT slice(th, i, K) inside
+    * a transform lambda: a lambda body referencing the derived `th`
+    * column re-inlines the whole tokenize expression per ELEMENT
+    * after projection collapse (the withShinglesComposed pitfall —
+    * it cost this query 8 s at sf0.1); slice() in argument position
+    * evaluates once per row. Even so the chain runs interpreted
+    * (~2 s at sf0.1), which is why the query uses the kernel. */
+  private[graft] val runWindowsComposedExpr: String = {
+    val n = s"greatest(size(th) - ${RunK - 1}, 0)"
+    (2 to RunK).foldLeft(s"slice(th, 1, $n)") { (acc, k) =>
+      s"zip_with($acc, slice(th, $k, $n), (a, b) -> (a * 100003 + b) % $P)"
+    }
+  }
+  private val runWindowsSql: String =
+    s"""CASE WHEN len(t) >= $RunK THEN
+          list_transform(generate_series(1, len(t) - ${RunK - 1}), i ->
+            list_reduce(
+              list_prepend(CAST(0 AS BIGINT),
+                list_transform(generate_series(i, i + ${RunK - 1}), j ->
+                  CAST(greatest(unicode(t[j]), 0) * 131 + length(t[j])
+                    AS BIGINT))),
+              (acc, x) -> (acc * 100003 + x) % $P))
+        ELSE []::BIGINT[] END"""
+
+  val q213MaxSharedRun: Q = (s, d) =>
+    maxSharedRunFrom(Tables.documents(s, d)
+      .select(col("doc_id"), col("text")))
+
+  /** The q213 derivation over an arbitrary (doc_id, text) frame —
+    * split out so DedupSkewSpec can pin the diagonal-islands result
+    * against a planted run of known length. */
+  private[graft] def maxSharedRunFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    val base = docs
+      .withColumn("ws", bridge.column(graft.functions.ShinglesK(
+        bridge.expression(col("text")), RunK)))
+    val occ = base
+      .select($"doc_id", posexplode($"ws").as(Seq("p0", "fp")))
+      .groupBy($"doc_id", $"fp")
+      .agg(min($"p0" + 1).as("pos"))
+    val postings = occ
+      .groupBy($"fp")
+      .agg(collect_list(struct($"doc_id", $"pos")).as("ds0"))
+      .filter(size($"ds0").between(2, MaxShingleDf))
+      .withColumn("ds", sort_array($"ds0"))
+    val matches = postings
+      .select(explode(expr(pairGenExpr("ds",
+        """named_struct(
+             'doc_a', element_at(ds, i).doc_id,
+             'pos_a', element_at(ds, i).pos,
+             'doc_b', x.doc_id,
+             'pos_b', x.pos)"""))).as("m"))
+      .select($"m.doc_a", $"m.doc_b", $"m.pos_a", $"m.pos_b")
+    val w = Window.partitionBy($"doc_a", $"doc_b", $"diag")
+      .orderBy($"pos_a")
+    matches
+      .withColumn("diag", $"pos_a" - $"pos_b")
+      .withColumn("grp", $"pos_a" - row_number().over(w))
+      .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
+      .agg((count(lit(1)) + (RunK - 1)).as("run_tokens"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(max($"run_tokens").as("max_run_tokens"),
+        count(lit(1)).as("n_runs"))
+      .filter($"max_run_tokens" >= MinRunTokens)
+  }
+  val o213: String = s"""
+    WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+               FROM documents),
+    sh0 AS (SELECT doc_id, $runWindowsSql AS shs FROM b),
+    pos0 AS (SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(shs)),
+          i -> struct_pack(pos := i, fp := shs[i]))) AS s
+      FROM sh0),
+    pos1 AS (SELECT doc_id, s.fp AS fp, min(s.pos) AS pos
+             FROM pos0 GROUP BY 1, 2),
+    kept AS (SELECT fp FROM pos1 GROUP BY fp
+             HAVING COUNT(*) BETWEEN 2 AND $MaxShingleDf),
+    m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.pos AS pos_a, a.pos - b.pos AS diag
+          FROM pos1 a JOIN kept k ON a.fp = k.fp
+                      JOIN pos1 b ON b.fp = a.fp
+          WHERE a.doc_id < b.doc_id),
+    isl AS (SELECT doc_a, doc_b, diag, pos_a,
+        pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                   ORDER BY pos_a) AS grp
+      FROM m),
+    runs AS (SELECT doc_a, doc_b, COUNT(*) + ${RunK - 1} AS run_tokens
+             FROM isl GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, MAX(run_tokens) AS max_run_tokens,
+           COUNT(*) AS n_runs
+    FROM runs GROUP BY 1, 2 HAVING MAX(run_tokens) >= $MinRunTokens"""
+
+  // ------------------------------------ dedup truth-eval (benchmark)
+  /** Precision/recall of the MinHash-LSH candidate generator against
+    * PLANTED ground truth — the benchmark harness a pipeline runs
+    * before trusting a dedup method at scale. q107 calibrates the
+    * signature ESTIMATE against exact Jaccard and q147 measures
+    * inter-method agreement; neither says how often the banding finds
+    * a KNOWN near-duplicate. Here every doc_id ≡ 0 (mod 5) gets a
+    * replayed twin (id + 6·2⁴⁰, one appended token — near-dup, not
+    * exact, so band agreement is genuinely probabilistic), the truth
+    * set is exactly those pairs, and the report is one row:
+    * n_truth / n_cand / n_hit / precision / recall. False positives
+    * (chance band collisions — common on this small-vocab corpus)
+    * price the verification stage; misses price the residual dup
+    * rate.
+    *
+    * 100 TB design: the candidate path is q57's band layout with
+    * bucket lists capped at [[MaxBandBucket]]; metrics are two
+    * single-row censuses cross-joined (intended broadcast —
+    * PlanContractSpec whitelists it). */
+  private val ReplayOff6 = 6L << 40
+
+  val q216DedupTruthEval: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val replay = docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + lit(ReplayOff6)).as("doc_id"),
+        concat($"text", lit(" zzz")).as("text"))
+    val sig = minhashFrom(withShingles(docs.unionByName(replay)))
+    val bands = sig.select($"doc_id", expr(
+      "explode(array(named_struct('band', 0, 'h1', mh0, 'h2', mh1), " +
+        "named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"))
+      .select($"doc_id", $"b.band".as("band"), $"b.h1", $"b.h2")
+    val pairs = bands.groupBy($"band", $"h1", $"h2")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds").between(2, MaxBandBucket))
+      .select(explode(expr(pairGenExpr("ds",
+        "named_struct('a', element_at(ds, i), 'b', x)"))).as("p"))
+      .select($"p.a".as("a"), $"p.b".as("b"))
+      .distinct()
+    val truth = docs.filter($"doc_id" % 5 === 0)
+      .select($"doc_id".as("a"),
+        ($"doc_id" + lit(ReplayOff6)).as("b"), lit(1L).as("is_truth"))
+    val candStats = pairs
+      .join(truth, Seq("a", "b"), "left")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(coalesce($"is_truth", lit(0L))).cast("long").as("n_hit"))
+    val truthStats = truth.agg(count(lit(1)).as("n_truth"))
+    candStats.crossJoin(truthStats)
+      .select($"n_truth", $"n_cand", $"n_hit",
+        when($"n_cand" === 0, lit(0).cast("double"))
+          .otherwise($"n_hit".cast("double") / $"n_cand")
+          .as("precision"),
+        ($"n_hit".cast("double") / $"n_truth").as("recall"))
+  }
+  val o216: String = {
+    val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
+    }.mkString(",\n        ")
+    s"""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $ReplayOff6 AS doc_id, text || ' zzz' AS text
+      FROM documents WHERE doc_id % 5 = 0),
+    sig AS (
+      SELECT doc_id, $mhs
+      FROM (SELECT doc_id, $shinglesSql AS shs
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM aug))),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
+      UNION ALL
+      SELECT doc_id, 1 AS band, mh2 AS h1, mh3 AS h2 FROM sig),
+    buck AS (
+      SELECT band, h1, h2, list_sort(list(doc_id)) AS ds
+      FROM bands GROUP BY 1, 2, 3
+      HAVING COUNT(*) BETWEEN 2 AND $MaxBandBucket),
+    pairs AS (
+      SELECT DISTINCT p.a AS a, p.b AS b FROM (
+        SELECT unnest(flatten(list_transform(
+          generate_series(1, len(ds) - 1), i ->
+            list_transform(list_slice(ds, i + 1, len(ds)),
+              x -> struct_pack(a := ds[i], b := x))))) AS p
+        FROM buck) q),
+    truth AS (
+      SELECT doc_id AS a, doc_id + $ReplayOff6 AS b
+      FROM documents WHERE doc_id % 5 = 0),
+    cand AS (
+      SELECT COUNT(*) AS n_cand,
+        CAST(SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_hit
+      FROM pairs p LEFT JOIN truth t ON t.a = p.a AND t.b = p.b),
+    ts AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT ts.n_truth, cand.n_cand, cand.n_hit,
+      CASE WHEN cand.n_cand = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(cand.n_hit AS DOUBLE) / cand.n_cand
+      END AS precision,
+      CAST(cand.n_hit AS DOUBLE) / ts.n_truth AS recall
+    FROM cand CROSS JOIN ts"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_max_shared_run" -> q213MaxSharedRun,
+    "q216_dedup_truth_eval" -> q216DedupTruthEval,
     "q208_winnowing" -> q208Winnowing,
     "q56_minhash" -> q56MinHash,
     "q107_minhash_estimate" -> q107MinhashEstimate,
@@ -933,6 +1170,8 @@ object DedupOps {
     "q174_containment_pairs" -> q174ContainmentPairs)
 
   val oracles: Map[String, String] = Map(
+    "q213_max_shared_run" -> o213,
+    "q216_dedup_truth_eval" -> o216,
     "q208_winnowing" -> o208,
     "q56_minhash" -> o56,
     "q107_minhash_estimate" -> o107,

@@ -956,7 +956,321 @@ object VectorOps {
         - MAX(CASE WHEN rank = 2 THEN cosine END) AS margin
     FROM ranked GROUP BY anchor_id HAVING COUNT(*) = 2"""
 
+  // --------------------------------------------- density (DBSCAN step)
+  /** DBSCAN density-classification census: every vector is labeled
+    * core (≥ `DbscanMinPts` ε-neighbors), border (non-core with a core
+    * ε-neighbor), or noise, and the census reports the split per
+    * coarse-quantizer cell. The ε-neighborhood is the cosine ball
+    * cos ≥ [[DbscanEps]] (the corpus embeddings are unit-normalized,
+    * so this is the L2 ball ‖a−b‖² ≤ 2−2·DbscanEps). This is the
+    * density triage a curation pipeline runs before density-based
+    * clustering or outlier pruning — core points seed clusters,
+    * noise points are candidate outliers (the density twin of q124's
+    * centroid-distance spelling).
+    *
+    * Neighbor search is blocked on the coarse-quantizer cell (`label`),
+    * the q64 convention: exact within a cell, probe-1 across cells —
+    * the standard scalable approximation (a full exact DBSCAN would
+    * need an all-pairs join; production recalls the cross-cell edge
+    * loss with a q117-style audit).
+    *
+    * 100 TB design: the pair join shuffles on the cell key only;
+    * per-cell cost is occupancy², bounded by the quantizer's cell-size
+    * cap. The pair set is localCheckpoint'd because it feeds BOTH the
+    * degree census and the border (core-neighbor) semi-join — without
+    * it the dot-product join executes twice. Everything downstream is
+    * id-only (embeddings never shuffle past the first join). */
+  private[graft] val DbscanEps = 0.3
+  private[graft] val DbscanMinPts = 2
+
+  val q212DbscanCensus: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+    val a = e.select($"vec_id".as("ia"), $"label",
+      $"embedding".as("a_emb"), $"norm".as("a_norm"))
+    val c = e.select($"vec_id".as("ib"), $"label",
+      $"embedding".as("b_emb"), $"norm".as("b_norm"))
+    val pairs = a.join(c, Seq("label"))
+      .filter($"ia" =!= $"ib")
+      .filter(expr(dot("a_emb", "b_emb")) / ($"a_norm" * $"b_norm")
+        >= DbscanEps)
+      .select($"ia", $"ib")
+      .localCheckpoint()
+    val deg = pairs.groupBy($"ia").agg(count(lit(1)).as("n_nb"))
+    val pts = e.select($"vec_id", $"label")
+      .join(deg.withColumnRenamed("ia", "vec_id"), Seq("vec_id"), "left")
+      .withColumn("n_nb", coalesce($"n_nb", lit(0L)))
+    val coreIds = pts.filter($"n_nb" >= DbscanMinPts)
+      .select($"vec_id".as("ib"))
+    val borderIds = pairs.join(coreIds, Seq("ib"), "left_semi")
+      .select($"ia".as("vec_id")).distinct()
+      .withColumn("has_core_nb", lit(1L))
+    pts.join(borderIds, Seq("vec_id"), "left")
+      .withColumn("cls",
+        when($"n_nb" >= DbscanMinPts, lit("core"))
+          .when($"has_core_nb".isNotNull, lit("border"))
+          .otherwise(lit("noise")))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_points"),
+        sum(when($"cls" === "core", 1L).otherwise(0L))
+          .cast("long").as("n_core"),
+        sum(when($"cls" === "border", 1L).otherwise(0L))
+          .cast("long").as("n_border"),
+        sum(when($"cls" === "noise", 1L).otherwise(0L))
+          .cast("long").as("n_noise"))
+  }
+  val o212: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+      WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+        >= $DbscanEps),
+    deg AS (
+      SELECT e.vec_id, e.label, COALESCE(d.n_nb, 0) AS n_nb
+      FROM e LEFT JOIN (SELECT ia, COUNT(*) AS n_nb FROM pairs
+                        GROUP BY 1) d ON d.ia = e.vec_id),
+    border AS (
+      SELECT DISTINCT p.ia AS vec_id
+      FROM pairs p JOIN deg dc
+        ON dc.vec_id = p.ib AND dc.n_nb >= $DbscanMinPts),
+    cls AS (
+      SELECT dg.vec_id, dg.label,
+        CASE WHEN dg.n_nb >= $DbscanMinPts THEN 'core'
+             WHEN b.vec_id IS NOT NULL THEN 'border'
+             ELSE 'noise' END AS cls
+      FROM deg dg LEFT JOIN border b ON b.vec_id = dg.vec_id)
+    SELECT label, COUNT(*) AS n_points,
+      CAST(SUM(CASE WHEN cls = 'core' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_core,
+      CAST(SUM(CASE WHEN cls = 'border' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_border,
+      CAST(SUM(CASE WHEN cls = 'noise' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_noise
+    FROM cls GROUP BY 1"""
+
+  // --------------------------------------- retrieval quality metrics
+  /** Ranking-quality audit of the sign-LSH bucketed ANN (q63's
+    * candidate path) against the exact brute-force truth (q62's):
+    * per query, recall@k, MRR (reciprocal rank of the first true
+    * neighbor in the approximate ranking), and binary-relevance
+    * NDCG@k. Recall says WHETHER the true neighbors surface; MRR/NDCG
+    * say WHERE — an ANN index that returns the right set in the wrong
+    * order still damages downstream k-NN consumers. q117 audits the
+    * IVF-PQ path with recall only; this is the ranking-aware audit of
+    * the LSH path.
+    *
+    * Float parity: the NDCG discounts 1/log2(i+1) are irrational, so
+    * per-rank FIXED-POINT literals round(1e15/log2(i+1)) — computed
+    * once in Scala and interpolated into BOTH engines' text — make
+    * the DCG a bounded int64 sum (≤ k·1e15, order-independent); the
+    * single divide by the idcg literal happens at the end. MRR and
+    * recall are single divides of exact integers.
+    *
+    * 100 TB design: the query set is a constant-size broadcast (the
+    * q62 rule); the truth pass is one broadcast-NLJ scan, the
+    * candidate pass a bucket-keyed join; everything after the two
+    * rank windows is id-only aggregation. */
+  private val RetrK = 10
+  private val discFp: IndexedSeq[Long] = (1 to RetrK).map(i =>
+    math.round(1e15 / (math.log(i + 1.0) / math.log(2.0))))
+  private val idcgFp: Long = discFp.sum
+  private def discCaseSql(rankCol: String): String =
+    (1 to RetrK).map(i => s"WHEN $rankCol = $i THEN ${discFp(i - 1)}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  val q215RetrievalMetrics: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+      .withColumn("bucket", expr(bucketExpr))
+    val q = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"), $"bucket".as("q_bucket"))
+    val c = e.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("n_emb"), $"norm".as("n_norm"), $"bucket")
+    val wq = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    val truth = broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("t_rank", row_number().over(wq))
+      .filter($"t_rank" <= RetrK)
+      .select($"query_id", $"neighbor_id", lit(1L).as("rel"))
+    val approx = broadcast(q).join(c,
+        $"q_bucket" === $"bucket" && $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("c_rank", row_number().over(wq))
+      .filter($"c_rank" <= RetrK)
+      .select($"query_id", $"neighbor_id", $"c_rank")
+    val perq = approx
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel", coalesce($"rel", lit(0L)))
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_cand"),
+        sum($"rel").cast("long").as("n_hits"),
+        sum($"rel" * expr(discCaseSql("c_rank"))).cast("long")
+          .as("dcg_fp"),
+        min(when($"rel" === 1L, $"c_rank")).as("first_hit_rank"))
+    q.select($"query_id").join(perq, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n_cand", lit(0L)).as("n_cand"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)).cast("double") / RetrK)
+          .as("recall_at_k"),
+        coalesce(lit(1).cast("double") / $"first_hit_rank",
+          lit(0).cast("double")).as("mrr"),
+        (coalesce($"dcg_fp", lit(0L)).cast("double") / idcgFp)
+          .as("ndcg_at_k"))
+  }
+  val o215: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm,
+             $bucketSql AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, norm, bucket
+          FROM e WHERE vec_id % 50 = 0),
+    truth AS (
+      SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rel FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id ASC) AS t_rank
+        FROM q JOIN e c ON q.query_id <> c.vec_id)
+      WHERE t_rank <= $RetrK),
+    approx AS (
+      SELECT query_id, neighbor_id, c_rank FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id ASC) AS c_rank
+        FROM q JOIN e c ON q.bucket = c.bucket
+                       AND q.query_id <> c.vec_id)
+      WHERE c_rank <= $RetrK),
+    rel AS (
+      SELECT a.query_id, a.c_rank, COALESCE(t.rel, 0) AS rel
+      FROM approx a LEFT JOIN truth t
+        ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id),
+    perq AS (
+      SELECT query_id, COUNT(*) AS n_cand,
+        CAST(SUM(rel) AS BIGINT) AS n_hits,
+        CAST(SUM(rel * ${discCaseSql("c_rank")}) AS BIGINT) AS dcg_fp,
+        MIN(CASE WHEN rel = 1 THEN c_rank END) AS first_hit_rank
+      FROM rel GROUP BY 1)
+    SELECT q.query_id,
+      COALESCE(p.n_cand, 0) AS n_cand,
+      COALESCE(p.n_hits, 0) AS n_hits,
+      CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / $RetrK AS recall_at_k,
+      COALESCE(CAST(1 AS DOUBLE) / p.first_hit_rank,
+        CAST(0 AS DOUBLE)) AS mrr,
+      CAST(COALESCE(p.dcg_fp, 0) AS DOUBLE) / $idcgFp AS ndcg_at_k
+    FROM q LEFT JOIN perq p ON p.query_id = q.query_id"""
+
+  // ----------------------------------- embedding scatter / drift
+  /** Embedding-space scatter decomposition (the ANOVA / LDA B-vs-W
+    * split) per coarse cell: `between_d2` = squared distance from the
+    * cell centroid to the GLOBAL centroid (how far the cell has
+    * drifted from the corpus mean — the domain-shift signal a
+    * training pipeline monitors when a new source lands), and
+    * `within_mean_d2` = mean squared distance of the cell's vectors
+    * to their own centroid (its internal spread — q124's denominator,
+    * reported per cell). A cell whose between term dominates the
+    * within term is a genuinely displaced domain, not just a noisy
+    * one.
+    *
+    * Float parity: centroids via the q124 spelling (decimal(30,8)
+    * per-dimension sums → ONE double divide), distances as in-row
+    * l2sq folds over the centroid arrays (bit-identical IEEE
+    * sequences), the within-mean via a decimal-routed sum of
+    * per-vector doubles.
+    *
+    * 100 TB design: one (cell, dim)-keyed exchange builds all
+    * centroids (map-side combined), the global array is a single
+    * broadcast row (intended NLJ — whitelisted), the within pass is
+    * one scan against broadcast centroids; nothing corpus-scale ever
+    * sorts or pairs. */
+  val q217EmbeddingDrift: Q = (s, d) => {
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val cent = dims.groupBy($"label", $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"label", expr("transform(pc, x -> x.c)").as("carr"))
+    val global = dims.groupBy($"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select(expr("transform(pc, x -> x.c)").as("garr"))
+    val counts = Tables.embeddings(s, d).groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"))
+    val within = Tables.embeddings(s, d)
+      .join(broadcast(cent), Seq("label"))
+      .withColumn("d2", expr("l2sq_native(embedding, carr)"))
+      .groupBy($"label")
+      .agg((sum($"d2".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("within_mean_d2"))
+    cent.crossJoin(broadcast(global))
+      .withColumn("between_d2", expr("l2sq_native(carr, garr)"))
+      .join(counts, Seq("label"))
+      .join(within, Seq("label"))
+      .select($"label", $"n_vecs", $"between_d2", $"within_mean_d2")
+  }
+  val o217: String = """
+    WITH dims AS (
+      SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    cent AS (
+      SELECT label, pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (SELECT label, list(c ORDER BY pos) AS carr
+             FROM cent GROUP BY label),
+    gcent AS (
+      SELECT pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1),
+    garr AS (SELECT list(c ORDER BY pos) AS garr FROM gcent),
+    counts AS (SELECT label, COUNT(*) AS n_vecs
+               FROM embeddings GROUP BY 1),
+    wdist AS (
+      SELECT em.label,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64), i ->
+            (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i])
+              * (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i]))),
+          (acc, x) -> acc + x) AS d2
+      FROM embeddings em JOIN carr ca USING (label)),
+    within AS (
+      SELECT label,
+        CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+          AS within_mean_d2
+      FROM wdist GROUP BY 1)
+    SELECT c.label, n.n_vecs,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 64), i ->
+          (c.carr[i] - g.garr[i]) * (c.carr[i] - g.garr[i]))),
+        (acc, x) -> acc + x) AS between_d2,
+      w.within_mean_d2
+    FROM carr c CROSS JOIN garr g
+    JOIN counts n ON n.label = c.label
+    JOIN within w ON w.label = c.label"""
+
   val queries: Map[String, Q] = Map(
+    "q212_dbscan_census" -> q212DbscanCensus,
+    "q215_retrieval_metrics" -> q215RetrievalMetrics,
+    "q217_embedding_drift" -> q217EmbeddingDrift,
     "q126_contrastive_triplets" -> q126ContrastiveTriplets,
     "q124_embed_outliers" -> q124EmbedOutliers,
     "q117_ivfpq_search" -> q117IvfPqSearch,
@@ -972,6 +1286,9 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q212_dbscan_census" -> o212,
+    "q215_retrieval_metrics" -> o215,
+    "q217_embedding_drift" -> o217,
     "q126_contrastive_triplets" -> o126,
     "q124_embed_outliers" -> o124,
     "q117_ivfpq_search" -> o117,

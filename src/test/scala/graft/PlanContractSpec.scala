@@ -162,7 +162,17 @@ class PlanContractSpec extends AnyFunSuite {
       "q197_triangle_census",
       // q201 pairs each peeling round's single-row node and edge
       // censuses into that round's report row
-      "q201_kcore_peel")
+      "q201_kcore_peel",
+      // q215's ground-truth pass is q62's constant-size query
+      // broadcast against the full table (the exact-kNN baseline the
+      // LSH candidates are audited against)
+      "q215_retrieval_metrics",
+      // q216 crosses its two single-row metric censuses (candidate
+      // stats × truth count) into the one-row report
+      "q216_dedup_truth_eval",
+      // q217 crosses the single-row global-centroid array into the
+      // per-cell centroid frame
+      "q217_embedding_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

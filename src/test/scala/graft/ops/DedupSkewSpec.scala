@@ -140,4 +140,54 @@ class DedupSkewSpec extends AnyFunSuite {
     }
     assert(sets(2L).size == 1 && sets(3L).isEmpty && sets(4L).isEmpty)
   }
+
+  // --- q213 diagonal islands: planted run of known length -----------
+  // Token pools with pairwise-DISTINCT (first char, length) pairs —
+  // the shingle token hash is ascii(head)*131 + length, so distinct
+  // pairs guarantee distinct token hashes and the ONLY shared
+  // shingles between the two docs are the planted run's.
+  private def pool(chars: Seq[Char]): IndexedSeq[String] =
+    (for { c <- chars; len <- 1 to 6 } yield c.toString * len)
+      .toIndexedSeq
+
+  test("property: q213 reports a planted shared run at EXACTLY its " +
+    "length; one token shorter than the threshold stays silent") {
+    val poolA = pool('a' to 'h')
+    val poolB = pool('i' to 'p')
+    val poolR = pool('q' to 'z')
+    val gen = for {
+      runLen <- Gen.choose(DedupOps.MinRunTokens, 20)
+      preA <- Gen.choose(0, 20); sufA <- Gen.choose(0, 20)
+      preB <- Gen.choose(0, 20); sufB <- Gen.choose(0, 20)
+    } yield (runLen, preA, sufA, preB, sufB)
+    val prop = Prop.forAllNoShrink(gen) {
+      case (runLen, preA, sufA, preB, sufB) =>
+        val run = poolR.take(runLen)
+        val docA = (poolA.take(preA) ++ run ++
+          poolA.slice(preA, preA + sufA)).mkString(" ")
+        val docB = (poolB.take(preB) ++ run ++
+          poolB.slice(preB, preB + sufB)).mkString(" ")
+        val s = spark
+        import s.implicits._
+        val out = DedupOps.maxSharedRunFrom(
+          Seq(1L -> docA, 2L -> docB).toDF("doc_id", "text")).collect()
+        out.length == 1 &&
+          out(0).getAs[Long]("max_run_tokens") == runLen.toLong
+    }
+    val res = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("q213 threshold boundary: an 11-token shared run (< " +
+    "MinRunTokens = 12) yields no pair") {
+    val s = spark
+    import s.implicits._
+    val run = pool('q' to 'z').take(DedupOps.MinRunTokens - 1)
+    val docA = (pool('a' to 'h').take(5) ++ run).mkString(" ")
+    val docB = (run ++ pool('i' to 'p').take(5)).mkString(" ")
+    val out = DedupOps.maxSharedRunFrom(
+      Seq(1L -> docA, 2L -> docB).toDF("doc_id", "text")).collect()
+    assert(out.isEmpty)
+  }
 }
