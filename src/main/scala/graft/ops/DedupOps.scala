@@ -1063,7 +1063,10 @@ object DedupOps {
     * replayed twin (id + 6·2⁴⁰, one appended token — near-dup, not
     * exact, so band agreement is genuinely probabilistic), the truth
     * set is exactly those pairs, and the report is one row:
-    * n_truth / n_cand / n_hit / precision / recall. False positives
+    * n_docs / n_truth / n_cand / n_hit / precision / recall /
+    * reduction_ratio (the record-linkage blocking triad —
+    * reduction ratio = 1 − n_cand/C(N,2) says how much of the
+    * all-pairs space the banding pruned). False positives
     * (chance band collisions — common on this small-vocab corpus)
     * price the verification stage; misses price the residual dup
     * rate.
@@ -1080,7 +1083,8 @@ object DedupOps {
     val replay = docs.filter($"doc_id" % 5 === 0)
       .select(($"doc_id" + lit(ReplayOff6)).as("doc_id"),
         concat($"text", lit(" zzz")).as("text"))
-    val sig = minhashFrom(withShingles(docs.unionByName(replay)))
+    val aug = docs.unionByName(replay)
+    val sig = minhashFrom(withShingles(aug))
     val bands = sig.select($"doc_id", expr(
       "explode(array(named_struct('band', 0, 'h1', mh0, 'h2', mh1), " +
         "named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"))
@@ -1100,12 +1104,15 @@ object DedupOps {
       .agg(count(lit(1)).as("n_cand"),
         sum(coalesce($"is_truth", lit(0L))).cast("long").as("n_hit"))
     val truthStats = truth.agg(count(lit(1)).as("n_truth"))
-    candStats.crossJoin(truthStats)
-      .select($"n_truth", $"n_cand", $"n_hit",
+    val corpusStats = aug.agg(count(lit(1)).as("n_docs"))
+    candStats.crossJoin(truthStats).crossJoin(corpusStats)
+      .select($"n_docs", $"n_truth", $"n_cand", $"n_hit",
         when($"n_cand" === 0, lit(0).cast("double"))
           .otherwise($"n_hit".cast("double") / $"n_cand")
           .as("precision"),
-        ($"n_hit".cast("double") / $"n_truth").as("recall"))
+        ($"n_hit".cast("double") / $"n_truth").as("recall"),
+        (lit(1).cast("double") - ($"n_cand" * 2).cast("double")
+          / ($"n_docs" * ($"n_docs" - 1))).as("reduction_ratio"))
   }
   val o216: String = {
     val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
@@ -1145,13 +1152,16 @@ object DedupOps {
         CAST(SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END)
           AS BIGINT) AS n_hit
       FROM pairs p LEFT JOIN truth t ON t.a = p.a AND t.b = p.b),
-    ts AS (SELECT COUNT(*) AS n_truth FROM truth)
-    SELECT ts.n_truth, cand.n_cand, cand.n_hit,
+    ts AS (SELECT COUNT(*) AS n_truth FROM truth),
+    cs AS (SELECT COUNT(*) AS n_docs FROM aug)
+    SELECT cs.n_docs, ts.n_truth, cand.n_cand, cand.n_hit,
       CASE WHEN cand.n_cand = 0 THEN CAST(0 AS DOUBLE)
            ELSE CAST(cand.n_hit AS DOUBLE) / cand.n_cand
       END AS precision,
-      CAST(cand.n_hit AS DOUBLE) / ts.n_truth AS recall
-    FROM cand CROSS JOIN ts"""
+      CAST(cand.n_hit AS DOUBLE) / ts.n_truth AS recall,
+      CAST(1 AS DOUBLE) - CAST(cand.n_cand * 2 AS DOUBLE)
+        / (cs.n_docs * (cs.n_docs - 1)) AS reduction_ratio
+    FROM cand CROSS JOIN ts CROSS JOIN cs"""
   }
 
   val queries: Map[String, Q] = Map(

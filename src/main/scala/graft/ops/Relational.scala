@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.Tables
 import graft.functions.Cleaning._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1101,6 +1101,85 @@ object Relational {
             AS BIGINT) AS rank_delta
     FROM base"""
 
+  // ---------------------------------------------- mix/rate decomposition
+  /** Volume-vs-rate decomposition of the year-over-year revenue change
+    * per nation (the "why did revenue move" BI primitive): with
+    * n_y = order count and rate_y = revenue per order,
+    * Δrev = (n₂ − n₁)·rate₁  (volume effect — more/fewer orders at the
+    * old value) + n₂·(rate₂ − rate₁)  (rate effect — the new volume at
+    * a changed per-order value). q151 says WHO moved; this says WHY.
+    *
+    * Float parity: revenues via the q151 decimal(28,6) conditional
+    * sums (one double cast at the end), order counts via conditional
+    * exact count-distinct; rates are single divides and the effects
+    * in-row double arithmetic — no cross-row double sums anywhere.
+    *
+    * 100 TB design: ONE fact scan feeds both years through
+    * conditional aggregation to a 25-nation census; the distinct-order
+    * counts shuffle on the same group key as the sums (one exchange).
+    * No windows, no second scan. */
+  val q218MixRateDecomp: Q = (s, d) => {
+    import s.implicits._
+    def rev(y: Int) =
+      coalesce(sum(when(year($"o_orderdate") === y,
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,6)"))).cast("double"), lit(0.0))
+    def nOrders(y: Int) =
+      countDistinct(when(year($"o_orderdate") === y, $"o_orderkey"))
+        .cast("long")
+    def rate(revC: Column, nC: Column) =
+      when(nC > 0, revC / nC).otherwise(lit(0.0))
+    val base = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, d)),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(nOrders(1996).as("n_orders_1996"),
+        nOrders(1997).as("n_orders_1997"),
+        rev(1996).as("rev_1996"), rev(1997).as("rev_1997"))
+      .withColumn("rate_1996", rate($"rev_1996", $"n_orders_1996"))
+      .withColumn("rate_1997", rate($"rev_1997", $"n_orders_1997"))
+    base.select($"n_name", $"n_orders_1996", $"n_orders_1997",
+      $"rev_1996", $"rev_1997", $"rate_1996", $"rate_1997",
+      (($"n_orders_1997" - $"n_orders_1996") * $"rate_1996")
+        .as("volume_effect"),
+      ($"n_orders_1997" * ($"rate_1997" - $"rate_1996"))
+        .as("rate_effect"),
+      ($"rev_1997" - $"rev_1996").as("delta_rev"))
+  }
+  val o218: String = """
+    WITH base AS (
+      SELECT n_name,
+        CAST(COUNT(DISTINCT CASE WHEN year(o_orderdate) = 1996
+          THEN o_orderkey END) AS BIGINT) AS n_orders_1996,
+        CAST(COUNT(DISTINCT CASE WHEN year(o_orderdate) = 1997
+          THEN o_orderkey END) AS BIGINT) AS n_orders_1997,
+        COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+          THEN CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS rev_1996,
+        COALESCE(CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+          THEN CAST(l_extendedprice * (1.0 - l_discount)
+            AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS rev_1997
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name),
+    rates AS (
+      SELECT *,
+        CASE WHEN n_orders_1996 > 0 THEN rev_1996 / n_orders_1996
+             ELSE CAST(0 AS DOUBLE) END AS rate_1996,
+        CASE WHEN n_orders_1997 > 0 THEN rev_1997 / n_orders_1997
+             ELSE CAST(0 AS DOUBLE) END AS rate_1997
+      FROM base)
+    SELECT n_name, n_orders_1996, n_orders_1997, rev_1996, rev_1997,
+      rate_1996, rate_1997,
+      (n_orders_1997 - n_orders_1996) * rate_1996 AS volume_effect,
+      n_orders_1997 * (rate_1997 - rate_1996) AS rate_effect,
+      rev_1997 - rev_1996 AS delta_rev
+    FROM rates"""
+
   // ------------------------------------------------ hierarchical share
   /** Hierarchical share mart: each nation's revenue as a share of its
     * region and of the world — the ratio-to-parent spelling every BI
@@ -1271,6 +1350,7 @@ object Relational {
     "q161_gini_revenue" -> q161GiniRevenue,
     "q150_fulfillment_latency" -> q150FulfillmentLatency,
     "q151_rank_shift" -> q151RankShift,
+    "q218_mix_rate_decomp" -> q218MixRateDecomp,
     "q140_fk_audit" -> q140FkAudit,
     "q135_skew_diagnostic" -> q135SkewDiagnostic,
     "q132_cdc_apply" -> q132CdcApply,
@@ -1305,6 +1385,7 @@ object Relational {
     "q161_gini_revenue" -> o161,
     "q150_fulfillment_latency" -> o150,
     "q151_rank_shift" -> o151,
+    "q218_mix_rate_decomp" -> o218,
     "q140_fk_audit" -> o140,
     "q135_skew_diagnostic" -> o135,
     "q132_cdc_apply" -> o132,

@@ -1267,10 +1267,66 @@ object VectorOps {
     JOIN counts n ON n.label = c.label
     JOIN within w ON w.label = c.label"""
 
+  // -------------------------------------- cross-label confusion census
+  /** Cross-label high-similarity census — the mislabeling /
+    * confusability audit: pairs of vectors in the SAME sign-LSH bucket
+    * whose cosine clears the q64 near-dup threshold but whose labels
+    * DISAGREE, counted per unordered label pair with the mean cosine.
+    * q64 finds near-dups within a label; this surfaces the opposite
+    * problem — label pairs the embedding space cannot separate, the
+    * census a labeling QA or a coarse-quantizer retrain reads first.
+    *
+    * Float parity: cosines are the bit-identical in-row kernel folds;
+    * the per-cell mean routes the double cosines through
+    * decimal(30,8) (order-independent) with one divide at the end.
+    *
+    * 100 TB design: candidates come from the bucket-keyed join (q63's
+    * layout — never all-pairs); the census aggregates id-free rows
+    * keyed on the ≤ |labels|² pair space. */
+  val q219LabelConfusion: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+      .withColumn("bucket", expr(bucketExpr))
+    val a = e.select($"vec_id".as("ia"), $"label".as("label_a"),
+      $"embedding".as("a_emb"), $"norm".as("a_norm"), $"bucket")
+    val c = e.select($"vec_id".as("ib"), $"label".as("label_b"),
+      $"embedding".as("b_emb"), $"norm".as("b_norm"), $"bucket")
+    a.join(c, Seq("bucket"))
+      .filter($"ia" < $"ib" && $"label_a" =!= $"label_b")
+      .withColumn("cosine",
+        expr(dot("a_emb", "b_emb")) / ($"a_norm" * $"b_norm"))
+      .filter($"cosine" >= 0.3)
+      .groupBy(least($"label_a", $"label_b").as("label_lo"),
+        greatest($"label_a", $"label_b").as("label_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum($"cosine".cast("decimal(30,8)")).cast("double")
+          / count(lit(1))).as("mean_cos"))
+  }
+  val o219: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm,
+             $bucketSql AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+        ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm)
+          AS cosine
+      FROM e a JOIN e b ON a.bucket = b.bucket
+        AND a.vec_id < b.vec_id AND a.label <> b.label)
+    SELECT least(label_a, label_b) AS label_lo,
+      greatest(label_a, label_b) AS label_hi,
+      COUNT(*) AS n_pairs,
+      CAST(SUM(CAST(cosine AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        AS mean_cos
+    FROM pairs WHERE cosine >= 0.3 GROUP BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "q212_dbscan_census" -> q212DbscanCensus,
     "q215_retrieval_metrics" -> q215RetrievalMetrics,
     "q217_embedding_drift" -> q217EmbeddingDrift,
+    "q219_label_confusion" -> q219LabelConfusion,
     "q126_contrastive_triplets" -> q126ContrastiveTriplets,
     "q124_embed_outliers" -> q124EmbedOutliers,
     "q117_ivfpq_search" -> q117IvfPqSearch,
@@ -1289,6 +1345,7 @@ object VectorOps {
     "q212_dbscan_census" -> o212,
     "q215_retrieval_metrics" -> o215,
     "q217_embedding_drift" -> o217,
+    "q219_label_confusion" -> o219,
     "q126_contrastive_triplets" -> o126,
     "q124_embed_outliers" -> o124,
     "q117_ivfpq_search" -> o117,
