@@ -1164,9 +1164,96 @@ object DedupOps {
     FROM cand CROSS JOIN ts CROSS JOIN cs"""
   }
 
+  // ----------------------------------- partition agreement (Rand index)
+  /** Rand index between the two independent LSH band partitions —
+    * "do two hash views of the corpus agree on what clusters
+    * together?" Band 0 groups docs by (mh0, mh1), band 1 by
+    * (mh2, mh3); both should co-bucket genuine near-dups and split
+    * everything else, and their structural agreement (fraction of
+    * doc PAIRS on which the partitions agree) is the stability signal
+    * a pipeline watches when it re-hashes or re-parameterizes its
+    * banding.
+    *
+    * The Rand index is defined over all C(N,2) pairs but NO pairs are
+    * materialized: with contingency cells m_ij = |band0 cluster i ∩
+    * band1 cluster j|, pairs-together-in-both n11 = Σ C(m_ij, 2),
+    * per-side totals from the marginal sizes, and
+    * rand = (C(N,2) + 2·n11 − n_a − n_b) / C(N,2) — all from
+    * cluster-SIZE algebra (exact int64; a > 3e9-doc corpus routes
+    * the C(N,2) products through decimal(38,0), the q179 bound
+    * convention).
+    *
+    * 100 TB design: one signature scan → ONE (4-lane key) cell
+    * census, localCheckpoint'd because the two marginal censuses
+    * derive from it; every aggregate is map-side combined over 8-byte
+    * lanes; the final report crosses four single-row censuses
+    * (intended broadcast — whitelisted). */
+  val q220PartitionAgreement: Q = (s, d) => {
+    import s.implicits._
+    val cells = minhashFrom(withShingles(
+        Tables.documents(s, d).select($"doc_id", $"text")))
+      .groupBy($"mh0", $"mh1", $"mh2", $"mh3")
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint()
+    def pairSum(df: DataFrame, c: String) =
+      df.agg(coalesce(sum(col(c) * (col(c) - 1)), lit(0L))
+        .cast("long").as(s"p_$c"))
+    val n11 = pairSum(cells, "m")
+      .select(($"p_m" / 2).cast("long").as("n11"))
+    val na = pairSum(cells.groupBy($"mh0", $"mh1")
+        .agg(sum($"m").as("a")), "a")
+      .select(($"p_a" / 2).cast("long").as("n_a"))
+    val nb = pairSum(cells.groupBy($"mh2", $"mh3")
+        .agg(sum($"m").as("b")), "b")
+      .select(($"p_b" / 2).cast("long").as("n_b"))
+    val tot = cells.agg(sum($"m").cast("long").as("n_docs"))
+    tot.crossJoin(n11).crossJoin(na).crossJoin(nb)
+      .withColumn("n_pairs_total",
+        ($"n_docs" * ($"n_docs" - 1) / 2).cast("long"))
+      .select($"n_docs", $"n_pairs_total", $"n11", $"n_a", $"n_b",
+        (($"n_pairs_total" + $"n11" * 2 - $"n_a" - $"n_b")
+          .cast("double") / $"n_pairs_total").as("rand_index"))
+  }
+  val o220: String = {
+    val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
+    }.mkString(",\n        ")
+    s"""
+    WITH sig AS (
+      SELECT doc_id, $mhs
+      FROM (SELECT doc_id, $shinglesSql AS shs
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))),
+    cells AS (
+      SELECT mh0, mh1, mh2, mh3, COUNT(*) AS m
+      FROM sig GROUP BY 1, 2, 3, 4),
+    n11 AS (
+      SELECT CAST(COALESCE(SUM(m * (m - 1)), 0) / 2 AS BIGINT) AS n11
+      FROM cells),
+    na AS (
+      SELECT CAST(COALESCE(SUM(a * (a - 1)), 0) / 2 AS BIGINT) AS n_a
+      FROM (SELECT CAST(SUM(m) AS BIGINT) AS a FROM cells
+            GROUP BY mh0, mh1)),
+    nb AS (
+      SELECT CAST(COALESCE(SUM(b * (b - 1)), 0) / 2 AS BIGINT) AS n_b
+      FROM (SELECT CAST(SUM(m) AS BIGINT) AS b FROM cells
+            GROUP BY mh2, mh3)),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_docs FROM cells)
+    SELECT tot.n_docs,
+      CAST(tot.n_docs * (tot.n_docs - 1) / 2 AS BIGINT)
+        AS n_pairs_total,
+      n11.n11, na.n_a, nb.n_b,
+      CAST(tot.n_docs * (tot.n_docs - 1) / 2 + 2 * n11.n11
+           - na.n_a - nb.n_b AS DOUBLE)
+        / CAST(tot.n_docs * (tot.n_docs - 1) / 2 AS BIGINT)
+        AS rand_index
+    FROM tot CROSS JOIN n11 CROSS JOIN na CROSS JOIN nb"""
+  }
+
   val queries: Map[String, Q] = Map(
     "q213_max_shared_run" -> q213MaxSharedRun,
     "q216_dedup_truth_eval" -> q216DedupTruthEval,
+    "q220_partition_agreement" -> q220PartitionAgreement,
     "q208_winnowing" -> q208Winnowing,
     "q56_minhash" -> q56MinHash,
     "q107_minhash_estimate" -> q107MinhashEstimate,
@@ -1182,6 +1269,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q213_max_shared_run" -> o213,
     "q216_dedup_truth_eval" -> o216,
+    "q220_partition_agreement" -> o220,
     "q208_winnowing" -> o208,
     "q56_minhash" -> o56,
     "q107_minhash_estimate" -> o107,

@@ -172,7 +172,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q216_dedup_truth_eval",
       // q217 crosses the single-row global-centroid array into the
       // per-cell centroid frame
-      "q217_embedding_drift")
+      "q217_embedding_drift",
+      // q220 crosses its four single-row pair-count censuses into the
+      // one-row Rand-index report
+      "q220_partition_agreement")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
