@@ -69,31 +69,13 @@ object Fingerprint64Util {
   * P = 1e9+7; fewer than 3 tokens → empty array. DuckDB twin:
   * [[graft.ops.DedupOps.shinglesSql]]. */
 object Shingles3Util {
-  private val Mod = 1000000007L
-
+  // k = 3 of the generalized kernel — bit-identical by the fold
+  // identity (acc starts below Mod), pinned by the EngineProperties
+  // "K = 3 == shingles3" property; the 3-iteration inner loop costs
+  // nothing next to the split/codepoint work
   def shingles(s: UTF8String)
-      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val str = s.toString
-    val parts = str.split(" ", -1)
-    val n = parts.length
-    val th = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      val t = parts(i)
-      val a = if (t.isEmpty) 0L else t.codePointAt(0).toLong
-      th(i) = a * 131L + t.codePointCount(0, t.length).toLong
-      i += 1
-    }
-    val m = math.max(n - 2, 0)
-    val out = new Array[Long](m)
-    var j = 0
-    while (j < m) {
-      out(j) =
-        ((th(j) * 100003L + th(j + 1)) % Mod * 100003L + th(j + 2)) % Mod
-      j += 1
-    }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-  }
+      : org.apache.spark.sql.catalyst.util.GenericArrayData =
+    ShinglesKUtil.shingles(s, 3)
 }
 
 /** Native kernel for the 4-lane MinHash signature (q56/q57/q107/q156

@@ -119,15 +119,33 @@ object DedupOps {
 
   val q56MinHash: Q = (s, d) =>
     minhashFrom(withShingles(Tables.documents(s, d)))
-  val o56: String = {
+
+  /** Band view of a 4-lane signature frame: (doc_id, band, h1, h2)
+    * with band 0 = (mh0, mh1) and band 1 = (mh2, mh3) — THE banding
+    * layout, defined once for every doc-level band consumer (q57,
+    * q216); q157's group-level variant mirrors the same lane-to-band
+    * assignment over pre-collapsed signature groups. */
+  private def bandsFrom(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), expr(
+      "explode(array(named_struct('band', 0, 'h1', mh0, 'h2', mh1), " +
+        "named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.h1"), col("b.h2"))
+
+  /** DuckDB MinHash-signature derivation over any doc-bearing
+    * relation — ONE spelling serving o56/o216/o220 (the lane
+    * constants live in [[ab]] only). */
+  private def sigSqlOver(src: String): String = {
     val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
     }.mkString(",\n        ")
     s"""
     SELECT doc_id, $mhs
     FROM (SELECT doc_id, $shinglesSql AS shs
-          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))"""
+          FROM (SELECT doc_id, string_split(text, ' ') AS t
+                FROM $src))"""
   }
+  val o56: String = sigSqlOver("documents")
 
   // ---------------------------------------------------------------- LSH
   /** LSH banding over the MinHash signature: 2 bands × 2 rows; docs
@@ -136,11 +154,7 @@ object DedupOps {
     * shuffle-friendly shape; q58 materializes verified pairs. */
   val q57LshBuckets: Q = (s, d) => {
     import s.implicits._
-    q56MinHash(s, d)
-      .select($"doc_id", expr(
-        "explode(array(named_struct('band', 0, 'h1', mh0, 'h2', mh1), " +
-          "named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.h1", $"b.h2")
+    bandsFrom(q56MinHash(s, d))
       .groupBy($"band", $"h1", $"h2")
       .agg(count(lit(1)).as("bucket_size"))
       .filter($"bucket_size" > 1)
@@ -1084,11 +1098,7 @@ object DedupOps {
       .select(($"doc_id" + lit(ReplayOff6)).as("doc_id"),
         concat($"text", lit(" zzz")).as("text"))
     val aug = docs.unionByName(replay)
-    val sig = minhashFrom(withShingles(aug))
-    val bands = sig.select($"doc_id", expr(
-      "explode(array(named_struct('band', 0, 'h1', mh0, 'h2', mh1), " +
-        "named_struct('band', 1, 'h1', mh2, 'h2', mh3))) AS b"))
-      .select($"doc_id", $"b.band".as("band"), $"b.h1", $"b.h2")
+    val bands = bandsFrom(minhashFrom(withShingles(aug)))
     val pairs = bands.groupBy($"band", $"h1", $"h2")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds").between(2, MaxBandBucket))
@@ -1102,7 +1112,10 @@ object DedupOps {
     val candStats = pairs
       .join(truth, Seq("a", "b"), "left")
       .agg(count(lit(1)).as("n_cand"),
-        sum(coalesce($"is_truth", lit(0L))).cast("long").as("n_hit"))
+        // outer coalesce: sum over ZERO rows (empty candidate set) is
+        // null — the report must say n_hit = 0, like precision's guard
+        coalesce(sum(coalesce($"is_truth", lit(0L))), lit(0L))
+          .cast("long").as("n_hit"))
     val truthStats = truth.agg(count(lit(1)).as("n_truth"))
     val corpusStats = aug.agg(count(lit(1)).as("n_docs"))
     candStats.crossJoin(truthStats).crossJoin(corpusStats)
@@ -1115,20 +1128,13 @@ object DedupOps {
           / ($"n_docs" * ($"n_docs" - 1))).as("reduction_ratio"))
   }
   val o216: String = {
-    val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
-      s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
-    }.mkString(",\n        ")
     s"""
     WITH aug AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + $ReplayOff6 AS doc_id, text || ' zzz' AS text
       FROM documents WHERE doc_id % 5 = 0),
-    sig AS (
-      SELECT doc_id, $mhs
-      FROM (SELECT doc_id, $shinglesSql AS shs
-            FROM (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM aug))),
+    sig AS (${sigSqlOver("aug")}),
     bands AS (
       SELECT doc_id, 0 AS band, mh0 AS h1, mh1 AS h2 FROM sig
       UNION ALL
@@ -1149,8 +1155,8 @@ object DedupOps {
       FROM documents WHERE doc_id % 5 = 0),
     cand AS (
       SELECT COUNT(*) AS n_cand,
-        CAST(SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END)
-          AS BIGINT) AS n_hit
+        CAST(COALESCE(SUM(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END),
+          0) AS BIGINT) AS n_hit
       FROM pairs p LEFT JOIN truth t ON t.a = p.a AND t.b = p.b),
     ts AS (SELECT COUNT(*) AS n_truth FROM truth),
     cs AS (SELECT COUNT(*) AS n_docs FROM aug)
@@ -1215,15 +1221,8 @@ object DedupOps {
           .cast("double") / $"n_pairs_total").as("rand_index"))
   }
   val o220: String = {
-    val mhs = ab.zipWithIndex.map { case ((a, b), j) =>
-      s"list_min(list_transform(shs, x -> ($a * x + $b) % $P)) AS mh$j"
-    }.mkString(",\n        ")
     s"""
-    WITH sig AS (
-      SELECT doc_id, $mhs
-      FROM (SELECT doc_id, $shinglesSql AS shs
-            FROM (SELECT doc_id, string_split(text, ' ') AS t
-                  FROM documents))),
+    WITH sig AS ($o56),
     cells AS (
       SELECT mh0, mh1, mh2, mh3, COUNT(*) AS m
       FROM sig GROUP BY 1, 2, 3, 4),

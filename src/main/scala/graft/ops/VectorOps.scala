@@ -1213,17 +1213,17 @@ object VectorOps {
         / count(lit(1))).as("c"))
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select(expr("transform(pc, x -> x.c)").as("garr"))
-    val counts = Tables.embeddings(s, d).groupBy($"label")
-      .agg(count(lit(1)).as("n_vecs"))
+    // the within pass already aggregates at cell grain — it carries
+    // the cell counts too (no third corpus scan just for n_vecs)
     val within = Tables.embeddings(s, d)
       .join(broadcast(cent), Seq("label"))
       .withColumn("d2", expr("l2sq_native(embedding, carr)"))
       .groupBy($"label")
-      .agg((sum($"d2".cast("decimal(30,8)")).cast("double")
-        / count(lit(1))).as("within_mean_d2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum($"d2".cast("decimal(30,8)")).cast("double")
+          / count(lit(1))).as("within_mean_d2"))
     cent.crossJoin(broadcast(global))
       .withColumn("between_d2", expr("l2sq_native(carr, garr)"))
-      .join(counts, Seq("label"))
       .join(within, Seq("label"))
       .select($"label", $"n_vecs", $"between_d2", $"within_mean_d2")
   }
@@ -1242,8 +1242,6 @@ object VectorOps {
         CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
       FROM dims GROUP BY 1),
     garr AS (SELECT list(c ORDER BY pos) AS garr FROM gcent),
-    counts AS (SELECT label, COUNT(*) AS n_vecs
-               FROM embeddings GROUP BY 1),
     wdist AS (
       SELECT em.label,
         list_reduce(list_prepend(CAST(0 AS DOUBLE),
@@ -1253,18 +1251,17 @@ object VectorOps {
           (acc, x) -> acc + x) AS d2
       FROM embeddings em JOIN carr ca USING (label)),
     within AS (
-      SELECT label,
+      SELECT label, COUNT(*) AS n_vecs,
         CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
           AS within_mean_d2
       FROM wdist GROUP BY 1)
-    SELECT c.label, n.n_vecs,
+    SELECT c.label, w.n_vecs,
       list_reduce(list_prepend(CAST(0 AS DOUBLE),
         list_transform(generate_series(1, 64), i ->
           (c.carr[i] - g.garr[i]) * (c.carr[i] - g.garr[i]))),
         (acc, x) -> acc + x) AS between_d2,
       w.within_mean_d2
     FROM carr c CROSS JOIN garr g
-    JOIN counts n ON n.label = c.label
     JOIN within w ON w.label = c.label"""
 
   // -------------------------------------- cross-label confusion census
