@@ -1411,6 +1411,95 @@ object CorpusOps {
                THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed_script
     FROM aug GROUP BY 1"""
 
+  // ------------------------------------------- count-min sketch audit
+  /** Count-min sketch vs exact truth — the THIRD sketch family
+    * (q155 = HLL distinct, q168 = GK quantiles, this = frequency),
+    * and the only one whose construction is fully deterministic, so
+    * unlike its rows-only siblings it gets a complete DuckDB oracle:
+    * a depth-2 × width-[[CmWidth]] counter grid (each depth a
+    * different (a·x + b) mod P row hash), point-queried at the exact
+    * top-20 tokens with estimate = min over depths. The overestimate
+    * column is the sketch's signature one-sided error — never
+    * negative, shrinking as width grows — and auditing it against
+    * exact counts is how a pipeline sizes the grid before trusting CM
+    * for per-token throttling/heavy-hitter work at stream scale.
+    *
+    * 100 TB design: the counter grid is a (depth, bucket) census —
+    * 2·[[CmWidth]] int64 cells regardless of corpus size, built with
+    * ONE map-side-combined aggregate over the token census and
+    * MERGEABLE across partitions/streams (counter-wise addition —
+    * the property that makes CM the streaming frequency sketch). The
+    * top-20 probe set broadcasts. */
+  private val CmWidth = 256
+  private val cmAb = Seq((37L, 17L), (8191L, 131L))
+
+  val q221CountMinAudit: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("th", expr(
+        "CAST(ascii(term) * 131 + length(term) AS BIGINT)"))
+      .localCheckpoint() // feeds the grid AND the probe ranking
+    val grid = cmAb.zipWithIndex.map { case ((a, b), dth) =>
+      counts.select(lit(dth).as("depth"),
+        ((col("th") * a + b) % lit(1000000007L) % CmWidth)
+          .as("bucket"), col("n"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("n")).cast("long").as("cm"))
+    val w = Window.orderBy(col("n").desc, col("term").asc)
+    val probes = counts
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+    val est = cmAb.zipWithIndex.map { case ((a, b), dth) =>
+      probes.select(col("term"), col("rank"), col("n"),
+        lit(dth).as("depth"),
+        ((col("th") * a + b) % lit(1000000007L) % CmWidth)
+          .as("bucket"))
+    }.reduce(_ unionByName _)
+      .join(grid, Seq("depth", "bucket"))
+    est.groupBy(col("term"), col("rank"), col("n").as("n_exact"))
+      .agg(min(col("cm")).as("n_est"))
+      .withColumn("overestimate", col("n_est") - col("n_exact"))
+      .select(col("rank"), col("term"), col("n_exact"), col("n_est"),
+        col("overestimate"))
+  }
+  val o221: String = {
+    val gridArms = cmAb.zipWithIndex.map { case ((a, b), dth) =>
+      s"""SELECT $dth AS depth,
+            (th * $a + $b) % 1000000007 % $CmWidth AS bucket, n
+          FROM counts"""
+    }.mkString("\n      UNION ALL\n      ")
+    val probeArms = cmAb.zipWithIndex.map { case ((a, b), dth) =>
+      s"""SELECT term, rank, n, $dth AS depth,
+            (th * $a + $b) % 1000000007 % $CmWidth AS bucket
+          FROM probes"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"""
+    WITH counts AS (
+      SELECT term, COUNT(*) AS n,
+        CAST(greatest(unicode(term), 0) * 131 + length(term)
+          AS BIGINT) AS th
+      FROM (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents)
+      GROUP BY term),
+    grid AS (
+      SELECT depth, bucket, CAST(SUM(n) AS BIGINT) AS cm FROM (
+      $gridArms) GROUP BY 1, 2),
+    probes AS (
+      SELECT term, n, CAST(row_number() OVER
+          (ORDER BY n DESC, term ASC) AS BIGINT) AS rank, th
+      FROM counts QUALIFY rank <= 20),
+    est AS (
+      $probeArms)
+    SELECT e.rank, e.term, e.n AS n_exact,
+      CAST(MIN(g.cm) AS BIGINT) AS n_est,
+      CAST(MIN(g.cm) - e.n AS BIGINT) AS overestimate
+    FROM est e JOIN grid g ON g.depth = e.depth AND g.bucket = e.bucket
+    GROUP BY e.rank, e.term, e.n"""
+  }
+
   // ------------------------------------------------- length quantiles
   /** Exact per-language length quantiles (p25/p50/p75/p90) via the
     * rank spelling: row_number over (n_chars, doc_id) within each
@@ -2459,6 +2548,7 @@ object CorpusOps {
     "q184_wasserstein_drift" -> q184WassersteinDrift,
     "q164_pii_census" -> q164PiiCensus,
     "q214_text_hygiene" -> q214TextHygiene,
+    "q221_countmin_audit" -> q221CountMinAudit,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
@@ -2504,6 +2594,7 @@ object CorpusOps {
     "q184_wasserstein_drift" -> o184,
     "q164_pii_census" -> o164,
     "q214_text_hygiene" -> o214,
+    "q221_countmin_audit" -> o221,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,

@@ -1091,13 +1091,23 @@ object DedupOps {
     * PlanContractSpec whitelists it). */
   private val ReplayOff6 = 6L << 40
 
+  /** The planted-truth corpus shared by q216/q222: every doc_id ≡ 0
+    * (mod 5) gets a one-token-perturbed twin at +6·2⁴⁰. Returns
+    * (augmented corpus, truth pair set). */
+  private def replayAug(docs: DataFrame): (DataFrame, DataFrame) = {
+    val replay = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + lit(ReplayOff6)).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+    val truth = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("a"),
+        (col("doc_id") + lit(ReplayOff6)).as("b"))
+    (docs.unionByName(replay), truth)
+  }
+
   val q216DedupTruthEval: Q = (s, d) => {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"text")
-    val replay = docs.filter($"doc_id" % 5 === 0)
-      .select(($"doc_id" + lit(ReplayOff6)).as("doc_id"),
-        concat($"text", lit(" zzz")).as("text"))
-    val aug = docs.unionByName(replay)
+    val (aug, truthPairs) = replayAug(docs)
     val bands = bandsFrom(minhashFrom(withShingles(aug)))
     val pairs = bands.groupBy($"band", $"h1", $"h2")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
@@ -1106,9 +1116,7 @@ object DedupOps {
         "named_struct('a', element_at(ds, i), 'b', x)"))).as("p"))
       .select($"p.a".as("a"), $"p.b".as("b"))
       .distinct()
-    val truth = docs.filter($"doc_id" % 5 === 0)
-      .select($"doc_id".as("a"),
-        ($"doc_id" + lit(ReplayOff6)).as("b"), lit(1L).as("is_truth"))
+    val truth = truthPairs.withColumn("is_truth", lit(1L))
     val candStats = pairs
       .join(truth, Seq("a", "b"), "left")
       .agg(count(lit(1)).as("n_cand"),
@@ -1168,6 +1176,136 @@ object DedupOps {
       CAST(1 AS DOUBLE) - CAST(cand.n_cand * 2 AS DOUBLE)
         / (cs.n_docs * (cs.n_docs - 1)) AS reduction_ratio
     FROM cand CROSS JOIN ts CROSS JOIN cs"""
+  }
+
+  // ------------------------------------- b-bit MinHash calibration
+  /** b-bit MinHash calibration (Li & König): storing only the lowest
+    * [[BbitBits]] bits of each MinHash lane cuts signature storage
+    * 16× at the price of chance bit-collisions, corrected by the
+    * unbiased estimator Ĵ = (agreement − 2⁻ᵇ)/(1 − 2⁻ᵇ). This query
+    * measures what that correction actually buys on two deterministic
+    * pair populations — planted near-dup replays (high J) and
+    * adjacent-id pairs (background J) — reporting mean exact Jaccard,
+    * the full-lane estimator's MAE, and the b-bit estimator's MAE per
+    * population. The number a storage-constrained dedup reads before
+    * shrinking its signatures.
+    *
+    * Float parity: exact J is an in-row intersect/union of distinct
+    * shingle sets (both engines dedup list/array intersection
+    * identically) with ONE divide; agreements are dyadic quarters;
+    * MAEs route |err| through decimal(30,8) sums.
+    *
+    * 100 TB design: everything is keyed by the bounded pair set
+    * (truth + sampled adjacents) — two hash joins pull shingle arrays
+    * and signatures to pairs; no corpus-scale pairing anywhere. */
+  private val BbitBits = 4
+
+  val q222BbitCalibration: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"text")
+    val (aug, truthPairs) = replayAug(docs)
+    val adjacent = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("a"), ($"doc_id" + 1).as("b"))
+      .join(docs.select($"doc_id".as("b")), Seq("b"), "left_semi")
+    val pairs = truthPairs.withColumn("pair_class", lit("replay"))
+      .unionByName(adjacent.withColumn("pair_class", lit("adjacent")))
+    val base = withShingles(aug)
+    val sig = minhashFrom(base).localCheckpoint()
+    val shs = base.select($"doc_id", array_distinct($"shs").as("ds"))
+    def side(p: String) = (df: DataFrame, cols: Seq[String]) =>
+      cols.foldLeft(df.withColumnRenamed("doc_id", p)) { (f, c) =>
+        f.withColumnRenamed(c, s"${p}_$c")
+      }
+    val withSets = pairs
+      .join(side("a")(shs, Seq("ds")), Seq("a"))
+      .join(side("b")(shs, Seq("ds")), Seq("b"))
+      .withColumn("ninter",
+        size(array_intersect($"a_ds", $"b_ds")).cast("long"))
+      .withColumn("nunion",
+        (size($"a_ds") + size($"b_ds")).cast("long") - $"ninter")
+      .withColumn("j_exact",
+        when($"nunion" > 0, $"ninter".cast("double") / $"nunion")
+          .otherwise(lit(1.0)))
+      .select($"a", $"b", $"pair_class", $"j_exact")
+    val lanes = Seq("mh0", "mh1", "mh2", "mh3")
+    val mask = (1L << BbitBits) - 1
+    val withSigs = withSets
+      .join(side("a")(sig, lanes), Seq("a"))
+      .join(side("b")(sig, lanes), Seq("b"))
+      .withColumn("agree_full", lanes.map(l =>
+          when(col(s"a_$l") === col(s"b_$l"), 1).otherwise(0))
+        .reduce(_ + _).cast("double") / lanes.size)
+      .withColumn("agree_bbit", lanes.map(l =>
+          when(col(s"a_$l") % (mask + 1) === col(s"b_$l") % (mask + 1),
+            1).otherwise(0))
+        .reduce(_ + _).cast("double") / lanes.size)
+      .withColumn("est_bbit",
+        ($"agree_bbit" - lit(1.0) / (mask + 1).toDouble)
+          / (lit(1.0) - lit(1.0) / (mask + 1).toDouble))
+    withSigs.groupBy($"pair_class")
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum($"j_exact".cast("decimal(30,8)")).cast("double")
+          / count(lit(1))).as("mean_j_exact"),
+        (sum(abs($"agree_full" - $"j_exact").cast("decimal(30,8)"))
+          .cast("double") / count(lit(1))).as("mae_full"),
+        (sum(abs($"est_bbit" - $"j_exact").cast("decimal(30,8)"))
+          .cast("double") / count(lit(1))).as("mae_bbit"))
+  }
+  val o222: String = {
+    val m = (1L << BbitBits)
+    val agreeFull = (0 to 3).map(j =>
+      s"(CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val agreeBbit = (0 to 3).map(j =>
+      s"(CASE WHEN a.mh$j % $m = b.mh$j % $m THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""
+    WITH docsrc AS (SELECT doc_id, text FROM documents),
+    aug AS (
+      SELECT doc_id, text FROM docsrc
+      UNION ALL
+      SELECT doc_id + $ReplayOff6 AS doc_id, text || ' zzz' AS text
+      FROM docsrc WHERE doc_id % 5 = 0),
+    pairs AS (
+      SELECT doc_id AS a, doc_id + $ReplayOff6 AS b,
+        'replay' AS pair_class
+      FROM docsrc WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT p.a, p.b, 'adjacent' AS pair_class FROM (
+        SELECT doc_id AS a, doc_id + 1 AS b FROM docsrc
+        WHERE doc_id % 7 = 0) p
+      WHERE EXISTS (SELECT 1 FROM docsrc x WHERE x.doc_id = p.b)),
+    shs AS (
+      SELECT doc_id, list_distinct($shinglesSql) AS ds
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM aug)),
+    sig AS (${sigSqlOver("aug")}),
+    withsets AS (
+      SELECT p.a, p.b, p.pair_class,
+        CASE WHEN len(sa.ds) + len(sb.ds)
+               - len(list_intersect(sa.ds, sb.ds)) > 0
+          THEN CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+            / (len(sa.ds) + len(sb.ds)
+               - len(list_intersect(sa.ds, sb.ds)))
+          ELSE CAST(1 AS DOUBLE) END AS j_exact
+      FROM pairs p
+      JOIN shs sa ON sa.doc_id = p.a
+      JOIN shs sb ON sb.doc_id = p.b),
+    withsigs AS (
+      SELECT w.pair_class, w.j_exact,
+        CAST($agreeFull AS DOUBLE) / 4 AS agree_full,
+        (CAST($agreeBbit AS DOUBLE) / 4 - CAST(1 AS DOUBLE) / $m)
+          / (CAST(1 AS DOUBLE) - CAST(1 AS DOUBLE) / $m) AS est_bbit
+      FROM withsets w
+      JOIN sig a ON a.doc_id = w.a
+      JOIN sig b ON b.doc_id = w.b)
+    SELECT pair_class, COUNT(*) AS n_pairs,
+      CAST(SUM(CAST(j_exact AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+        AS mean_j_exact,
+      CAST(SUM(CAST(abs(agree_full - j_exact) AS DECIMAL(30,8)))
+        AS DOUBLE) / COUNT(*) AS mae_full,
+      CAST(SUM(CAST(abs(est_bbit - j_exact) AS DECIMAL(30,8)))
+        AS DOUBLE) / COUNT(*) AS mae_bbit
+    FROM withsigs GROUP BY pair_class"""
   }
 
   // ----------------------------------- partition agreement (Rand index)
@@ -1253,6 +1391,7 @@ object DedupOps {
     "q213_max_shared_run" -> q213MaxSharedRun,
     "q216_dedup_truth_eval" -> q216DedupTruthEval,
     "q220_partition_agreement" -> q220PartitionAgreement,
+    "q222_bbit_calibration" -> q222BbitCalibration,
     "q208_winnowing" -> q208Winnowing,
     "q56_minhash" -> q56MinHash,
     "q107_minhash_estimate" -> q107MinhashEstimate,
@@ -1269,6 +1408,7 @@ object DedupOps {
     "q213_max_shared_run" -> o213,
     "q216_dedup_truth_eval" -> o216,
     "q220_partition_agreement" -> o220,
+    "q222_bbit_calibration" -> o222,
     "q208_winnowing" -> o208,
     "q56_minhash" -> o56,
     "q107_minhash_estimate" -> o107,
