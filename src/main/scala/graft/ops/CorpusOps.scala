@@ -1430,8 +1430,8 @@ object CorpusOps {
     * MERGEABLE across partitions/streams (counter-wise addition —
     * the property that makes CM the streaming frequency sketch). The
     * top-20 probe set broadcasts. */
-  private val CmWidth = 256
-  private val cmAb = Seq((37L, 17L), (8191L, 131L))
+  private[graft] val CmWidth = 256
+  private[graft] val cmAb = Seq((37L, 17L), (8191L, 131L))
 
   val q221CountMinAudit: Q = (s, d) => {
     val counts = Tables.documents(s, d)

@@ -394,4 +394,71 @@ object CorpusStreaming {
       .transformWithState(new BandBucketProcessor(cap),
         TimeMode.None(), OutputMode.Append())
   }
+
+  // ------------------------------------------- streaming count-min
+  /** One count-min cell increment on the stream (key = "depth|bucket"). */
+  final case class CmInc(cell: String, n: Long)
+  /** A maintained count-min cell: emitted with its new total every
+    * micro-batch that touches it (Append of the latest value — the
+    * FeatureProcessor upsert contract; totals are monotone, so the
+    * consumer's max-per-cell IS the current grid). */
+  final case class CmCell(depth: Int, bucket: Long, total: Long)
+
+  /** Streaming twin of batch q221's count-min grid: one
+    * `ValueState[Long]` counter per (depth, bucket) cell, updated by
+    * counter-wise ADDITION — exactly the merge that makes count-min
+    * the streaming frequency sketch, so after any prefix of the
+    * stream the state equals the batch grid over the same documents
+    * (parity-pinned in StreamingSpec). State is 2·CmWidth counters
+    * TOTAL regardless of intake volume — the sketch, never tokens. */
+  final class CountMinProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, CmInc, CmCell] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState("total", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[CmInc],
+                                 tv: TimerValues): Iterator[CmCell] = {
+      var c = if (total.exists) total.get else 0L
+      rows.foreach(c += _.n)
+      total.update(c)
+      val Array(d, b) = key.split('|')
+      Iterator.single(CmCell(d.toInt, b.toLong, c))
+    }
+  }
+
+  /** Token → (depth, bucket) cells with EXACTLY q221's hash spelling
+    * (token hash = first-codepoint·131 + codepoint-count, row hash =
+    * (a·th + b) mod P mod CmWidth) so stream state and batch grid
+    * interoperate; the parity test pins this Scala tokenizer against
+    * the SQL spelling. */
+  private[graft] def tokenCells(text: String): Iterator[(Int, Long)] =
+    text.split(" ", -1).iterator.flatMap { t =>
+      val th = (if (t.isEmpty) 0L else t.codePointAt(0).toLong) * 131L +
+        t.codePointCount(0, t.length).toLong
+      graft.ops.CorpusOps.cmAb.iterator.zipWithIndex.map {
+        case ((a, b), d) =>
+          (d, (th * a + b) % 1000000007L % graft.ops.CorpusOps.CmWidth)
+      }
+    }
+
+  /** [[CountMinProcessor]] wired to the intake stream. */
+  def countMinStream(docs: Dataset[DocEvent]): Dataset[CmCell] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs
+      .flatMap(e => tokenCells(e.text).map {
+        case (d, bkt) => CmInc(s"$d|$bkt", 1L)
+      })
+      .groupByKey(_.cell)
+      .transformWithState(new CountMinProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -526,6 +526,64 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming count-min grid equals the batch grid after any prefix") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val b1 = Seq(
+      CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"),
+        "join hash join scan", "s0"),
+      CorpusStreaming.DocEvent(2, ts("2024-01-01 10:01:00"),
+        "row batch row row", "s0"))
+    val b2 = Seq(
+      CorpusStreaming.DocEvent(3, ts("2024-01-01 11:00:00"),
+        "join scan scan", "s1"))
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    val q = CorpusStreaming.countMinStream(input.toDS())
+      .writeStream.format("memory").queryName("cmcells")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // totals are monotone → max per cell is the current grid
+      val streamed = spark.table("cmcells").collect()
+        .groupBy(r => (r.getAs[Int]("depth"), r.getAs[Long]("bucket")))
+        .map { case (k, rs) => k -> rs.map(_.getAs[Long]("total")).max }
+      // batch grid over the SAME docs via the q221 SQL spelling —
+      // pins the Scala tokenizer against the oracle-facing hash
+      val gridArms = graft.ops.CorpusOps.cmAb.zipWithIndex.map {
+        case ((a, b), d) =>
+          s"""SELECT $d AS depth,
+                (CAST(ascii(term) * 131 + length(term) AS BIGINT) * $a
+                 + $b) % 1000000007 % ${graft.ops.CorpusOps.CmWidth}
+                  AS bucket
+              FROM toks"""
+      }.mkString(" UNION ALL ")
+      (b1 ++ b2).map(e => e.doc_id -> e.text).toDF("doc_id", "text")
+        .createOrReplaceTempView("cmdocs")
+      val batch = spark.sql(
+        s"""WITH toks AS (SELECT explode(split(text, ' ')) AS term
+                          FROM cmdocs)
+            SELECT depth, bucket, COUNT(*) AS total
+            FROM ($gridArms) GROUP BY 1, 2""").collect()
+        .map(r => (r.getAs[Int]("depth"), r.getAs[Long]("bucket"))
+          -> r.getAs[Long]("total")).toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-static snapshot dedup passes only novel fingerprints") {
     val s = spark
     import s.implicits._
