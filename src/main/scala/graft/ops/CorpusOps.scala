@@ -1737,6 +1737,141 @@ object CorpusOps {
       FROM pf)
     WHERE rank <= 10"""
 
+  // --------------------------------------------- BPE trainer rounds
+  /** THREE chained BPE merge rounds — the trainer LOOP, where q112 is
+    * one lookahead: each round takes the weighted symbol vocabulary,
+    * finds the most frequent adjacent symbol pair (deterministic
+    * (freq desc, pair asc) tie-break), merges it LEFTMOST
+    * NON-OVERLAPPING in every word ("aaa" + (a,a) → ["aa","a"]), and
+    * re-derives pairs from the merged vocabulary. Emits one row per
+    * round: the learned merge and its frequency — the head of the
+    * merge table a real tokenizer trainer would keep extending.
+    *
+    * Engine split on purpose: Spark spells the leftmost merge as an
+    * in-row `aggregate` fold over the symbol array; DuckDB v1.0's
+    * `list_reduce` LOSES list-typed struct accumulator state (worse
+    * than the o158 in-place quirk — appends vanish), so the oracle
+    * spells the SAME greedy semantics relationally: candidate
+    * positions → islands of consecutive candidates (q213's
+    * gaps-and-islands) → keep ODD ranks within each island (greedy
+    * leftmost = every other candidate in a run) → rebuild the array.
+    * Same deterministic output either way, integer/string only.
+    *
+    * 100 TB design: the corpus collapses to the weighted vocab census
+    * ONCE (q112's two-level combine); all three rounds run on the
+    * vocabulary, never re-scanning the corpus, with each round's
+    * argmax a single-row broadcast (intended NLJ — whitelisted).
+    * This is exactly the production BPE-trainer layout. */
+  /** Leftmost non-overlapping merge of the pair (mx, my) over the
+    * `syms` array — the greedy BPE apply-one-merge step, as an in-row
+    * fold. Expects columns syms / mx / my; QueriesSpec pins the
+    * overlap case ("aaa" + (a,a) → [aa, a]). */
+  private[graft] val bpeFoldExpr: String =
+    """aggregate(syms,
+         named_struct('out', CAST(array() AS ARRAY<STRING>),
+                      'prev', CAST(NULL AS STRING)),
+         (acc, s) -> named_struct(
+           'out', CASE
+             WHEN acc.prev = mx AND s = my
+               THEN concat(acc.out, array(concat(mx, my)))
+             WHEN acc.prev IS NOT NULL
+               THEN concat(acc.out, array(acc.prev))
+             ELSE acc.out END,
+           'prev', CASE WHEN acc.prev = mx AND s = my
+             THEN CAST(NULL AS STRING) ELSE s END))"""
+  private[graft] val bpeFinishExpr: String =
+    """CASE WHEN folded.prev IS NULL THEN folded.out
+            ELSE concat(folded.out, array(folded.prev)) END"""
+
+  val q223BpeTrain3: Q = (s, d) => {
+    import s.implicits._
+    val words0 = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select($"cnt", $"syms")
+    def pairCensus(words: DataFrame): DataFrame = words
+      .select($"cnt", explode(expr(
+        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+                    slice(syms, 2, greatest(size(syms) - 1, 0)),
+                    (a, b) -> named_struct('mx', a, 'my', b))""")).as("p"))
+      .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
+      .agg(sum($"cnt").cast("long").as("n"))
+    def mergeRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val top = pairCensus(words)
+        .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
+        .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
+        .localCheckpoint() // single row; feeds the report AND the merge
+      val merged = words.crossJoin(broadcast(top.select($"mx", $"my")))
+        .withColumn("folded", expr(bpeFoldExpr))
+        .withColumn("syms", expr(bpeFinishExpr))
+        .select($"cnt", $"syms")
+      (top, merged)
+    }
+    val (t1, w1) = mergeRound(words0, 1)
+    val (t2, w2) = mergeRound(w1, 2)
+    val (t3, _) = mergeRound(w2, 3)
+    t1.unionByName(t2).unionByName(t3)
+      .select($"round", $"mx", $"my",
+        concat($"mx", $"my").as("merged"), $"n")
+  }
+  val o223: String = {
+    def roundSql(k: Int): String = s"""
+    pos$k AS (
+      SELECT w, cnt, syms, len(syms) AS n,
+        unnest(generate_series(1, len(syms))) AS pos
+      FROM words${k - 1}),
+    pc$k AS (
+      SELECT syms[pos] AS mx, syms[pos + 1] AS my,
+        CAST(SUM(cnt) AS BIGINT) AS n
+      FROM pos$k WHERE pos < n GROUP BY 1, 2),
+    top$k AS (
+      SELECT CAST($k AS BIGINT) AS round, mx, my, n FROM pc$k
+      ORDER BY n DESC, mx ASC, my ASC LIMIT 1),
+    cand$k AS (
+      SELECT p.w, p.pos
+      FROM pos$k p CROSS JOIN top$k t
+      WHERE p.pos < p.n AND p.syms[p.pos] = t.mx
+        AND p.syms[p.pos + 1] = t.my),
+    isl$k AS (
+      SELECT w, pos,
+        pos - row_number() OVER (PARTITION BY w ORDER BY pos) AS grp
+      FROM cand$k),
+    sel$k AS (
+      SELECT w, pos FROM (
+        SELECT w, pos, row_number() OVER (PARTITION BY w, grp
+          ORDER BY pos) AS r
+        FROM isl$k)
+      WHERE r % 2 = 1),
+    words$k AS (
+      SELECT w, cnt, list(sym ORDER BY pos) AS syms FROM (
+        SELECT p.w, p.cnt, p.pos,
+          CASE WHEN s1.pos IS NOT NULL THEN t.mx || t.my
+               ELSE p.syms[p.pos] END AS sym
+        FROM pos$k p
+        CROSS JOIN top$k t
+        LEFT JOIN sel$k s1 ON s1.w = p.w AND s1.pos = p.pos
+        LEFT JOIN sel$k s0 ON s0.w = p.w AND s0.pos = p.pos - 1
+        WHERE s0.pos IS NULL)
+      GROUP BY w, cnt)"""
+    s"""
+    WITH words0 AS (
+      SELECT w, COUNT(*) AS cnt,
+        list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w),
+    ${roundSql(1)},
+    ${roundSql(2)},
+    ${roundSql(3)}
+    SELECT round, mx, my, mx || my AS merged, n FROM top1
+    UNION ALL
+    SELECT round, mx, my, mx || my AS merged, n FROM top2
+    UNION ALL
+    SELECT round, mx, my, mx || my AS merged, n FROM top3"""
+  }
+
   // ------------------------------------------------ sequence packing
   private val SeqBudget = 512
 
@@ -2549,6 +2684,7 @@ object CorpusOps {
     "q164_pii_census" -> q164PiiCensus,
     "q214_text_hygiene" -> q214TextHygiene,
     "q221_countmin_audit" -> q221CountMinAudit,
+    "q223_bpe_train3" -> q223BpeTrain3,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
@@ -2595,6 +2731,7 @@ object CorpusOps {
     "q164_pii_census" -> o164,
     "q214_text_hygiene" -> o214,
     "q221_countmin_audit" -> o221,
+    "q223_bpe_train3" -> o223,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,

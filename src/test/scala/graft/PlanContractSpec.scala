@@ -175,7 +175,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q217_embedding_drift",
       // q220 crosses its four single-row pair-count censuses into the
       // one-row Rand-index report
-      "q220_partition_agreement")
+      "q220_partition_agreement",
+      // q223 crosses each round's single-row argmax merge into the
+      // vocabulary frame (three rounds, three single-row broadcasts)
+      "q223_bpe_train3")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

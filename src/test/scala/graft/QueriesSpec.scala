@@ -21,6 +21,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("BPE leftmost merge: overlapping runs take every other pair; " +
+    "trailing symbol survives") {
+    val s = spark
+    import s.implicits._
+    def apply1(word: String, x: String, y: String): Seq[String] =
+      Seq(word).toDF("w")
+        .withColumn("syms", org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .withColumn("mx", org.apache.spark.sql.functions.lit(x))
+        .withColumn("my", org.apache.spark.sql.functions.lit(y))
+        .withColumn("folded", org.apache.spark.sql.functions.expr(
+          graft.ops.CorpusOps.bpeFoldExpr))
+        .selectExpr(graft.ops.CorpusOps.bpeFinishExpr + " AS m")
+        .collect()(0).getSeq[String](0)
+    assert(apply1("aaa", "a", "a") == Seq("aa", "a"))
+    assert(apply1("aaaa", "a", "a") == Seq("aa", "aa"))
+    assert(apply1("ababa", "a", "b") == Seq("ab", "ab", "a"))
+    assert(apply1("xay", "a", "b") == Seq("x", "a", "y"))
+    assert(apply1("ab", "a", "b") == Seq("ab"))
+  }
+
   test("every declared query executes at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
