@@ -1737,6 +1737,59 @@ object CorpusOps {
       FROM pf)
     WHERE rank <= 10"""
 
+  // --------------------------------------------- filter ablation grid
+  /** Filter-funnel ablation census: every combination of the three
+    * standard quality gates (length ≥ 200 chars, stopword ratio
+    * ≥ 0.04, distinct-token ratio ≥ 0.45) with its document count and
+    * corpus share — the 2³ grid a curation review reads to see what
+    * each gate UNIQUELY removes and how the gates correlate, before
+    * committing to a filter stack (q51 scores one composite; this
+    * shows the interaction structure).
+    *
+    * Float parity: each ratio is ONE integer-over-integer divide;
+    * the share divides by a window total over the 8-row census.
+    *
+    * 100 TB design: per-row gate bits, ONE map-side-combined census
+    * keyed on the 3-bit combination; the share window rides the
+    * ≤ 8-row census, never documents. */
+  val q224FilterFunnel: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("stop_ratio", expr(
+        "CAST(size(filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / size(t)"))
+      .withColumn("uniq_ratio", expr(
+        "CAST(size(array_distinct(t)) AS DOUBLE) / size(t)"))
+      .select(
+        when(col("n_chars") >= 200, 1L).otherwise(0L).as("gate_len"),
+        when(col("stop_ratio") >= 0.04, 1L).otherwise(0L)
+          .as("gate_stop"),
+        when(col("uniq_ratio") >= 0.45, 1L).otherwise(0L)
+          .as("gate_uniq"))
+    base.groupBy(col("gate_len"), col("gate_stop"), col("gate_uniq"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("pct", col("n_docs").cast("double") * 100.0
+        / sum(col("n_docs")).over(Window.partitionBy()))
+  }
+  val o224: String = """
+    WITH gates AS (
+      SELECT
+        CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT)
+          AS gate_len,
+        CAST(CASE WHEN CAST(len(list_filter(t, x -> x IN ('the', 'a')))
+            AS DOUBLE) / len(t) >= 0.04 THEN 1 ELSE 0 END AS BIGINT)
+          AS gate_stop,
+        CAST(CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+            >= 0.45 THEN 1 ELSE 0 END AS BIGINT) AS gate_uniq
+      FROM (SELECT n_chars, string_split(text, ' ') AS t
+            FROM documents)),
+    census AS (
+      SELECT gate_len, gate_stop, gate_uniq, COUNT(*) AS n_docs
+      FROM gates GROUP BY 1, 2, 3)
+    SELECT gate_len, gate_stop, gate_uniq, n_docs,
+      CAST(n_docs AS DOUBLE) * 100.0
+        / CAST(SUM(n_docs) OVER () AS BIGINT) AS pct
+    FROM census"""
+
   // --------------------------------------------- BPE trainer rounds
   /** THREE chained BPE merge rounds — the trainer LOOP, where q112 is
     * one lookahead: each round takes the weighted symbol vocabulary,
@@ -2685,6 +2738,7 @@ object CorpusOps {
     "q214_text_hygiene" -> q214TextHygiene,
     "q221_countmin_audit" -> q221CountMinAudit,
     "q223_bpe_train3" -> q223BpeTrain3,
+    "q224_filter_funnel" -> q224FilterFunnel,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
@@ -2732,6 +2786,7 @@ object CorpusOps {
     "q214_text_hygiene" -> o214,
     "q221_countmin_audit" -> o221,
     "q223_bpe_train3" -> o223,
+    "q224_filter_funnel" -> o224,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,

@@ -107,13 +107,78 @@ object ScaleOps {
              + ${SampleSeed * 40503L}) % 1000000007)
             * 2654435761) % 1000000007 % 100 < 5"""
 
+  // --------------------------------------------- shard bin-packing
+  /** Snake-draft shard assignment: sources ranked by token mass
+    * (desc, name tie-break) are dealt onto [[NumShards]] shards in
+    * alternating direction per pass (1..N, then N..1, …) — the
+    * deterministic one-pass approximation of longest-processing-time
+    * bin packing a layout planner uses to balance training shards,
+    * with the per-shard balance factor (shard total / ideal) as the
+    * audit. A greedy exact LPT is inherently sequential; the snake is
+    * the relational-friendly version whose worst case is bounded and
+    * whose assignment is pure rank arithmetic.
+    *
+    * 100 TB design: one corpus scan to the per-source token census;
+    * the rank window and everything after ride the |sources| census.
+    * Balance divides are single double ops. */
+  private val NumShards = 4
+
+  val q225ShardBalance: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, d)
+      .withColumn("ntok", size(split($"text", " ")).cast("long"))
+      .groupBy($"source")
+      .agg(sum($"ntok").cast("long").as("tokens"))
+    val w = Window.orderBy($"tokens".desc, $"source".asc)
+    val per = src
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("shard", expr(
+        s"""CASE WHEN ((rank - 1) DIV $NumShards) % 2 = 0
+              THEN (rank - 1) % $NumShards
+              ELSE $NumShards - 1 - (rank - 1) % $NumShards END"""))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_sources"),
+        sum($"tokens").cast("long").as("shard_tokens"))
+    per.withColumn("balance", $"shard_tokens".cast("double")
+      / (sum($"shard_tokens").over(Window.partitionBy())
+           .cast("double") / NumShards))
+  }
+  val o225: String = s"""
+    WITH src AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        AS tokens
+      FROM documents GROUP BY source),
+    ranked AS (
+      SELECT source, tokens,
+        CAST(row_number() OVER (ORDER BY tokens DESC, source ASC)
+          AS BIGINT) AS rank
+      FROM src),
+    assigned AS (
+      SELECT tokens,
+        CASE WHEN ((rank - 1) // $NumShards) % 2 = 0
+          THEN (rank - 1) % $NumShards
+          ELSE $NumShards - 1 - (rank - 1) % $NumShards END AS shard
+      FROM ranked),
+    per AS (
+      SELECT shard, COUNT(*) AS n_sources,
+        CAST(SUM(tokens) AS BIGINT) AS shard_tokens
+      FROM assigned GROUP BY shard)
+    SELECT shard, n_sources, shard_tokens,
+      CAST(shard_tokens AS DOUBLE)
+        / (CAST(SUM(shard_tokens) OVER () AS DOUBLE) / $NumShards)
+        AS balance
+    FROM per"""
+
   val queries: Map[String, Q] = Map(
     "q79_salted_agg" -> q79SaltedAgg,
     "q80_spanish_calendar" -> q80SpanishCalendar,
-    "q81_seeded_sample" -> q81SeededSample)
+    "q81_seeded_sample" -> q81SeededSample,
+    "q225_shard_balance" -> q225ShardBalance)
 
   val oracles: Map[String, String] = Map(
     "q79_salted_agg" -> o79,
     "q80_spanish_calendar" -> o80,
-    "q81_seeded_sample" -> o81)
+    "q81_seeded_sample" -> o81,
+    "q225_shard_balance" -> o225)
 }

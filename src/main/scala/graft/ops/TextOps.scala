@@ -677,7 +677,110 @@ object TextOps {
         (a, x) -> a + x)) AS BIGINT) AS est_subwords
     FROM documents GROUP BY lang"""
 
+  // ------------------------------------- sample-estimate audit
+  /** Wilson-interval audit of a sampled statistic: estimate the
+    * corpus exact-duplicate rate from the deterministic ~5% seeded
+    * sample (q81's hash, partition-stable) and check the 95% Wilson
+    * interval against the TRUE rate computed from the full corpus —
+    * the audit that says whether "measure it on a sample" is safe for
+    * a given corpus statistic before the pipeline starts trusting
+    * sampled dashboards at 100 TB (where the full-corpus pass is the
+    * expensive one). Duplicates are planted (documents ∪ an exact
+    * replayed slice at +7·2⁴⁰, the q55 recipe) so the true rate is
+    * nonzero at every SF.
+    *
+    * Float parity: both rates are exact-integer ratios with one
+    * divide; the Wilson center/half-width is the SAME literal-1.96
+    * expression text on both engines (identical IEEE sequence).
+    *
+    * 100 TB design: the dup flag is a fingerprint-keyed census
+    * (8-byte keys); the report crosses two single-row censuses
+    * (intended broadcast — whitelisted). The sample predicate is the
+    * q81 seeded hash, so the "sample" here is the cheap scan. */
+  private val ReplayOff7 = 7L << 40
+  private val AuditSeed = 42L
+
+  val q226SampleAudit: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    val replay = base.filter($"doc_id" % 6 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(ReplayOff7))
+    val docs = base.unionByName(replay).withColumn("fp", fingerprintCol)
+    val dupFlag = docs
+      .join(docs.groupBy($"fp").agg(count(lit(1)).as("nfp")), Seq("fp"))
+      .select($"doc_id",
+        when($"nfp" >= 2, 1L).otherwise(0L).as("is_dup"))
+    val full = dupFlag.agg(count(lit(1)).as("n_total"),
+      sum($"is_dup").cast("long").as("k_total"))
+    val sample = dupFlag
+      .filter(expr(s"""((((doc_id % 1000000007) * 2654435761
+          + ${AuditSeed * 40503L}) % 1000000007)
+          * 2654435761) % 1000000007 % 100 < 5"""))
+      .agg(count(lit(1)).as("n_sample"),
+        coalesce(sum($"is_dup"), lit(0L)).cast("long").as("k_sample"))
+    full.crossJoin(sample)
+      .withColumn("true_rate",
+        $"k_total".cast("double") / $"n_total")
+      .withColumn("est_rate", $"k_sample".cast("double") / $"n_sample")
+      .withColumn("center", expr(
+        """(est_rate + 1.96 * 1.96 / (2 * n_sample))
+           / (1 + 1.96 * 1.96 / n_sample)"""))
+      .withColumn("half", expr(
+        """1.96 * sqrt(est_rate * (1 - est_rate) / n_sample
+             + 1.96 * 1.96 / (4 * n_sample * n_sample))
+           / (1 + 1.96 * 1.96 / n_sample)"""))
+      .select($"n_total", $"k_total", $"true_rate",
+        $"n_sample", $"k_sample", $"est_rate",
+        ($"center" - $"half").as("wilson_lo"),
+        ($"center" + $"half").as("wilson_hi"),
+        when(abs($"true_rate" - $"center") <= $"half", 1L)
+          .otherwise(0L).as("covered"))
+  }
+  val o226: String = s"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $ReplayOff7 AS doc_id, text
+      FROM documents WHERE doc_id % 6 = 0),
+    fps AS (SELECT doc_id, $fingerprintSql AS fp FROM base),
+    dupflag AS (
+      SELECT f.doc_id,
+        CASE WHEN c.nfp >= 2 THEN CAST(1 AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS is_dup
+      FROM fps f JOIN (SELECT fp, COUNT(*) AS nfp FROM fps
+                       GROUP BY fp) c ON c.fp = f.fp),
+    fullc AS (
+      SELECT COUNT(*) AS n_total,
+        CAST(SUM(is_dup) AS BIGINT) AS k_total
+      FROM dupflag),
+    sampc AS (
+      SELECT COUNT(*) AS n_sample,
+        CAST(COALESCE(SUM(is_dup), 0) AS BIGINT) AS k_sample
+      FROM dupflag
+      WHERE ((((doc_id % 1000000007) * 2654435761
+          + ${AuditSeed * 40503L}) % 1000000007)
+          * 2654435761) % 1000000007 % 100 < 5),
+    rates AS (
+      SELECT *,
+        CAST(k_total AS DOUBLE) / n_total AS true_rate,
+        CAST(k_sample AS DOUBLE) / n_sample AS est_rate
+      FROM fullc CROSS JOIN sampc),
+    wils AS (
+      SELECT *,
+        (est_rate + 1.96 * 1.96 / (2 * n_sample))
+          / (1 + 1.96 * 1.96 / n_sample) AS center,
+        1.96 * sqrt(est_rate * (1 - est_rate) / n_sample
+            + 1.96 * 1.96 / (4 * n_sample * n_sample))
+          / (1 + 1.96 * 1.96 / n_sample) AS half
+      FROM rates)
+    SELECT n_total, k_total, true_rate, n_sample, k_sample, est_rate,
+      center - half AS wilson_lo, center + half AS wilson_hi,
+      CAST(CASE WHEN abs(true_rate - center) <= half THEN 1 ELSE 0 END
+        AS BIGINT) AS covered
+    FROM wils"""
+
   val queries: Map[String, Q] = Map(
+    "q226_sample_audit" -> q226SampleAudit,
     "q82_curation" -> q82Curation,
     "q106_subword_census" -> q106SubwordCensus,
     "q50_token_stats" -> q50TokenStats,
@@ -692,6 +795,7 @@ object TextOps {
     "q181_kappa_audit" -> q181KappaAudit)
 
   val oracles: Map[String, String] = Map(
+    "q226_sample_audit" -> o226,
     "q82_curation" -> o82,
     "q106_subword_census" -> o106,
     "q50_token_stats" -> o50,
