@@ -1756,7 +1756,7 @@ object CorpusOps {
     val base = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .withColumn("stop_ratio", expr(
-        "CAST(size(filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / size(t)"))
+        s"CAST(size(filter(t, x -> x IN (${TextOps.StopList}))) AS DOUBLE) / size(t)"))
       .withColumn("uniq_ratio", expr(
         "CAST(size(array_distinct(t)) AS DOUBLE) / size(t)"))
       .select(
@@ -1770,12 +1770,13 @@ object CorpusOps {
       .withColumn("pct", col("n_docs").cast("double") * 100.0
         / sum(col("n_docs")).over(Window.partitionBy()))
   }
-  val o224: String = """
+  val o224: String = s"""
     WITH gates AS (
       SELECT
         CAST(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS BIGINT)
           AS gate_len,
-        CAST(CASE WHEN CAST(len(list_filter(t, x -> x IN ('the', 'a')))
+        CAST(CASE WHEN CAST(len(list_filter(t,
+              x -> x IN (${TextOps.StopList})))
             AS DOUBLE) / len(t) >= 0.04 THEN 1 ELSE 0 END AS BIGINT)
           AS gate_stop,
         CAST(CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
@@ -1845,6 +1846,10 @@ object CorpusOps {
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select($"cnt", $"syms")
+      // checkpointed: each round's eager argmax action would otherwise
+      // re-scan and re-tokenize the corpus (shuffle reuse does not
+      // span jobs) — the census must collapse the corpus ONCE
+      .localCheckpoint()
     def pairCensus(words: DataFrame): DataFrame = words
       .select($"cnt", explode(expr(
         """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),

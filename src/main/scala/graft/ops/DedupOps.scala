@@ -1193,7 +1193,10 @@ object DedupOps {
     * Float parity: exact J is an in-row intersect/union of distinct
     * shingle sets (both engines dedup list/array intersection
     * identically) with ONE divide; agreements are dyadic quarters;
-    * MAEs route |err| through decimal(30,8) sums.
+    * MAEs route |err| through decimal(30,8) sums. Pairs where both
+    * shingle sets are empty (sub-3-token docs) are EXCLUDED — neither
+    * estimator is defined there, and scoring them would bias both
+    * MAEs (review finding, mirrored in the oracle).
     *
     * 100 TB design: everything is keyed by the bounded pair set
     * (truth + sampled adjacents) — two hash joins pull shingle arrays
@@ -1223,9 +1226,12 @@ object DedupOps {
         size(array_intersect($"a_ds", $"b_ds")).cast("long"))
       .withColumn("nunion",
         (size($"a_ds") + size($"b_ds")).cast("long") - $"ninter")
-      .withColumn("j_exact",
-        when($"nunion" > 0, $"ninter".cast("double") / $"nunion")
-          .otherwise(lit(1.0)))
+      // pairs where BOTH shingle sets are empty (docs under 3 tokens)
+      // have no defined Jaccard and null signature lanes — neither
+      // estimator exists there, so scoring them (as J = 1 vs
+      // agreement 0) would bias both MAEs by ~1/n_pairs per pair
+      .filter($"nunion" > 0)
+      .withColumn("j_exact", $"ninter".cast("double") / $"nunion")
       .select($"a", $"b", $"pair_class", $"j_exact")
     val lanes = Seq("mh0", "mh1", "mh2", "mh3")
     val mask = (1L << BbitBits) - 1
@@ -1281,15 +1287,14 @@ object DedupOps {
     sig AS (${sigSqlOver("aug")}),
     withsets AS (
       SELECT p.a, p.b, p.pair_class,
-        CASE WHEN len(sa.ds) + len(sb.ds)
-               - len(list_intersect(sa.ds, sb.ds)) > 0
-          THEN CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
-            / (len(sa.ds) + len(sb.ds)
-               - len(list_intersect(sa.ds, sb.ds)))
-          ELSE CAST(1 AS DOUBLE) END AS j_exact
+        CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+          / (len(sa.ds) + len(sb.ds)
+             - len(list_intersect(sa.ds, sb.ds))) AS j_exact
       FROM pairs p
       JOIN shs sa ON sa.doc_id = p.a
-      JOIN shs sb ON sb.doc_id = p.b),
+      JOIN shs sb ON sb.doc_id = p.b
+      WHERE len(sa.ds) + len(sb.ds)
+            - len(list_intersect(sa.ds, sb.ds)) > 0),
     withsigs AS (
       SELECT w.pair_class, w.j_exact,
         CAST($agreeFull AS DOUBLE) / 4 AS agree_full,

@@ -23,7 +23,7 @@ object TextOps {
   /** Tokens of a whitespace-delimited document. */
   private def toks(c: Column): Column = split(c, " ")
 
-  private val StopList = "'the','a','of','and','in','to'"
+  private[ops] val StopList = "'the','a','of','and','in','to'"
 
   /** Composite quality score in [0,1]: stop-ratio and length halves —
     * ONE definition shared by q51, the q82 curation capstone, and the
@@ -694,9 +694,11 @@ object TextOps {
     * expression text on both engines (identical IEEE sequence).
     *
     * 100 TB design: the dup flag is a fingerprint-keyed census
-    * (8-byte keys); the report crosses two single-row censuses
-    * (intended broadcast — whitelisted). The sample predicate is the
-    * q81 seeded hash, so the "sample" here is the cheap scan. */
+    * (8-byte keys); full-corpus and sample counts come from ONE
+    * conditional aggregate over it (the sample predicate only needs
+    * doc_id, already in the frame) — no second scan, no cross join.
+    * The sample predicate is the q81 seeded hash, so the "sample"
+    * here is the cheap scan. */
   private val ReplayOff7 = 7L << 40
   private val AuditSeed = 42L
 
@@ -710,15 +712,16 @@ object TextOps {
       .join(docs.groupBy($"fp").agg(count(lit(1)).as("nfp")), Seq("fp"))
       .select($"doc_id",
         when($"nfp" >= 2, 1L).otherwise(0L).as("is_dup"))
-    val full = dupFlag.agg(count(lit(1)).as("n_total"),
-      sum($"is_dup").cast("long").as("k_total"))
-    val sample = dupFlag
-      .filter(expr(s"""((((doc_id % 1000000007) * 2654435761
-          + ${AuditSeed * 40503L}) % 1000000007)
-          * 2654435761) % 1000000007 % 100 < 5"""))
-      .agg(count(lit(1)).as("n_sample"),
-        coalesce(sum($"is_dup"), lit(0L)).cast("long").as("k_sample"))
-    full.crossJoin(sample)
+    val inSample = expr(s"""((((doc_id % 1000000007) * 2654435761
+        + ${AuditSeed * 40503L}) % 1000000007)
+        * 2654435761) % 1000000007 % 100 < 5""")
+    dupFlag
+      .agg(count(lit(1)).as("n_total"),
+        sum($"is_dup").cast("long").as("k_total"),
+        sum(when(inSample, 1L).otherwise(0L)).cast("long")
+          .as("n_sample"),
+        sum(when(inSample, $"is_dup").otherwise(0L)).cast("long")
+          .as("k_sample"))
       .withColumn("true_rate",
         $"k_total".cast("double") / $"n_total")
       .withColumn("est_rate", $"k_sample".cast("double") / $"n_sample")
@@ -749,22 +752,23 @@ object TextOps {
              ELSE CAST(0 AS BIGINT) END AS is_dup
       FROM fps f JOIN (SELECT fp, COUNT(*) AS nfp FROM fps
                        GROUP BY fp) c ON c.fp = f.fp),
-    fullc AS (
+    censuses AS (
       SELECT COUNT(*) AS n_total,
-        CAST(SUM(is_dup) AS BIGINT) AS k_total
+        CAST(SUM(is_dup) AS BIGINT) AS k_total,
+        CAST(SUM(CASE WHEN ((((doc_id % 1000000007) * 2654435761
+            + ${AuditSeed * 40503L}) % 1000000007)
+            * 2654435761) % 1000000007 % 100 < 5
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+        CAST(SUM(CASE WHEN ((((doc_id % 1000000007) * 2654435761
+            + ${AuditSeed * 40503L}) % 1000000007)
+            * 2654435761) % 1000000007 % 100 < 5
+          THEN is_dup ELSE 0 END) AS BIGINT) AS k_sample
       FROM dupflag),
-    sampc AS (
-      SELECT COUNT(*) AS n_sample,
-        CAST(COALESCE(SUM(is_dup), 0) AS BIGINT) AS k_sample
-      FROM dupflag
-      WHERE ((((doc_id % 1000000007) * 2654435761
-          + ${AuditSeed * 40503L}) % 1000000007)
-          * 2654435761) % 1000000007 % 100 < 5),
     rates AS (
       SELECT *,
         CAST(k_total AS DOUBLE) / n_total AS true_rate,
         CAST(k_sample AS DOUBLE) / n_sample AS est_rate
-      FROM fullc CROSS JOIN sampc),
+      FROM censuses),
     wils AS (
       SELECT *,
         (est_rate + 1.96 * 1.96 / (2 * n_sample))

@@ -434,6 +434,11 @@ object CorpusStreaming {
     }
   }
 
+  // hoisted once: per-token iterator chains + tuple boxing over the
+  // Seq would be fresh garbage on every token of the intake hot path
+  private val CmA: Array[Long] = graft.ops.CorpusOps.cmAb.map(_._1).toArray
+  private val CmB: Array[Long] = graft.ops.CorpusOps.cmAb.map(_._2).toArray
+
   /** Token → (depth, bucket) cells with EXACTLY q221's hash spelling
     * (token hash = first-codepoint·131 + codepoint-count, row hash =
     * (a·th + b) mod P mod CmWidth) so stream state and batch grid
@@ -443,9 +448,9 @@ object CorpusStreaming {
     text.split(" ", -1).iterator.flatMap { t =>
       val th = (if (t.isEmpty) 0L else t.codePointAt(0).toLong) * 131L +
         t.codePointCount(0, t.length).toLong
-      graft.ops.CorpusOps.cmAb.iterator.zipWithIndex.map {
-        case ((a, b), d) =>
-          (d, (th * a + b) % 1000000007L % graft.ops.CorpusOps.CmWidth)
+      (0 until CmA.length).iterator.map { d =>
+        (d, (th * CmA(d) + CmB(d)) % 1000000007L
+          % graft.ops.CorpusOps.CmWidth)
       }
     }
 

@@ -178,10 +178,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q220_partition_agreement",
       // q223 crosses each round's single-row argmax merge into the
       // vocabulary frame (three rounds, three single-row broadcasts)
-      "q223_bpe_train3",
-      // q226 crosses the full-corpus and sample single-row censuses
-      // into the one-row Wilson audit
-      "q226_sample_audit")
+      "q223_bpe_train3")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
