@@ -783,8 +783,167 @@ object TextOps {
         AS BIGINT) AS covered
     FROM wils"""
 
+  // --------------------------------------------- corpus datasheet
+  /** One-query data card (the "Datasheets for Datasets" summary a
+    * corpus ships with): docs / tokens / chars / sources / languages
+    * / distinct contents / exact-dup rate / mean quality, as
+    * (metric, value) rows from ONE scan plus three key censuses.
+    * Every number is exact (counts, census counts, one decimal-routed
+    * mean) — the honest version of the dashboard a consumer reads
+    * before training on the corpus.
+    *
+    * 100 TB design: the doc-grain aggregate and the three distinct
+    * censuses (fingerprint / source / language) are each ONE
+    * map-side-combined pass — no multi-distinct Expand (the q128
+    * pitfall); the four single-row censuses cross into the report
+    * (intended broadcast — whitelisted). */
+  val q227Datasheet: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .withColumn("fp", fingerprintCol)
+      .withColumn("ntok", size(toks($"text")).cast("long"))
+      .withColumn("q", qualityExpr)
+    val a = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"ntok").cast("long").as("n_tokens"),
+      sum($"n_chars").cast("long").as("n_chars_total"),
+      (sum($"q".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("mean_quality"))
+    def censusCount(key: String, as: String) =
+      docs.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as(as))
+    a.crossJoin(censusCount("fp", "n_distinct_fp"))
+      .crossJoin(censusCount("source", "n_sources"))
+      .crossJoin(censusCount("lang", "n_langs"))
+      .select(expr("""stack(8,
+        'n_docs', CAST(n_docs AS DOUBLE),
+        'n_tokens', CAST(n_tokens AS DOUBLE),
+        'n_chars', CAST(n_chars_total AS DOUBLE),
+        'n_sources', CAST(n_sources AS DOUBLE),
+        'n_langs', CAST(n_langs AS DOUBLE),
+        'n_distinct_docs', CAST(n_distinct_fp AS DOUBLE),
+        'exact_dup_rate',
+          CAST(n_docs - n_distinct_fp AS DOUBLE) / n_docs,
+        'mean_quality', mean_quality) AS (metric, value)"""))
+  }
+  val o227: String = {
+    val arms = Seq(
+      "'n_docs'" -> "CAST(n_docs AS DOUBLE)",
+      "'n_tokens'" -> "CAST(n_tokens AS DOUBLE)",
+      "'n_chars'" -> "CAST(n_chars_total AS DOUBLE)",
+      "'n_sources'" -> "CAST(n_sources AS DOUBLE)",
+      "'n_langs'" -> "CAST(n_langs AS DOUBLE)",
+      "'n_distinct_docs'" -> "CAST(n_distinct_fp AS DOUBLE)",
+      "'exact_dup_rate'" ->
+        "CAST(n_docs - n_distinct_fp AS DOUBLE) / n_docs",
+      "'mean_quality'" -> "mean_quality"
+    ).map { case (m, v) =>
+      s"SELECT $m AS metric, $v AS value FROM j"
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH docs AS (
+      SELECT doc_id, source, lang, n_chars,
+        $fingerprintSql AS fp,
+        len(string_split(text, ' ')) AS ntok,
+        $qualitySql AS q
+      FROM documents),
+    a AS (
+      SELECT COUNT(*) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        CAST(SUM(CAST(q AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+          AS mean_quality
+      FROM docs),
+    b AS (SELECT COUNT(*) AS n_distinct_fp
+          FROM (SELECT fp FROM docs GROUP BY fp)),
+    c AS (SELECT COUNT(*) AS n_sources
+          FROM (SELECT source FROM docs GROUP BY source)),
+    e AS (SELECT COUNT(*) AS n_langs
+          FROM (SELECT lang FROM docs GROUP BY lang)),
+    j AS (SELECT * FROM a CROSS JOIN b CROSS JOIN c CROSS JOIN e)
+    $arms"""
+  }
+
+  // ------------------------------------- effective-token funnel
+  /** Effective training tokens: the funnel from raw corpus tokens
+    * through exact-dedup survivors (min-doc_id per fingerprint) to
+    * the quality gate (q51 composite ≥ 0.4) — the number that
+    * actually matters for epoch math, reported in both docs and
+    * tokens with the surviving-token share. Duplicates are planted
+    * (the q226 replay recipe) so the dedup stage is non-vacuous at
+    * every SF.
+    *
+    * 100 TB design: survivor election is one fingerprint-keyed census
+    * join (8-byte keys); ALL THREE stages come from one conditional
+    * aggregate over the flagged frame — the funnel never rescans. */
+  val q228EffectiveTokens: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"text")
+    val replay = base.filter($"doc_id" % 6 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(ReplayOff7))
+    val docs = base.unionByName(replay)
+      .withColumn("fp", fingerprintCol)
+      .withColumn("ntok", size(toks($"text")).cast("long"))
+      .withColumn("q", qualityExpr)
+    val surv = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val flagged = docs.join(surv, Seq("fp"))
+      .withColumn("is_surv", $"doc_id" === $"keep_id")
+      .withColumn("pass_q", $"q" >= 0.4)
+    flagged.agg(
+      count(lit(1)).as("d0"),
+      sum($"ntok").cast("long").as("t0"),
+      sum(when($"is_surv", 1L).otherwise(0L)).cast("long").as("d1"),
+      sum(when($"is_surv", $"ntok").otherwise(0L)).cast("long")
+        .as("t1"),
+      sum(when($"is_surv" && $"pass_q", 1L).otherwise(0L))
+        .cast("long").as("d2"),
+      sum(when($"is_surv" && $"pass_q", $"ntok").otherwise(0L))
+        .cast("long").as("t2"))
+      .select(expr("""stack(3,
+        'raw', d0, t0, CAST(1 AS DOUBLE),
+        'exact_dedup', d1, t1, CAST(t1 AS DOUBLE) / t0,
+        'dedup_quality', d2, t2, CAST(t2 AS DOUBLE) / t0)
+        AS (stage, n_docs, n_tokens, token_share)"""))
+  }
+  val o228: String = s"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $ReplayOff7 AS doc_id, text
+      FROM documents WHERE doc_id % 6 = 0),
+    docs AS (
+      SELECT doc_id, $fingerprintSql AS fp,
+        len(string_split(text, ' ')) AS ntok,
+        $qualitySql AS q
+      FROM base),
+    surv AS (SELECT fp, MIN(doc_id) AS keep_id FROM docs GROUP BY fp),
+    flagged AS (
+      SELECT d.ntok,
+        CASE WHEN d.doc_id = s.keep_id THEN 1 ELSE 0 END AS is_surv,
+        CASE WHEN d.q >= 0.4 THEN 1 ELSE 0 END AS pass_q
+      FROM docs d JOIN surv s ON s.fp = d.fp),
+    agg AS (
+      SELECT COUNT(*) AS d0, CAST(SUM(ntok) AS BIGINT) AS t0,
+        CAST(SUM(is_surv) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN is_surv = 1 THEN ntok ELSE 0 END)
+          AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1 THEN 1 ELSE 0
+          END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1 THEN ntok
+          ELSE 0 END) AS BIGINT) AS t2
+      FROM flagged)
+    SELECT 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens,
+      CAST(1 AS DOUBLE) AS token_share FROM agg
+    UNION ALL
+    SELECT 'exact_dedup', d1, t1, CAST(t1 AS DOUBLE) / t0 FROM agg
+    UNION ALL
+    SELECT 'dedup_quality', d2, t2, CAST(t2 AS DOUBLE) / t0 FROM agg"""
+
   val queries: Map[String, Q] = Map(
     "q226_sample_audit" -> q226SampleAudit,
+    "q227_datasheet" -> q227Datasheet,
+    "q228_effective_tokens" -> q228EffectiveTokens,
     "q82_curation" -> q82Curation,
     "q106_subword_census" -> q106SubwordCensus,
     "q50_token_stats" -> q50TokenStats,
@@ -800,6 +959,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q226_sample_audit" -> o226,
+    "q227_datasheet" -> o227,
+    "q228_effective_tokens" -> o228,
     "q82_curation" -> o82,
     "q106_subword_census" -> o106,
     "q50_token_stats" -> o50,

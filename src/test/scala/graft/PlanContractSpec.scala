@@ -178,7 +178,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q220_partition_agreement",
       // q223 crosses each round's single-row argmax merge into the
       // vocabulary frame (three rounds, three single-row broadcasts)
-      "q223_bpe_train3")
+      "q223_bpe_train3",
+      // q227 crosses its four single-row censuses (doc aggregate +
+      // fingerprint/source/lang distinct counts) into the data card
+      "q227_datasheet")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
