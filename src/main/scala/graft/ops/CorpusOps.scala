@@ -1737,6 +1737,57 @@ object CorpusOps {
       FROM pf)
     WHERE rank <= 10"""
 
+  // --------------------------------------- deletion-propagation audit
+  /** Right-to-be-forgotten propagation audit: after a deletion batch
+    * removes documents from the primary table, do DERIVED artifacts
+    * (here the q99 chunk table, built before the deletion) still
+    * carry the deleted documents' data? The audit anti-checks every
+    * derived row against the post-deletion primary (a LEFT join +
+    * null-flag — downstream cannot assume it knows the delete list)
+    * and reports the orphan count and share: nonzero means the
+    * deletion pipeline forgot a derived table, the finding a
+    * compliance review must produce BEFORE a regulator does. The
+    * deletion batch is planted (doc_id ≡ 0 mod 41) so orphans exist
+    * deterministically at every SF.
+    *
+    * 100 TB design: derived rows join the primary on the 8-byte
+    * doc_id only (chunk text never shuffles — it is dropped before
+    * the join); ONE conditional aggregate reports the audit. */
+  val q229DeletionAudit: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // derived table built BEFORE the deletion (chunk grain, q99's)
+    val derived = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+      .select(col("doc_id"))
+    val remaining = docs.filter(col("doc_id") % 41 =!= 0)
+      .select(col("doc_id"), lit(1L).as("present"))
+    derived.join(remaining, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("n_derived_rows"),
+        sum(when(col("present").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_orphan_rows"))
+      .withColumn("orphan_share",
+        col("n_orphan_rows").cast("double") / col("n_derived_rows"))
+  }
+  val o229: String = s"""
+    WITH derived AS (
+      SELECT doc_id
+      FROM (SELECT doc_id,
+              unnest(generate_series(0,
+                (len(string_split(text, ' ')) - 1) // $ChunkStride))
+                AS chunk_id
+            FROM documents)),
+    remaining AS (
+      SELECT doc_id, CAST(1 AS BIGINT) AS present
+      FROM documents WHERE doc_id % 41 <> 0)
+    SELECT COUNT(*) AS n_derived_rows,
+      CAST(SUM(CASE WHEN r.present IS NULL THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_orphan_rows,
+      CAST(SUM(CASE WHEN r.present IS NULL THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS orphan_share
+    FROM derived de LEFT JOIN remaining r ON r.doc_id = de.doc_id"""
+
   // --------------------------------------------- filter ablation grid
   /** Filter-funnel ablation census: every combination of the three
     * standard quality gates (length ≥ 200 chars, stopword ratio
@@ -2744,6 +2795,7 @@ object CorpusOps {
     "q221_countmin_audit" -> q221CountMinAudit,
     "q223_bpe_train3" -> q223BpeTrain3,
     "q224_filter_funnel" -> q224FilterFunnel,
+    "q229_deletion_audit" -> q229DeletionAudit,
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
@@ -2792,6 +2844,7 @@ object CorpusOps {
     "q221_countmin_audit" -> o221,
     "q223_bpe_train3" -> o223,
     "q224_filter_funnel" -> o224,
+    "q229_deletion_audit" -> o229,
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,
