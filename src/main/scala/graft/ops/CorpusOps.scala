@@ -1180,11 +1180,21 @@ object CorpusOps {
     * (all codegen'd array expressions). Chunk count per doc is
     * ⌈n/stride⌉ — output is a bounded ~1.25× inflation of the corpus,
     * not quadratic. */
+  /** Chunk-index derivation shared by every consumer of the q99
+    * chunk grain (q99, q114, q122, q229): one index per ChunkStride
+    * window over a `toks` array column — ONE spelling, so an audit of
+    * "the chunk table" can never drift from the real chunk grain. */
+  private[ops] val chunkIdsExpr: String =
+    s"sequence(0, (size(toks) - 1) div $ChunkStride)"
+  /** DuckDB twin of [[chunkIdsExpr]] over a `t` list column. */
+  private[ops] val chunkIdsSql: String =
+    s"generate_series(0, (len(t) - 1) // $ChunkStride)"
+
   val q99ChunkDocs: Q = (s, d) => {
     Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("chunk_id",
-        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+        explode(expr(chunkIdsExpr)))
       .withColumn("ct",
         expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -1196,7 +1206,7 @@ object CorpusOps {
       SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     ex AS (
       SELECT doc_id, t,
-        unnest(generate_series(0, (len(t) - 1) // $ChunkStride)) AS chunk_id
+        unnest($chunkIdsSql) AS chunk_id
       FROM base)
     SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
       CAST(len(t[chunk_id * $ChunkStride + 1 :
@@ -1759,7 +1769,7 @@ object CorpusOps {
     val derived = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("chunk_id",
-        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+        explode(expr(chunkIdsExpr)))
       .select(col("doc_id"))
     val remaining = docs.filter(col("doc_id") % 41 =!= 0)
       .select(col("doc_id"), lit(1L).as("present"))
@@ -1774,10 +1784,9 @@ object CorpusOps {
     WITH derived AS (
       SELECT doc_id
       FROM (SELECT doc_id,
-              unnest(generate_series(0,
-                (len(string_split(text, ' ')) - 1) // $ChunkStride))
-                AS chunk_id
-            FROM documents)),
+              unnest($chunkIdsSql) AS chunk_id
+            FROM (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents))),
     remaining AS (
       SELECT doc_id, CAST(1 AS BIGINT) AS present
       FROM documents WHERE doc_id % 41 <> 0)
@@ -2000,7 +2009,7 @@ object CorpusOps {
     val chunks = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("chunk_id",
-        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+        explode(expr(chunkIdsExpr)))
       .select(col("doc_id"), col("lang"),
         col("chunk_id").cast("long").as("chunk_id"),
         size(expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"))
@@ -2026,7 +2035,7 @@ object CorpusOps {
           AS n_tokens
       FROM (
         SELECT doc_id, lang, t,
-          unnest(generate_series(0, (len(t) - 1) // $ChunkStride))
+          unnest($chunkIdsSql)
             AS chunk_id
         FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
               FROM documents))),
@@ -2337,7 +2346,7 @@ object CorpusOps {
     val chunks = Tables.documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("chunk_id",
-        explode(expr(s"sequence(0, (size(toks) - 1) div $ChunkStride)")))
+        explode(expr(chunkIdsExpr)))
       .select(col("doc_id"),
         TextOps.fingerprintOf(array_join(
           expr(s"slice(toks, chunk_id * $ChunkStride + 1, $ChunkSize)"),
@@ -2360,7 +2369,7 @@ object CorpusOps {
                           chunk_id * $ChunkStride + $ChunkSize], ' ')
           AS ctext
       FROM (SELECT doc_id, t,
-              unnest(generate_series(0, (len(t) - 1) // $ChunkStride))
+              unnest($chunkIdsSql)
                 AS chunk_id
             FROM (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents))),

@@ -702,12 +702,25 @@ object TextOps {
   private val ReplayOff7 = 7L << 40
   private val AuditSeed = 42L
 
+  /** The planted-duplicate corpus shared by q226/q228: documents ∪ an
+    * EXACT replayed slice (doc_id ≡ 0 mod 6, shifted to +7·2⁴⁰) —
+    * one recipe, so the two audits can never desynchronize on what
+    * "the planted dup rate" is. */
+  private def replayedBase(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") % 6 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(ReplayOff7)))
+  }
+  /** DuckDB twin of [[replayedBase]] (a `base` CTE body). */
+  private val replayedBaseSql: String = s"""
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + $ReplayOff7 AS doc_id, text
+      FROM documents WHERE doc_id % 6 = 0"""
+
   val q226SampleAudit: Q = (s, d) => {
     import s.implicits._
-    val base = Tables.documents(s, d).select($"doc_id", $"text")
-    val replay = base.filter($"doc_id" % 6 === 0)
-      .withColumn("doc_id", $"doc_id" + lit(ReplayOff7))
-    val docs = base.unionByName(replay).withColumn("fp", fingerprintCol)
+    val docs = replayedBase(s, d).withColumn("fp", fingerprintCol)
     val dupFlag = docs
       .join(docs.groupBy($"fp").agg(count(lit(1)).as("nfp")), Seq("fp"))
       .select($"doc_id",
@@ -740,11 +753,7 @@ object TextOps {
           .otherwise(0L).as("covered"))
   }
   val o226: String = s"""
-    WITH base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + $ReplayOff7 AS doc_id, text
-      FROM documents WHERE doc_id % 6 = 0),
+    WITH base AS ($replayedBaseSql),
     fps AS (SELECT doc_id, $fingerprintSql AS fp FROM base),
     dupflag AS (
       SELECT f.doc_id,
@@ -878,11 +887,7 @@ object TextOps {
     * aggregate over the flagged frame — the funnel never rescans. */
   val q228EffectiveTokens: Q = (s, d) => {
     import s.implicits._
-    val base = Tables.documents(s, d)
-      .select($"doc_id", $"text")
-    val replay = base.filter($"doc_id" % 6 === 0)
-      .withColumn("doc_id", $"doc_id" + lit(ReplayOff7))
-    val docs = base.unionByName(replay)
+    val docs = replayedBase(s, d)
       .withColumn("fp", fingerprintCol)
       .withColumn("ntok", size(toks($"text")).cast("long"))
       .withColumn("q", qualityExpr)
@@ -907,11 +912,7 @@ object TextOps {
         AS (stage, n_docs, n_tokens, token_share)"""))
   }
   val o228: String = s"""
-    WITH base AS (
-      SELECT doc_id, text FROM documents
-      UNION ALL
-      SELECT doc_id + $ReplayOff7 AS doc_id, text
-      FROM documents WHERE doc_id % 6 = 0),
+    WITH base AS ($replayedBaseSql),
     docs AS (
       SELECT doc_id, $fingerprintSql AS fp,
         len(string_split(text, ' ')) AS ntok,
