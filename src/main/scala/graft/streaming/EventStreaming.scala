@@ -34,6 +34,22 @@ object EventStreaming {
         $"event_type", $"total_value", $"n_events")
   }
 
+  /** Late-data accounting: total input rows the WATERMARK silently
+    * discarded across a query's recent progress (summed over every
+    * stateful operator's `numRowsDroppedByWatermark`). Structured
+    * Streaming drops too-late rows without any data-plane signal, so
+    * an ingest SLO has to read the control plane — this is the number
+    * a completeness dashboard alarms on ("0.3% of events arrive
+    * beyond the 2-hour watermark; widen it or accept the loss").
+    * Snapshot-valued: `recentProgress` is a bounded ring buffer
+    * (spark.sql.streaming.numRecentProgressUpdates), so poll and
+    * accumulate per batch for lifetime totals. */
+  def lateDrops(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.iterator
+      .flatMap(_.stateOperators.iterator)
+      .map(_.numRowsDroppedByWatermark)
+      .sum
+
   /** Late-tolerant daily mart: the streaming twin of the batch daily
     * aggregation — same grain, watermark instead of a chunk filter. */
   def dailyByType(events: DataFrame,

@@ -46,6 +46,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lateDrops accounts for rows the watermark silently discards") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreaming.Event]
+    // batch 1 sets max event time to 23:00 → watermark = 21:00
+    input.addData(
+      EventStreaming.Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      EventStreaming.Event(2, ts("2024-01-01 23:00:00"), 2, "click", 1.0))
+    val q = EventStreaming.windowedTotals(input.toDF())
+      .writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(EventStreaming.lateDrops(q) == 0L)
+      // batch 2: one on-time row and one BEYOND the 2h watermark
+      input.addData(
+        EventStreaming.Event(3, ts("2024-01-01 22:30:00"), 3, "view", 1.0),
+        EventStreaming.Event(4, ts("2024-01-01 10:10:00"), 4, "click", 9.0))
+      q.processAllAvailable()
+      assert(EventStreaming.lateDrops(q) == 1L,
+        q.recentProgress.map(_.stateOperators.map(
+          _.numRowsDroppedByWatermark).mkString(",")).mkString(";"))
+      // the dropped row's value never reaches the 10:00 window
+      input.addData(EventStreaming.Event(5,
+        ts("2024-01-02 23:00:00"), 5, "click", 1.0))
+      q.processAllAvailable()
+      val w10 = spark.table("latedrop").collect().find(r =>
+        r.getAs[java.sql.Timestamp]("window_start")
+          .toString.startsWith("2024-01-01 10:00") &&
+          r.getAs[String]("event_type") == "click")
+      assert(w10.isDefined && w10.get.getAs[Double]("total_value") == 1.0)
+    } finally q.stop()
+  }
+
   test("sessionize: emitOpen flushes trailing sessions for batch use") {
     val s = spark
     import s.implicits._
