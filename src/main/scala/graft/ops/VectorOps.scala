@@ -1319,11 +1319,145 @@ object VectorOps {
         AS mean_cos
     FROM pairs WHERE cosine >= 0.3 GROUP BY 1, 2"""
 
+  // ------------------------------------- ANN under deletions
+  /** Index maintenance under deletions: when a deletion batch removes
+    * vectors (vec_id ≡ 0 mod 17, planted), an UN-MAINTAINED ANN index
+    * keeps serving the deleted ids — this audit quantifies both
+    * failure and fix. `stale_contamination` = share of the stale
+    * index's top-k results that are deleted vectors (what users see
+    * until the index is rebuilt or tombstoned);
+    * `tombstone_recall_at_k` = recall of the tombstone-aware path
+    * (same candidate lists, deleted ids filtered at query time — the
+    * standard cheap fix) against the post-deletion exact truth. The
+    * pair tells an index operator whether query-time tombstoning is
+    * good enough or a rebuild is due.
+    *
+    * Float parity: both metrics are exact-integer ratios with one
+    * divide each (fixed k·n_queries denominators).
+    *
+    * 100 TB design: candidates ride the bucket-keyed join (q63), the
+    * truth pass the q62 constant-broadcast scan (intended NLJ —
+    * whitelisted); the deleted-id check is a join flag on the 8-byte
+    * id, never a second vector scan. */
+  private val AnnDelK = 10
+
+  val q230AnnTombstones: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("deleted", ($"vec_id" % 17 === 0).cast("boolean"))
+    val q = e.filter($"vec_id" % 50 === 0 && !$"deleted")
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"), $"bucket".as("q_bucket"))
+    val c = e.select($"vec_id".as("neighbor_id"),
+      $"embedding".as("n_emb"), $"norm".as("n_norm"), $"bucket",
+      $"deleted")
+    val wq = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"neighbor_id".asc)
+    // stale index: candidate lists still CONTAIN deleted vectors
+    val stale = broadcast(q).join(c,
+        $"q_bucket" === $"bucket" && $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("r", row_number().over(wq))
+      .filter($"r" <= AnnDelK)
+    // tombstone-aware: same lists, deleted filtered BEFORE ranking
+    val tomb = broadcast(q).join(c,
+        $"q_bucket" === $"bucket" && $"query_id" =!= $"neighbor_id"
+          && !$"deleted")
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("r", row_number().over(wq))
+      .filter($"r" <= AnnDelK)
+      .select($"query_id", $"neighbor_id")
+    // post-deletion exact truth (q62's constant-broadcast scan)
+    val truth = broadcast(q).join(c.filter(!$"deleted"),
+        $"query_id" =!= $"neighbor_id")
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("r", row_number().over(wq))
+      .filter($"r" <= AnnDelK)
+      .select($"query_id", $"neighbor_id", lit(1L).as("rel"))
+    val nq = q.agg(count(lit(1)).as("n_queries"))
+    val staleStats = stale.agg(
+      sum(when($"deleted", 1L).otherwise(0L)).cast("long")
+        .as("n_stale_hits"),
+      count(lit(1)).as("n_stale_results"))
+    val tombStats = tomb
+      .join(truth, Seq("query_id", "neighbor_id"), "left")
+      .agg(coalesce(sum($"rel"), lit(0L)).cast("long").as("n_hits"),
+        count(lit(1)).as("n_tomb_results"))
+    nq.crossJoin(staleStats).crossJoin(tombStats)
+      .select($"n_queries", $"n_stale_hits",
+        ($"n_stale_hits".cast("double") / $"n_stale_results")
+          .as("stale_contamination"),
+        ($"n_hits".cast("double") / ($"n_queries" * AnnDelK))
+          .as("tombstone_recall_at_k"))
+  }
+  val o230: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm,
+             $bucketSql AS bucket,
+             vec_id % 17 = 0 AS deleted
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding, norm, bucket
+          FROM e WHERE vec_id % 50 = 0 AND NOT deleted),
+    stale AS (
+      SELECT query_id, neighbor_id, deleted FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id, c.deleted,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id ASC) AS r
+        FROM q JOIN e c ON q.bucket = c.bucket
+                       AND q.query_id <> c.vec_id)
+      WHERE r <= $AnnDelK),
+    tomb AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id ASC) AS r
+        FROM q JOIN e c ON q.bucket = c.bucket
+                       AND q.query_id <> c.vec_id AND NOT c.deleted)
+      WHERE r <= $AnnDelK),
+    truth AS (
+      SELECT query_id, neighbor_id, CAST(1 AS BIGINT) AS rel FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id ASC) AS r
+        FROM q JOIN e c ON q.query_id <> c.vec_id AND NOT c.deleted)
+      WHERE r <= $AnnDelK),
+    nq AS (SELECT COUNT(*) AS n_queries FROM q),
+    ss AS (
+      SELECT CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_stale_hits,
+        COUNT(*) AS n_stale_results
+      FROM stale),
+    ts AS (
+      SELECT CAST(COALESCE(SUM(t.rel), 0) AS BIGINT) AS n_hits,
+        COUNT(*) AS n_tomb_results
+      FROM tomb
+      LEFT JOIN truth t ON t.query_id = tomb.query_id
+                       AND t.neighbor_id = tomb.neighbor_id)
+    SELECT nq.n_queries, ss.n_stale_hits,
+      CAST(ss.n_stale_hits AS DOUBLE) / ss.n_stale_results
+        AS stale_contamination,
+      CAST(ts.n_hits AS DOUBLE) / (nq.n_queries * $AnnDelK)
+        AS tombstone_recall_at_k
+    FROM nq CROSS JOIN ss CROSS JOIN ts"""
+
   val queries: Map[String, Q] = Map(
     "q212_dbscan_census" -> q212DbscanCensus,
     "q215_retrieval_metrics" -> q215RetrievalMetrics,
     "q217_embedding_drift" -> q217EmbeddingDrift,
     "q219_label_confusion" -> q219LabelConfusion,
+    "q230_ann_tombstones" -> q230AnnTombstones,
     "q126_contrastive_triplets" -> q126ContrastiveTriplets,
     "q124_embed_outliers" -> q124EmbedOutliers,
     "q117_ivfpq_search" -> q117IvfPqSearch,
@@ -1343,6 +1477,7 @@ object VectorOps {
     "q215_retrieval_metrics" -> o215,
     "q217_embedding_drift" -> o217,
     "q219_label_confusion" -> o219,
+    "q230_ann_tombstones" -> o230,
     "q126_contrastive_triplets" -> o126,
     "q124_embed_outliers" -> o124,
     "q117_ivfpq_search" -> o117,

@@ -181,7 +181,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q223_bpe_train3",
       // q227 crosses its four single-row censuses (doc aggregate +
       // fingerprint/source/lang distinct counts) into the data card
-      "q227_datasheet")
+      "q227_datasheet",
+      // q230's post-deletion truth pass is q62's constant-size query
+      // broadcast; the report crosses three single-row censuses
+      "q230_ann_tombstones")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
