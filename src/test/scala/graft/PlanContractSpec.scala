@@ -131,6 +131,41 @@ class PlanContractSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("no query plans an Expand outside the declared set") {
+    // Expand multiplies every input row (×(grouping sets) for
+    // rollup/cube, ×(2·distinct aggregates) for multi-distinct) — the
+    // q128 scale pitfall. Legitimate users are declared here; any new
+    // query that trips this either wants the rollup/cube semantics or
+    // has accidentally mixed distinct aggregates and should restage
+    // as a two-level census (the q165/q227 spelling).
+    val intendedExpand = Set(
+      // grouping-sets semantics by design:
+      "q09_rollup", "q133_cube_mart", "q209_k_anonymity",
+      // exact multi-distinct profiler — q155 is its sketch twin:
+      "q128_table_profile",
+      // A4/A5: the reference's exact (conditional) count-distinct
+      // operators — distinct aggregates ARE the semantics; grain is
+      // the grouped census, not the corpus
+      "q04_count_distinct", "q05_cond_count_distinct",
+      // q218 counts distinct orders per year conditionally (the
+      // volume side of the mix/rate split) — same A5 family
+      "q218_mix_rate_decomp",
+      // q120's feature vector needs TWO distinct facets (active days,
+      // event types) per user — Expand ×4 at user grain, by design
+      "q120_feature_snapshot",
+      // q37 mirrors the reference mart's ticket counting
+      // (count-distinct order_index, plus its eliminated-rows
+      // conditional twin) — reference semantics win
+      "q37_payments_mart")
+    val violators = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      val df = SparkEntry.queries(name)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      !intendedExpand(name) && p.contains("Expand")
+    }
+    assert(violators.isEmpty,
+      s"undeclared Expand plans: ${violators.mkString(", ")}")
+  }
+
   test("no query plans a cartesian product or unintended broadcast NLJ") {
     // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
     // (constant-size broadcast side); q12's validity-window range join
