@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -167,9 +167,10 @@ object CorpusOps {
     *
     * Exact-parity spelling: CDFs are integer cumulative counts on the
     * shared value grid, compared cross-multiplied
-    * (|cum_s·n_g − cum_g·n_s|, all int64 — safe while total rows
-    * < 3e9, i.e. products < 9e18), so the only floating point is the
-    * final division of the winning numerator.
+    * (|cum_s·n_g − cum_g·n_s|, routed through decimal(38,0)/HUGEINT
+    * by [[crossDevAbs]] so the products stay exact at ANY corpus
+    * size — int64 would overflow past ~3e9 rows), so the only
+    * floating point is the final division of the winning numerator.
     *
     * 100 TB design: the corpus collapses to a (source, length) census
     * first (map-side combine); everything after runs on the value
@@ -232,10 +233,20 @@ object CorpusOps {
       CROSS JOIN totals t
       LEFT JOIN counts c ON c.source = t.source AND c.v = g.v)"""
 
+  /** |a·b − c·d| over int64 inputs routed through decimal(38,0) so
+    * the cross-products stay exact past the 3e9-row point where
+    * a·b overflows int64 — the shared deviation kernel of the q179
+    * KS and q184 Wasserstein numerators (factored out so the
+    * planted-large-count overflow test can drive it directly). */
+  private[graft] def crossDevAbs(a: Column, b: Column,
+                                 c: Column, d: Column): Column =
+    abs(a.cast("decimal(38,0)") * b - c.cast("decimal(38,0)") * d)
+
   val q179KsDrift: Q = (s, d) => {
     import s.implicits._
     val scored = lengthCdfGrid(s, d)
-      .withColumn("num", abs($"cum_s" * $"n_g" - $"cum_g" * $"n_s"))
+      .withColumn("num",
+        crossDevAbs($"cum_s", $"n_g", $"cum_g", $"n_s"))
     val m = scored.groupBy($"source")
       .agg(max($"num").as("maxnum"), max($"n_s").as("n_docs"),
         max($"n_g").as("n_g"))
@@ -252,7 +263,8 @@ object CorpusOps {
     WITH $lengthCdfGridSql,
     scored AS (
       SELECT source, v, n_s,
-        abs(cum_s * n_g - cum_g * n_s) AS num
+        abs(CAST(cum_s AS HUGEINT) * n_g
+            - CAST(cum_g AS HUGEINT) * n_s) AS num
       FROM f),
     m AS (SELECT source, MAX(num) AS maxnum, MAX(n_s) AS n_docs
           FROM scored GROUP BY source)
@@ -272,8 +284,10 @@ object CorpusOps {
     * KS only reports the worst single point and so cannot tell a
     * narrow spike from a wholesale shift.
     *
-    * Same shared CDF grid, same int64 bound on the cross-multiplied
-    * deviation; each grid segment's term maps to 1e-9 fixed point
+    * Same shared CDF grid; the cross-multiplied deviation routes
+    * through decimal(38,0)/HUGEINT ([[crossDevAbs]]) so it stays
+    * exact at any corpus size; each grid segment's term maps to 1e-9
+    * fixed point
     * BEFORE the cross-segment sum (identical operation order both
     * engines), so the statistic never depends on summation order. */
   val q184WassersteinDrift: Q = (s, d) => {
@@ -283,7 +297,7 @@ object CorpusOps {
       .withColumn("dv",
         coalesce(lead($"v", 1).over(wl) - $"v", lit(0L)))
       .withColumn("term_fp", floor(
-        abs($"cum_s" * $"n_g" - $"cum_g" * $"n_s").cast("double")
+        crossDevAbs($"cum_s", $"n_g", $"cum_g", $"n_s").cast("double")
           / ($"n_s".cast("double") * $"n_g".cast("double"))
           * $"dv".cast("double") * lit(1.0e9)))
       .groupBy($"source")
@@ -302,7 +316,8 @@ object CorpusOps {
     terms AS (
       SELECT source, n_s,
         CAST(FLOOR(
-          CAST(abs(cum_s * n_g - cum_g * n_s) AS DOUBLE)
+          CAST(abs(CAST(cum_s AS HUGEINT) * n_g
+                   - CAST(cum_g AS HUGEINT) * n_s) AS DOUBLE)
             / (CAST(n_s AS DOUBLE) * CAST(n_g AS DOUBLE))
             * CAST(dv AS DOUBLE) * 1e9) AS BIGINT) AS term_fp
       FROM seg)
@@ -319,12 +334,13 @@ object CorpusOps {
     * Missing (source, lang) cells still contribute n_s·n_l/N, so the
     * grid completes via a census-scale cross join.
     *
-    * Parity: each cell's deviation d = o·N − n_s·n_l is an exact
-    * int64 (safe while total rows < 3e9, the q179 bound); the cell
-    * term (d²/(N·n_s·n_l)) is computed in doubles from identical
-    * integers and FLOORED to 1e-9 fixed point before the cross-cell
-    * sum, so the statistic never depends on Spark's vs DuckDB's
-    * summation order.
+    * Parity: each cell's deviation d = o·N − n_s·n_l routes through
+    * decimal(38,0)/HUGEINT (the [[crossDevAbs]] convention — exact at
+    * any corpus size, not just below the old int64 3e9-row bound);
+    * the cell term (d²/(N·n_s·n_l)) is computed in doubles from
+    * identical integers and FLOORED to 1e-9 fixed point before the
+    * cross-cell sum, so the statistic never depends on Spark's vs
+    * DuckDB's summation order.
     *
     * 100 TB design: corpus collapses to the (source, lang) census
     * first; everything downstream is |sources|×|langs| cells. */
@@ -342,7 +358,9 @@ object CorpusOps {
       .join(counts, Seq("source", "lang"), "left")
       .withColumn("o0", coalesce($"o", lit(0L)))
       .crossJoin(broadcast(nRow))
-      .withColumn("dev", $"o0" * $"n" - $"n_s" * $"n_l")
+      .withColumn("dev",
+        $"o0".cast("decimal(38,0)") * $"n"
+          - $"n_s".cast("decimal(38,0)") * $"n_l")
       .withColumn("term_fp", floor(
         ($"dev".cast("double") * $"dev".cast("double"))
           / ($"n".cast("double") * $"n_s".cast("double")
@@ -372,8 +390,10 @@ object CorpusOps {
     terms AS (
       SELECT source, n_s,
         CAST(FLOOR(
-          (CAST(o0 * n - n_s * n_l AS DOUBLE)
-            * CAST(o0 * n - n_s * n_l AS DOUBLE))
+          (CAST(CAST(o0 AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_l
+             AS DOUBLE)
+            * CAST(CAST(o0 AS HUGEINT) * n - CAST(n_s AS HUGEINT) * n_l
+               AS DOUBLE))
           / (CAST(n AS DOUBLE) * CAST(n_s AS DOUBLE)
             * CAST(n_l AS DOUBLE)) * 1e9) AS BIGINT) AS term_fp
       FROM cells)
@@ -1439,7 +1459,9 @@ object CorpusOps {
     * ONE map-side-combined aggregate over the token census and
     * MERGEABLE across partitions/streams (counter-wise addition —
     * the property that makes CM the streaming frequency sketch). The
-    * top-20 probe set broadcasts. */
+    * top-20 probe set is selected by sort+limit (k-bounded partial
+    * heaps per partition, never a global census sort) and
+    * broadcasts. */
   private[graft] val CmWidth = 256
   private[graft] val cmAb = Seq((37L, 17L), (8191L, 131L))
 
@@ -1458,10 +1480,14 @@ object CorpusOps {
     }.reduce(_ unionByName _)
       .groupBy(col("depth"), col("bucket"))
       .agg(sum(col("n")).cast("long").as("cm"))
-    val w = Window.orderBy(col("n").desc, col("term").asc)
+    // top-20 probe via sort+limit — plans TakeOrderedAndProject
+    // (k-bounded per-partition heaps), never a single-partition sort
+    // of the full term census; the rank window then rides the 20-row
+    // result frame only (bounded — whitelisted in PlanContractSpec)
     val probes = counts
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 20)
+      .orderBy(col("n").desc, col("term").asc).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("term").asc)).cast("long"))
     val est = cmAb.zipWithIndex.map { case ((a, b), dth) =>
       probes.select(col("term"), col("rank"), col("n"),
         lit(dth).as("depth"),
@@ -2675,9 +2701,15 @@ object CorpusOps {
     * acts on it, this is the monitoring).
     *
     * 100 TB design: first-occurrence is a min-per-fingerprint census
-    * (8-byte keys, map-side combined) joined back on doc_id; the
-    * batch census is batch-count-bounded and the cumulative window
-    * rides it, never doc rows. */
+    * (8-byte keys, map-side combined) joined back on doc_id. The
+    * cumulative rides the q125 two-level prefix-sum layout: the batch
+    * census (N/100 rows — still corpus-scale ÷100, NOT bounded)
+    * collapses to a ÷1024 super-batch census whose tiny ordered
+    * cumsum yields each super-batch's (docs, novel) offsets; the
+    * per-batch windows are then PARTITIONED by super-batch and
+    * shifted by the broadcast offsets — no batch-census-scale frame
+    * ever crosses a single-partition sort (each further 1000× of
+    * corpus adds one more ÷1024 level; two suffice past 10¹¹ docs). */
   val q149NoveltyCurve: Q = (s, d) => {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.fingerprintCol.as("fp"))
@@ -2690,18 +2722,30 @@ object CorpusOps {
     val census = flagged.groupBy(col("batch"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("novel")).cast("long").as("n_novel"))
-    census
-      .withColumn("cum_docs", sum(col("n_docs")).over(
-        Window.orderBy(col("batch").asc)
+      .withColumn("sup", expr("batch div 1024"))
+    val offsets = census.groupBy(col("sup"))
+      .agg(sum(col("n_docs")).as("sd"), sum(col("n_novel")).as("sn"))
+      .withColumn("doc_off",
+        (sum(col("sd")).over(Window.orderBy(col("sup").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
-      .withColumn("cum_novel", sum(col("n_novel")).over(
-        Window.orderBy(col("batch").asc)
+          - col("sd")).cast("long"))
+      .withColumn("novel_off",
+        (sum(col("sn")).over(Window.orderBy(col("sup").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("long"))
+          - col("sn")).cast("long"))
+      .select(col("sup"), col("doc_off"), col("novel_off"))
+    val wb = Window.partitionBy(col("sup")).orderBy(col("batch").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census.join(broadcast(offsets), Seq("sup"))
+      .withColumn("cum_docs",
+        (col("doc_off") + sum(col("n_docs")).over(wb)).cast("long"))
+      .withColumn("cum_novel",
+        (col("novel_off") + sum(col("n_novel")).over(wb)).cast("long"))
       .withColumn("cum_novelty_pct",
         col("cum_novel").cast("double") * 100.0
           / col("cum_docs").cast("double"))
+      .select(col("batch"), col("n_docs"), col("n_novel"),
+        col("cum_docs"), col("cum_novel"), col("cum_novelty_pct"))
   }
   val o149: String = s"""
     WITH fp AS (

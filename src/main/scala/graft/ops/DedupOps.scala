@@ -1193,10 +1193,11 @@ object DedupOps {
     * Float parity: exact J is an in-row intersect/union of distinct
     * shingle sets (both engines dedup list/array intersection
     * identically) with ONE divide; agreements are dyadic quarters;
-    * MAEs route |err| through decimal(30,8) sums. Pairs where both
-    * shingle sets are empty (sub-3-token docs) are EXCLUDED — neither
-    * estimator is defined there, and scoring them would bias both
-    * MAEs (review finding, mirrored in the oracle).
+    * MAEs route |err| through decimal(30,8) sums. Pairs where EITHER
+    * shingle set is empty (a sub-3-token doc) are EXCLUDED — the
+    * empty side's signature lanes are null, so neither estimator is
+    * defined, and scoring such pairs would bias both MAEs (round-6
+    * ADVICE finding, mirrored in the oracle).
     *
     * 100 TB design: everything is keyed by the bounded pair set
     * (truth + sampled adjacents) — two hash joins pull shingle arrays
@@ -1226,11 +1227,14 @@ object DedupOps {
         size(array_intersect($"a_ds", $"b_ds")).cast("long"))
       .withColumn("nunion",
         (size($"a_ds") + size($"b_ds")).cast("long") - $"ninter")
-      // pairs where BOTH shingle sets are empty (docs under 3 tokens)
-      // have no defined Jaccard and null signature lanes — neither
-      // estimator exists there, so scoring them (as J = 1 vs
-      // agreement 0) would bias both MAEs by ~1/n_pairs per pair
-      .filter($"nunion" > 0)
+      // pairs where EITHER shingle set is empty (a sub-3-token doc)
+      // are excluded: the empty side has null signature lanes, so
+      // neither the full-lane nor the b-bit estimator is defined —
+      // keeping one-sided pairs scored them as agreement 0 (est_bbit
+      // = −1/15 vs j_exact = 0), injecting a small artificial error
+      // into both MAEs (round-6 ADVICE finding; mirrored in the
+      // oracle). Both-empty pairs fall out with them (nunion = 0).
+      .filter(size($"a_ds") > 0 && size($"b_ds") > 0)
       .withColumn("j_exact", $"ninter".cast("double") / $"nunion")
       .select($"a", $"b", $"pair_class", $"j_exact")
     val lanes = Seq("mh0", "mh1", "mh2", "mh3")
@@ -1293,8 +1297,7 @@ object DedupOps {
       FROM pairs p
       JOIN shs sa ON sa.doc_id = p.a
       JOIN shs sb ON sb.doc_id = p.b
-      WHERE len(sa.ds) + len(sb.ds)
-            - len(list_intersect(sa.ds, sb.ds)) > 0),
+      WHERE len(sa.ds) > 0 AND len(sb.ds) > 0),
     withsigs AS (
       SELECT w.pair_class, w.j_exact,
         CAST($agreeFull AS DOUBLE) / 4 AS agree_full,
@@ -1328,9 +1331,13 @@ object DedupOps {
     * band1 cluster j|, pairs-together-in-both n11 = Σ C(m_ij, 2),
     * per-side totals from the marginal sizes, and
     * rand = (C(N,2) + 2·n11 − n_a − n_b) / C(N,2) — all from
-    * cluster-SIZE algebra (exact int64; a > 3e9-doc corpus routes
-    * the C(N,2) products through decimal(38,0), the q179 bound
-    * convention).
+    * cluster-SIZE algebra. The C(·,2) products and their sums route
+    * through decimal(38,0)/HUGEINT with INTEGER halving (the q179
+    * crossDevAbs convention), so the arithmetic is exact wherever the
+    * REPORTED pair counts themselves fit int64 (up to ~4.3e9 members
+    * per cell — the old long-product spelling overflowed at ~3e9 and
+    * the double `/ 2` lost exactness past 2^53; HashSafetySpec plants
+    * a 3.9e9-member cell to pin this).
     *
     * 100 TB design: one signature scan → ONE (4-lane key) cell
     * census, localCheckpoint'd because the two marginal censuses
@@ -1344,21 +1351,26 @@ object DedupOps {
       .groupBy($"mh0", $"mh1", $"mh2", $"mh3")
       .agg(count(lit(1)).as("m"))
       .localCheckpoint()
+    // m·(m−1) and its sum route through decimal(38,0) (the q179
+    // crossDevAbs convention) and halve by INTEGER division — exact
+    // at any corpus size, where the old long product + double `/ 2`
+    // held only below the 2^53/3e9-row bound the docstring cites
     def pairSum(df: DataFrame, c: String) =
-      df.agg(coalesce(sum(col(c) * (col(c) - 1)), lit(0L))
-        .cast("long").as(s"p_$c"))
+      df.agg(coalesce(sum(col(c).cast("decimal(38,0)") * (col(c) - 1)),
+        lit(0).cast("decimal(38,0)")).as(s"p_$c"))
     val n11 = pairSum(cells, "m")
-      .select(($"p_m" / 2).cast("long").as("n11"))
+      .select(expr("p_m div 2").cast("long").as("n11"))
     val na = pairSum(cells.groupBy($"mh0", $"mh1")
         .agg(sum($"m").as("a")), "a")
-      .select(($"p_a" / 2).cast("long").as("n_a"))
+      .select(expr("p_a div 2").cast("long").as("n_a"))
     val nb = pairSum(cells.groupBy($"mh2", $"mh3")
         .agg(sum($"m").as("b")), "b")
-      .select(($"p_b" / 2).cast("long").as("n_b"))
+      .select(expr("p_b div 2").cast("long").as("n_b"))
     val tot = cells.agg(sum($"m").cast("long").as("n_docs"))
     tot.crossJoin(n11).crossJoin(na).crossJoin(nb)
       .withColumn("n_pairs_total",
-        ($"n_docs" * ($"n_docs" - 1) / 2).cast("long"))
+        expr("(CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)) div 2")
+          .cast("long"))
       .select($"n_docs", $"n_pairs_total", $"n11", $"n_a", $"n_b",
         (($"n_pairs_total" + $"n11" * 2 - $"n_a" - $"n_b")
           .cast("double") / $"n_pairs_total").as("rand_index"))
@@ -1370,24 +1382,28 @@ object DedupOps {
       SELECT mh0, mh1, mh2, mh3, COUNT(*) AS m
       FROM sig GROUP BY 1, 2, 3, 4),
     n11 AS (
-      SELECT CAST(COALESCE(SUM(m * (m - 1)), 0) / 2 AS BIGINT) AS n11
+      SELECT CAST(COALESCE(SUM(CAST(m AS HUGEINT) * (m - 1)), 0) // 2
+        AS BIGINT) AS n11
       FROM cells),
     na AS (
-      SELECT CAST(COALESCE(SUM(a * (a - 1)), 0) / 2 AS BIGINT) AS n_a
+      SELECT CAST(COALESCE(SUM(CAST(a AS HUGEINT) * (a - 1)), 0) // 2
+        AS BIGINT) AS n_a
       FROM (SELECT CAST(SUM(m) AS BIGINT) AS a FROM cells
             GROUP BY mh0, mh1)),
     nb AS (
-      SELECT CAST(COALESCE(SUM(b * (b - 1)), 0) / 2 AS BIGINT) AS n_b
+      SELECT CAST(COALESCE(SUM(CAST(b AS HUGEINT) * (b - 1)), 0) // 2
+        AS BIGINT) AS n_b
       FROM (SELECT CAST(SUM(m) AS BIGINT) AS b FROM cells
             GROUP BY mh2, mh3)),
     tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_docs FROM cells)
     SELECT tot.n_docs,
-      CAST(tot.n_docs * (tot.n_docs - 1) / 2 AS BIGINT)
-        AS n_pairs_total,
+      CAST(CAST(tot.n_docs AS HUGEINT) * (tot.n_docs - 1) // 2
+        AS BIGINT) AS n_pairs_total,
       n11.n11, na.n_a, nb.n_b,
-      CAST(tot.n_docs * (tot.n_docs - 1) / 2 + 2 * n11.n11
-           - na.n_a - nb.n_b AS DOUBLE)
-        / CAST(tot.n_docs * (tot.n_docs - 1) / 2 AS BIGINT)
+      CAST(CAST(tot.n_docs AS HUGEINT) * (tot.n_docs - 1) // 2
+           + 2 * n11.n11 - na.n_a - nb.n_b AS DOUBLE)
+        / CAST(CAST(tot.n_docs AS HUGEINT) * (tot.n_docs - 1) // 2
+            AS BIGINT)
         AS rand_index
     FROM tot CROSS JOIN n11 CROSS JOIN na CROSS JOIN nb"""
   }

@@ -1241,27 +1241,57 @@ object Relational {
     FROM base"""
 
   // --------------------------------------------------- Pareto deciles
+  /** Value-monotonic BOUNDED histogram key for nonnegative int64:
+    * (decimal-digit count)·1000 + first-3-digits. Monotonic in the
+    * value (more digits ⇒ strictly larger; equal-length prefixes
+    * compare numerically), and at most 19·1000+999 ≈ 18k distinct
+    * buckets regardless of data size — the level-1 key that lets a
+    * global rank over an unbounded census ride the q125 two-level
+    * prefix-sum layout (tiny bucket-histogram cumsum for offsets +
+    * per-bucket partitioned windows) instead of a single-partition
+    * sort. Callers guarantee v ≥ 0 (a sign digit would break the
+    * length ordering). */
+  private[graft] def valueBucket(v: Column): Column = {
+    val str = v.cast("string")
+    (length(str) * 1000 + substring(str, 1, 3).cast("long"))
+      .cast("long")
+  }
+
   /** Customer-revenue Pareto deciles: customers ranked by exact-cents
     * revenue, split into 10 equal-count bins, each bin's share of
     * total revenue — the 80/20 concentration report.
     *
     * 100 TB design: the fact table collapses to the customer census
-    * first; the decile rank window rides that census (at billions of
-    * customers the same two-level histogram as q125 applies — the
-    * spelling here is the census-scale tier). Ties break on custkey
-    * so both engines bin identically. */
+    * first; the global rank then rides the q125 two-level prefix-sum
+    * layout — [[valueBucket]] maps cents to a BOUNDED (≤ ~18k
+    * buckets) value-monotonic histogram key, the tiny descending
+    * bucket cumsum yields each bucket's rank offset (plus the global
+    * count), and per-customer ranks come from per-BUCKET windows
+    * shifted by the broadcast offsets. No unpartitioned window ever
+    * touches the customer census. Ties break on custkey so both
+    * engines bin identically. */
   val q153ParetoDeciles: Q = (s, d) => {
     import s.implicits._
     val custRev = Tables.orders(s, d)
       .groupBy($"o_custkey")
       .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
-    val w = Window.orderBy($"cents".desc, $"o_custkey".asc)
-    val ranked = custRev
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(
-        Window.rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)).cast("long"))
+      .withColumn("bucket", valueBucket($"cents"))
+    val offsets = custRev.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        (sum($"bn").over(Window.orderBy($"bucket".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"bn").cast("long"))
+      .withColumn("n", sum($"bn").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"))
+      .select($"bucket", $"offset", $"n")
+    val wb = Window.partitionBy($"bucket")
+      .orderBy($"cents".desc, $"o_custkey".asc)
+    val ranked = custRev.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("rn",
+        ($"offset" + row_number().over(wb)).cast("long"))
       .withColumn("decile", expr("((rn - 1) * 10) div n"))
     ranked.groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"),
@@ -1303,17 +1333,29 @@ object Relational {
     * Float parity: ranks and cents are exact integers; the two
     * moment sums accumulate as decimal(38,0), cast to double once,
     * and G is one identical IEEE expression. 100 TB design: the fact
-    * collapses to the customer census first; the rank window rides
-    * the census (q153's tier note applies). */
+    * collapses to the customer census first; the ascending global
+    * rank rides q153's two-level layout ([[valueBucket]] histogram
+    * offsets + per-bucket windows) — no unpartitioned window over
+    * the census. */
   val q161GiniRevenue: Q = (s, d) => {
     import s.implicits._
     val custRev = Tables.orders(s, d)
       .groupBy($"o_custkey")
       .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
-    val w = Window.orderBy($"cents".asc, $"o_custkey".asc)
-    custRev
-      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("bucket", valueBucket($"cents"))
+    val offsets = custRev.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        (sum($"bn").over(Window.orderBy($"bucket".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"bn").cast("long"))
+      .select($"bucket", $"offset")
+    val wb = Window.partitionBy($"bucket")
+      .orderBy($"cents".asc, $"o_custkey".asc)
+    custRev.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("i",
+        ($"offset" + row_number().over(wb)).cast("long"))
       .agg(count(lit(1)).cast("double").as("n"),
         sum($"cents".cast("decimal(38,0)")).cast("double").as("sy"),
         sum(($"i" * $"cents").cast("decimal(38,0)")).cast("double")

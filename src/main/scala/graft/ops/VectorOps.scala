@@ -1068,8 +1068,11 @@ object VectorOps {
     * per-rank FIXED-POINT literals round(1e15/log2(i+1)) — computed
     * once in Scala and interpolated into BOTH engines' text — make
     * the DCG a bounded int64 sum (≤ k·1e15, order-independent); the
-    * single divide by the idcg literal happens at the end. MRR and
-    * recall are single divides of exact integers.
+    * single divide by the ideal-DCG PREFIX literal for the query's
+    * truth-set size (min(k, |truth|) — dividing by the full-k idcg
+    * deflates perfect scores when fewer than k true neighbors exist)
+    * happens at the end. MRR and recall are single divides of exact
+    * integers, recall's denominator the same min(k, |truth|).
     *
     * 100 TB design: the query set is a constant-size broadcast (the
     * q62 rule); the truth pass is one broadcast-NLJ scan, the
@@ -1078,10 +1081,20 @@ object VectorOps {
   private val RetrK = 10
   private val discFp: IndexedSeq[Long] = (1 to RetrK).map(i =>
     math.round(1e15 / (math.log(i + 1.0) / math.log(2.0))))
-  private val idcgFp: Long = discFp.sum
   private def discCaseSql(rankCol: String): String =
     (1 to RetrK).map(i => s"WHEN $rankCol = $i THEN ${discFp(i - 1)}")
       .mkString("CASE ", " ", " ELSE 0 END")
+  /** Ideal-DCG prefix sums: idcg for a truth set of n ≤ K neighbors
+    * is the sum of the first n discounts — dividing by the full-K sum
+    * when fewer than K true neighbors exist (a tiny or post-deletion
+    * corpus) deflates NDCG below 1 even for a perfect index, the
+    * round-6 ADVICE finding; recall has the same min(K, truth-size)
+    * denominator. */
+  private val idcgPrefFp: IndexedSeq[Long] =
+    discFp.scanLeft(0L)(_ + _).tail
+  private def idcgCaseSql(nCol: String): String =
+    (1 to RetrK).map(i => s"WHEN $nCol = $i THEN ${idcgPrefFp(i - 1)}")
+      .mkString("CASE ", " ", s" ELSE ${idcgPrefFp.last} END")
 
   val q215RetrievalMetrics: Q = (s, d) => {
     import s.implicits._
@@ -1101,6 +1114,8 @@ object VectorOps {
       .withColumn("t_rank", row_number().over(wq))
       .filter($"t_rank" <= RetrK)
       .select($"query_id", $"neighbor_id", lit(1L).as("rel"))
+    val truthN = truth.groupBy($"query_id")
+      .agg(count(lit(1)).cast("long").as("n_truth"))
     val approx = broadcast(q).join(c,
         $"q_bucket" === $"bucket" && $"query_id" =!= $"neighbor_id")
       .withColumn("cosine",
@@ -1118,15 +1133,20 @@ object VectorOps {
           .as("dcg_fp"),
         min(when($"rel" === 1L, $"c_rank")).as("first_hit_rank"))
     q.select($"query_id").join(perq, Seq("query_id"), "left")
+      .join(truthN, Seq("query_id"), "left")
+      .withColumn("nt", coalesce($"n_truth", lit(0L)))
       .select($"query_id",
         coalesce($"n_cand", lit(0L)).as("n_cand"),
         coalesce($"n_hits", lit(0L)).as("n_hits"),
-        (coalesce($"n_hits", lit(0L)).cast("double") / RetrK)
-          .as("recall_at_k"),
+        when($"nt" > 0,
+          coalesce($"n_hits", lit(0L)).cast("double") / $"nt")
+          .otherwise(lit(0.0)).as("recall_at_k"),
         coalesce(lit(1).cast("double") / $"first_hit_rank",
           lit(0).cast("double")).as("mrr"),
-        (coalesce($"dcg_fp", lit(0L)).cast("double") / idcgFp)
-          .as("ndcg_at_k"))
+        when($"nt" > 0,
+          coalesce($"dcg_fp", lit(0L)).cast("double")
+            / expr(idcgCaseSql("nt")))
+          .otherwise(lit(0.0)).as("ndcg_at_k"))
   }
   val o215: String = s"""
     WITH e AS (
@@ -1164,15 +1184,24 @@ object VectorOps {
         CAST(SUM(rel) AS BIGINT) AS n_hits,
         CAST(SUM(rel * ${discCaseSql("c_rank")}) AS BIGINT) AS dcg_fp,
         MIN(CASE WHEN rel = 1 THEN c_rank END) AS first_hit_rank
-      FROM rel GROUP BY 1)
+      FROM rel GROUP BY 1),
+    truth_n AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+      FROM truth GROUP BY 1)
     SELECT q.query_id,
       COALESCE(p.n_cand, 0) AS n_cand,
       COALESCE(p.n_hits, 0) AS n_hits,
-      CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / $RetrK AS recall_at_k,
+      CASE WHEN COALESCE(t.n_truth, 0) > 0
+        THEN CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / t.n_truth
+        ELSE CAST(0 AS DOUBLE) END AS recall_at_k,
       COALESCE(CAST(1 AS DOUBLE) / p.first_hit_rank,
         CAST(0 AS DOUBLE)) AS mrr,
-      CAST(COALESCE(p.dcg_fp, 0) AS DOUBLE) / $idcgFp AS ndcg_at_k
-    FROM q LEFT JOIN perq p ON p.query_id = q.query_id"""
+      CASE WHEN COALESCE(t.n_truth, 0) > 0
+        THEN CAST(COALESCE(p.dcg_fp, 0) AS DOUBLE)
+          / (${idcgCaseSql("t.n_truth")})
+        ELSE CAST(0 AS DOUBLE) END AS ndcg_at_k
+    FROM q LEFT JOIN perq p ON p.query_id = q.query_id
+    LEFT JOIN truth_n t ON t.query_id = q.query_id"""
 
   // ----------------------------------- embedding scatter / drift
   /** Embedding-space scatter decomposition (the ANOVA / LDA B-vs-W
@@ -1333,7 +1362,11 @@ object VectorOps {
     * good enough or a rebuild is due.
     *
     * Float parity: both metrics are exact-integer ratios with one
-    * divide each (fixed k·n_queries denominators).
+    * divide each. The recall denominator is the post-deletion truth
+    * ROW COUNT (Σ per-query min(k, truth size)), not k·n_queries —
+    * a query with fewer than k surviving true neighbors would
+    * otherwise deflate recall below 1 even for a perfect index (the
+    * round-6 ADVICE finding, same fix as q215).
     *
     * 100 TB design: candidates ride the bucket-keyed join (q63), the
     * truth pass the q62 constant-broadcast scan (intended NLJ —
@@ -1384,16 +1417,17 @@ object VectorOps {
       sum(when($"deleted", 1L).otherwise(0L)).cast("long")
         .as("n_stale_hits"),
       count(lit(1)).as("n_stale_results"))
+    val truthTot = truth.agg(count(lit(1)).as("n_truth"))
     val tombStats = tomb
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .agg(coalesce(sum($"rel"), lit(0L)).cast("long").as("n_hits"),
         count(lit(1)).as("n_tomb_results"))
-    nq.crossJoin(staleStats).crossJoin(tombStats)
+    nq.crossJoin(staleStats).crossJoin(tombStats).crossJoin(truthTot)
       .select($"n_queries", $"n_stale_hits",
         ($"n_stale_hits".cast("double") / $"n_stale_results")
           .as("stale_contamination"),
-        ($"n_hits".cast("double") / ($"n_queries" * AnnDelK))
-          .as("tombstone_recall_at_k"))
+        when($"n_truth" > 0, $"n_hits".cast("double") / $"n_truth")
+          .otherwise(lit(0.0)).as("tombstone_recall_at_k"))
   }
   val o230: String = s"""
     WITH e AS (
@@ -1434,6 +1468,7 @@ object VectorOps {
         FROM q JOIN e c ON q.query_id <> c.vec_id AND NOT c.deleted)
       WHERE r <= $AnnDelK),
     nq AS (SELECT COUNT(*) AS n_queries FROM q),
+    tt AS (SELECT COUNT(*) AS n_truth FROM truth),
     ss AS (
       SELECT CAST(SUM(CASE WHEN deleted THEN 1 ELSE 0 END) AS BIGINT)
           AS n_stale_hits,
@@ -1448,9 +1483,10 @@ object VectorOps {
     SELECT nq.n_queries, ss.n_stale_hits,
       CAST(ss.n_stale_hits AS DOUBLE) / ss.n_stale_results
         AS stale_contamination,
-      CAST(ts.n_hits AS DOUBLE) / (nq.n_queries * $AnnDelK)
-        AS tombstone_recall_at_k
-    FROM nq CROSS JOIN ss CROSS JOIN ts"""
+      CASE WHEN tt.n_truth > 0
+        THEN CAST(ts.n_hits AS DOUBLE) / tt.n_truth
+        ELSE CAST(0 AS DOUBLE) END AS tombstone_recall_at_k
+    FROM nq CROSS JOIN ss CROSS JOIN ts CROSS JOIN tt"""
 
   val queries: Map[String, Q] = Map(
     "q212_dbscan_census" -> q212DbscanCensus,

@@ -35,3 +35,30 @@ final class BranchRegistry(val windows: Seq[CodeWindow],
 
   def logicalNames: Seq[String] = active.map(_.logicalName).distinct
 }
+
+object Branches {
+  /** `sucursales.json` → registry (`branch_config.py:37-95`): each
+    * top-level key is a branch segment (`Kavia_OLD` → logical
+    * `Kavia`), with `code` (string or number — the reference str()s
+    * it), `valid_from`, and optional/null `valid_to`. Flat two-level
+    * shape, so the same minimal regex extraction as
+    * [[StageMetadata.fromJson]]. */
+  def loadSucursalesJson(path: java.nio.file.Path): BranchRegistry = {
+    val text = java.nio.file.Files.readString(path)
+    val entry = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val windows = entry.findAllMatchIn(text).map { m =>
+      val key = m.group(1)
+      val body = m.group(2)
+      def fld(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*(?:\"([^\"]*)\"|(null|[0-9.]+))").r
+          .findFirstMatchIn(body)
+          .flatMap(mm => Option(mm.group(1)).orElse(Option(mm.group(2))))
+          .filter(_ != "null")
+      def req(k: String): String = fld(k).getOrElse(throw new ConfigError(
+        s"sucursales.json entry '$key' is missing '$k'"))
+      CodeWindow(key, req("code"), LocalDate.parse(req("valid_from")),
+        fld("valid_to").map(LocalDate.parse))
+    }.toSeq
+    new BranchRegistry(windows)
+  }
+}

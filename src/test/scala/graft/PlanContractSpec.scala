@@ -166,6 +166,58 @@ class PlanContractSpec extends AnyFunSuite {
       s"undeclared Expand plans: ${violators.mkString(", ")}")
   }
 
+  test("no query plans an unpartitioned window outside the declared set") {
+    // An unpartitioned Window (empty PARTITION BY) executes as ONE
+    // partition holding its entire input — the q153/q161/q221
+    // scale-killer round 6 flagged. Every remaining use must ride a
+    // frame whose size is BOUNDED by construction (a value-domain
+    // census, a calendar grid, a two-level histogram's level-1, a
+    // post-limit frame), never corpus/census-scale rows; the map
+    // value documents each bound. A new query tripping this either
+    // wants the q125/q153 two-level prefix-sum layout, the TopK
+    // operator (q108), or a sort+limit (q221).
+    val boundedGlobalWindow = Map(
+      "q112_bpe_merges" -> "|alphabet|^2 pair census",
+      "q125_token_budget" -> "<=1001-row quality-bucket histogram",
+      "q135_skew_diagnostic" -> "group-size histogram (distinct sizes)",
+      "q139_backlog_sweep" -> "calendar-day grid",
+      "q144_time_to_convert" -> "minutes-histogram census",
+      "q149_novelty_curve" -> ("div-1024 super-batch census (level-1 "
+        + "of the two-level prefix sum; add a level per further 1000x)"),
+      "q151_rank_shift" -> "25-row nation census",
+      "q152_hier_share" -> "25-row nation census",
+      "q153_pareto_deciles" -> ("<=18k valueBucket histogram + "
+        + "10-row decile frame"),
+      "q161_gini_revenue" -> "<=18k valueBucket histogram",
+      "q179_ks_drift" -> "distinct-length value grid",
+      "q181_kappa_audit" -> "label-grid census",
+      "q182_benford_audit" -> "9-row first-digit census",
+      "q184_wasserstein_drift" -> "distinct-length value grid",
+      "q192_trailing_revenue" -> "calendar-day grid",
+      "q195_power_iteration" -> "64-row dimension census",
+      "q210_skyline" -> "grid-pruned surviving price census",
+      "q221_countmin_audit" -> "20-row post-limit probe frame",
+      "q224_filter_funnel" -> "2^3 ablation grid",
+      "q225_shard_balance" -> "|sources| census + |shards| frame")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
+      name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        val n = df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }.size
+        if (n > 0) Some(name) else None
+    }
+    val undeclared = offenders.filterNot(boundedGlobalWindow.contains)
+    assert(undeclared.isEmpty,
+      s"undeclared unpartitioned windows: ${undeclared.mkString(", ")}")
+    val stale = boundedGlobalWindow.keys.toSeq.sorted
+      .filterNot(offenders.contains)
+    assert(stale.isEmpty,
+      s"whitelist entries with no global window (prune them): " +
+        stale.mkString(", "))
+  }
+
   test("no query plans a cartesian product or unintended broadcast NLJ") {
     // q62's broadcast nested-loop is the DESIGNED exact-kNN baseline
     // (constant-size broadcast side); q12's validity-window range join

@@ -51,4 +51,42 @@ class HashSafetySpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.ansi.enabled")
     }
   }
+
+  test("drift cross-products stay exact past the int64 product bound") {
+    val s = spark
+    import s.implicits._
+    // counts a 100 TB corpus actually reaches: cumulative ~4e9 rows
+    // against an ~8e9 total makes the cross-product ~3.2e19 — past
+    // Long.MaxValue (9.2e18), where the pre-round-7 int64 spelling
+    // silently wrapped (or threw under ANSI). crossDevAbs routes
+    // through decimal(38,0); pin it against BigInt ground truth.
+    val rows = Seq(
+      (4_000_000_000L, 8_000_000_000L, 3_999_999_999L, 8_000_000_001L),
+      (8_999_999_999L, 9_000_000_001L, 1L, 2L),
+      (7L, 11L, 13L, 5L))
+    val got = rows.toDF("cum_s", "n_g", "cum_g", "n_s")
+      .select(CorpusOps.crossDevAbs($"cum_s", $"n_g", $"cum_g", $"n_s")
+        .cast("string"))
+      .as[String].collect().toSeq
+    val want = rows.map { case (a, b, c, d) =>
+      (BigInt(a) * BigInt(b) - BigInt(c) * BigInt(d)).abs.toString }
+    assert(got == want)
+  }
+
+  test("pair-count algebra survives a multi-billion-member cell") {
+    val s = spark
+    import s.implicits._
+    // q220's C(m,2) sums: a 3.9e9-member cell makes m·(m−1) ≈ 1.5e19
+    // — past int64, where the old long product wrapped — while the
+    // halved pair COUNT (7.6e18) still fits the reported long. The
+    // decimal(38,0) route + integer `div 2` must land exactly.
+    val m = 3_900_000_000L
+    val got = Seq(m, 3L).toDF("m")
+      .agg(coalesce(sum($"m".cast("decimal(38,0)") * ($"m" - 1)),
+        lit(0).cast("decimal(38,0)")).as("p"))
+      .select(expr("p div 2").cast("long"))
+      .as[Long].head()
+    val want = ((BigInt(m) * (m - 1) + BigInt(3) * 2) / 2).toLong
+    assert(got == want)
+  }
 }
