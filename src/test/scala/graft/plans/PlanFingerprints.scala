@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Normalized physical-plan fingerprints for every registry query —
+  * the generalization of the point contracts (Expand / NLJ / global
+  * window / TopK) in PlanContractSpec: the OPERATOR MULTISET of the
+  * AQE-final plan is snapshotted to `PLAN_FINGERPRINTS.txt` at the
+  * repo root, and PlanFingerprintSpec fails on any unreviewed diff —
+  * so a silent regression (a lost broadcast, a new Expand, a join
+  * degrading to nested-loop, a window losing its partitioning) in ANY
+  * of the 217 green plans is caught at the operator level even where
+  * no point contract exists.
+  *
+  * The fingerprint is deliberately coarse: operator CLASS counts
+  * only, no expressions, no ordering — fine enough to catch a changed
+  * join strategy or an extra exchange, coarse enough to survive
+  * alias/column churn. Reused exchanges count once (the reuse node
+  * itself is part of the shape); AQE wrapper/stage nodes are
+  * traversed into and the wrappers themselves dropped.
+  *
+  * Regenerate after a REVIEWED plan change:
+  *   sbt "Test/runMain graft.plans.PlanFingerprints"
+  */
+object PlanFingerprints {
+
+  val SnapshotPath = "PLAN_FINGERPRINTS.txt"
+  val SfDir = "/root/testdata/sf0.001"
+
+  private val PlumbingOps =
+    Set("WholeStageCodegen", "InputAdapter", "ColumnarToRow")
+
+  /** Post-execution (AQE-final) operator multiset of a frame. */
+  def fingerprint(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case _: ReusedExchangeExec =>
+        counts("ReusedExchange") = counts.getOrElse("ReusedExchange", 0) + 1
+      case other =>
+        val name = other.getClass.getSimpleName.stripSuffix("Exec")
+        // codegen plumbing wraps strategy-identical plans differently
+        // depending on whether AQE re-planned the subtree — drop it so
+        // a fingerprint diff always means a STRATEGY change
+        if (!PlumbingOps(name))
+          counts(name) = counts.getOrElse(name, 0) + 1
+        other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    counts.toSeq.sorted.map { case (k, n) => s"$k:$n" }.mkString(",")
+  }
+
+  /** All registry fingerprints, sorted by query name. */
+  def computeAll(spark: org.apache.spark.sql.SparkSession)
+      : Seq[(String, String)] =
+    graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> fingerprint(graft.SparkEntry.queries(name)(spark, SfDir))
+    }
+
+  def parseSnapshot(text: String): Map[String, String] =
+    text.linesIterator.filter(_.nonEmpty).filterNot(_.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+
+  /** Regen entry point — writes the snapshot file. */
+  def main(args: Array[String]): Unit = {
+    // SAME session shape as the test suites — AQE decisions (shuffle
+    // coalescing, broadcast demotion) are config- and stats-driven,
+    // so the snapshot must be generated under the config it is
+    // checked under
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val lines =
+      Seq("# AQE-final operator multiset per registry query at sf0.001.",
+        "# Regenerate ONLY after reviewing the plan change:",
+        "#   sbt \"Test/runMain graft.plans.PlanFingerprints\"") ++
+        computeAll(spark).map { case (n, fp) => s"$n $fp" }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(SnapshotPath),
+      lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote ${lines.size - 3} fingerprints to $SnapshotPath")
+    spark.stop()
+  }
+}
