@@ -1236,6 +1236,90 @@ object CorpusOps {
         AS chunk_text
     FROM ex"""
 
+  // ------------------------------------ shared runs at chunk grain
+  /** Shared token runs mapped onto the q99 CHUNK grain: for every
+    * document pair with an exact shared run of ≥ MinRunTokens tokens
+    * (the q213 diagonal islands, at RUN grain via
+    * [[DedupOps.sharedRunsFrom]]), census which training chunks the
+    * spans land in on EACH side — n_runs, the longest run, and the
+    * count of affected chunks per document. This is what makes
+    * span-level dedup ACTIONABLE on training sequences: q122
+    * fingerprints whole chunks (only exact-duplicate chunks match);
+    * this finds the chunks CONTAMINATED by a replicated span even
+    * when the surrounding chunk text differs, so a curator can drop
+    * or rewrite exactly those pieces instead of whole documents.
+    *
+    * Chunk mapping is pure arithmetic on the q99 layout (chunk c
+    * covers tokens [c·stride+1, c·stride+size]): a span [s, e] hits
+    * chunks from ⌈(s−size)/stride⌉ (floored at 0 — spelled as a CASE
+    * so every `div` operand stays nonnegative; Spark `div` truncates
+    * toward zero while DuckDB `//` floors, and they only agree ≥ 0)
+    * through ⌊(e−1)/stride⌋.
+    *
+    * 100 TB design: rides the q213 postings layout (df-capped, never
+    * all-pairs); the run frame is localCheckpoint'd once and feeds
+    * the pair stats AND both chunk censuses; the chunk explode is
+    * bounded by span/stride per run. */
+  val q231SharedRunChunks: Q = (s, d) => {
+    val runs = DedupOps.sharedRunsFrom(
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
+      .filter(col("run_tokens") >= DedupOps.MinRunTokens)
+      .localCheckpoint()
+    def chunkSeq(st: String) = expr(
+      s"""sequence(
+            CASE WHEN $st <= $ChunkSize THEN 0
+                 ELSE ($st - ${ChunkSize - ChunkStride + 1})
+                      div $ChunkStride END,
+            ($st + run_tokens - 2) div $ChunkStride)""")
+    def sideCensus(st: String, out: String) = runs
+      .select(col("doc_a"), col("doc_b"),
+        explode(chunkSeq(st)).as("chunk"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("chunk")).cast("long").as(out))
+    val pairStats = runs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("run_tokens")).cast("long").as("max_run_tokens"))
+    pairStats
+      .join(sideCensus("start_a", "n_chunks_a"), Seq("doc_a", "doc_b"))
+      .join(sideCensus("start_b", "n_chunks_b"), Seq("doc_a", "doc_b"))
+  }
+  val o231: String = s"""
+    WITH ${DedupOps.sharedRunIslandsSql},
+    runs AS (
+      SELECT doc_a, doc_b, MIN(pos_a) AS start_a,
+        MIN(pos_a) - diag AS start_b,
+        COUNT(*) + ${DedupOps.RunK - 1} AS run_tokens
+      FROM isl GROUP BY doc_a, doc_b, diag, grp
+      HAVING COUNT(*) + ${DedupOps.RunK - 1} >= ${DedupOps.MinRunTokens}),
+    ca AS (
+      SELECT doc_a, doc_b, unnest(generate_series(
+          CASE WHEN start_a <= $ChunkSize THEN 0
+               ELSE (start_a - ${ChunkSize - ChunkStride + 1})
+                    // $ChunkStride END,
+          (start_a + run_tokens - 2) // $ChunkStride)) AS chunk
+      FROM runs),
+    cb AS (
+      SELECT doc_a, doc_b, unnest(generate_series(
+          CASE WHEN start_b <= $ChunkSize THEN 0
+               ELSE (start_b - ${ChunkSize - ChunkStride + 1})
+                    // $ChunkStride END,
+          (start_b + run_tokens - 2) // $ChunkStride)) AS chunk
+      FROM runs),
+    pa AS (SELECT doc_a, doc_b,
+             CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks_a
+           FROM ca GROUP BY 1, 2),
+    pb AS (SELECT doc_a, doc_b,
+             CAST(COUNT(DISTINCT chunk) AS BIGINT) AS n_chunks_b
+           FROM cb GROUP BY 1, 2),
+    ps AS (SELECT doc_a, doc_b, COUNT(*) AS n_runs,
+             CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens
+           FROM runs GROUP BY 1, 2)
+    SELECT ps.doc_a, ps.doc_b, ps.n_runs, ps.max_run_tokens,
+           pa.n_chunks_a, pb.n_chunks_b
+    FROM ps
+    JOIN pa ON pa.doc_a = ps.doc_a AND pa.doc_b = ps.doc_b
+    JOIN pb ON pb.doc_a = ps.doc_a AND pb.doc_b = ps.doc_b"""
+
   // ----------------------------------------------- blocklist redaction
   /** Blocklist term redaction census: word-boundary regex over a term
     * blocklist (the shape of PII masking / banned-term scrubbing in a
@@ -2852,6 +2936,7 @@ object CorpusOps {
     "q163_incremental_clusters" -> q163IncrementalClusters,
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
+    "q231_shared_run_chunks" -> q231SharedRunChunks,
     "q147_method_agreement" -> q147MethodAgreement,
     "q145_quality_dup_calibration" -> q145QualityDupCalibration,
     "q143_dup_degree" -> q143DupDegree,
@@ -2901,6 +2986,7 @@ object CorpusOps {
     "q163_incremental_clusters" -> o163,
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,
+    "q231_shared_run_chunks" -> o231,
     "q147_method_agreement" -> o147,
     "q145_quality_dup_calibration" -> o145,
     "q143_dup_degree" -> o143,

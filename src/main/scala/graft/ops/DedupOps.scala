@@ -1002,10 +1002,12 @@ object DedupOps {
     maxSharedRunFrom(Tables.documents(s, d)
       .select(col("doc_id"), col("text")))
 
-  /** The q213 derivation over an arbitrary (doc_id, text) frame —
-    * split out so DedupSkewSpec can pin the diagonal-islands result
-    * against a planted run of known length. */
-  private[graft] def maxSharedRunFrom(docs: DataFrame): DataFrame = {
+  /** The q213 island derivation over an arbitrary (doc_id, text)
+    * frame — split out so DedupSkewSpec can pin the diagonal-islands
+    * result against a planted run of known length, and shared with
+    * the chunk-grain census (q231). One row per
+    * (pair, diagonal, island): start position + run length. */
+  private def sharedRunIslands(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val bridge = org.apache.spark.sql.GraftPlanBridge
     val base = docs
@@ -1034,14 +1036,34 @@ object DedupOps {
       .withColumn("diag", $"pos_a" - $"pos_b")
       .withColumn("grp", $"pos_a" - row_number().over(w))
       .groupBy($"doc_a", $"doc_b", $"diag", $"grp")
-      .agg((count(lit(1)) + (RunK - 1)).as("run_tokens"))
+      .agg(min($"pos_a").as("start_a"),
+        (count(lit(1)) + (RunK - 1)).as("run_tokens"))
+  }
+
+  /** Run-grain shared spans: one row per maximal shared token run —
+    * (doc_a, doc_b, diag, start_a, run_tokens); start on the b side
+    * is `start_a − diag`. q213 collapses this to the per-pair max;
+    * q231 maps each span onto the q99 chunk grain. */
+  private[graft] def sharedRunsFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    sharedRunIslands(docs)
+      .select($"doc_a", $"doc_b", $"start_a",
+        ($"start_a" - $"diag").as("start_b"), $"run_tokens")
+  }
+
+  private[graft] def maxSharedRunFrom(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    sharedRunIslands(docs)
       .groupBy($"doc_a", $"doc_b")
       .agg(max($"run_tokens").as("max_run_tokens"),
         count(lit(1)).as("n_runs"))
       .filter($"max_run_tokens" >= MinRunTokens)
   }
-  val o213: String = s"""
-    WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+  /** Shared CTE chain ending in `isl` (one row per window-hash match,
+    * grouped into islands by (pair, diag, grp)) — o213 collapses to
+    * the per-pair max, o231 derives run spans at chunk grain. */
+  private[graft] val sharedRunIslandsSql: String = s"""
+    b AS (SELECT doc_id, string_split(text, ' ') AS t
                FROM documents),
     sh0 AS (SELECT doc_id, $runWindowsSql AS shs FROM b),
     pos0 AS (SELECT doc_id,
@@ -1060,7 +1082,10 @@ object DedupOps {
     isl AS (SELECT doc_a, doc_b, diag, pos_a,
         pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
                                    ORDER BY pos_a) AS grp
-      FROM m),
+      FROM m)"""
+
+  val o213: String = s"""
+    WITH $sharedRunIslandsSql,
     runs AS (SELECT doc_a, doc_b, COUNT(*) + ${RunK - 1} AS run_tokens
              FROM isl GROUP BY doc_a, doc_b, diag, grp)
     SELECT doc_a, doc_b, MAX(run_tokens) AS max_run_tokens,

@@ -121,9 +121,15 @@ object ScaleOps {
     * 100 TB design: one corpus scan to the per-source token census;
     * the rank window and everything after ride the |sources| census.
     * Balance divides are single double ops. */
-  private val NumShards = 4
+  private[ops] val NumShards = 4
 
-  val q225ShardBalance: Q = (s, d) => {
+  /** The snake-draft (source → shard) assignment shared by q225 (the
+    * balance audit) and q232 (the embedding-distribution audit):
+    * per-source token census → global rank (|sources| census window —
+    * whitelisted) → alternating-direction deal. Returns
+    * (source, tokens, shard). */
+  private[ops] def shardAssignments(s: SparkSession,
+                                    d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val src = Tables.documents(s, d)
@@ -131,12 +137,38 @@ object ScaleOps {
       .groupBy($"source")
       .agg(sum($"ntok").cast("long").as("tokens"))
     val w = Window.orderBy($"tokens".desc, $"source".asc)
-    val per = src
+    src
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("shard", expr(
         s"""CASE WHEN ((rank - 1) DIV $NumShards) % 2 = 0
               THEN (rank - 1) % $NumShards
               ELSE $NumShards - 1 - (rank - 1) % $NumShards END"""))
+      .select($"source", $"tokens", $"shard")
+  }
+
+  /** DuckDB twin of [[shardAssignments]] — CTE chain ending in
+    * `assign(source, tokens, shard)`; callers prepend `WITH`. */
+  private[ops] val shardAssignSql: String = s"""
+    srcw AS (
+      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+        AS tokens
+      FROM documents GROUP BY source),
+    rankedw AS (
+      SELECT source, tokens,
+        CAST(row_number() OVER (ORDER BY tokens DESC, source ASC)
+          AS BIGINT) AS rank
+      FROM srcw),
+    assign AS (
+      SELECT source, tokens,
+        CASE WHEN ((rank - 1) // $NumShards) % 2 = 0
+          THEN (rank - 1) % $NumShards
+          ELSE $NumShards - 1 - (rank - 1) % $NumShards END AS shard
+      FROM rankedw)"""
+
+  val q225ShardBalance: Q = (s, d) => {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val per = shardAssignments(s, d)
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_sources"),
         sum($"tokens").cast("long").as("shard_tokens"))
@@ -145,25 +177,11 @@ object ScaleOps {
            .cast("double") / NumShards))
   }
   val o225: String = s"""
-    WITH src AS (
-      SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
-        AS tokens
-      FROM documents GROUP BY source),
-    ranked AS (
-      SELECT source, tokens,
-        CAST(row_number() OVER (ORDER BY tokens DESC, source ASC)
-          AS BIGINT) AS rank
-      FROM src),
-    assigned AS (
-      SELECT tokens,
-        CASE WHEN ((rank - 1) // $NumShards) % 2 = 0
-          THEN (rank - 1) % $NumShards
-          ELSE $NumShards - 1 - (rank - 1) % $NumShards END AS shard
-      FROM ranked),
+    WITH $shardAssignSql,
     per AS (
       SELECT shard, COUNT(*) AS n_sources,
         CAST(SUM(tokens) AS BIGINT) AS shard_tokens
-      FROM assigned GROUP BY shard)
+      FROM assign GROUP BY shard)
     SELECT shard, n_sources, shard_tokens,
       CAST(shard_tokens AS DOUBLE)
         / (CAST(SUM(shard_tokens) OVER () AS DOUBLE) / $NumShards)

@@ -1293,6 +1293,119 @@ object VectorOps {
     FROM carr c CROSS JOIN garr g
     JOIN within w ON w.label = c.label"""
 
+  // --------------------------------- per-shard distribution audit
+  /** Shard embedding-distribution audit — q225 ∘ q217: are the
+    * snake-draft training shards DISTRIBUTION-equivalent in embedding
+    * space, not just token-balanced? Each source's documents land on
+    * its q225 shard ([[ScaleOps.shardAssignments]]); per shard this
+    * reports the q217 scatter split — between_d2 (shard centroid vs
+    * global centroid: a shard that drifted from the corpus mean) and
+    * within_mean_d2 (its internal spread) — plus source/vector
+    * counts. A shard with outsized between_d2 concentrates a domain,
+    * which breaks the i.i.d.-across-shards assumption data-parallel
+    * training makes; the fix is re-dealing at finer grain, and this
+    * is the query that says whether it's needed.
+    *
+    * Float parity: the q217/q124 conventions — per-dimension
+    * decimal(30,8) sums → ONE double divide per centroid coordinate,
+    * distances as in-row l2sq folds over sorted centroid arrays,
+    * within-means decimal-routed.
+    *
+    * 100 TB design: the (source → shard) map is a census-sized
+    * broadcast onto the doc scan (ids only — text never moves); the
+    * embedding join is one 8-byte-keyed exchange; centroids build in
+    * one (shard, dim)-keyed map-side-combined pass; the global array
+    * is a single broadcast row (intended NLJ — whitelisted); the
+    * within pass is one scan against broadcast centroids. */
+  val q232ShardEmbeddingAudit: Q = (s, d) => {
+    import s.implicits._
+    // the |sources|-row assignment feeds the doc map AND the
+    // per-shard source census — materialize the tiny frame once
+    // instead of re-running its corpus token census per consumer
+    val assign = ScaleOps.shardAssignments(s, d).localCheckpoint()
+    val docShard = Tables.documents(s, d).select($"doc_id", $"source")
+      .join(broadcast(assign.select($"source", $"shard")),
+        Seq("source"))
+      .select($"doc_id".as("vec_id"), $"shard")
+    val vecs = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+      .join(docShard, Seq("vec_id"))
+    val dims = vecs
+      .select($"shard", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val cent = dims.groupBy($"shard", $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"shard")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"shard", expr("transform(pc, x -> x.c)").as("carr"))
+    val global = dims.groupBy($"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select(expr("transform(pc, x -> x.c)").as("garr"))
+    val within = vecs
+      .join(broadcast(cent), Seq("shard"))
+      .withColumn("d2", expr("l2sq_native(embedding, carr)"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum($"d2".cast("decimal(30,8)")).cast("double")
+          / count(lit(1))).as("within_mean_d2"))
+    val nsrc = assign
+      .groupBy($"shard").agg(count(lit(1)).as("n_sources"))
+    cent.crossJoin(broadcast(global))
+      .withColumn("between_d2", expr("l2sq_native(carr, garr)"))
+      .join(within, Seq("shard"))
+      .join(nsrc, Seq("shard"))
+      .select($"shard", $"n_sources", $"n_vecs", $"between_d2",
+        $"within_mean_d2")
+  }
+  val o232: String = s"""
+    WITH ${ScaleOps.shardAssignSql},
+    docshard AS (
+      SELECT d.doc_id AS vec_id, a.shard
+      FROM documents d JOIN assign a USING (source)),
+    ve AS (
+      SELECT ds.shard, e.embedding
+      FROM embeddings e JOIN docshard ds USING (vec_id)),
+    dims AS (
+      SELECT shard, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM ve, (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    cent AS (
+      SELECT shard, pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (SELECT shard, list(c ORDER BY pos) AS carr
+             FROM cent GROUP BY shard),
+    gcent AS (
+      SELECT pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1),
+    garr AS (SELECT list(c ORDER BY pos) AS garr FROM gcent),
+    wdist AS (
+      SELECT ve.shard,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, 64), i ->
+            (CAST(ve.embedding[i] AS DOUBLE) - ca.carr[i])
+              * (CAST(ve.embedding[i] AS DOUBLE) - ca.carr[i]))),
+          (acc, x) -> acc + x) AS d2
+      FROM ve JOIN carr ca USING (shard)),
+    within AS (
+      SELECT shard, COUNT(*) AS n_vecs,
+        CAST(SUM(CAST(d2 AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*)
+          AS within_mean_d2
+      FROM wdist GROUP BY 1),
+    nsrc AS (SELECT shard, COUNT(*) AS n_sources
+             FROM assign GROUP BY shard)
+    SELECT c.shard, ns.n_sources, w.n_vecs,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 64), i ->
+          (c.carr[i] - g.garr[i]) * (c.carr[i] - g.garr[i]))),
+        (acc, x) -> acc + x) AS between_d2,
+      w.within_mean_d2
+    FROM carr c CROSS JOIN garr g
+    JOIN within w ON w.shard = c.shard
+    JOIN nsrc ns ON ns.shard = c.shard"""
+
   // -------------------------------------- cross-label confusion census
   /** Cross-label high-similarity census — the mislabeling /
     * confusability audit: pairs of vectors in the SAME sign-LSH bucket
@@ -1492,6 +1605,7 @@ object VectorOps {
     "q212_dbscan_census" -> q212DbscanCensus,
     "q215_retrieval_metrics" -> q215RetrievalMetrics,
     "q217_embedding_drift" -> q217EmbeddingDrift,
+    "q232_shard_embedding_audit" -> q232ShardEmbeddingAudit,
     "q219_label_confusion" -> q219LabelConfusion,
     "q230_ann_tombstones" -> q230AnnTombstones,
     "q126_contrastive_triplets" -> q126ContrastiveTriplets,
@@ -1512,6 +1626,7 @@ object VectorOps {
     "q212_dbscan_census" -> o212,
     "q215_retrieval_metrics" -> o215,
     "q217_embedding_drift" -> o217,
+    "q232_shard_embedding_audit" -> o232,
     "q219_label_confusion" -> o219,
     "q230_ann_tombstones" -> o230,
     "q126_contrastive_triplets" -> o126,

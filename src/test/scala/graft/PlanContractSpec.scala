@@ -198,6 +198,9 @@ class PlanContractSpec extends AnyFunSuite {
       "q210_skyline" -> "grid-pruned surviving price census",
       "q221_countmin_audit" -> "20-row post-limit probe frame",
       "q224_filter_funnel" -> "2^3 ablation grid",
+      // (q232 runs the same |sources| census window, but inside its
+      // localCheckpoint'd assignment frame — materialized before this
+      // scan sees the plan, and already declared via q225)
       "q225_shard_balance" -> "|sources| census + |shards| frame")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
       name =>
@@ -260,6 +263,9 @@ class PlanContractSpec extends AnyFunSuite {
       // q217 crosses the single-row global-centroid array into the
       // per-cell centroid frame
       "q217_embedding_drift",
+      // q232 is q217's shard-grain sibling — same single-row global
+      // centroid cross
+      "q232_shard_embedding_audit",
       // q220 crosses its four single-row pair-count censuses into the
       // one-row Rand-index report
       "q220_partition_agreement",
