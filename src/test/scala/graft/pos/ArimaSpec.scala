@@ -157,4 +157,71 @@ class ArimaSpec extends AnyFunSuite {
     val fc = ArimaLite.forecastLog1p(y, 7)
     fc.foreach(v => assert(math.abs(v - 1000.0) < 150.0, s"got $v"))
   }
+
+  // ---------------------------------------------------------------
+  // Exact-Kalman goldens against an INDEPENDENT implementation.
+  //
+  // statsmodels is not installable here (zero egress — SURVEY §7.4
+  // risk 8 stands for optimizer-path parity), but the numeric kernel
+  // the entire MLE ladder rests on — the exact concentrated-sigma^2
+  // ARMA log-likelihood in Harvey state-space form, the quantity
+  // statsmodels' SARIMAX maximizes — IS pinned: the goldens below
+  // were produced by `tools/arima_kalman_golden.py`, a from-scratch
+  // pure-Python implementation (own Gaussian elimination, own
+  // Kronecker stationary init, own filter loop, no shared code).
+  // Series are regenerated here with the same integer LCG and the
+  // same IEEE operation order, so the inputs are bit-identical; the
+  // two filters then have to agree on the likelihood itself.
+
+  /** x' = (1103515245·x + 12345) mod 2^31, mapped to [−0.5, 0.5) —
+    * exact in Long, identical in Python. */
+  private def lcg(seed: Long, n: Int): Array[Double] = {
+    var x = seed
+    Array.fill(n) {
+      x = (1103515245L * x + 12345L) % (1L << 31)
+      x.toDouble / (1L << 31).toDouble - 0.5
+    }
+  }
+
+  private def genAr1: Array[Double] = {
+    val u = lcg(42, 120)
+    var prev = 0.0
+    u.map { e => prev = 5.0 + 0.7 * prev + e; prev }
+  }
+
+  private def genArma11: Array[Double] = {
+    val u = lcg(7, 150)
+    var prev = 0.0
+    var eprev = 0.0
+    u.map { e =>
+      prev = 2.0 + 0.5 * prev + e + 0.4 * eprev; eprev = e; prev
+    }
+  }
+
+  private def genWeekly: Array[Double] = {
+    val u = lcg(99, 140)
+    Array.tabulate(140)(t =>
+      10.0 + (if (t % 7 == 0) 3.0 else 0.0) + u(t))
+  }
+
+  test("exact Kalman log-likelihood matches the independent " +
+    "pure-Python implementation on five fixed (series, params) points") {
+    val goldens = Seq(
+      // (name, series, arLags, maLags, params, golden loglik)
+      ("ar1_at_truth", genAr1, Array(1), Array.empty[Int],
+        Array(5.0, 0.7), -145.43272976026847),
+      ("ar1_off_truth", genAr1, Array(1), Array.empty[Int],
+        Array(1.0, 0.5), -408.1601763757408),
+      ("arma11_at_truth", genArma11, Array(1), Array(1),
+        Array(2.0, 0.5, 0.4), -37.65883929726486),
+      ("arma21", genArma11, Array(1, 2), Array(1),
+        Array(1.0, 0.3, 0.1, 0.2), -241.57098107828125),
+      ("weekly_sparse_ar7", genWeekly, Array(1, 7), Array.empty[Int],
+        Array(3.0, 0.1, 0.4), -322.3508496129334))
+    for ((name, w, ar, ma, params, want) <- goldens) {
+      val got = ArimaLite.kalmanLogLik(w, ar, ma, params)
+      assert(math.abs(got - want) <= 1e-6 * math.max(1.0, math.abs(want)),
+        s"$name: got $got, golden $want")
+    }
+  }
 }
