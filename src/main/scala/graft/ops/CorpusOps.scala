@@ -2918,7 +2918,137 @@ object CorpusOps {
       END AS corr
     FROM m"""
 
+  // ---------------------------------------- sequence packing audit
+  /** Context-window size for the packing audits — fixed so the oracle
+    * is scale-independent; small enough that sf0.001 docs (~56
+    * tokens) still straddle boundaries non-vacuously. */
+  private val PackWindow = 64L
+
+  /** Global token offset of every document under concat-in-id-order
+    * packing — the layout GPT-style training prep uses (concatenate
+    * the corpus, split into fixed windows). The offset is a
+    * corpus-scale prefix sum, so it rides the q125/q149 two-level
+    * layout: a ÷1024 doc-id-bucket census whose tiny ordered cumsum
+    * yields bucket offsets, then per-bucket ordered windows shifted
+    * by the broadcast offsets — no unpartitioned window ever holds
+    * doc rows (one more ÷1024 level per further 1000× of corpus). */
+  private def packedOffsets(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("bkt", expr("doc_id div 1024"))
+    val bktOff = toks.groupBy(col("bkt"))
+      .agg(sum(col("n")).as("bn"))
+      .withColumn("off0",
+        (sum(col("bn")).over(Window.orderBy(col("bkt").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("bn")).cast("long"))
+      .select(col("bkt"), col("off0"))
+    val wprev = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(bktOff), Seq("bkt"))
+      .withColumn("off",
+        (col("off0") + coalesce(sum(col("n")).over(wprev), lit(0L)))
+          .cast("long"))
+      .select(col("doc_id"), col("n"), col("off"))
+  }
+  /** DuckDB twin — the naive single global cumsum (exactly what the
+    * two-level layout must reproduce); CTE `offs(doc_id, n, off)`. */
+  private val packedOffsetsSql: String = """
+    offs AS (
+      SELECT doc_id, n,
+        CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS off
+      FROM (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents))"""
+
+  /** Sequence-packing span census: under concat-and-split packing
+    * into [[PackWindow]]-token context windows, how many documents
+    * land fully inside one window vs straddle 2, 3, … windows — the
+    * attention-contamination census (a straddling document is split
+    * mid-text across training sequences; its head and tail attend to
+    * unrelated neighbors). The span histogram is what a prep pipeline
+    * reads when choosing window size vs document-boundary packing
+    * (and the motivation for q99's overlap chunking). Output is
+    * bounded: spans ≤ ⌈max doc len / W⌉ + 1 classes.
+    *
+    * 100 TB design: offsets via [[packedOffsets]]' two-level prefix
+    * sum; everything after is per-row arithmetic plus one map-side
+    * combined census on the tiny span key. */
+  val q233PackingSpans: Q = (s, d) => {
+    packedOffsets(s, d)
+      .filter(col("n") > 0)
+      .withColumn("span",
+        (expr(s"(off + n - 1) div $PackWindow")
+          - expr(s"off div $PackWindow") + 1L).cast("long"))
+      .groupBy(col("span"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"))
+  }
+  val o233: String = s"""
+    WITH $packedOffsetsSql
+    SELECT (off + n - 1) // $PackWindow - off // $PackWindow + 1
+        AS span,
+      COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+    FROM offs WHERE n > 0 GROUP BY 1"""
+
+  /** Context-window occupancy histogram: per packed window, how many
+    * documents START in it, reported as a histogram (n_starts →
+    * n_windows) including the CONTINUATION-ONLY windows (zero starts
+    * — wholly inside one long document). High-start windows are
+    * many-tiny-docs sequences (attention crosses many boundaries);
+    * zero-start windows are long-document interiors; the histogram's
+    * shape is the packing-quality summary at any corpus size.
+    *
+    * 100 TB design: same two-level offsets; the start census is one
+    * map-side combined aggregate on window ids (8-byte keys), the
+    * histogram a second on the tiny start-count key; the zero-start
+    * row is total windows (a one-row scalar from the token total)
+    * minus windows-with-starts — no per-window materialization of
+    * empty windows. */
+  val q234WindowOccupancy: Q = (s, d) => {
+    val offs = packedOffsets(s, d).filter(col("n") > 0)
+      .localCheckpoint() // feeds the start census AND the totals row
+    val starts = offs
+      .withColumn("wid", expr(s"off div $PackWindow"))
+      .groupBy(col("wid"))
+      .agg(count(lit(1)).as("n_starts"))
+    val hist = starts.groupBy(col("n_starts"))
+      .agg(count(lit(1)).cast("long").as("n_windows"))
+    val zero = offs
+      .agg(expr(s"(sum(n) + ${PackWindow - 1}) div $PackWindow")
+        .as("total_w"))
+      .crossJoin(broadcast(
+        starts.agg(count(lit(1)).as("with_starts"))))
+      .select(lit(0L).as("n_starts"),
+        (col("total_w") - col("with_starts")).cast("long")
+          .as("n_windows"))
+      .filter(col("n_windows") > 0)
+    hist.unionByName(zero)
+  }
+  val o234: String = s"""
+    WITH $packedOffsetsSql,
+    offs2 AS (SELECT * FROM offs WHERE n > 0),
+    starts AS (
+      SELECT off // $PackWindow AS wid, COUNT(*) AS n_starts
+      FROM offs2 GROUP BY 1),
+    hist AS (
+      SELECT n_starts, CAST(COUNT(*) AS BIGINT) AS n_windows
+      FROM starts GROUP BY 1),
+    zero AS (
+      SELECT CAST(0 AS BIGINT) AS n_starts,
+        CAST((SELECT (SUM(n) + ${PackWindow - 1}) // $PackWindow
+              FROM offs2)
+          - (SELECT COUNT(*) FROM starts) AS BIGINT) AS n_windows)
+    SELECT * FROM hist
+    UNION ALL
+    SELECT * FROM zero WHERE n_windows > 0"""
+
   val queries: Map[String, Q] = Map(
+    "q233_packing_spans" -> q233PackingSpans,
+    "q234_window_occupancy" -> q234WindowOccupancy,
     "q168_length_quantiles_sketch" -> q168LengthQuantilesSketch,
     "q171_pagerank_dup_graph" -> q171PagerankDupGraph,
     "q175_oov_coverage" -> q175OovCoverage,
@@ -2970,6 +3100,8 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q233_packing_spans" -> o233,
+    "q234_window_occupancy" -> o234,
     "q171_pagerank_dup_graph" -> o171,
     "q175_oov_coverage" -> o175,
     "q176_token_diversity" -> o176,

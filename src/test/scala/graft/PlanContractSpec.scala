@@ -200,8 +200,12 @@ class PlanContractSpec extends AnyFunSuite {
       "q224_filter_funnel" -> "2^3 ablation grid",
       // (q232 runs the same |sources| census window, but inside its
       // localCheckpoint'd assignment frame — materialized before this
-      // scan sees the plan, and already declared via q225)
-      "q225_shard_balance" -> "|sources| census + |shards| frame")
+      // scan sees the plan, and already declared via q225; q234's
+      // packed-offset window hides the same way behind its checkpoint
+      // and is declared via q233)
+      "q225_shard_balance" -> "|sources| census + |shards| frame",
+      "q233_packing_spans" -> ("div-1024 doc-bucket census (level-1 "
+        + "of the packedOffsets two-level prefix sum)"))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
       name =>
         val df = SparkEntry.queries(name)(spark, sf)
@@ -266,6 +270,10 @@ class PlanContractSpec extends AnyFunSuite {
       // q232 is q217's shard-grain sibling — same single-row global
       // centroid cross
       "q232_shard_embedding_audit",
+      // q234 crosses its two single-row totals (window count from
+      // token sum × windows-with-starts count) into the zero-start
+      // histogram row
+      "q234_window_occupancy",
       // q220 crosses its four single-row pair-count censuses into the
       // one-row Rand-index report
       "q220_partition_agreement",
