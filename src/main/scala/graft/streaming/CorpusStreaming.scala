@@ -284,6 +284,76 @@ object CorpusStreaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  final case class PackedDoc(doc_id: Long, source: String,
+                             n_tokens: Long, off: Long,
+                             window_lo: Long, window_hi: Long,
+                             span: Long)
+
+  /** Context-window size of the streaming packer — the batch q233/
+    * q234 constant. */
+  val PackWindowTokens = 64L
+
+  /** Streaming twin of the batch sequence packer (q233/q234): per
+    * SOURCE, documents concatenate in arrival order into fixed
+    * [[PackWindowTokens]]-token context windows, and each document is
+    * emitted with its global token offset, the window ids it touches,
+    * and its span (1 = fits one window; >1 = straddles — the
+    * attention-contamination flag). One `ValueState[Long]` per source
+    * holds the running offset — constant state per key however long
+    * the stream runs (the offset, never the text). Token counting is
+    * `split(" ", -1).length`, exactly Spark's `size(split(text, ' '))`
+    * so batch snapshots and stream assignments interoperate; within a
+    * micro-batch rows fold in (ts, doc_id) order (the QuotaProcessor
+    * determinism discipline), and on equal per-source arrival order
+    * the offsets COINCIDE with the batch prefix sum — parity-pinned in
+    * StreamingSpec.
+    *
+    * No timers: the offset never expires (a lifetime concat position,
+    * like QuotaProcessor's lifetime counter). */
+  final class PackerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, DocEvent, PackedDoc] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var off: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      off = getHandle.getValueState("off", Encoders.scalaLong,
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocEvent],
+                                 tv: TimerValues): Iterator[PackedDoc] = {
+      val w = PackWindowTokens
+      var o = if (off.exists) off.get else 0L
+      val out = rows.toSeq
+        .sortBy(e => (e.ts.getTime, e.doc_id))
+        .map { e =>
+          val n = e.text.split(" ", -1).length.toLong
+          val lo = o / w
+          val hi = (o + n - 1) / w
+          val packed = PackedDoc(e.doc_id, key, n, o, lo, hi,
+            hi - lo + 1)
+          o += n
+          packed
+        }
+      off.update(o)
+      out.iterator
+    }
+  }
+
+  /** [[PackerProcessor]] wired to the intake stream, keyed by
+    * source. */
+  def packBySource(docs: Dataset[DocEvent]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new PackerProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** One LSH band-bucket membership row: `bkey` = "band|h1|h2" from
     * the doc's MinHash signature (band 0 = lanes 0,1; band 1 =
     * lanes 2,3 — exactly q57's banding). */

@@ -561,6 +561,73 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming packer: per-source offsets continue across batches " +
+    "and match the batch prefix sum") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // token counts chosen to cross the 64-token window boundary:
+    // s0: 40 + 40 (straddles) + 100 (spans 3 windows);
+    // "a  b " exercises the split(" ", -1) ≡ Spark size(split) edge
+    // (double + trailing spaces count empty tokens)
+    def doc(id: Long, t: String, n: Int, src: String) =
+      CorpusStreaming.DocEvent(id, ts(t), Seq.fill(n)("x").mkString(" "),
+        src)
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(
+      doc(2, "2024-01-01 10:01:00", 40, "s0"),
+      doc(1, "2024-01-01 10:00:00", 40, "s0"),
+      CorpusStreaming.DocEvent(10, ts("2024-01-01 10:00:00"),
+        "a  b ", "s1"))
+    val q = CorpusStreaming.packBySource(input.toDS())
+      .writeStream.format("memory").queryName("packer")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: s0 continues from offset 80
+      input.addData(doc(3, "2024-01-01 11:00:00", 100, "s0"))
+      q.processAllAvailable()
+      val rows = spark.table("packer").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("n_tokens"), r.getAs[Long]("off"),
+            r.getAs[Long]("window_lo"), r.getAs[Long]("window_hi"),
+            r.getAs[Long]("span"))).toMap
+      // (ts, doc_id) fold: doc 1 at 0, doc 2 at 40 (straddles the
+      // 64-boundary), doc 3 continues at 80 across the batch gap
+      assert(rows(1L) == ((40L, 0L, 0L, 0L, 1L)), rows(1L).toString)
+      assert(rows(2L) == ((40L, 40L, 0L, 1L, 2L)), rows(2L).toString)
+      assert(rows(3L) == ((100L, 80L, 1L, 2L, 2L)), rows(3L).toString)
+      // the tricky text: Spark's size(split("a  b ", " ")) = 4
+      val sparkN = Seq("a  b ").toDF("text")
+        .select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.split($"text", " ")))
+        .as[Int].head()
+      assert(rows(10L)._1 == sparkN.toLong, s"${rows(10L)} vs $sparkN")
+      // batch parity: stream offsets per source = prefix sums of
+      // n_tokens in fold order (the q233 packedOffsets contract)
+      val bySrc = spark.table("packer").collect()
+        .groupBy(_.getAs[String]("source"))
+      for ((_, rs) <- bySrc) {
+        val sorted = rs.sortBy(_.getAs[Long]("off"))
+        var expect = 0L
+        for (r <- sorted) {
+          assert(r.getAs[Long]("off") == expect, r.toString)
+          expect += r.getAs[Long]("n_tokens")
+        }
+      }
+    } finally {
+      q.stop()
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming count-min grid equals the batch grid after any prefix") {
     val s = spark
     import s.implicits._
