@@ -2045,8 +2045,13 @@ object CorpusOps {
       .select($"round", $"mx", $"my",
         concat($"mx", $"my").as("merged"), $"n")
   }
-  val o223: String = {
-    def roundSql(k: Int): String = s"""
+  /** One DuckDB BPE round (k): pair census over words{k-1} → top
+    * merge top$k → greedy-leftmost application via the islands
+    * spelling (odd-rank island members merge; list_reduce is
+    * unusable — DuckDB v1.0 silently loses list-typed struct
+    * accumulator state) → words$k. Shared by o223 (the trainer
+    * report) and o235 (the fertility census over the final state). */
+  private def bpeRoundSql(k: Int): String = s"""
     pos$k AS (
       SELECT w, cnt, syms, len(syms) AS n,
         unnest(generate_series(1, len(syms))) AS pos
@@ -2084,21 +2089,110 @@ object CorpusOps {
         LEFT JOIN sel$k s0 ON s0.w = p.w AND s0.pos = p.pos - 1
         WHERE s0.pos IS NULL)
       GROUP BY w, cnt)"""
-    s"""
-    WITH words0 AS (
+
+  /** The shared words0 CTE (global word census as character arrays). */
+  private val bpeWords0Sql: String = """
+    words0 AS (
       SELECT w, COUNT(*) AS cnt,
         list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-      WHERE w <> '' GROUP BY w),
-    ${roundSql(1)},
-    ${roundSql(2)},
-    ${roundSql(3)}
+      WHERE w <> '' GROUP BY w)"""
+
+  val o223: String = s"""
+    WITH $bpeWords0Sql,
+    ${bpeRoundSql(1)},
+    ${bpeRoundSql(2)},
+    ${bpeRoundSql(3)}
     SELECT round, mx, my, mx || my AS merged, n FROM top1
     UNION ALL
     SELECT round, mx, my, mx || my AS merged, n FROM top2
     UNION ALL
     SELECT round, mx, my, mx || my AS merged, n FROM top3"""
+
+  // --------------------------------------- tokenizer fertility audit
+  /** Per-language tokenizer fertility under the LEARNED merges — the
+    * APPLY half of the BPE loop (q112/q223 train; this measures what
+    * the trained tokenizer does to each language): train the same 3
+    * greedy merges as q223 on the global word census, apply them in
+    * round order to every word, then census per language — words,
+    * chars, post-merge tokens, fertility (tokens/word) and
+    * compression (chars/token). Fertility INEQUALITY across languages
+    * is the fairness number a multilingual pipeline reads before
+    * fixing a token budget: a language at 1.8× fertility pays 1.8×
+    * the context and compute per word.
+    *
+    * Float parity: all censuses are exact int64 sums; fertility and
+    * compression are ONE IEEE divide each.
+    *
+    * 100 TB design: the corpus collapses to the (lang, word) census
+    * once (map-side combined; checkpointed — it feeds the global
+    * trainer AND the final census); training rides the q223 layout
+    * (vocabulary-scale, never corpus rows; merge application is an
+    * in-row fold against a single broadcast row per round); the
+    * final join is census-to-census on the word key. */
+  val q235BpeFertility: Q = (s, d) => {
+    import s.implicits._
+    val langw = Tables.documents(s, d)
+      .select($"lang", explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val words0 = langw.groupBy($"w")
+      .agg(sum($"cnt").cast("long").as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select($"w", $"cnt", $"syms")
+      .localCheckpoint()
+    def round(words: DataFrame): DataFrame = {
+      val top = words
+        .select($"cnt", explode(expr(
+          """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+                      slice(syms, 2, greatest(size(syms) - 1, 0)),
+                      (a, b) -> named_struct('mx', a, 'my', b))"""))
+          .as("p"))
+        .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
+        .agg(sum($"cnt").cast("long").as("n"))
+        .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
+        .localCheckpoint() // single row; broadcast into the fold
+      words.crossJoin(broadcast(top.select($"mx", $"my")))
+        .withColumn("folded", expr(bpeFoldExpr))
+        .withColumn("syms", expr(bpeFinishExpr))
+        .select($"w", $"cnt", $"syms")
+    }
+    val w3 = round(round(round(words0)))
+    langw
+      .join(w3.select($"w", size($"syms").cast("long").as("n_syms")),
+        Seq("w"))
+      .groupBy($"lang")
+      .agg(sum($"cnt").cast("long").as("n_words"),
+        sum($"cnt" * length($"w")).cast("long").as("n_chars"),
+        sum($"cnt" * $"n_syms").cast("long").as("n_tokens"))
+      .withColumn("fertility",
+        $"n_tokens".cast("double") / $"n_words".cast("double"))
+      .withColumn("compression",
+        $"n_chars".cast("double") / $"n_tokens".cast("double"))
   }
+  val o235: String = s"""
+    WITH $bpeWords0Sql,
+    ${bpeRoundSql(1)},
+    ${bpeRoundSql(2)},
+    ${bpeRoundSql(3)},
+    langw AS (
+      SELECT lang, w, COUNT(*) AS cnt
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY 1, 2),
+    sums AS (
+      SELECT l.lang,
+        CAST(SUM(l.cnt) AS BIGINT) AS n_words,
+        CAST(SUM(l.cnt * length(l.w)) AS BIGINT) AS n_chars,
+        CAST(SUM(l.cnt * len(w3.syms)) AS BIGINT) AS n_tokens
+      FROM langw l JOIN words3 w3 ON w3.w = l.w
+      GROUP BY 1)
+    SELECT lang, n_words, n_chars, n_tokens,
+      CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+      CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS compression
+    FROM sums"""
 
   // ------------------------------------------------ sequence packing
   private val SeqBudget = 512
@@ -3049,6 +3143,7 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q233_packing_spans" -> q233PackingSpans,
     "q234_window_occupancy" -> q234WindowOccupancy,
+    "q235_bpe_fertility" -> q235BpeFertility,
     "q168_length_quantiles_sketch" -> q168LengthQuantilesSketch,
     "q171_pagerank_dup_graph" -> q171PagerankDupGraph,
     "q175_oov_coverage" -> q175OovCoverage,
@@ -3102,6 +3197,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q233_packing_spans" -> o233,
     "q234_window_occupancy" -> o234,
+    "q235_bpe_fertility" -> o235,
     "q171_pagerank_dup_graph" -> o171,
     "q175_oov_coverage" -> o175,
     "q176_token_diversity" -> o176,

@@ -280,6 +280,9 @@ class PlanContractSpec extends AnyFunSuite {
       // q223 crosses each round's single-row argmax merge into the
       // vocabulary frame (three rounds, three single-row broadcasts)
       "q223_bpe_train3",
+      // q235 applies the same three single-row merge broadcasts when
+      // measuring the trained tokenizer's per-language fertility
+      "q235_bpe_fertility",
       // q227 crosses its four single-row censuses (doc aggregate +
       // fingerprint/source/lang distinct counts) into the data card
       "q227_datasheet",
