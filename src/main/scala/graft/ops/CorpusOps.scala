@@ -2032,7 +2032,12 @@ object CorpusOps {
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
         .localCheckpoint() // single row; feeds the report AND the merge
-      val merged = words.crossJoin(broadcast(top.select($"mx", $"my")))
+      // LEFT join on TRUE (not crossJoin): a degenerate corpus whose
+      // pair census is empty must leave the vocabulary UNCHANGED
+      // (null mx never matches inside the fold), not empty it —
+      // mirrored by the LEFT JOIN top$k ON TRUE in bpeRoundSql
+      val merged = words
+        .join(broadcast(top.select($"mx", $"my")), lit(true), "left")
         .withColumn("folded", expr(bpeFoldExpr))
         .withColumn("syms", expr(bpeFinishExpr))
         .select($"cnt", $"syms")
@@ -2084,7 +2089,7 @@ object CorpusOps {
           CASE WHEN s1.pos IS NOT NULL THEN t.mx || t.my
                ELSE p.syms[p.pos] END AS sym
         FROM pos$k p
-        CROSS JOIN top$k t
+        LEFT JOIN top$k t ON TRUE
         LEFT JOIN sel$k s1 ON s1.w = p.w AND s1.pos = p.pos
         LEFT JOIN sel$k s0 ON s0.w = p.w AND s0.pos = p.pos - 1
         WHERE s0.pos IS NULL)
@@ -2154,7 +2159,9 @@ object CorpusOps {
         .agg(sum($"cnt").cast("long").as("n"))
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .localCheckpoint() // single row; broadcast into the fold
-      words.crossJoin(broadcast(top.select($"mx", $"my")))
+      // LEFT on TRUE: q223's degenerate-corpus convention — an empty
+      // merge census must be a no-op, not empty the vocabulary
+      words.join(broadcast(top.select($"mx", $"my")), lit(true), "left")
         .withColumn("folded", expr(bpeFoldExpr))
         .withColumn("syms", expr(bpeFinishExpr))
         .select($"w", $"cnt", $"syms")

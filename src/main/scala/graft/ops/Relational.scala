@@ -1356,9 +1356,13 @@ object Relational {
     custRev.join(broadcast(offsets), Seq("bucket"))
       .withColumn("i",
         ($"offset" + row_number().over(wb)).cast("long"))
+      // the cast rides an OPERAND so the rank×cents product is decimal
+      // from the start — i ~ 4e9 × cents ~ 1e10 overflows an int64
+      // product silently in Spark and throws in DuckDB (the q220
+      // pairSum convention)
       .agg(count(lit(1)).cast("double").as("n"),
         sum($"cents".cast("decimal(38,0)")).cast("double").as("sy"),
-        sum(($"i" * $"cents").cast("decimal(38,0)")).cast("double")
+        sum($"i".cast("decimal(38,0)") * $"cents").cast("double")
           .as("siy"))
       .select($"n".cast("long").as("n_customers"),
         $"sy".cast("long").as("total_cents"),
@@ -1379,7 +1383,7 @@ object Relational {
     m AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS n,
         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-        CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DOUBLE) AS siy
+        CAST(SUM(CAST(i AS HUGEINT) * cents) AS DOUBLE) AS siy
       FROM ranked)
     SELECT CAST(n AS BIGINT) AS n_customers,
       CAST(sy AS BIGINT) AS total_cents,

@@ -211,9 +211,14 @@ object Main {
   */
 object ForecastMain {
 
+  /** `--data-root` is the one flag beyond pipeline.py's surface: the
+    * reference's default path comes from its config module
+    * (`loaders.load_payments_data`), and our mart store lives under
+    * the ETL data root — this flag IS that config knob. */
   final case class Config(file: Option[String] = None,
                           horizon: Int = 7,
-                          verbose: Boolean = false)
+                          verbose: Boolean = false,
+                          dataRoot: String = "data")
 
   def parse(args: Seq[String]): Either[String, Config] = {
     def loop(rest: List[String], c: Config): Either[String, Config] =
@@ -224,6 +229,7 @@ object ForecastMain {
           val Array(k, v) = a.split("=", 2)
           loop(k :: v :: t, c)
         case "--file" :: v :: t => loop(t, c.copy(file = Some(v)))
+        case "--data-root" :: v :: t => loop(t, c.copy(dataRoot = v))
         case "--horizon" :: v :: t =>
           try loop(t, c.copy(horizon = v.toInt))
           catch { case _: NumberFormatException =>
@@ -264,8 +270,16 @@ object ForecastMain {
             throw new EtlError(s"Payments data file not found: $p")
           load(p)
         case None =>
+          // the default path is the PARQUET mart store [[Main]]'s ETL
+          // writes and prints as its Output line — the two CLIs'
+          // handoff (--file stays the explicit-CSV escape hatch, the
+          // reference's `pd.read_csv` branch); round-7 review finding:
+          // this branch previously read the parquet store as CSV
           out("  Using default path from config")
-          load("data/proc/payments/aggregated_payments_daily")
+          val p = s"${cfg.dataRoot}/proc/payments/aggregated_payments_daily"
+          if (!new java.io.File(p).exists())
+            throw new EtlError(s"Payments data file not found: $p")
+          spark.read.parquet(p)
       }
       out(s"[OK] Loaded ${payments.count()} rows")
 

@@ -293,20 +293,27 @@ object CorpusStreaming {
     * q234 constant. */
   val PackWindowTokens = 64L
 
-  /** Streaming twin of the batch sequence packer (q233/q234): per
-    * SOURCE, documents concatenate in arrival order into fixed
-    * [[PackWindowTokens]]-token context windows, and each document is
-    * emitted with its global token offset, the window ids it touches,
-    * and its span (1 = fits one window; >1 = straddles — the
+  /** Streaming sequence packer: per SOURCE, documents concatenate in
+    * arrival order into fixed [[PackWindowTokens]]-token context
+    * windows, and each document is emitted with its token offset IN
+    * THAT SOURCE'S STREAM, the window ids it touches, and its span
+    * (1 = fits one window; >1 = straddles — the
     * attention-contamination flag). One `ValueState[Long]` per source
     * holds the running offset — constant state per key however long
-    * the stream runs (the offset, never the text). Token counting is
-    * `split(" ", -1).length`, exactly Spark's `size(split(text, ' '))`
-    * so batch snapshots and stream assignments interoperate; within a
-    * micro-batch rows fold in (ts, doc_id) order (the QuotaProcessor
-    * determinism discipline), and on equal per-source arrival order
-    * the offsets COINCIDE with the batch prefix sum — parity-pinned in
-    * StreamingSpec.
+    * the stream runs (the offset, never the text).
+    *
+    * Relation to batch q233/q234 — PER-SOURCE, not global: the batch
+    * audits pack ONE corpus-wide concat stream in doc_id order, while
+    * a stream has no global order to honor, so each source is its own
+    * concat stream here (the natural online layout: sources are
+    * independent producers). Offsets/window ids are therefore NOT
+    * joinable against the batch audits' global layout on a
+    * multi-source corpus; what IS pinned (StreamingSpec) is that each
+    * source's offsets equal the batch prefix sum over that source's
+    * documents in the same order, with the same
+    * `split(" ", -1).length` token counting as Spark's
+    * `size(split(text, ' '))`. Within a micro-batch rows fold in
+    * (ts, doc_id) order (the QuotaProcessor determinism discipline).
     *
     * No timers: the offset never expires (a lifetime concat position,
     * like QuotaProcessor's lifetime counter). */

@@ -31,27 +31,66 @@ object PlanFingerprints {
   val SfDir = "/root/testdata/sf0.001"
 
   private val PlumbingOps =
-    Set("WholeStageCodegen", "InputAdapter", "ColumnarToRow")
+    Set("WholeStageCodegen", "InputAdapter", "ColumnarToRow",
+      "AQEShuffleRead")
 
-  /** Post-execution (AQE-final) operator multiset of a frame. */
+  /** Queries whose AQE-FINAL shape is runtime-stat-sensitive and
+    * flips between runs (observed: q207's forecast e2e rides
+    * localCheckpoint'd frames whose first-run sizes sit at the
+    * broadcast threshold, so SortMergeJoin↔BroadcastHashJoin
+    * demotions vary with JVM warm-up). Snapshotted as the literal
+    * "VOLATILE" — still listed (so a new query can't hide by joining
+    * this set unreviewed) but not shape-compared. Keep this set
+    * MINIMAL: 3 consecutive regen runs are the admission test. */
+  private val Volatile = Set("q207_deposit_flow_e2e")
+
+  /** Post-execution (AQE-final) operator multiset of a frame.
+    *
+    * The execution must drive THIS Dataset's own QueryExecution — a
+    * `write.format("noop")` runs a SEPARATE QueryExecution, leaving
+    * `df.queryExecution`'s AdaptiveSparkPlanExec unexecuted so the
+    * walk would see the INITIAL pre-AQE plan (no ReusedExchange, no
+    * AQEShuffleRead, no runtime join demotions — exactly the
+    * regressions this harness exists to catch; round-7 review
+    * finding). Dataset.foreachPartition is no better — it drives the
+    * SEPARATE `rddQueryExecution`. Running a do-nothing job over
+    * `queryExecution.toRdd` finalizes the right AdaptiveSparkPlanExec
+    * in place without collecting rows to the driver. */
   def fingerprint(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.toRdd.foreachPartition(_ => ())
     val counts = scala.collection.mutable.Map.empty[String, Int]
+    // AQE stage REUSE is a race (concurrent stage submission hits the
+    // stage cache or doesn't), so raw exchange-node counts flip
+    // between identical runs. Exchanges are therefore counted as
+    // DISTINCT CANONICALIZED subtrees — reuse or rematerialization of
+    // the same logical exchange lands on one set entry either way —
+    // and ReusedExchange pointers fold into the set via their target.
+    val shuffles = scala.collection.mutable.Set.empty[Int]
+    val bcasts = scala.collection.mutable.Set.empty[Int]
     def walk(p: SparkPlan): Unit = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case q: QueryStageExec => walk(q.plan)
-      case _: ReusedExchangeExec =>
-        counts("ReusedExchange") = counts.getOrElse("ReusedExchange", 0) + 1
+      case r: ReusedExchangeExec => walk(r.child)
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        shuffles += e.canonicalized.hashCode()
+        e.children.foreach(walk)
+      case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike =>
+        bcasts += e.canonicalized.hashCode()
+        e.children.foreach(walk)
       case other =>
         val name = other.getClass.getSimpleName.stripSuffix("Exec")
         // codegen plumbing wraps strategy-identical plans differently
-        // depending on whether AQE re-planned the subtree — drop it so
-        // a fingerprint diff always means a STRATEGY change
+        // depending on whether AQE re-planned the subtree, and
+        // AQEShuffleRead is a partition-coalescing detail that rides
+        // the same reuse race — drop both so a fingerprint diff
+        // always means a STRATEGY change
         if (!PlumbingOps(name))
           counts(name) = counts.getOrElse(name, 0) + 1
         other.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
+    if (shuffles.nonEmpty) counts("ShuffleExchange") = shuffles.size
+    if (bcasts.nonEmpty) counts("BroadcastExchange") = bcasts.size
     counts.toSeq.sorted.map { case (k, n) => s"$k:$n" }.mkString(",")
   }
 
@@ -59,7 +98,9 @@ object PlanFingerprints {
   def computeAll(spark: org.apache.spark.sql.SparkSession)
       : Seq[(String, String)] =
     graft.SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> fingerprint(graft.SparkEntry.queries(name)(spark, SfDir))
+      if (Volatile(name)) name -> "VOLATILE"
+      else
+        name -> fingerprint(graft.SparkEntry.queries(name)(spark, SfDir))
     }
 
   def parseSnapshot(text: String): Map[String, String] =

@@ -237,6 +237,25 @@ class MainSpec extends AnyFunSuite {
     assert(sent.head.startsWith("[ERROR] <b>Forecast Pipeline Error</b>"))
   }
 
+  test("CLI handoff: ForecastMain's default path reads the parquet " +
+    "mart Main's ETL just wrote") {
+    val root = Files.createTempDirectory("handoff").toString
+    val transport: Main.Transport = (_, s0, e0) => workbookBytes(s0, e0)
+    val etl = new Sink
+    assert(Main.run(spark,
+      Main.Config(start = "2025-01-01", end = "2025-02-09",
+        dataRoot = root),
+      Main.defaultStages(spark, root, 180, Seq("Kavia"), transport),
+      etl.out, etl.err) == 0, etl.all)
+    val fc = new Sink
+    assert(ForecastMain.run(spark,
+      ForecastMain.Config(dataRoot = root), fc.out) == 0, fc.all)
+    assert(fc.all.contains("Using default path from config"))
+    assert(fc.all.contains("[OK] Loaded 40 rows"))
+    assert(fc.all.contains("[OK] Generated forecasts for 1 branches"))
+    assert(fc.all.contains("[OK] Pipeline completed successfully"))
+  }
+
   test("ForecastMain: argparse parity") {
     val d = ForecastMain.parse(Nil).toOption.get
     assert(d == ForecastMain.Config(None, 7, false))
