@@ -1406,6 +1406,98 @@ object VectorOps {
     JOIN within w ON w.shard = c.shard
     JOIN nsrc ns ON ns.shard = c.shard"""
 
+  // ------------------------------------------- label-noise screen
+  /** Label-noise screening by neighbor-majority disagreement (the
+    * confident-learning shape): a vector is SUSPECT when the majority
+    * label among its sign-LSH bucket peers disagrees with its own —
+    * the cheap first pass a labeling-QA pipeline runs before paying
+    * for exact-kNN re-checks or human review. q219 censuses confusable
+    * label PAIRS; this flags individual candidate mislabels and
+    * reports per label: total vectors, scored vectors (≥ [[MinPeers]]
+    * bucket peers — singleton buckets carry no evidence), suspects,
+    * and the suspect rate.
+    *
+    * Determinism: the majority is argmax over peer-adjusted counts
+    * (own membership subtracted), ties broken toward the SMALLEST
+    * label — spelled as a strict `>` fold over a label-sorted in-row
+    * list here and as rank over (count DESC, label ASC) in the
+    * oracle, which pick the same winner by construction.
+    *
+    * 100 TB design: one (bucket, label)-keyed census (map-side
+    * combined), bucket label-lists bounded by |labels|; each vector
+    * joins its bucket's tiny census row once (bucket-keyed exchange)
+    * and the verdict is an in-row fold — no per-pair work, no
+    * per-vector window. */
+  private val MinPeers = 2L
+
+  val q236LabelNoiseScreen: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", expr(bucketExpr).as("bucket"))
+    val cens = e.groupBy($"bucket", $"label")
+      .agg(count(lit(1)).as("c"))
+    val blists = cens.groupBy($"bucket")
+      .agg(sort_array(collect_list(struct($"label", $"c"))).as("lc"),
+        sum($"c").cast("long").as("nb"))
+    val verdicts = e.join(blists, Seq("bucket"))
+      .filter($"nb" - 1 >= MinPeers)
+      .withColumn("adj", expr(
+        """transform(lc, x -> named_struct('lbl', x.label,
+             'ac', x.c - CASE WHEN x.label = label THEN 1 ELSE 0 END))"""))
+      .withColumn("maj", expr(
+        """aggregate(adj,
+             named_struct('lbl', CAST(NULL AS INT), 'ac', CAST(-1 AS BIGINT)),
+             (acc, x) -> CASE WHEN x.ac > acc.ac THEN x ELSE acc END).lbl"""))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when($"maj" =!= $"label", 1L).otherwise(0L)).cast("long")
+          .as("n_suspect"))
+    e.groupBy($"label").agg(count(lit(1)).as("n_vecs"))
+      .join(verdicts, Seq("label"), "left")
+      .select($"label", $"n_vecs",
+        coalesce($"n_scored", lit(0L)).as("n_scored"),
+        coalesce($"n_suspect", lit(0L)).as("n_suspect"),
+        when(coalesce($"n_scored", lit(0L)) > 0,
+          $"n_suspect".cast("double") / $"n_scored".cast("double"))
+          .otherwise(lit(0.0)).as("suspect_rate"))
+  }
+  val o236: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, $bucketSql AS bucket FROM embeddings),
+    cens AS (
+      SELECT bucket, label, COUNT(*) AS c FROM e GROUP BY 1, 2),
+    nb AS (SELECT bucket, CAST(SUM(c) AS BIGINT) AS nb
+           FROM cens GROUP BY 1),
+    adj AS (
+      SELECT v.vec_id, v.label, cn.label AS peer_label,
+        cn.c - CASE WHEN cn.label = v.label THEN 1 ELSE 0 END AS ac
+      FROM e v JOIN cens cn ON cn.bucket = v.bucket),
+    sel AS (
+      SELECT vec_id, label, peer_label AS maj FROM (
+        SELECT vec_id, label, peer_label, ac,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY ac DESC, peer_label ASC) AS r
+        FROM adj)
+      WHERE r = 1),
+    eligible AS (
+      SELECT v.vec_id, v.label
+      FROM e v JOIN nb ON nb.bucket = v.bucket
+      WHERE nb.nb - 1 >= $MinPeers),
+    scored AS (
+      SELECT el.label, COUNT(*) AS n_scored,
+        CAST(SUM(CASE WHEN s.maj <> el.label THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_suspect
+      FROM eligible el JOIN sel s ON s.vec_id = el.vec_id
+      GROUP BY 1),
+    tot AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY 1)
+    SELECT t.label, t.n_vecs,
+      COALESCE(sc.n_scored, 0) AS n_scored,
+      COALESCE(sc.n_suspect, 0) AS n_suspect,
+      CASE WHEN COALESCE(sc.n_scored, 0) > 0
+        THEN CAST(sc.n_suspect AS DOUBLE) / CAST(sc.n_scored AS DOUBLE)
+        ELSE CAST(0 AS DOUBLE) END AS suspect_rate
+    FROM tot t LEFT JOIN scored sc ON sc.label = t.label"""
+
   // -------------------------------------- cross-label confusion census
   /** Cross-label high-similarity census — the mislabeling /
     * confusability audit: pairs of vectors in the SAME sign-LSH bucket
@@ -1606,6 +1698,7 @@ object VectorOps {
     "q215_retrieval_metrics" -> q215RetrievalMetrics,
     "q217_embedding_drift" -> q217EmbeddingDrift,
     "q232_shard_embedding_audit" -> q232ShardEmbeddingAudit,
+    "q236_label_noise_screen" -> q236LabelNoiseScreen,
     "q219_label_confusion" -> q219LabelConfusion,
     "q230_ann_tombstones" -> q230AnnTombstones,
     "q126_contrastive_triplets" -> q126ContrastiveTriplets,
@@ -1627,6 +1720,7 @@ object VectorOps {
     "q215_retrieval_metrics" -> o215,
     "q217_embedding_drift" -> o217,
     "q232_shard_embedding_audit" -> o232,
+    "q236_label_noise_screen" -> o236,
     "q219_label_confusion" -> o219,
     "q230_ann_tombstones" -> o230,
     "q126_contrastive_triplets" -> o126,
