@@ -1406,6 +1406,132 @@ object VectorOps {
     JOIN within w ON w.shard = c.shard
     JOIN nsrc ns ON ns.shard = c.shard"""
 
+  // --------------------------------- hybrid retrieval agreement
+  /** Lexical↔semantic retrieval agreement at probe grain — the
+    * hybrid-search calibration: for each probe document (the q215
+    * probe set, vec_id ≡ 0 mod 50), compare its top-k LEXICAL
+    * neighbors (most distinct shared terms, the sparse/BM25-family
+    * signal) against its top-k SEMANTIC neighbors (exact embedding
+    * cosine, the q62 baseline) and report the top-k set sizes,
+    * overlap, and Jaccard. Low agreement means the two retrieval
+    * modes surface different corpora — the number that decides
+    * whether a RAG stack needs hybrid fusion or one mode suffices
+    * (q147 measures pairwise agreement between DEDUP methods; this
+    * is the retrieval-grain twin).
+    *
+    * Denominators follow the q215 review lesson: Jaccard is over the
+    * actual retrieved sets (n_lex can be < k when fewer than k docs
+    * share any term), never a hardcoded k.
+    *
+    * 100 TB design: the probe set is CONSTANT-size (the q62/q221
+    * audit rule), so the lexical candidate pull — probe terms ⋈ the
+    * term postings — costs Σ df over probe terms, linear per probe
+    * like q62's declared truth scan; ranking windows are partitioned
+    * by probe; the agreement join touches ≤ 2k rows per probe. */
+  val q237HybridAgreement: Q = (s, d) => {
+    import s.implicits._
+    val terms = Tables.documents(s, d)
+      .select($"doc_id",
+        explode(array_distinct(split($"text", " "))).as("t"))
+      .filter(length($"t") > 0)
+    val seedTerms = terms.filter($"doc_id" % 50 === 0)
+      .select($"doc_id".as("query_id"), $"t")
+    val wl = Window.partitionBy($"query_id")
+      .orderBy($"shared".desc, $"cand".asc)
+    val lex = seedTerms
+      .join(terms.withColumnRenamed("doc_id", "cand"), Seq("t"))
+      .filter($"cand" =!= $"query_id")
+      .groupBy($"query_id", $"cand")
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .withColumn("r", row_number().over(wl))
+      .filter($"r" <= RetrK)
+      .select($"query_id", $"cand", lit(1L).as("in_lex"))
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+    val qv = e.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"))
+    val cv = e.select($"vec_id".as("cand"), $"embedding".as("n_emb"),
+      $"norm".as("n_norm"))
+    val ws = Window.partitionBy($"query_id")
+      .orderBy($"cosine".desc, $"cand".asc)
+    val sem = broadcast(qv).join(cv, $"query_id" =!= $"cand")
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("r", row_number().over(ws))
+      .filter($"r" <= RetrK)
+      .select($"query_id", $"cand", lit(1L).as("in_sem"))
+    val per = lex.join(sem, Seq("query_id", "cand"), "full_outer")
+      .groupBy($"query_id")
+      .agg(coalesce(sum($"in_lex"), lit(0L)).cast("long").as("n_lex"),
+        coalesce(sum($"in_sem"), lit(0L)).cast("long").as("n_sem"),
+        coalesce(sum($"in_lex" * $"in_sem"), lit(0L)).cast("long")
+          .as("n_overlap"))
+    qv.select($"query_id").join(per, Seq("query_id"), "left")
+      .select($"query_id",
+        coalesce($"n_lex", lit(0L)).as("n_lex"),
+        coalesce($"n_sem", lit(0L)).as("n_sem"),
+        coalesce($"n_overlap", lit(0L)).as("n_overlap"),
+        when(coalesce($"n_lex", lit(0L)) + coalesce($"n_sem", lit(0L))
+          - coalesce($"n_overlap", lit(0L)) > 0,
+          $"n_overlap".cast("double")
+            / ($"n_lex" + $"n_sem" - $"n_overlap").cast("double"))
+          .otherwise(lit(0.0)).as("topk_jaccard"))
+  }
+  val o237: String = s"""
+    WITH terms AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      FROM documents),
+    terms2 AS (SELECT doc_id, t FROM terms WHERE length(t) > 0),
+    seedt AS (SELECT doc_id AS query_id, t FROM terms2
+              WHERE doc_id % 50 = 0),
+    lexsc AS (
+      SELECT s.query_id, c.doc_id AS cand, COUNT(*) AS shared
+      FROM seedt s JOIN terms2 c
+        ON c.t = s.t AND c.doc_id <> s.query_id
+      GROUP BY 1, 2),
+    lex AS (
+      SELECT query_id, cand, CAST(1 AS BIGINT) AS in_lex FROM (
+        SELECT query_id, cand,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY shared DESC, cand ASC) AS r
+        FROM lexsc)
+      WHERE r <= $RetrK),
+    e AS (
+      SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, embedding, norm FROM e
+           WHERE vec_id % 50 = 0),
+    sem AS (
+      SELECT query_id, cand, CAST(1 AS BIGINT) AS in_sem FROM (
+        SELECT q.query_id, c.vec_id AS cand,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${dotSql("q.embedding", "c.embedding")}
+                       / (q.norm * c.norm) DESC,
+                     c.vec_id ASC) AS r
+        FROM qv q JOIN e c ON q.query_id <> c.vec_id)
+      WHERE r <= $RetrK),
+    per AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+        CAST(COALESCE(SUM(l.in_lex), 0) AS BIGINT) AS n_lex,
+        CAST(COALESCE(SUM(s.in_sem), 0) AS BIGINT) AS n_sem,
+        CAST(COALESCE(SUM(l.in_lex * s.in_sem), 0) AS BIGINT)
+          AS n_overlap
+      FROM lex l FULL OUTER JOIN sem s
+        ON s.query_id = l.query_id AND s.cand = l.cand
+      GROUP BY 1)
+    SELECT q.query_id,
+      COALESCE(p.n_lex, 0) AS n_lex,
+      COALESCE(p.n_sem, 0) AS n_sem,
+      COALESCE(p.n_overlap, 0) AS n_overlap,
+      CASE WHEN COALESCE(p.n_lex, 0) + COALESCE(p.n_sem, 0)
+                - COALESCE(p.n_overlap, 0) > 0
+        THEN CAST(p.n_overlap AS DOUBLE)
+          / CAST(p.n_lex + p.n_sem - p.n_overlap AS DOUBLE)
+        ELSE CAST(0 AS DOUBLE) END AS topk_jaccard
+    FROM qv q LEFT JOIN per p ON p.query_id = q.query_id"""
+
   // ------------------------------------------- label-noise screen
   /** Label-noise screening by neighbor-majority disagreement (the
     * confident-learning shape): a vector is SUSPECT when the majority
@@ -1699,6 +1825,7 @@ object VectorOps {
     "q217_embedding_drift" -> q217EmbeddingDrift,
     "q232_shard_embedding_audit" -> q232ShardEmbeddingAudit,
     "q236_label_noise_screen" -> q236LabelNoiseScreen,
+    "q237_hybrid_agreement" -> q237HybridAgreement,
     "q219_label_confusion" -> q219LabelConfusion,
     "q230_ann_tombstones" -> q230AnnTombstones,
     "q126_contrastive_triplets" -> q126ContrastiveTriplets,
@@ -1721,6 +1848,7 @@ object VectorOps {
     "q217_embedding_drift" -> o217,
     "q232_shard_embedding_audit" -> o232,
     "q236_label_noise_screen" -> o236,
+    "q237_hybrid_agreement" -> o237,
     "q219_label_confusion" -> o219,
     "q230_ann_tombstones" -> o230,
     "q126_contrastive_triplets" -> o126,

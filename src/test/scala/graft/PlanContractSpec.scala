@@ -261,6 +261,9 @@ class PlanContractSpec extends AnyFunSuite {
       // broadcast against the full table (the exact-kNN baseline the
       // LSH candidates are audited against)
       "q215_retrieval_metrics",
+      // q237's semantic side is the same q62 constant-probe broadcast
+      // (the declared audit cost, like its lexical Σ-df pull)
+      "q237_hybrid_agreement",
       // q216 crosses its two single-row metric censuses (candidate
       // stats × truth count) into the one-row report
       "q216_dedup_truth_eval",
