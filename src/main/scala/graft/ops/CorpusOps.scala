@@ -1785,6 +1785,57 @@ object CorpusOps {
         FROM documents))
     GROUP BY lang, split"""
 
+  // ------------------------------------------ split-leakage census
+  /** Train/test leakage through NEAR-DUPLICATES: q105's deterministic
+    * 80/10/10 split assignment applied to both sides of every q58
+    * verified near-dup pair, censused per unordered split pair with a
+    * leak flag — a near-dup pair straddling train and test means the
+    * eval set effectively contains training text (the contamination
+    * q89 checks against an EXTERNAL eval set; this is the
+    * internal-split twin, and the reason dedup-THEN-split is the
+    * canonical order). A curation pipeline gates on the cross-split
+    * rows being zero after dedup.
+    *
+    * 100 TB design: rides q58's df-capped posting-list pairs (never
+    * all-pairs); the split is per-row hash arithmetic; the census is
+    * one map-side combined aggregate on a ≤6-row key domain. */
+  val q238SplitLeakage: Q = (s, d) => {
+    import s.implicits._
+    def splitFor(c: Column) = {
+      val b = pmod(pmod(c, lit(1000000007L)) * lit(2654435761L)
+        + lit(5851L), lit(1000000007L)) % 100
+      when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    }
+    DedupOps.q58JaccardPairs(s, d)
+      .select(splitFor($"doc_a").as("sa"), splitFor($"doc_b").as("sb"))
+      .select(least($"sa", $"sb").as("split_lo"),
+        greatest($"sa", $"sb").as("split_hi"))
+      .groupBy($"split_lo", $"split_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_leak",
+        when($"split_lo" =!= $"split_hi", 1L).otherwise(0L))
+  }
+  val o238: String = s"""
+    WITH jac AS (${DedupOps.o58}),
+    m AS (
+      SELECT
+        CASE WHEN ba < 80 THEN 'train'
+             WHEN ba < 90 THEN 'val' ELSE 'test' END AS sa,
+        CASE WHEN bb < 80 THEN 'train'
+             WHEN bb < 90 THEN 'val' ELSE 'test' END AS sb
+      FROM (
+        SELECT
+          (((doc_a % 1000000007) * 2654435761 + 5851) % 1000000007)
+            % 100 AS ba,
+          (((doc_b % 1000000007) * 2654435761 + 5851) % 1000000007)
+            % 100 AS bb
+        FROM jac))
+    SELECT least(sa, sb) AS split_lo, greatest(sa, sb) AS split_hi,
+      COUNT(*) AS n_pairs,
+      CAST(CASE WHEN least(sa, sb) <> greatest(sa, sb)
+        THEN 1 ELSE 0 END AS BIGINT) AS is_leak
+    FROM m GROUP BY 1, 2"""
+
   // --------------------------------------------- native top-k operator
   /** The custom two-phase TOP-K physical operator (`plans/TopKPlan`)
     * on the longest-documents-per-language ask: partial k-bounded
@@ -3169,6 +3220,7 @@ object CorpusOps {
     "q154_corr_audit" -> q154CorrAudit,
     "q149_novelty_curve" -> q149NoveltyCurve,
     "q231_shared_run_chunks" -> q231SharedRunChunks,
+    "q238_split_leakage" -> q238SplitLeakage,
     "q147_method_agreement" -> q147MethodAgreement,
     "q145_quality_dup_calibration" -> q145QualityDupCalibration,
     "q143_dup_degree" -> q143DupDegree,
@@ -3222,6 +3274,7 @@ object CorpusOps {
     "q154_corr_audit" -> o154,
     "q149_novelty_curve" -> o149,
     "q231_shared_run_chunks" -> o231,
+    "q238_split_leakage" -> o238,
     "q147_method_agreement" -> o147,
     "q145_quality_dup_calibration" -> o145,
     "q143_dup_degree" -> o143,

@@ -41,8 +41,11 @@ object PlanFingerprints {
     * demotions vary with JVM warm-up). Snapshotted as the literal
     * "VOLATILE" — still listed (so a new query can't hide by joining
     * this set unreviewed) but not shape-compared. Keep this set
-    * MINIMAL: 3 consecutive regen runs are the admission test. */
-  private val Volatile = Set("q207_deposit_flow_e2e")
+    * MINIMAL: 3 consecutive regen runs are the admission test
+    * (q212 flipped a threshold-straddling broadcast to SMJ only
+    * under combined-suite memory pressure — the same class). */
+  private val Volatile =
+    Set("q207_deposit_flow_e2e", "q212_dbscan_census")
 
   /** Post-execution (AQE-final) operator multiset of a frame.
     *
