@@ -43,9 +43,13 @@ object PlanFingerprints {
     * this set unreviewed) but not shape-compared. Keep this set
     * MINIMAL: 3 consecutive regen runs are the admission test
     * (q212 flipped a threshold-straddling broadcast to SMJ only
-    * under combined-suite memory pressure — the same class). */
+    * under combined-suite memory pressure; q138's twin exchanges
+    * sometimes canonicalize apart after AQE re-optimizes one stage's
+    * subtree with runtime stats — distinct-count 5↔6 — the reuse-race
+    * residue even the canonical-set counting can't normalize). */
   private val Volatile =
-    Set("q207_deposit_flow_e2e", "q212_dbscan_census")
+    Set("q207_deposit_flow_e2e", "q212_dbscan_census",
+      "q138_retention_triangle")
 
   /** Post-execution (AQE-final) operator multiset of a frame.
     *
