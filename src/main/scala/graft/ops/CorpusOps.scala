@@ -1036,6 +1036,72 @@ object CorpusOps {
     * shares and weights are single IEEE divisions of those sums, so
     * they hash-match cross-engine. A two-level aggregate (per-lang,
     * then corpus total joined back) — at 100 TB both are tiny. */
+  // ------------------------------------ mixture-temperature sweep
+  /** Temperature-scaled sampling mixture: per source, its share of
+    * the training mixture under w ∝ n^τ for τ ∈ {1, 0.5, 0.25} — the
+    * ONE practical knob multilingual/multi-source pipelines turn
+    * (τ=1 is proportional sampling that drowns small sources; lower τ
+    * flattens toward uniform, the mT5/XLM-R recipe). q90 computes
+    * weights for a FIXED target mixture; this sweeps the temperature
+    * family so a curator can read how much each setting up-samples
+    * the tail before committing epochs to it.
+    *
+    * Float parity: n^0.5 and n^0.25 are sqrt and sqrt∘sqrt of the
+    * exact integer census — identical IEEE on both engines — then
+    * FIXED-POINTED (floor ×1e9) before the cross-source sums, so the
+    * share denominators are exact int64 regardless of summation
+    * order; each share is one IEEE divide.
+    *
+    * 100 TB design: one corpus scan to the |sources| census;
+    * everything after rides census rows + one broadcast totals row
+    * (intended single-row cross — whitelisted). */
+  val q239TemperatureSweep: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .withColumn("ntok", size(split(col("text"), " ")).cast("long"))
+      .groupBy(col("source"))
+      .agg(sum(col("ntok")).cast("long").as("n_tokens"))
+      .withColumn("w05_fp",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1.0e9))
+          .cast("long"))
+      .withColumn("w025_fp",
+        floor(sqrt(sqrt(col("n_tokens").cast("double"))) * lit(1.0e9))
+          .cast("long"))
+    val totals = per.agg(
+      sum(col("n_tokens")).cast("long").as("t10"),
+      sum(col("w05_fp")).cast("long").as("t05"),
+      sum(col("w025_fp")).cast("long").as("t025"))
+    per.join(broadcast(totals))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("t10").cast("double"))
+          .as("share_t100"),
+        (col("w05_fp").cast("double") / col("t05").cast("double"))
+          .as("share_t050"),
+        (col("w025_fp").cast("double") / col("t025").cast("double"))
+          .as("share_t025"))
+  }
+  val o239: String = """
+    WITH per AS (
+      SELECT source,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    fp AS (
+      SELECT source, n_tokens,
+        CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e9) AS BIGINT)
+          AS w05_fp,
+        CAST(FLOOR(sqrt(sqrt(CAST(n_tokens AS DOUBLE))) * 1e9)
+          AS BIGINT) AS w025_fp
+      FROM per),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS t10,
+        CAST(SUM(w05_fp) AS BIGINT) AS t05,
+        CAST(SUM(w025_fp) AS BIGINT) AS t025
+      FROM fp)
+    SELECT source, n_tokens,
+      CAST(n_tokens AS DOUBLE) / CAST(t10 AS DOUBLE) AS share_t100,
+      CAST(w05_fp AS DOUBLE) / CAST(t05 AS DOUBLE) AS share_t050,
+      CAST(w025_fp AS DOUBLE) / CAST(t025 AS DOUBLE) AS share_t025
+    FROM fp, tot"""
+
   val q90MixtureWeights: Q = (s, d) => {
     val target =
       when(col("lang") === "en", 0.4)
@@ -3221,6 +3287,7 @@ object CorpusOps {
     "q149_novelty_curve" -> q149NoveltyCurve,
     "q231_shared_run_chunks" -> q231SharedRunChunks,
     "q238_split_leakage" -> q238SplitLeakage,
+    "q239_temperature_sweep" -> q239TemperatureSweep,
     "q147_method_agreement" -> q147MethodAgreement,
     "q145_quality_dup_calibration" -> q145QualityDupCalibration,
     "q143_dup_degree" -> q143DupDegree,
@@ -3275,6 +3342,7 @@ object CorpusOps {
     "q149_novelty_curve" -> o149,
     "q231_shared_run_chunks" -> o231,
     "q238_split_leakage" -> o238,
+    "q239_temperature_sweep" -> o239,
     "q147_method_agreement" -> o147,
     "q145_quality_dup_calibration" -> o145,
     "q143_dup_degree" -> o143,

@@ -291,7 +291,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q227_datasheet",
       // q230's post-deletion truth pass is q62's constant-size query
       // broadcast; the report crosses three single-row censuses
-      "q230_ann_tombstones")
+      "q230_ann_tombstones",
+      // q239 crosses the single-row temperature-sum totals into the
+      // per-source census (one broadcast row × |sources|)
+      "q239_temperature_sweep")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()
