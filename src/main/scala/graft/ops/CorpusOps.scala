@@ -1816,6 +1816,18 @@ object CorpusOps {
     WHERE r.rank <= 5"""
 
   // ------------------------------------------------ train/val/test split
+  /** q105's deterministic 80/10/10 split assignment as a pure
+    * expression of the doc id — THE split function: q105 censuses it,
+    * q238 applies it to near-dup pairs, and the streaming leakage
+    * monitor (`CorpusStreaming.splitLeakageStream`) tags live LSH
+    * candidates with it, so every tier agrees on membership. */
+  def splitAssign(id: Column): Column = {
+    val bucket = pmod(pmod(id, lit(1000000007L))
+      * lit(2654435761L) + lit(5851L), lit(1000000007L)) % 100
+    when(bucket < 80, "train").when(bucket < 90, "val")
+      .otherwise("test")
+  }
+
   /** Deterministic train/val/test assignment (80/10/10 by a seeded
     * doc-id hash) with the per-language census — the split must be a
     * PURE function of the document id so re-runs, other engines, and
@@ -1827,12 +1839,8 @@ object CorpusOps {
     * aggregate — the split column would be written into the corpus
     * partitioning (`partitionBy(split)`) by the same projection. */
   val q105SplitCensus: Q = (s, d) => {
-    val bucket = pmod(pmod(col("doc_id"), lit(1000000007L))
-      * lit(2654435761L) + lit(5851L), lit(1000000007L)) % 100
     Tables.documents(s, d)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitAssign(col("doc_id")))
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("n_chars"))
@@ -1867,13 +1875,9 @@ object CorpusOps {
     * one map-side combined aggregate on a ≤6-row key domain. */
   val q238SplitLeakage: Q = (s, d) => {
     import s.implicits._
-    def splitFor(c: Column) = {
-      val b = pmod(pmod(c, lit(1000000007L)) * lit(2654435761L)
-        + lit(5851L), lit(1000000007L)) % 100
-      when(b < 80, "train").when(b < 90, "val").otherwise("test")
-    }
     DedupOps.q58JaccardPairs(s, d)
-      .select(splitFor($"doc_a").as("sa"), splitFor($"doc_b").as("sb"))
+      .select(splitAssign($"doc_a").as("sa"),
+        splitAssign($"doc_b").as("sb"))
       .select(least($"sa", $"sb").as("split_lo"),
         greatest($"sa", $"sb").as("split_hi"))
       .groupBy($"split_lo", $"split_hi")

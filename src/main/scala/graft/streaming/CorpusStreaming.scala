@@ -472,6 +472,39 @@ object CorpusStreaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ------------------------------------- streaming split-leakage watch
+  /** Streaming twin of batch q238's split-leakage census, at CANDIDATE
+    * grain: every non-saturated LSH candidate pair from
+    * [[lshCandidatesStream]] is tagged with q105's deterministic
+    * train/val/test assignment (`CorpusOps.splitAssign` — the SAME
+    * pure id-hash every tier uses) on both sides, plus a leak flag for
+    * pairs straddling splits. A near-dup candidate crossing train and
+    * test means eval text is arriving that the training set already
+    * contains — the monitor a curation pipeline alarms on at INTAKE
+    * time, hours before the batch q238 census would catch it.
+    *
+    * Candidate grain on purpose: the stream rows carry only doc ids
+    * (the band state never holds text), so Jaccard verification of a
+    * flagged pair is the batch tier's job (q58 over the corpus store);
+    * a candidate-grain alert is the correct early-warning contract —
+    * band-collision false positives alarm loudly, never silently.
+    *
+    * Stateless on top of the band-bucket state: the split is per-row
+    * hash arithmetic, so this adds ZERO state beyond
+    * [[BandBucketProcessor]]'s capped buckets — the 100 TB/day intake
+    * story is unchanged. */
+  def splitLeakageStream(docs: Dataset[DocEvent],
+                         cap: Int = graft.ops.DedupOps.MaxBandBucket)
+      : DataFrame = {
+    val split = graft.ops.CorpusOps.splitAssign _
+    lshCandidatesStream(docs, cap).toDF()
+      .filter(!col("saturated"))
+      .select(col("band"), col("doc_a"), col("doc_b"),
+        split(col("doc_a")).as("split_a"),
+        split(col("doc_b")).as("split_b"))
+      .withColumn("is_leak", col("split_a") =!= col("split_b"))
+  }
+
   // ------------------------------------------- streaming count-min
   /** One count-min cell increment on the stream (key = "depth|bucket"). */
   final case class CmInc(cell: String, n: Long)

@@ -1013,6 +1013,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming split-leakage watch: cross-split candidate flags, " +
+    "same-split candidate does not, splits match batch q105") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // q105 hash buckets: id 1 -> 98 (test), 2 -> 38 (train),
+      // 3 -> 85 (val), 4 -> 25 (train)
+      val textA = "alpha beta gamma delta epsilon zeta eta theta"
+      val textB = "one two three four five six seven"
+      val input = MemoryStream[CorpusStreaming.DocEvent]
+      input.addData(
+        CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), textA, "s0"),
+        CorpusStreaming.DocEvent(2, ts("2024-01-01 10:00:01"), textB, "s0"))
+      val q = CorpusStreaming
+        .splitLeakageStream(input.toDS(), cap = 4)
+        .writeStream.format("memory").queryName("leak_watch")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("leak_watch").count() == 0)
+        // doc 3 (val) collides with doc 1 (test) -> LEAK on both
+        // bands; doc 4 (train) collides with doc 2 (train) -> clean
+        input.addData(
+          CorpusStreaming.DocEvent(3, ts("2024-01-01 10:05:00"), textA, "s1"),
+          CorpusStreaming.DocEvent(4, ts("2024-01-01 10:05:01"), textB, "s1"))
+        q.processAllAvailable()
+        val got = spark.table("leak_watch").collect()
+          .map(r => (r.getAs[Int]("band"), r.getAs[Long]("doc_a"),
+            r.getAs[Long]("doc_b"), r.getAs[String]("split_a"),
+            r.getAs[String]("split_b"), r.getAs[Boolean]("is_leak")))
+          .toSet
+        assert(got == Set(
+          (0, 1L, 3L, "test", "val", true),
+          (1, 1L, 3L, "test", "val", true),
+          (0, 2L, 4L, "train", "train", false),
+          (1, 2L, 4L, "train", "train", false)), got.mkString(";"))
+        // parity pin: the labels the stream attached are EXACTLY the
+        // batch q105 assignment of the same ids
+        val batch = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+          .select($"doc_id",
+            graft.ops.CorpusOps.splitAssign($"doc_id").as("split"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        got.foreach { case (_, a, b, sa, sb, leak) =>
+          assert(batch(a) == sa && batch(b) == sb)
+          assert(leak == (batch(a) != batch(b)))
+        }
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   // ----------------------------------------------------- parity pins
   // The streaming processors are TWINS of batch queries; these tests
   // pin that the two spellings cannot drift: same fixture in, same
