@@ -3268,7 +3268,180 @@ object CorpusOps {
     UNION ALL
     SELECT * FROM zero WHERE n_windows > 0"""
 
+  // ------------------------------------- stupid-backoff LM scoring
+  /** Trigram stupid-backoff LM scoring (the KenLM-shaped fluency
+    * filter, Brants et al. 2007): a trigram/bigram/unigram census is
+    * trained on q105's TRAIN split only, then every document (all
+    * three splits) is scored per trigram position with
+    * S(w3|w1,w2) = c123/c12, backing off to 0.4·(c23/c2), then to
+    * 0.4²·(c3/T), else 0 — held-out val/test docs genuinely exercise
+    * the backoff tiers (training and scoring on the same corpus would
+    * make the backoff unreachable). Emits per doc the tier census
+    * (hits, bigram/unigram backoffs, OOV) and the mean score — q134's
+    * bigram fluency is the single-tier special case; the tier ladder
+    * is the new semantics. Scores are per-trigram fixed-pointed
+    * (floor ×1e15, each a chain of exact-count IEEE ops in pinned
+    * order) so the per-doc sums are exact int64.
+    *
+    * 100 TB design: all backoff resolution happens at VOCABULARY
+    * grain — the distinct-trigram census (with its bigram/unigram
+    * lookups, each census map-side combined) is scored once, and the
+    * occurrence stream then takes exactly ONE keyed join against the
+    * scored trigram table (the q134 move, lifted to the ladder). No
+    * global windows; the train total is a broadcast single row. */
+  val q240BackoffLm: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("split", splitAssign(col("doc_id")))
+    // n-gram derivation via zip_with over shifted slices (the repo's
+    // length-0-safe spelling — `sequence(1, size-k)` flips DESCENDING
+    // when size < k+1, where slice just returns empty)
+    val triExpr =
+      """zip_with(
+           zip_with(slice(t, 1, greatest(size(t) - 2, 0)),
+                    slice(t, 2, greatest(size(t) - 2, 0)),
+                    (a, b) -> named_struct('w1', a, 'w2', b)),
+           slice(t, 3, greatest(size(t) - 2, 0)),
+           (p, c) -> named_struct('w1', p.w1, 'w2', p.w2, 'w3', c))"""
+    def grams(df: DataFrame, n: Int): DataFrame = n match {
+      case 1 => df.select(explode(col("t")).as("w1"))
+      case 2 => df.select(explode(expr(
+          """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
+                      slice(t, 2, greatest(size(t) - 1, 0)),
+                      (a, b) -> named_struct('w1', a, 'w2', b))"""))
+          .as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      case _ => df.select(explode(expr(triExpr)).as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2"),
+          col("g.w3").as("w3"))
+    }
+    val train = docs.filter(col("split") === "train")
+    val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val uni = grams(train, 1).groupBy(col("w1"))
+      .agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).cast("long").as("t_tokens"))
+    // occurrence stream (all splits), and its DISTINCT trigram census —
+    // the only frame the backoff-resolution joins ever touch
+    val occ = docs
+      .select(col("doc_id"), col("split"), explode(expr(triExpr)).as("g"))
+      .select(col("doc_id"), col("split"),
+        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    val scored = occ.select(col("w1"), col("w2"), col("w3")).distinct()
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("c1").as("c2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("c1").as("c3")),
+        Seq("w3"), "left")
+      .join(broadcast(total))
+      // a trigram seen in train implies its (w1,w2) bigram (and a seen
+      // (w2,w3) bigram implies unigram w2), so each tier's denominator
+      // is non-null exactly when its numerator is
+      .withColumn("tier",
+        when(col("c123").isNotNull, lit(3))
+          .when(col("c23").isNotNull, lit(2))
+          .when(col("c3").isNotNull, lit(1)).otherwise(lit(0)))
+      .withColumn("s_fp", floor(
+        when(col("tier") === 3,
+          col("c123").cast("double") / col("c12").cast("double"))
+          .when(col("tier") === 2, lit(0.4) *
+            (col("c23").cast("double") / col("c2").cast("double")))
+          .when(col("tier") === 1, lit(0.4) * lit(0.4) *
+            (col("c3").cast("double") / col("t_tokens").cast("double")))
+          .otherwise(lit(0.0)) * lit(1.0e15)).cast("long"))
+      .select(col("w1"), col("w2"), col("w3"), col("tier"), col("s_fp"))
+    occ.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"), col("split"))
+      .agg(count(lit(1)).as("n_tri"),
+        sum(when(col("tier") === 3, 1L).otherwise(0L)).cast("long")
+          .as("n_hit3"),
+        sum(when(col("tier") === 2, 1L).otherwise(0L)).cast("long")
+          .as("n_bo2"),
+        sum(when(col("tier") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_bo1"),
+        sum(when(col("tier") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_oov"),
+        sum(col("s_fp")).cast("long").as("score_fp"))
+      .withColumn("score", col("score_fp").cast("double")
+        / (col("n_tri").cast("double") * lit(1.0e15)))
+  }
+  val o240: String = """
+    WITH toks AS (
+      SELECT doc_id,
+        CASE WHEN (((doc_id % 1000000007) * 2654435761 + 5851)
+               % 1000000007) % 100 < 80 THEN 'train'
+             WHEN (((doc_id % 1000000007) * 2654435761 + 5851)
+               % 1000000007) % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        string_split(text, ' ') AS t
+      FROM documents),
+    tri_tr AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+        COUNT(*) AS c123
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks WHERE split = 'train')
+      GROUP BY 1, 2, 3),
+    bi_tr AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2, COUNT(*) AS c12
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE split = 'train')
+      GROUP BY 1, 2),
+    uni_tr AS (
+      SELECT t[i] AS w1, COUNT(*) AS c1
+      FROM (SELECT t, unnest(generate_series(1, len(t))) AS i
+            FROM toks WHERE split = 'train')
+      GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens FROM uni_tr),
+    occ AS (
+      SELECT doc_id, split, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+      FROM (SELECT doc_id, split, t,
+              unnest(generate_series(1, len(t) - 2)) AS i
+            FROM toks)),
+    scored AS (
+      SELECT w1, w2, w3,
+        CASE WHEN tr.c123 IS NOT NULL THEN 3
+             WHEN b23.c23 IS NOT NULL THEN 2
+             WHEN u3.c3 IS NOT NULL THEN 1 ELSE 0 END AS tier,
+        CAST(FLOOR(
+          CASE WHEN tr.c123 IS NOT NULL
+                 THEN CAST(tr.c123 AS DOUBLE) / CAST(b12.c12 AS DOUBLE)
+               WHEN b23.c23 IS NOT NULL THEN 0.4 *
+                 (CAST(b23.c23 AS DOUBLE) / CAST(u2.c2 AS DOUBLE))
+               WHEN u3.c3 IS NOT NULL THEN 0.4 * 0.4 *
+                 (CAST(u3.c3 AS DOUBLE) / CAST(tot.t_tokens AS DOUBLE))
+               ELSE 0.0 END * 1.0e15) AS BIGINT) AS s_fp
+      FROM (SELECT DISTINCT w1, w2, w3 FROM occ) g
+      LEFT JOIN tri_tr tr USING (w1, w2, w3)
+      LEFT JOIN bi_tr b12 ON b12.w1 = g.w1 AND b12.w2 = g.w2
+      LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM bi_tr) b23
+        ON b23.w2 = g.w2 AND b23.w3 = g.w3
+      LEFT JOIN (SELECT w1 AS w2, c1 AS c2 FROM uni_tr) u2
+        ON u2.w2 = g.w2
+      LEFT JOIN (SELECT w1 AS w3, c1 AS c3 FROM uni_tr) u3
+        ON u3.w3 = g.w3
+      CROSS JOIN tot)
+    SELECT doc_id, split, COUNT(*) AS n_tri,
+      CAST(SUM(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_hit3,
+      CAST(SUM(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bo2,
+      CAST(SUM(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_bo1,
+      CAST(SUM(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_oov,
+      CAST(SUM(s_fp) AS BIGINT) AS score_fp,
+      CAST(SUM(s_fp) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS score
+    FROM occ JOIN scored USING (w1, w2, w3)
+    GROUP BY doc_id, split"""
+
   val queries: Map[String, Q] = Map(
+    "q240_backoff_lm" -> q240BackoffLm,
     "q233_packing_spans" -> q233PackingSpans,
     "q234_window_occupancy" -> q234WindowOccupancy,
     "q235_bpe_fertility" -> q235BpeFertility,
@@ -3325,6 +3498,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q240_backoff_lm" -> o240,
     "q233_packing_spans" -> o233,
     "q234_window_occupancy" -> o234,
     "q235_bpe_fertility" -> o235,
