@@ -3440,7 +3440,141 @@ object CorpusOps {
     FROM occ JOIN scored USING (w1, w2, w3)
     GROUP BY doc_id, split"""
 
+  // --------------------------------- DSIR importance selection
+  /** Data selection via importance resampling (DSIR, Xie et al. 2023,
+    * arXiv:2302.03169) in the integer-bits spelling: tokens hash into
+    * 256 feature buckets (character-fold mod prime, engine-identical),
+    * bucket unigram LMs are estimated for the TARGET domain (lang='en'
+    * here — the domain a pretraining run wants more of) and the RAW
+    * corpus, and each document's importance weight is the sum over its
+    * tokens of log2 p_target(b) − log2 p_raw(b). Logs are the
+    * PIECEWISE-LINEAR log2 in 1/256-bit fixed point — exact integer
+    * arithmetic (msb via `length(bin(n))`, mantissa via shift), add-1
+    * smoothed, identical in both engines, max approximation error
+    * 0.086 bits/token — so the weight is an exact int64
+    * "target-likeness" with sub-bit resolution and no cross-engine
+    * `ln` drift (the repo's standing rule; a plain floor-log2
+    * quantizes uniform-ish 256-bucket LMs to all-zero weights — the
+    * first cut of this query proved that empirically). Selection =
+    * weight ≥ 0 (more target-like than raw); reported per source:
+    * docs, selected, share, mean bits.
+    *
+    * 100 TB design: the per-token weight table is vocab-grain (token
+    * census → 256-row bucket census → joined back at vocab grain), so
+    * the occurrence stream takes ONE keyed join against it; bucket
+    * LMs and totals are broadcast single rows; the final census is
+    * map-side combined on |sources| keys. */
+  val q241DsirSelect: Q = (s, d) => {
+    val occ = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    // vocab-grain census with the raw and target (lang='en') counts
+    val tok = occ.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+          .as("n_tgt"))
+      .withColumn("bucket", expr(
+        """aggregate(transform(sequence(1, length(w)),
+             i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
+             CAST(0 AS BIGINT),
+             (a, c) -> (a * 131 + c) % 1000000007) % 256"""))
+    val buckets = tok.groupBy(col("bucket"))
+      .agg(sum(col("n_raw")).cast("long").as("c_raw"),
+        sum(col("n_tgt")).cast("long").as("c_tgt"))
+    val totals = buckets.agg(
+      sum(col("c_raw")).cast("long").as("t_raw"),
+      sum(col("c_tgt")).cast("long").as("t_tgt"))
+    // piecewise-linear log2 in 1/256-bit units, exact int64:
+    // ilog(x) = (msb-1)*256 + mantissa8 - 256, msb = length(bin(x))
+    def ilog(x: String): String =
+      s"""((length(bin($x)) - 1) * 256
+          + ($x * 256) div shiftleft(CAST(1 AS BIGINT),
+                                     length(bin($x)) - 1) - 256)"""
+    val weights = buckets.join(broadcast(totals))
+      .select(col("bucket"),
+        expr(s"""CAST((${ilog("(c_tgt + 1)")} - ${ilog("t_tgt")})
+                  - (${ilog("(c_raw + 1)")} - ${ilog("t_raw")})
+                 AS BIGINT)""").as("w_bits"))
+    val tokW = tok.join(broadcast(weights), Seq("bucket"))
+      .select(col("w"), col("w_bits"))
+    occ.join(tokW, Seq("w"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("w_bits")).cast("long").as("doc_bits"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_bits") >= 0, 1L).otherwise(0L)).cast("long")
+          .as("n_sel"),
+        sum(col("doc_bits")).cast("long").as("sum_bits"))
+      .withColumn("sel_share",
+        col("n_sel").cast("double") / col("n_docs").cast("double"))
+      .withColumn("mean_bits",
+        col("sum_bits").cast("double")
+          / (col("n_docs").cast("double") * lit(256.0)))
+  }
+  val o241: String = """
+    WITH occ AS (
+      SELECT doc_id, source, lang, w
+      FROM (SELECT doc_id, source, lang,
+              unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE length(w) > 0),
+    tok AS (
+      SELECT w, COUNT(*) AS n_raw,
+        CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tgt,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, length(w)),
+              i -> CAST(unicode(w[i]) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 1000000007) % 256 AS bucket
+      FROM occ GROUP BY w),
+    buckets AS (
+      SELECT bucket, CAST(SUM(n_raw) AS BIGINT) AS c_raw,
+        CAST(SUM(n_tgt) AS BIGINT) AS c_tgt
+      FROM tok GROUP BY bucket),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+        CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
+      FROM buckets),
+    weights AS (
+      SELECT bucket,
+        CAST((((length(bin(c_tgt + 1)) - 1) * 256
+               + ((c_tgt + 1) * 256)
+                 // (CAST(1 AS BIGINT) << (length(bin(c_tgt + 1)) - 1))
+               - 256)
+              - ((length(bin(t_tgt)) - 1) * 256
+               + (t_tgt * 256)
+                 // (CAST(1 AS BIGINT) << (length(bin(t_tgt)) - 1))
+               - 256))
+           - (((length(bin(c_raw + 1)) - 1) * 256
+               + ((c_raw + 1) * 256)
+                 // (CAST(1 AS BIGINT) << (length(bin(c_raw + 1)) - 1))
+               - 256)
+              - ((length(bin(t_raw)) - 1) * 256
+               + (t_raw * 256)
+                 // (CAST(1 AS BIGINT) << (length(bin(t_raw)) - 1))
+               - 256)) AS BIGINT) AS w_bits
+      FROM buckets, tot),
+    tokw AS (
+      SELECT w, w_bits FROM tok JOIN weights USING (bucket)),
+    doc AS (
+      SELECT doc_id, source,
+        CAST(SUM(w_bits) AS BIGINT) AS doc_bits
+      FROM occ JOIN tokw USING (w)
+      GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN doc_bits >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_sel,
+      CAST(SUM(doc_bits) AS BIGINT) AS sum_bits,
+      CAST(SUM(CASE WHEN doc_bits >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS sel_share,
+      CAST(SUM(doc_bits) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 256.0) AS mean_bits
+    FROM doc GROUP BY source"""
+
   val queries: Map[String, Q] = Map(
+    "q241_dsir_select" -> q241DsirSelect,
     "q240_backoff_lm" -> q240BackoffLm,
     "q233_packing_spans" -> q233PackingSpans,
     "q234_window_occupancy" -> q234WindowOccupancy,
@@ -3498,6 +3632,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q241_dsir_select" -> o241,
     "q240_backoff_lm" -> o240,
     "q233_packing_spans" -> o233,
     "q234_window_occupancy" -> o234,
