@@ -1819,7 +1819,198 @@ object VectorOps {
         ELSE CAST(0 AS DOUBLE) END AS tombstone_recall_at_k
     FROM nq CROSS JOIN ss CROSS JOIN ts CROSS JOIN tt"""
 
+  // --------------------------------- scalar-quantization audits
+  /** Reconstruction-error audit of q66's symmetric per-vector int8
+    * scheme (scale = 127/max|x|, the storage lane of a 4×-compressed
+    * vector index): per label, the per-element MSE and the worst
+    * per-vector squared error after a quantize→dequantize round trip —
+    * the "is int8 safe for THIS corpus" number an index build checks
+    * before committing to compressed storage (q113/q117 audit the PQ
+    * lane the same way via `err`).
+    *
+    * 100 TB design: one corpus pass, all per-vector work in-row (the
+    * quantize, dequantize, and error fold never leave the row);
+    * cross-row sums route through decimal(30,8) so the census is
+    * order-independent and hash-stable cross-engine; output is
+    * |labels| rows. */
+  val q242Sq8ErrorAudit: Q = (s, d) => {
+    import s.implicits._
+    val maxAbs = expr(
+      "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    val scale = when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(0.0)
+    val errDec = expr(
+      """CASE WHEN scale = 0.0 THEN CAST(0 AS DECIMAL(30,8)) ELSE
+           aggregate(sequence(1, size(embedding)),
+             CAST(0 AS DECIMAL(30,8)),
+             (a, i) -> CAST(a + CAST(
+               (CAST(element_at(embedding, i) AS DOUBLE)
+                 - CAST(CAST(round(CAST(element_at(embedding, i) AS DOUBLE)
+                     * scale) AS INT) AS DOUBLE) / scale)
+               * (CAST(element_at(embedding, i) AS DOUBLE)
+                 - CAST(CAST(round(CAST(element_at(embedding, i) AS DOUBLE)
+                     * scale) AS INT) AS DOUBLE) / scale)
+               AS DECIMAL(30,8)) AS DECIMAL(30,8)))
+         END""")
+    Tables.embeddings(s, d)
+      .withColumn("scale", scale)
+      .withColumn("err2", errDec)
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"err2").as("sum_err2"),
+        max($"err2".cast("double")).as("max_err2"))
+      .select($"label", $"n_vecs",
+        (col("sum_err2").cast("double")
+          / (col("n_vecs").cast("double") * lit(64.0))).as("mse"),
+        $"max_err2")
+  }
+  val o242: String = """
+    WITH scaled AS (
+      SELECT label,
+        CASE WHEN m > 0.0 THEN 127.0 / m ELSE 0.0 END AS scale,
+        embedding
+      FROM (SELECT label, embedding,
+              list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM embeddings)),
+    errs AS (
+      SELECT label,
+        CASE WHEN scale = 0.0 THEN CAST(0 AS DECIMAL(30,8)) ELSE
+          list_reduce(
+            list_prepend(CAST(0 AS DECIMAL(30,8)),
+              list_transform(generate_series(1, len(embedding)), i ->
+                CAST((CAST(embedding[i] AS DOUBLE)
+                    - CAST(CAST(round(CAST(embedding[i] AS DOUBLE)
+                        * scale) AS INT) AS DOUBLE) / scale)
+                  * (CAST(embedding[i] AS DOUBLE)
+                    - CAST(CAST(round(CAST(embedding[i] AS DOUBLE)
+                        * scale) AS INT) AS DOUBLE) / scale)
+                  AS DECIMAL(30,8)))),
+            (a, x) -> CAST(a + x AS DECIMAL(30,8)))
+        END AS err2
+      FROM scaled)
+    SELECT label, COUNT(*) AS n_vecs,
+      CAST(SUM(err2) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 64.0) AS mse,
+      MAX(CAST(err2 AS DOUBLE)) AS max_err2
+    FROM errs GROUP BY label"""
+
+  /** Retrieval-agreement audit of the int8 lane: for q62's probe set,
+    * the exact float-cosine top-10 vs the ASYMMETRIC int8 top-10
+    * (float query against dequantized candidates — the standard SQ
+    * search), reported per probe as overlap@10 — the end-to-end
+    * "does 4× compression change what retrieval returns" number
+    * (q242 measures geometry error; ranking can survive or break
+    * independently of it). Denominators are the ACTUAL exact-set
+    * sizes (the q215 lesson).
+    *
+    * 100 TB design: probes are one broadcast row set; candidate
+    * dequantization is in-row BEFORE the pair join (never per pair);
+    * both top-10s go through the two-phase heap operator
+    * (`plans/TopKPlan`) — partial k-bounded heaps, never a
+    * partition sort. */
+  val q243Sq8Agreement: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+    val q = e.filter($"vec_id" % 100 === 0 && $"vec_id" < 2500)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"))
+    val maxAbs = expr(
+      "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+    val c = e
+      .withColumn("scale",
+        when(maxAbs > 0.0, lit(127.0) / maxAbs).otherwise(0.0))
+      .withColumn("dq", expr(
+        """transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0.0
+             ELSE CAST(CAST(round(CAST(x AS DOUBLE) * scale) AS INT)
+                    AS DOUBLE) / scale END)"""))
+      .withColumn("dq_norm", sqrt(expr(
+        """aggregate(dq, CAST(0 AS DOUBLE),
+             (a, x) -> a + x * x)""")))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
+        $"norm".as("n_norm"), $"dq", $"dq_norm")
+    val pairs = broadcast(q).join(c, $"query_id" =!= $"neighbor_id")
+      .withColumn("cos_e",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .withColumn("cos_q", expr(
+        """aggregate(sequence(1, size(q_emb)), CAST(0 AS DOUBLE),
+             (a, i) -> a + CAST(element_at(q_emb, i) AS DOUBLE)
+                           * element_at(dq, i))""")
+        / ($"q_norm" * $"dq_norm"))
+      .select($"query_id", $"neighbor_id", $"cos_e", $"cos_q")
+      // both rankings read the same pair frame — materialize it once
+      // rather than re-running the 25×N fold per top-k pass
+      .localCheckpoint()
+    val topE = graft.plans.TopK.perGroup(
+      pairs.select($"query_id", $"neighbor_id", $"cos_e"),
+      Seq("query_id"), Seq(("cos_e", true), ("neighbor_id", false)), 10)
+    val topQ = graft.plans.TopK.perGroup(
+      pairs.select($"query_id", $"neighbor_id", $"cos_q"),
+      Seq("query_id"), Seq(("cos_q", true), ("neighbor_id", false)), 10)
+    topE.select($"query_id", $"neighbor_id", lit(1L).as("in_e"))
+      .join(topQ.select($"query_id", $"neighbor_id", lit(1L).as("in_q")),
+        Seq("query_id", "neighbor_id"), "full_outer")
+      .groupBy($"query_id")
+      .agg(sum(coalesce($"in_e", lit(0L))).cast("long").as("n_top"),
+        sum(coalesce($"in_e", lit(0L)) * coalesce($"in_q", lit(0L)))
+          .cast("long").as("n_overlap"))
+      .withColumn("agreement",
+        col("n_overlap").cast("double") / col("n_top").cast("double"))
+  }
+  val o243: String = s"""
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    c AS (
+      SELECT vec_id, embedding, norm,
+        CASE WHEN m > 0.0 THEN 127.0 / m ELSE 0.0 END AS scale
+      FROM (SELECT vec_id, embedding, norm,
+              list_max(list_transform(embedding,
+                x -> abs(CAST(x AS DOUBLE)))) AS m
+            FROM e)),
+    cd AS (
+      SELECT vec_id, embedding, norm,
+        list_transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0.0
+          ELSE CAST(CAST(round(CAST(x AS DOUBLE) * scale) AS INT)
+                 AS DOUBLE) / scale END) AS dq
+      FROM c),
+    cdn AS (
+      SELECT vec_id, embedding, norm, dq,
+        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(dq, x -> x * x)), (a, x) -> a + x)) AS dq_norm
+      FROM cd),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        ${dotSql("q.embedding", "c.embedding")} / (q.norm * c.norm)
+          AS cos_e,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list_transform(generate_series(1, len(q.embedding)), i ->
+            CAST(q.embedding[i] AS DOUBLE) * c.dq[i])),
+          (a, x) -> a + x) / (q.norm * c.dq_norm) AS cos_q
+      FROM e q JOIN cdn c ON q.vec_id % 100 = 0 AND q.vec_id < 2500
+                         AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_e DESC, neighbor_id ASC) AS re,
+        row_number() OVER (PARTITION BY query_id
+          ORDER BY cos_q DESC, neighbor_id ASC) AS rq
+      FROM pairs)
+    SELECT query_id,
+      CAST(SUM(CASE WHEN re <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_top,
+      CAST(SUM(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_overlap,
+      CAST(SUM(CASE WHEN re <= 10 AND rq <= 10 THEN 1 ELSE 0 END)
+          AS DOUBLE)
+        / CAST(SUM(CASE WHEN re <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+        AS agreement
+    FROM ranked GROUP BY query_id"""
+
   val queries: Map[String, Q] = Map(
+    "q242_sq8_error_audit" -> q242Sq8ErrorAudit,
+    "q243_sq8_agreement" -> q243Sq8Agreement,
     "q212_dbscan_census" -> q212DbscanCensus,
     "q215_retrieval_metrics" -> q215RetrievalMetrics,
     "q217_embedding_drift" -> q217EmbeddingDrift,
@@ -1843,6 +2034,8 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q242_sq8_error_audit" -> o242,
+    "q243_sq8_agreement" -> o243,
     "q212_dbscan_census" -> o212,
     "q215_retrieval_metrics" -> o215,
     "q217_embedding_drift" -> o217,
