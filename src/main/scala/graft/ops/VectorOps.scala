@@ -2008,7 +2008,120 @@ object VectorOps {
         AS agreement
     FROM ranked GROUP BY query_id"""
 
+  // --------------------------------- cluster-balanced selection
+  /** Cluster-balanced sampling: every vector is routed to its q65 IVF
+    * cell, each cell gets an EXACT quota of `n_total div n_cells`
+    * (the ideal-equal share — over-represented clusters are trimmed,
+    * small ones keep everything), and within a cell the kept set is
+    * the quota-smallest by a seeded multiplicative hash (q81's
+    * partition-stable two-round spelling, vec_id tie-break) — the
+    * diversity-preserving selection step of cluster-based curation
+    * (SemDeDup prunes WITHIN-cluster redundancy; this balances
+    * ACROSS clusters).
+    *
+    * 100 TB design: the exact per-cell quota is spelled as a
+    * TWO-LEVEL hash-bucket refinement, not a per-cell rank window
+    * over the corpus: per (cell, 256-bucket) counts → per-cell
+    * cumulative over the 256-row bucket census (bounded window) →
+    * threshold bucket + remainder per cell (broadcast) → rows below
+    * the threshold bucket pass outright, and only the threshold
+    * bucket itself (≈ cell/256 rows) is rank-refined. The DuckDB
+    * oracle is the naive per-cell `row_number` spelling, so the
+    * refinement is pinned row-identical to the rank semantics —
+    * the q153/q161 two-level-vs-naive pattern, applied to quota
+    * selection. */
+  val q244ClusterBalanced: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val packed = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+      .groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
+      .agg(array_sort(collect_list(struct($"c_label", $"carr")))
+        .as("cents"))
+    val assigned = emb.join(broadcast(packed))
+      .withColumn("cell", expr(
+        """array_min(transform(cents, ct -> named_struct(
+             'd2', l2sq_native(embedding, ct.carr),
+             'c_label', ct.c_label))).c_label"""))
+      .withColumn("h",
+        (pmod($"vec_id", lit(1000000007L)) * lit(2654435761L)
+          + lit(44L * 40503L)) % lit(1000000007L))
+      .withColumn("h", ($"h" * lit(2654435761L)) % lit(1000000007L))
+      .withColumn("b", expr("h div 3906251"))
+      .select($"vec_id", $"cell", $"h", $"b")
+      // consumed by the bucket census AND the row filters — one
+      // assignment pass, not three
+      .localCheckpoint()
+    val quota = assigned
+      .agg(expr("count(1) div count(DISTINCT cell)").cast("long")
+        .as("cap"))
+    val buckets = assigned.groupBy($"cell", $"b")
+      .agg(count(lit(1)).as("nb"))
+      .withColumn("cum", sum($"nb").over(Window.partitionBy($"cell")
+        .orderBy($"b").rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    // the one bucket per cell that straddles the quota, with the
+    // remainder still needed inside it
+    val thresholds = buckets.join(broadcast(quota))
+      .filter($"cum" - $"nb" < $"cap" && $"cap" <= $"cum")
+      .select($"cell", $"b".as("tb"), ($"cap" - ($"cum" - $"nb"))
+        .cast("long").as("need"))
+    val withT = assigned.join(broadcast(thresholds), Seq("cell"), "left")
+    val below = withT.filter($"tb".isNull || $"b" < $"tb")
+      .select($"cell", $"vec_id")
+    val refine = withT.filter($"b" === $"tb")
+      .withColumn("r", row_number().over(Window.partitionBy($"cell")
+        .orderBy($"h".asc, $"vec_id".asc)))
+      .filter($"r" <= $"need")
+      .select($"cell", $"vec_id")
+    below.unionByName(refine)
+  }
+  val o244: String = s"""
+    WITH dims AS (
+      SELECT vec_id, label, g.pos AS pos,
+             CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    centroids AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (
+      SELECT c_label, list(c ORDER BY pos) AS carr
+      FROM centroids GROUP BY c_label),
+    dist AS (
+      SELECT em.vec_id, ca.c_label,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                 list_transform(generate_series(1, 64), i ->
+                   (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i])
+                     * (CAST(em.embedding[i] AS DOUBLE) - ca.carr[i]))),
+               (acc, x) -> acc + x) AS d2
+      FROM embeddings em, carr ca),
+    a AS (
+      SELECT vec_id, c_label AS cell,
+        ((((vec_id % 1000000007) * 2654435761 + ${44L * 40503L})
+           % 1000000007) * 2654435761) % 1000000007 AS h
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+              ORDER BY d2 ASC, c_label ASC) AS rn
+            FROM dist)
+      WHERE rn = 1),
+    cap AS (
+      SELECT COUNT(*) // COUNT(DISTINCT cell) AS cap FROM a),
+    ranked AS (
+      SELECT vec_id, cell, row_number() OVER (PARTITION BY cell
+        ORDER BY h ASC, vec_id ASC) AS r
+      FROM a)
+    SELECT cell, vec_id FROM ranked, cap WHERE r <= cap"""
+
   val queries: Map[String, Q] = Map(
+    "q244_cluster_balanced" -> q244ClusterBalanced,
     "q242_sq8_error_audit" -> q242Sq8ErrorAudit,
     "q243_sq8_agreement" -> q243Sq8Agreement,
     "q212_dbscan_census" -> q212DbscanCensus,
@@ -2034,6 +2147,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q244_cluster_balanced" -> o244,
     "q242_sq8_error_audit" -> o242,
     "q243_sq8_agreement" -> o243,
     "q212_dbscan_census" -> o212,
