@@ -2178,7 +2178,7 @@ object CorpusOps {
     * accumulator state) → words$k. Shared by o223 (the trainer
     * report) and o235 (the fertility census over the final state). */
   private def bpeRoundSql(k: Int): String = s"""
-    pos$k AS (
+    pos$k AS MATERIALIZED (
       SELECT w, cnt, syms, len(syms) AS n,
         unnest(generate_series(1, len(syms))) AS pos
       FROM words${k - 1}),
@@ -2186,7 +2186,7 @@ object CorpusOps {
       SELECT syms[pos] AS mx, syms[pos + 1] AS my,
         CAST(SUM(cnt) AS BIGINT) AS n
       FROM pos$k WHERE pos < n GROUP BY 1, 2),
-    top$k AS (
+    top$k AS MATERIALIZED (
       SELECT CAST($k AS BIGINT) AS round, mx, my, n FROM pc$k
       ORDER BY n DESC, mx ASC, my ASC LIMIT 1),
     cand$k AS (
@@ -2204,7 +2204,7 @@ object CorpusOps {
           ORDER BY pos) AS r
         FROM isl$k)
       WHERE r % 2 = 1),
-    words$k AS (
+    words$k AS MATERIALIZED (
       SELECT w, cnt, list(sym ORDER BY pos) AS syms FROM (
         SELECT p.w, p.cnt, p.pos,
           CASE WHEN s1.pos IS NOT NULL THEN t.mx || t.my
@@ -2218,7 +2218,7 @@ object CorpusOps {
 
   /** The shared words0 CTE (global word census as character arrays). */
   private val bpeWords0Sql: String = """
-    words0 AS (
+    words0 AS MATERIALIZED (
       SELECT w, COUNT(*) AS cnt,
         list_transform(generate_series(1, length(w)), i -> w[i]) AS syms
       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
@@ -3440,6 +3440,70 @@ object CorpusOps {
     FROM occ JOIN scored USING (w1, w2, w3)
     GROUP BY doc_id, split"""
 
+  // ------------------------------------------- deep BPE trainer
+  private val DeepBpeRounds = 10
+
+  /** The DEEP BPE trainer: [[q223BpeTrain3]]'s merge round iterated
+    * [[DeepBpeRounds]] times under the q83 iterative-checkpoint
+    * pattern — the vocabulary is localCheckpointed EVERY round, so
+    * round r's pair census reads a materialized vocab instead of
+    * re-executing all r−1 previous folds (lazy chaining is O(N²) in
+    * rounds and nests the fold expression r deep, which is exactly
+    * what kills a 100+-round production trainer; this loop's cost is
+    * O(N) with flat lineage, and extends to any round count by
+    * changing one constant). Emits the merge-table head — one
+    * (round, merge, freq) row per round, the artifact a tokenizer
+    * build persists.
+    *
+    * 100 TB design: identical to q223 — the corpus collapses to the
+    * weighted vocab census once; every round runs on the vocabulary
+    * only (pair census map-side combined, argmax a sort-limit single
+    * row, merge an in-row fold against one broadcast row). */
+  val q245BpeDeepTrain: Q = (s, d) => {
+    import s.implicits._
+    val words0 = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select($"cnt", $"syms")
+      .localCheckpoint()
+    var words = words0
+    val tops = Seq.newBuilder[DataFrame]
+    for (r <- 1 to DeepBpeRounds) {
+      val top = words
+        .select($"cnt", explode(expr(
+          """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+                      slice(syms, 2, greatest(size(syms) - 1, 0)),
+                      (a, b) -> named_struct('mx', a, 'my', b))"""))
+          .as("p"))
+        .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
+        .agg(sum($"cnt").cast("long").as("n"))
+        .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
+        .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
+        .localCheckpoint()
+      // LEFT on TRUE: q223's degenerate-corpus convention — an empty
+      // merge census must be a no-op, not empty the vocabulary
+      words = words
+        .join(broadcast(top.select($"mx", $"my")), lit(true), "left")
+        .withColumn("folded", expr(bpeFoldExpr))
+        .withColumn("syms", expr(bpeFinishExpr))
+        .select($"cnt", $"syms")
+        .localCheckpoint()
+      tops += top
+    }
+    tops.result().reduce(_ unionByName _)
+      .select($"round", $"mx", $"my",
+        concat($"mx", $"my").as("merged"), $"n")
+  }
+  val o245: String = s"""
+    WITH $bpeWords0Sql,
+    ${(1 to DeepBpeRounds).map(bpeRoundSql).mkString(",\n    ")}
+    ${(1 to DeepBpeRounds).map(k =>
+      s"SELECT round, mx, my, mx || my AS merged, n FROM top$k")
+      .mkString("\n    UNION ALL\n    ")}"""
+
   // --------------------------------- DSIR importance selection
   /** Data selection via importance resampling (DSIR, Xie et al. 2023,
     * arXiv:2302.03169) in the integer-bits spelling: tokens hash into
@@ -3574,6 +3638,7 @@ object CorpusOps {
     FROM doc GROUP BY source"""
 
   val queries: Map[String, Q] = Map(
+    "q245_bpe_deep_train" -> q245BpeDeepTrain,
     "q241_dsir_select" -> q241DsirSelect,
     "q240_backoff_lm" -> q240BackoffLm,
     "q233_packing_spans" -> q233PackingSpans,
@@ -3632,6 +3697,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q245_bpe_deep_train" -> o245,
     "q241_dsir_select" -> o241,
     "q240_backoff_lm" -> o240,
     "q233_packing_spans" -> o233,
