@@ -3440,6 +3440,94 @@ object CorpusOps {
     FROM occ JOIN scored USING (w1, w2, w3)
     GROUP BY doc_id, split"""
 
+  // --------------------------------- effective-token mixture
+  /** The mixture you should ACTUALLY train on: q239's τ=0.5
+    * temperature shares computed twice per source — once on RAW
+    * token mass, once on EFFECTIVE token mass (exact-dedup survivors
+    * that also pass the q51 quality gate, q228's funnel definition) —
+    * with the share shift. A source fat with duplicates or low-quality
+    * text claims a raw-mass share it cannot back with trainable
+    * tokens; sampling by raw shares then silently over-replays its
+    * survivors. Planted exact replays (q226/q228's doc_id≡0 mod 6
+    * recipe, source carried) keep the dedup stage non-vacuous at
+    * every SF.
+    *
+    * 100 TB design: one corpus scan to the fingerprint census (8-byte
+    * keys, text never shuffles), one conditional per-source
+    * aggregate, fixed-point sqrt weights (q239's floor ×1e9
+    * convention) summed exactly before the single broadcast totals
+    * row. */
+  val q246EffectiveMixture: Q = (s, d) => {
+    import s.implicits._
+    val base0 = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text")
+    val docs = base0.unionByName(base0.filter($"doc_id" % 6 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(7L << 40)))
+      .withColumn("fp", TextOps.fingerprintCol)
+      .withColumn("ntok", size(split($"text", " ")).cast("long"))
+      .withColumn("pass_q", TextOps.qualityCol >= 0.4)
+    val surv = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val per = docs.join(surv, Seq("fp"))
+      .withColumn("is_eff", $"doc_id" === $"keep_id" && $"pass_q")
+      .groupBy($"source")
+      .agg(sum($"ntok").cast("long").as("t_raw"),
+        sum(when($"is_eff", $"ntok").otherwise(0L)).cast("long")
+          .as("t_eff"))
+      .withColumn("w_raw_fp",
+        floor(sqrt($"t_raw".cast("double")) * lit(1.0e9)).cast("long"))
+      .withColumn("w_eff_fp",
+        floor(sqrt($"t_eff".cast("double")) * lit(1.0e9)).cast("long"))
+    val totals = per.agg(
+      sum($"w_raw_fp").cast("long").as("tw_raw"),
+      sum($"w_eff_fp").cast("long").as("tw_eff"))
+    per.join(broadcast(totals))
+      .select($"source", $"t_raw", $"t_eff",
+        ($"w_raw_fp".cast("double") / $"tw_raw".cast("double"))
+          .as("share_raw"),
+        ($"w_eff_fp".cast("double") / $"tw_eff".cast("double"))
+          .as("share_eff"))
+      .withColumn("share_shift", $"share_eff" - $"share_raw")
+  }
+  val o246: String = s"""
+    WITH base AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${7L << 40} AS doc_id, source, text
+      FROM documents WHERE doc_id % 6 = 0),
+    docs AS (
+      SELECT doc_id, source,
+        ${TextOps.fingerprintSql} AS fp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        CASE WHEN (${TextOps.qualitySql}) >= 0.4
+          THEN 1 ELSE 0 END AS pass_q
+      FROM base),
+    surv AS (SELECT fp, MIN(doc_id) AS keep_id FROM docs GROUP BY fp),
+    per AS (
+      SELECT source,
+        CAST(SUM(ntok) AS BIGINT) AS t_raw,
+        CAST(SUM(CASE WHEN d.doc_id = s.keep_id AND d.pass_q = 1
+          THEN ntok ELSE 0 END) AS BIGINT) AS t_eff
+      FROM docs d JOIN surv s USING (fp)
+      GROUP BY source),
+    fp2 AS (
+      SELECT source, t_raw, t_eff,
+        CAST(FLOOR(sqrt(CAST(t_raw AS DOUBLE)) * 1.0e9) AS BIGINT)
+          AS w_raw_fp,
+        CAST(FLOOR(sqrt(CAST(t_eff AS DOUBLE)) * 1.0e9) AS BIGINT)
+          AS w_eff_fp
+      FROM per),
+    tot AS (
+      SELECT CAST(SUM(w_raw_fp) AS BIGINT) AS tw_raw,
+        CAST(SUM(w_eff_fp) AS BIGINT) AS tw_eff
+      FROM fp2)
+    SELECT source, t_raw, t_eff,
+      CAST(w_raw_fp AS DOUBLE) / CAST(tw_raw AS DOUBLE) AS share_raw,
+      CAST(w_eff_fp AS DOUBLE) / CAST(tw_eff AS DOUBLE) AS share_eff,
+      (CAST(w_eff_fp AS DOUBLE) / CAST(tw_eff AS DOUBLE))
+        - (CAST(w_raw_fp AS DOUBLE) / CAST(tw_raw AS DOUBLE))
+        AS share_shift
+    FROM fp2, tot"""
+
   // ------------------------------------------- deep BPE trainer
   private val DeepBpeRounds = 10
 
@@ -3638,6 +3726,7 @@ object CorpusOps {
     FROM doc GROUP BY source"""
 
   val queries: Map[String, Q] = Map(
+    "q246_effective_mixture" -> q246EffectiveMixture,
     "q245_bpe_deep_train" -> q245BpeDeepTrain,
     "q241_dsir_select" -> q241DsirSelect,
     "q240_backoff_lm" -> q240BackoffLm,
@@ -3697,6 +3786,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q246_effective_mixture" -> o246,
     "q245_bpe_deep_train" -> o245,
     "q241_dsir_select" -> o241,
     "q240_backoff_lm" -> o240,
