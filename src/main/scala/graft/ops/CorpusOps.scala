@@ -3289,20 +3289,24 @@ object CorpusOps {
     * occurrence stream then takes exactly ONE keyed join against the
     * scored trigram table (the q134 move, lifted to the ladder). No
     * global windows; the train total is a broadcast single row. */
+  /** Word-trigram derivation over a token array `t`, via zip_with
+    * over shifted slices — the repo's length-0-safe n-gram spelling
+    * (`sequence(1, size-k)` flips DESCENDING when size < k+1, where
+    * slice just returns empty). Shared by q240 (LM training/scoring)
+    * and q252 (trigram-type vocabulary growth). */
+  private[graft] val TriExpr: String =
+    """zip_with(
+         zip_with(slice(t, 1, greatest(size(t) - 2, 0)),
+                  slice(t, 2, greatest(size(t) - 2, 0)),
+                  (a, b) -> named_struct('w1', a, 'w2', b)),
+         slice(t, 3, greatest(size(t) - 2, 0)),
+         (p, c) -> named_struct('w1', p.w1, 'w2', p.w2, 'w3', c))"""
+
   val q240BackoffLm: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .withColumn("split", splitAssign(col("doc_id")))
-    // n-gram derivation via zip_with over shifted slices (the repo's
-    // length-0-safe spelling — `sequence(1, size-k)` flips DESCENDING
-    // when size < k+1, where slice just returns empty)
-    val triExpr =
-      """zip_with(
-           zip_with(slice(t, 1, greatest(size(t) - 2, 0)),
-                    slice(t, 2, greatest(size(t) - 2, 0)),
-                    (a, b) -> named_struct('w1', a, 'w2', b)),
-           slice(t, 3, greatest(size(t) - 2, 0)),
-           (p, c) -> named_struct('w1', p.w1, 'w2', p.w2, 'w3', c))"""
+    val triExpr = TriExpr
     def grams(df: DataFrame, n: Int): DataFrame = n match {
       case 1 => df.select(explode(col("t")).as("w1"))
       case 2 => df.select(explode(expr(
@@ -3439,6 +3443,249 @@ object CorpusOps {
         / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS score
     FROM occ JOIN scored USING (w1, w2, w3)
     GROUP BY doc_id, split"""
+
+  // --------------------------------- perplexity-tertile gate
+  /** CCNet-style perplexity gate (Wenzek et al. 2020): every scored
+    * document is ranked WITHIN ITS LANGUAGE by q240's backoff-LM mean
+    * score (higher = more fluent ≈ lower perplexity) and split into
+    * head/middle/tail tertiles; `kept` = head ∪ middle — the classic
+    * LM-quality cut that curates per language so low-resource
+    * languages aren't graded on the high-resource corpus's curve.
+    * The rank key is the exact fixed-point mean `score_fp div n_tri`
+    * (both engines floor nonnegative operands identically), doc_id
+    * tie-break. Docs with no trigram position carry no LM evidence
+    * and are out of the gate's scope (the q51 length gate owns them).
+    * Tertile boundaries use ntile arithmetic spelled explicitly
+    * (first `n mod 3` tertiles take one extra row) so both engines
+    * bin identically at every n.
+    *
+    * 100 TB design: a per-language rank window is still a
+    * census-scale sort through few language partitions, so the rank
+    * rides q153's two-level layout — [[Relational.valueBucket]] maps
+    * the mean to a BOUNDED value-monotonic histogram key, the
+    * (lang, bucket) census cumsum (≤ ~18k rows per language) yields
+    * offsets, and per-(lang, bucket) windows refine — no
+    * census-scale window partition anywhere. The oracle is the naive
+    * per-language row_number, pinning the refinement row-identical. */
+  val q250PplGate: Q = (s, d) => {
+    import s.implicits._
+    val scored = q240BackoffLm(s, d)
+      .join(Tables.documents(s, d).select($"doc_id", $"lang"),
+        Seq("doc_id"))
+      .select($"doc_id", $"lang",
+        expr("score_fp div n_tri").as("m_fp"))
+      .withColumn("bucket", Relational.valueBucket($"m_fp"))
+    val offsets = scored.groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        (sum($"bn").over(Window.partitionBy($"lang")
+          .orderBy($"bucket".desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"bn").cast("long"))
+      .withColumn("n", sum($"bn").over(Window.partitionBy($"lang")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .select($"lang", $"bucket", $"offset", $"n")
+    val wb = Window.partitionBy($"lang", $"bucket")
+      .orderBy($"m_fp".desc, $"doc_id".asc)
+    scored.join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("lang_rank",
+        ($"offset" + row_number().over(wb)).cast("long"))
+      .withColumn("b1", (expr("n div 3")
+        + when($"n" % 3 >= 1, 1L).otherwise(0L)).cast("long"))
+      .withColumn("b2", (expr("2 * (n div 3)")
+        + least($"n" % 3, lit(2L))).cast("long"))
+      .select($"doc_id", $"lang", $"m_fp".as("score_fp_mean"),
+        $"lang_rank",
+        when($"lang_rank" <= $"b1", lit("head"))
+          .when($"lang_rank" <= $"b2", lit("middle"))
+          .otherwise(lit("tail")).as("tertile"),
+        ($"lang_rank" <= $"b2").as("kept"))
+  }
+  val o250: String = s"""
+    WITH base AS (SELECT * FROM ($o240)),
+    sc AS (
+      SELECT b.doc_id, d.lang, b.score_fp // b.n_tri AS m_fp
+      FROM base b JOIN documents d USING (doc_id)),
+    ranked AS (
+      SELECT doc_id, lang, m_fp,
+        CAST(row_number() OVER (PARTITION BY lang
+          ORDER BY m_fp DESC, doc_id ASC) AS BIGINT) AS lang_rank,
+        COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM sc),
+    cut AS (
+      SELECT *,
+        n // 3 + CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END AS b1,
+        2 * (n // 3) + LEAST(n % 3, 2) AS b2
+      FROM ranked)
+    SELECT doc_id, lang, m_fp AS score_fp_mean, lang_rank,
+      CASE WHEN lang_rank <= b1 THEN 'head'
+           WHEN lang_rank <= b2 THEN 'middle'
+           ELSE 'tail' END AS tertile,
+      lang_rank <= b2 AS kept
+    FROM cut"""
+
+  // --------------------------------- source lexical-drift TVD
+  /** Per-source lexical drift: the total-variation distance between
+    * each source's unigram distribution and the whole-corpus
+    * distribution — TVD(s) = ½·Σ_w |c_s(w)/T_s − c(w)/T|, the one
+    * number that answers "which source's vocabulary deviates most
+    * from the mixture" before it skews a training run (q123 censuses
+    * cross-source SHARING; this measures distributional distance).
+    *
+    * Exactness: each term's deviation is the integer
+    * |c_s·T − c·T_s| via [[crossDevAbs]] (decimal(38,0) ↔ HUGEINT —
+    * the q179 convention, safe past int64 cross-products); terms the
+    * source NEVER emits contribute c·T_s each, folded in
+    * ALGEBRAICALLY as T_s·(T − Σ_{w∈s} c(w)) so the absent
+    * (source, term) pairs are never materialized. One IEEE division
+    * per source row at the very end.
+    *
+    * 100 TB design: everything happens at vocabulary grain — the
+    * (source, term) census and the term census are map-side combined,
+    * the term totals attach by ONE keyed join, source totals and the
+    * corpus total are broadcast. No windows, no pair frames. */
+  val q251SourceDrift: Q = (s, d) => {
+    import s.implicits._
+    val occ = Tables.documents(s, d)
+      .select($"source", explode(split($"text", " ")).as("term"))
+    val st = occ.groupBy($"source", $"term")
+      .agg(count(lit(1)).as("c_st"))
+      .localCheckpoint() // feeds the term census AND the dev sum
+    val termTot = st.groupBy($"term")
+      .agg(sum($"c_st").cast("long").as("c_t"))
+    val srcTot = st.groupBy($"source")
+      .agg(sum($"c_st").cast("long").as("t_s"))
+    val tot = termTot.agg(sum($"c_t").cast("long").as("t_all"))
+    st.join(termTot, Seq("term"))
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(tot))
+      .withColumn("dev",
+        crossDevAbs($"c_st", $"t_all", $"c_t", $"t_s"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum($"c_t").cast("long").as("covered_mass"),
+        sum($"dev").as("sum_dev"))
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(tot))
+      .select($"source", $"n_terms", $"t_s".as("n_tokens"),
+        (($"sum_dev" + $"t_s".cast("decimal(38,0)")
+            * ($"t_all" - $"covered_mass")).cast("double")
+          / (lit(2.0) * $"t_s".cast("double")
+            * $"t_all".cast("double"))).as("tvd"))
+  }
+  val o251: String = """
+    WITH occ AS (
+      SELECT source, t[i] AS term
+      FROM (SELECT source, t, unnest(generate_series(1, len(t))) AS i
+            FROM (SELECT source, string_split(text, ' ') AS t
+                  FROM documents))),
+    st AS (
+      SELECT source, term, COUNT(*) AS c_st FROM occ GROUP BY 1, 2),
+    term_tot AS (
+      SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t
+      FROM st GROUP BY 1),
+    src_tot AS (
+      SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s
+      FROM st GROUP BY 1),
+    tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_all FROM term_tot),
+    per_src AS (
+      SELECT st.source, COUNT(*) AS n_terms,
+        CAST(SUM(tt.c_t) AS BIGINT) AS covered_mass,
+        SUM(ABS(CAST(st.c_st AS HUGEINT) * tot.t_all
+                - CAST(tt.c_t AS HUGEINT) * so.t_s)) AS sum_dev
+      FROM st
+      JOIN term_tot tt USING (term)
+      JOIN src_tot so ON so.source = st.source
+      CROSS JOIN tot
+      GROUP BY st.source)
+    SELECT p.source, p.n_terms, s.t_s AS n_tokens,
+      CAST(p.sum_dev + CAST(s.t_s AS HUGEINT)
+             * (t.t_all - p.covered_mass) AS DOUBLE)
+        / (2.0 * CAST(s.t_s AS DOUBLE) * CAST(t.t_all AS DOUBLE))
+        AS tvd
+    FROM per_src p
+    JOIN src_tot s ON s.source = p.source
+    CROSS JOIN tot t"""
+
+  // --------------------------------- vocab-size coverage sweep
+  /** Tokenizer vocab-size sweep: token-occurrence coverage at vocab
+    * cuts of 512/1024/2048/4096 types (top types by frequency, term
+    * tie-break) — the "how big must the vocabulary be" curve a
+    * tokenizer build reads before committing (q115 profiles head/tail
+    * at ONE cut; q175 measures OOV against ONE fixed list; this
+    * sweeps the family).
+    *
+    * 100 TB design: the corpus collapses to the vocab census (map-side
+    * combined); the head is extracted by the GLOBAL two-phase top-k
+    * heap operator (`plans/TopKPlan`, k-bounded partial heaps — never
+    * an unpartitioned rank window over the vocab, the q221 lesson);
+    * the sweep is one conditional aggregate over the ≤4096-row head
+    * crossed with the single-row census totals. */
+  val q247VocabSweep: Q = (s, d) => {
+    val census = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val head = graft.plans.TopK.perGroup(census, Seq.empty,
+      Seq(("n", true), ("term", false)), 4096)
+    val totals = census.agg(
+      sum(col("n")).cast("long").as("total_tokens"),
+      count(lit(1)).as("vocab_size"))
+    // one conditional aggregate over the bounded head frame
+    val sums = head.agg(
+      sum(when(col("rank") <= 512, col("n")).otherwise(0L)).cast("long")
+        .as("c512"),
+      sum(when(col("rank") <= 1024, col("n")).otherwise(0L)).cast("long")
+        .as("c1024"),
+      sum(when(col("rank") <= 2048, col("n")).otherwise(0L)).cast("long")
+        .as("c2048"),
+      sum(col("n")).cast("long").as("c4096"))
+    sums.join(broadcast(totals))
+      .select(expr("""stack(4,
+        CAST(512 AS BIGINT), c512,
+        CAST(1024 AS BIGINT), c1024,
+        CAST(2048 AS BIGINT), c2048,
+        CAST(4096 AS BIGINT), c4096)
+        AS (cut, covered_tokens)"""),
+        col("total_tokens"), col("vocab_size"))
+      .withColumn("coverage_pct",
+        col("covered_tokens").cast("double") * 100.0
+          / col("total_tokens").cast("double"))
+  }
+  val o247: String = """
+    WITH census AS (
+      SELECT term, COUNT(*) AS n FROM (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY term),
+    ranked AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n DESC, term ASC)
+        AS BIGINT) AS rank
+      FROM census),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+        COUNT(*) AS vocab_size
+      FROM census),
+    sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN rank <= 512 THEN n ELSE 0 END) AS BIGINT)
+          AS c512,
+        CAST(SUM(CASE WHEN rank <= 1024 THEN n ELSE 0 END) AS BIGINT)
+          AS c1024,
+        CAST(SUM(CASE WHEN rank <= 2048 THEN n ELSE 0 END) AS BIGINT)
+          AS c2048,
+        CAST(SUM(CASE WHEN rank <= 4096 THEN n ELSE 0 END) AS BIGINT)
+          AS c4096
+      FROM ranked),
+    cuts AS (
+      SELECT CAST(512 AS BIGINT) AS cut, c512 AS covered_tokens
+        FROM sums
+      UNION ALL SELECT 1024, c1024 FROM sums
+      UNION ALL SELECT 2048, c2048 FROM sums
+      UNION ALL SELECT 4096, c4096 FROM sums)
+    SELECT cut, covered_tokens, total_tokens, vocab_size,
+      CAST(covered_tokens AS DOUBLE) * 100.0
+        / CAST(total_tokens AS DOUBLE) AS coverage_pct
+    FROM cuts, tot"""
 
   // --------------------------------- effective-token mixture
   /** The mixture you should ACTUALLY train on: q239's τ=0.5
@@ -3616,38 +3863,78 @@ object CorpusOps {
     * the occurrence stream takes ONE keyed join against it; bucket
     * LMs and totals are broadcast single rows; the final census is
     * map-side combined on |sources| keys. */
-  val q241DsirSelect: Q = (s, d) => {
-    val occ = Tables.documents(s, d)
+  /** Piecewise-linear log2 in 1/256-bit fixed point, exact int64 —
+    * ilog256(x)/256 = (msb−1) + (mantissa−1) where mantissa−1 is the
+    * 8-bit linear interpolation between powers of two; the chord of a
+    * concave curve only UNDERESTIMATES, by at most
+    * (1 − ln 2 · (1 + ln(1/ln 2)))/ln 2 ≈ 0.0861 bits, plus up to
+    * 1/256 bits of fixed-point floor — ≈ 0.0900 bits total
+    * (QueriesSpec pins the bound numerically). Spark dialect;
+    * [[ilog256Duck]] is the DuckDB twin. Defined for x ≥ 1; x·256
+    * must fit int64 (x < 2^55). */
+  private[graft] def ilog256(x: String): String =
+    s"""((length(bin($x)) - 1) * 256
+        + ($x * 256) div shiftleft(CAST(1 AS BIGINT),
+                                   length(bin($x)) - 1) - 256)"""
+
+  /** DuckDB twin of [[ilog256]]. */
+  private[graft] def ilog256Duck(x: String): String =
+    s"""((length(bin($x)) - 1) * 256
+        + ($x * 256) // (CAST(1 AS BIGINT) << (length(bin($x)) - 1))
+        - 256)"""
+
+  /** The 256-bucket feature hash of a token expression `v` —
+    * character fold mod prime, engine-identical (the DSIR hashed
+    * n-gram feature). Shared by q241 (vocab grain) and the streaming
+    * admission gate (in-row over intake tokens). */
+  private[graft] def tokenBucket(v: String): String =
+    s"""aggregate(transform(sequence(1, length($v)),
+         i -> CAST(ascii(substring($v, i, 1)) AS BIGINT)),
+         CAST(0 AS BIGINT),
+         (a, c) -> (a * 131 + c) % 1000000007) % 256"""
+
+  /** q241's occurrence stream: (doc_id, source, lang, token). */
+  private def dsirOcc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    // vocab-grain census with the raw and target (lang='en') counts
-    val tok = occ.groupBy(col("w"))
-      .agg(count(lit(1)).as("n_raw"),
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
-          .as("n_tgt"))
-      .withColumn("bucket", expr(
-        """aggregate(transform(sequence(1, length(w)),
-             i -> CAST(ascii(substring(w, i, 1)) AS BIGINT)),
-             CAST(0 AS BIGINT),
-             (a, c) -> (a * 131 + c) % 1000000007) % 256"""))
+
+  /** Vocab-grain census with raw/target counts + feature bucket. */
+  private def dsirTok(occ: DataFrame): DataFrame = occ
+    .groupBy(col("w"))
+    .agg(count(lit(1)).as("n_raw"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).cast("long")
+        .as("n_tgt"))
+    .withColumn("bucket", expr(tokenBucket("w")))
+
+  /** The 256-row (bucket, w_bits) importance-weight table from a
+    * [[dsirTok]] census — the trained DSIR model artifact the batch
+    * tier persists and the streaming gate loads. */
+  private def dsirWeightsFrom(tok: DataFrame): DataFrame = {
     val buckets = tok.groupBy(col("bucket"))
       .agg(sum(col("n_raw")).cast("long").as("c_raw"),
         sum(col("n_tgt")).cast("long").as("c_tgt"))
     val totals = buckets.agg(
       sum(col("c_raw")).cast("long").as("t_raw"),
       sum(col("c_tgt")).cast("long").as("t_tgt"))
-    // piecewise-linear log2 in 1/256-bit units, exact int64:
-    // ilog(x) = (msb-1)*256 + mantissa8 - 256, msb = length(bin(x))
-    def ilog(x: String): String =
-      s"""((length(bin($x)) - 1) * 256
-          + ($x * 256) div shiftleft(CAST(1 AS BIGINT),
-                                     length(bin($x)) - 1) - 256)"""
-    val weights = buckets.join(broadcast(totals))
+    buckets.join(broadcast(totals))
       .select(col("bucket"),
-        expr(s"""CAST((${ilog("(c_tgt + 1)")} - ${ilog("t_tgt")})
-                  - (${ilog("(c_raw + 1)")} - ${ilog("t_raw")})
+        expr(s"""CAST((${ilog256("(c_tgt + 1)")} - ${ilog256("t_tgt")})
+                  - (${ilog256("(c_raw + 1)")} - ${ilog256("t_raw")})
                  AS BIGINT)""").as("w_bits"))
+  }
+
+  /** [[dsirWeightsFrom]] end-to-end over a corpus dir — the batch
+    * training pass the streaming DSIR gate's weights come from. */
+  private[graft] def dsirBucketWeights(s: SparkSession,
+                                       d: String): DataFrame =
+    dsirWeightsFrom(dsirTok(dsirOcc(s, d)))
+
+  val q241DsirSelect: Q = (s, d) => {
+    val occ = dsirOcc(s, d)
+    val tok = dsirTok(occ)
+    val weights = dsirWeightsFrom(tok)
     val tokW = tok.join(broadcast(weights), Seq("bucket"))
       .select(col("w"), col("w_bits"))
     occ.join(tokW, Seq("w"))
@@ -3664,7 +3951,7 @@ object CorpusOps {
         col("sum_bits").cast("double")
           / (col("n_docs").cast("double") * lit(256.0)))
   }
-  val o241: String = """
+  val o241: String = s"""
     WITH occ AS (
       SELECT doc_id, source, lang, w
       FROM (SELECT doc_id, source, lang,
@@ -3691,22 +3978,9 @@ object CorpusOps {
       FROM buckets),
     weights AS (
       SELECT bucket,
-        CAST((((length(bin(c_tgt + 1)) - 1) * 256
-               + ((c_tgt + 1) * 256)
-                 // (CAST(1 AS BIGINT) << (length(bin(c_tgt + 1)) - 1))
-               - 256)
-              - ((length(bin(t_tgt)) - 1) * 256
-               + (t_tgt * 256)
-                 // (CAST(1 AS BIGINT) << (length(bin(t_tgt)) - 1))
-               - 256))
-           - (((length(bin(c_raw + 1)) - 1) * 256
-               + ((c_raw + 1) * 256)
-                 // (CAST(1 AS BIGINT) << (length(bin(c_raw + 1)) - 1))
-               - 256)
-              - ((length(bin(t_raw)) - 1) * 256
-               + (t_raw * 256)
-                 // (CAST(1 AS BIGINT) << (length(bin(t_raw)) - 1))
-               - 256)) AS BIGINT) AS w_bits
+        CAST((${ilog256Duck("(c_tgt + 1)")} - ${ilog256Duck("t_tgt")})
+          - (${ilog256Duck("(c_raw + 1)")} - ${ilog256Duck("t_raw")})
+          AS BIGINT) AS w_bits
       FROM buckets, tot),
     tokw AS (
       SELECT w, w_bits FROM tok JOIN weights USING (bucket)),
@@ -3725,7 +3999,147 @@ object CorpusOps {
         / (CAST(COUNT(*) AS DOUBLE) * 256.0) AS mean_bits
     FROM doc GROUP BY source"""
 
+  // --------------------------------- Heaps-law vocabulary growth
+  /** Heaps-law fit over the TRIGRAM stream: fit V(N) = k·N^β, where
+    * N = cumulative trigram positions and V = cumulative distinct
+    * trigram TYPES per 100-doc intake batch, by least squares in
+    * log2-log2 space. β is the scaling-law input a tokenizer/dedup
+    * plan reads (β in the Heaps range = healthy open phrase space; β
+    * collapsing toward 0 = the corpus is replaying itself — the
+    * type-growth face of q149's novelty decay; q247 sizes the
+    * unigram vocab at TODAY's corpus, this extrapolates growth).
+    * Trigram grain, not unigram: the synthetic corpus (like any
+    * closed-vocabulary stream) saturates its unigram vocabulary in
+    * the first batch — the UNIGRAM curve is the degenerate β=0 case,
+    * while phrase types keep growing; the trigram spelling is
+    * [[TriExpr]], shared with q240's LM.
+    *
+    * Exactness: cumulative V comes from the type FIRST-OCCURRENCE
+    * census (min batch per type — never a cumulative distinct), and
+    * both logs are [[ilog256]] fixed-point (exact int64, the q241
+    * spelling), so the five OLS moments accumulate as exact
+    * decimal(38,0) integer sums (q154's convention; x, y ≤ 2^14 so
+    * every per-row product fits int64 trivially); β and log2 k are
+    * then ONE identical IEEE expression per engine. The chord bias of
+    * ilog256 (≤ 0.0901 bits, QueriesSpec-pinned) shifts x and y by a
+    * near-constant sub-0.1-bit offset — harmless to a slope over
+    * decades and identical in both engines.
+    *
+    * 100 TB design: ONE corpus scan+tokenize collapses to the
+    * (batch, type)-grain census (map-side combined), from which BOTH
+    * lanes derive — position counts by batch-sum, type firsts by
+    * type-min — and is localCheckpointed (q251's convention) so its
+    * two consumers never re-read the corpus; the tiny batch census is
+    * checkpointed too (offsets and refinement both read it);
+    * cumulatives ride q149's two-level prefix-sum layout (÷1024
+    * super-batch offsets, per-super-batch windows — no census-scale
+    * frame crosses a single-partition sort); the OLS is one
+    * aggregate over batch-census rows. */
+  val q252HeapsFit: Q = (s, d) => {
+    import s.implicits._
+    val bt = Tables.documents(s, d)
+      .withColumn("t", split($"text", " "))
+      .select(expr("doc_id div 100").as("batch"),
+        explode(expr(TriExpr)).as("g"))
+      .select($"batch",
+        concat_ws(" ", $"g.w1", $"g.w2", $"g.w3").as("term"))
+      .groupBy($"batch", $"term")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds BOTH lanes: position sums + firsts
+    val newV = bt.groupBy($"term")
+      .agg(min($"batch").as("batch"))
+      .groupBy($"batch").agg(count(lit(1)).as("n_new"))
+    val census = bt.groupBy($"batch")
+      .agg(sum($"cnt").cast("long").as("n_tok"))
+      .join(newV, Seq("batch"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .withColumn("sup", expr("batch div 1024"))
+      .localCheckpoint()
+    val offsets = census.groupBy($"sup")
+      .agg(sum($"n_tok").as("st"), sum($"n_new").as("sv"))
+      .withColumn("tok_off",
+        (sum($"st").over(Window.orderBy($"sup".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"st").cast("long"))
+      .withColumn("voc_off",
+        (sum($"sv").over(Window.orderBy($"sup".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"sv").cast("long"))
+      .select($"sup", $"tok_off", $"voc_off")
+    val wb = Window.partitionBy($"sup").orderBy($"batch".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = census.join(broadcast(offsets), Seq("sup"))
+      .withColumn("cum_tok",
+        ($"tok_off" + sum($"n_tok").over(wb)).cast("long"))
+      .withColumn("cum_voc",
+        ($"voc_off" + sum($"n_new").over(wb)).cast("long"))
+      .select(expr(ilog256("cum_tok")).cast("long").as("x"),
+        expr(ilog256("cum_voc")).cast("long").as("y"))
+    pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum($"x".cast("decimal(38,0)")).cast("double").as("sx"),
+      sum($"y".cast("decimal(38,0)")).cast("double").as("sy"),
+      sum(($"x" * $"y").cast("decimal(38,0)")).cast("double").as("sxy"),
+      sum(($"x" * $"x").cast("decimal(38,0)")).cast("double").as("sxx"))
+      .select($"n".cast("long").as("n_batches"),
+        when($"n" * $"sxx" - $"sx" * $"sx" > 0.0,
+          ($"n" * $"sxy" - $"sx" * $"sy")
+            / ($"n" * $"sxx" - $"sx" * $"sx")).as("beta"),
+        when($"n" * $"sxx" - $"sx" * $"sx" > 0.0,
+          ($"sy" - ($"n" * $"sxy" - $"sx" * $"sy")
+              / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx")
+            / ($"n" * lit(256.0))).as("log2_k"))
+  }
+  val o252: String = s"""
+    WITH toks AS (
+      SELECT doc_id // 100 AS batch, string_split(text, ' ') AS t
+      FROM documents),
+    occ AS (
+      SELECT batch, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS term
+      FROM (SELECT batch, t, unnest(generate_series(1, len(t) - 2))
+              AS i
+            FROM toks)),
+    first_b AS (
+      SELECT term, MIN(batch) AS batch FROM occ GROUP BY term),
+    new_v AS (
+      SELECT batch, COUNT(*) AS n_new FROM first_b GROUP BY batch),
+    census AS (
+      SELECT t.batch, t.n_tok, COALESCE(v.n_new, 0) AS n_new
+      FROM (SELECT batch, COUNT(*) AS n_tok FROM occ GROUP BY batch) t
+      LEFT JOIN new_v v USING (batch)),
+    pts0 AS (
+      SELECT
+        CAST(SUM(n_tok) OVER (ORDER BY batch ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_tok,
+        CAST(SUM(n_new) OVER (ORDER BY batch ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS cum_voc
+      FROM census),
+    xy AS (
+      SELECT CAST(${ilog256Duck("cum_tok")} AS BIGINT) AS x,
+             CAST(${ilog256Duck("cum_voc")} AS BIGINT) AS y
+      FROM pts0),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS HUGEINT)) AS DOUBLE) AS sxx
+      FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_batches,
+      CASE WHEN n * sxx - sx * sx > 0.0
+        THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta,
+      CASE WHEN n * sxx - sx * sx > 0.0
+        THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+          / (n * 256.0) END AS log2_k
+    FROM m"""
+
   val queries: Map[String, Q] = Map(
+    "q252_heaps_fit" -> q252HeapsFit,
+    "q250_ppl_gate" -> q250PplGate,
+    "q251_source_drift" -> q251SourceDrift,
+    "q247_vocab_sweep" -> q247VocabSweep,
     "q246_effective_mixture" -> q246EffectiveMixture,
     "q245_bpe_deep_train" -> q245BpeDeepTrain,
     "q241_dsir_select" -> q241DsirSelect,
@@ -3786,6 +4200,10 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q252_heaps_fit" -> o252,
+    "q250_ppl_gate" -> o250,
+    "q251_source_drift" -> o251,
+    "q247_vocab_sweep" -> o247,
     "q246_effective_mixture" -> o246,
     "q245_bpe_deep_train" -> o245,
     "q241_dsir_select" -> o241,

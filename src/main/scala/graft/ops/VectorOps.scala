@@ -2008,6 +2008,254 @@ object VectorOps {
         AS agreement
     FROM ranked GROUP BY query_id"""
 
+  // --------------------------------- IVF probe-count sweep
+  /** The ANN tuning curve: IVF-FLAT recall@10 and scan cost for
+    * nprobe ∈ {1, 2, 4} over q62's probe set — per nprobe, how many
+    * candidates the index actually scans (the cost axis) and how much
+    * of the exact top-10 survives (the accuracy axis). q117 audits
+    * ONE operating point of the composed IVF-PQ index; this sweeps
+    * the routing knob an index deployment tunes first. Overlap sums
+    * stay exact int64; the one division per report row happens last.
+    *
+    * 100 TB design: cell routing is in-row against the broadcast
+    * centroid row (queries route to their 4 nearest cells in one
+    * array_sort); the candidate cut is an EQUI join between the
+    * corpus (tagged with its assigned cell, one in-row argmin pass)
+    * and the ≤|probes|·4-row routing table — partition pruning does
+    * this for free when the index is persisted partitioned by cell;
+    * per-(query, nprobe) top-10s ride the two-phase heap operator;
+    * the exact-truth pass is q62's declared constant-probe broadcast. */
+  val q249NprobeSweep: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+    val packed = emb
+      .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+      .groupBy($"label".as("c_label"), $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"))
+      .groupBy($"c_label")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
+      .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
+      .agg(array_sort(collect_list(struct($"c_label", $"carr")))
+        .as("cents"))
+      .localCheckpoint() // consumed by routing AND corpus assignment
+    val queries0 = emb
+      .filter($"vec_id" % 100 === 0 && $"vec_id" < 2500)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
+        $"norm".as("q_norm"))
+    // in-row routing: each query's 4 nearest cells, rank-tagged
+    val routing = queries0.join(broadcast(packed))
+      .select($"query_id", posexplode(expr(
+        """slice(array_sort(transform(cents, ct -> named_struct(
+             'd2', l2sq_native(q_emb, ct.carr),
+             'c_label', ct.c_label))), 1, 4)"""))
+        .as(Seq("p", "cc")))
+      .select($"query_id", $"cc.c_label".as("cell"),
+        ($"p" + 1).cast("long").as("cellrank"))
+    val cands = emb.join(broadcast(packed))
+      .withColumn("cell", expr(
+        """array_min(transform(cents, ct -> named_struct(
+             'd2', l2sq_native(embedding, ct.carr),
+             'c_label', ct.c_label))).c_label"""))
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("n_emb"),
+        $"norm".as("n_norm"), $"cell")
+    val pairs = cands.join(broadcast(routing), Seq("cell"))
+      .filter($"query_id" =!= $"neighbor_id")
+      .join(broadcast(queries0), Seq("query_id"))
+      .withColumn("cosine",
+        expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+      .select($"query_id", $"neighbor_id", $"cellrank", $"cosine")
+      .localCheckpoint() // three nprobe cuts read the same pair frame
+    val truth = graft.plans.TopK.perGroup(
+      broadcast(queries0).join(
+        emb.select($"vec_id".as("neighbor_id"),
+          $"embedding".as("n_emb"), $"norm".as("n_norm")),
+        $"query_id" =!= $"neighbor_id")
+        .withColumn("cosine",
+          expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
+        .select($"query_id", $"neighbor_id", $"cosine"),
+      Seq("query_id"), Seq(("cosine", true), ("neighbor_id", false)), 10)
+      .select($"query_id", $"neighbor_id")
+      .localCheckpoint() // one truth pass serves all three cuts
+    val sweeps = Seq(1L, 2L, 4L).map { np =>
+      val cut = pairs.filter($"cellrank" <= np)
+      val top = graft.plans.TopK.perGroup(
+        cut.select($"query_id", $"neighbor_id", $"cosine"),
+        Seq("query_id"),
+        Seq(("cosine", true), ("neighbor_id", false)), 10)
+      val overlap = top.join(truth, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("total_overlap"))
+      val scanned = cut.agg(count(lit(1)).as("total_candidates"))
+      val nq = queries0.agg(count(lit(1)).as("n_queries"))
+      overlap.join(broadcast(scanned)).join(broadcast(nq))
+        .select(lit(np).as("nprobe"), $"n_queries",
+          $"total_candidates", $"total_overlap",
+          ($"total_overlap".cast("double")
+            / ($"n_queries".cast("double") * lit(10.0)))
+            .as("mean_recall"))
+    }
+    sweeps.reduce(_ unionByName _)
+  }
+  val o249: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    dims AS (
+      SELECT label, g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    centroids AS (
+      SELECT label AS c_label, pos,
+             CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2),
+    carr AS (
+      SELECT c_label, list(c ORDER BY pos) AS carr
+      FROM centroids GROUP BY c_label),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm
+      FROM e WHERE vec_id % 100 = 0 AND vec_id < 2500),
+    qcell AS (
+      SELECT query_id, c_label AS cell,
+        CAST(row_number() OVER (PARTITION BY query_id
+          ORDER BY d2 ASC, c_label ASC) AS BIGINT) AS cellrank
+      FROM (
+        SELECT q.query_id, ca.c_label,
+          list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, 64), i ->
+              (CAST(q.q_emb[i] AS DOUBLE) - ca.carr[i])
+                * (CAST(q.q_emb[i] AS DOUBLE) - ca.carr[i]))),
+            (acc, x) -> acc + x) AS d2
+        FROM q, carr ca)),
+    routing AS (SELECT * FROM qcell WHERE cellrank <= 4),
+    assigned AS (
+      SELECT vec_id AS neighbor_id, n_emb, n_norm, c_label AS cell
+      FROM (
+        SELECT e.vec_id, e.embedding AS n_emb, e.norm AS n_norm,
+          ca.c_label,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(generate_series(1, 64), i ->
+                (CAST(e.embedding[i] AS DOUBLE) - ca.carr[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - ca.carr[i]))),
+              (acc, x) -> acc + x) ASC, ca.c_label ASC) AS rn
+        FROM e, carr ca)
+      WHERE rn = 1),
+    pairs AS (
+      SELECT r.query_id, a.neighbor_id, r.cellrank,
+        ${dotSql("q.q_emb", "a.n_emb")} / (q.q_norm * a.n_norm)
+          AS cosine
+      FROM assigned a
+      JOIN routing r USING (cell)
+      JOIN q USING (query_id)
+      WHERE r.query_id <> a.neighbor_id),
+    truth AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.query_id ORDER BY
+            ${dotSql("q.q_emb", "c.embedding")} / (q.q_norm * c.norm)
+              DESC, c.vec_id ASC) AS r
+        FROM q JOIN e c ON q.query_id <> c.vec_id)
+      WHERE r <= 10),
+    nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM q),
+    sweep AS (
+      SELECT np.nprobe, p.query_id, p.neighbor_id, p.cosine
+      FROM (SELECT unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+              CAST(4 AS BIGINT)]) AS nprobe) np
+      JOIN pairs p ON p.cellrank <= np.nprobe),
+    tops AS (
+      SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+          row_number() OVER (PARTITION BY nprobe, query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS r
+        FROM sweep)
+      WHERE r <= 10),
+    rep AS (
+      SELECT nprobe, CAST(COUNT(*) AS BIGINT) AS total_candidates
+      FROM sweep GROUP BY nprobe),
+    ov AS (
+      SELECT t.nprobe, CAST(COUNT(*) AS BIGINT) AS total_overlap
+      FROM tops t JOIN truth tr USING (query_id, neighbor_id)
+      GROUP BY t.nprobe)
+    SELECT r.nprobe, nq.n_queries, r.total_candidates,
+      ov.total_overlap,
+      CAST(ov.total_overlap AS DOUBLE)
+        / (CAST(nq.n_queries AS DOUBLE) * 10.0) AS mean_recall
+    FROM rep r JOIN ov USING (nprobe), nq"""
+
+  // --------------------------------- split representativeness
+  /** Eval-split representativeness in embedding space: q105's
+    * deterministic 80/10/10 split applied to vectors, each split's
+    * centroid scored by squared distance to the GLOBAL centroid — a
+    * val/test centroid far from global means the held-out sets are
+    * not distributionally representative and eval numbers will skew
+    * (q217 drifts across TIME slices, q232 across SHARDS; this is the
+    * same audit across the train/val/test axis, completing the
+    * triad).
+    *
+    * 100 TB design: one 64× posexplode aggregate (map-side combined
+    * to |splits|×64 and 64 groups), exact decimal means, single-row
+    * global-centroid broadcast, in-row d2 fold — q217's conventions
+    * verbatim. */
+  val q248SplitDrift: Q = (s, d) => {
+    import s.implicits._
+    val dims = Tables.embeddings(s, d)
+      .withColumn("split", CorpusOps.splitAssign($"vec_id"))
+      .select($"split", posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+    val perSplit = dims.groupBy($"split", $"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("c"),
+        count(lit(1)).as("nv"))
+    val packed = perSplit.groupBy($"split")
+      .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"),
+        max($"nv").cast("long").as("n_vecs"))
+      .select($"split", expr("transform(pc, x -> x.c)").as("carr"),
+        $"n_vecs")
+    val global = dims.groupBy($"pos")
+      .agg((sum($"v".cast("decimal(30,8)")).cast("double")
+        / count(lit(1))).as("g"))
+      .agg(array_sort(collect_list(struct($"pos", $"g"))).as("pg"))
+      .select(expr("transform(pg, x -> x.g)").as("garr"))
+    packed.join(broadcast(global))
+      .withColumn("d2_to_global", expr(
+        """aggregate(zip_with(carr, garr, (a, b) -> (a - b) * (a - b)),
+             CAST(0 AS DOUBLE), (acc, x) -> acc + x)"""))
+      .select($"split", $"n_vecs", $"d2_to_global")
+  }
+  val o248: String = """
+    WITH dims AS (
+      SELECT CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM (SELECT *,
+              (((vec_id % 1000000007) * 2654435761 + 5851)
+                % 1000000007) % 100 AS b
+            FROM embeddings),
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    per AS (
+      SELECT split, pos,
+        CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS c,
+        COUNT(*) AS nv
+      FROM dims GROUP BY 1, 2),
+    packed AS (
+      SELECT split, list(c ORDER BY pos) AS carr,
+        CAST(MAX(nv) AS BIGINT) AS n_vecs
+      FROM per GROUP BY split),
+    gcent AS (
+      SELECT list(g ORDER BY pos) AS garr FROM (
+        SELECT pos,
+          CAST(SUM(CAST(v AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*) AS g
+        FROM dims GROUP BY pos))
+    SELECT split, n_vecs,
+      list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        list_transform(generate_series(1, 64), i ->
+          (carr[i] - garr[i]) * (carr[i] - garr[i]))),
+        (acc, x) -> acc + x) AS d2_to_global
+    FROM packed, gcent"""
+
   // --------------------------------- cluster-balanced selection
   /** Cluster-balanced sampling: every vector is routed to its q65 IVF
     * cell, each cell gets an EXACT quota of `n_total div n_cells`
@@ -2058,9 +2306,11 @@ object VectorOps {
       // consumed by the bucket census AND the row filters — one
       // assignment pass, not three
       .localCheckpoint()
-    val quota = assigned
-      .agg(expr("count(1) div count(DISTINCT cell)").cast("long")
-        .as("cap"))
+    // quota from the cell census (two-level), not a mixed
+    // count/count-distinct aggregate — the latter plans an Expand
+    val quota = assigned.groupBy($"cell")
+      .agg(count(lit(1)).as("n_c"))
+      .agg(expr("sum(n_c) div count(1)").cast("long").as("cap"))
     val buckets = assigned.groupBy($"cell", $"b")
       .agg(count(lit(1)).as("nb"))
       .withColumn("cum", sum($"nb").over(Window.partitionBy($"cell")
@@ -2121,6 +2371,8 @@ object VectorOps {
     SELECT cell, vec_id FROM ranked, cap WHERE r <= cap"""
 
   val queries: Map[String, Q] = Map(
+    "q249_nprobe_sweep" -> q249NprobeSweep,
+    "q248_split_drift" -> q248SplitDrift,
     "q244_cluster_balanced" -> q244ClusterBalanced,
     "q242_sq8_error_audit" -> q242Sq8ErrorAudit,
     "q243_sq8_agreement" -> q243Sq8Agreement,
@@ -2147,6 +2399,8 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q249_nprobe_sweep" -> o249,
+    "q248_split_drift" -> o248,
     "q244_cluster_balanced" -> o244,
     "q242_sq8_error_audit" -> o242,
     "q243_sq8_agreement" -> o243,

@@ -113,6 +113,40 @@ object CorpusStreaming {
       }
       .start()
 
+  /** Streaming DSIR admission gate — the "train offline, serve
+    * online" face of q241: the batch tier trains the 256-bucket
+    * importance-weight table (`CorpusOps.dsirBucketWeights`, the
+    * persisted model artifact), and this gate scores every intake
+    * document IN-ROW against it — token → feature bucket (the shared
+    * `tokenBucket` fold) → weight lookup in a 256-long literal array
+    * → summed exact int64 "target-likeness bits", admit when ≥ 0
+    * (q241's selection rule). The weights collapse to a driver-side
+    * literal at WIRING time (256 longs — the legitimate tiny-model
+    * collect, like the batch tier's header pre-passes), so scoring is
+    * a stateless per-row projection: no stream-static join, no state
+    * store, intake-rate throughput at any scale. StreamingSpec pins
+    * stream scores ≡ the batch q241 census over the same corpus.
+    *
+    * Buckets unseen in training carry weight 0 (the add-1-smoothed
+    * LMs make them equally likely in both domains — no evidence,
+    * no push). */
+  def dsirGateStream(docs: DataFrame,
+                     bucketWeights: DataFrame): DataFrame = {
+    val trained = bucketWeights.collect()
+      .map(r => r.getLong(r.fieldIndex("bucket")) ->
+        r.getLong(r.fieldIndex("w_bits"))).toMap
+    val warr = (0L until 256L).map(b => trained.getOrElse(b, 0L))
+    val arrLit = warr.mkString("array(", "L, ", "L)")
+    docs
+      .withColumn("doc_bits", expr(
+        s"""aggregate(filter(split(text, ' '), t -> length(t) > 0),
+             CAST(0 AS BIGINT),
+             (a, t) -> a + element_at($arrLit,
+               CAST(${graft.ops.CorpusOps.tokenBucket("t")} AS INT)
+                 + 1))"""))
+      .withColumn("admit", col("doc_bits") >= 0)
+  }
+
   /** INCREMENTAL maintenance of the q177 replica checksums: every
     * micro-batch folds its per-source delta census into the persisted
     * checksum table with pure column algebra — count adds, the

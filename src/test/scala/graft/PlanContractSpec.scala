@@ -205,7 +205,9 @@ class PlanContractSpec extends AnyFunSuite {
       // and is declared via q233)
       "q225_shard_balance" -> "|sources| census + |shards| frame",
       "q233_packing_spans" -> ("div-1024 doc-bucket census (level-1 "
-        + "of the packedOffsets two-level prefix sum)"))
+        + "of the packedOffsets two-level prefix sum)"),
+      "q252_heaps_fit" -> ("div-1024 super-batch census (q149's "
+        + "two-level prefix-sum layout on the token/vocab lanes)"))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
       name =>
         val df = SparkEntry.queries(name)(spark, sf)
@@ -294,7 +296,41 @@ class PlanContractSpec extends AnyFunSuite {
       "q230_ann_tombstones",
       // q239 crosses the single-row temperature-sum totals into the
       // per-source census (one broadcast row × |sources|)
-      "q239_temperature_sweep")
+      "q239_temperature_sweep",
+      // q240 crosses the single-row train-token total into the
+      // distinct-trigram scoring census
+      "q240_backoff_lm",
+      // q241 crosses the single-row LM totals into the 256-row bucket
+      // census (both census-grain by construction)
+      "q241_dsir_select",
+      // q243's pair generation is q62's constant-probe broadcast
+      // against the full table (the declared agreement-audit cost)
+      "q243_sq8_agreement",
+      // q244 broadcasts the single packed-centroid row (q65's shape)
+      // and the single-row quota into the bounded bucket census
+      "q244_cluster_balanced",
+      // q245 is q223 iterated: one single-row argmax merge broadcast
+      // per round
+      "q245_bpe_deep_train",
+      // q246 crosses the single-row weight totals into the per-source
+      // census (q239's shape on the effective-mass lane)
+      "q246_effective_mixture",
+      // q247 crosses the single-row census totals into the single-row
+      // head sums (1×1)
+      "q247_vocab_sweep",
+      // q248 crosses the single-row global-centroid array into the
+      // 3-row per-split centroid frame (q217's shape)
+      "q248_split_drift",
+      // q249 broadcasts the single packed-centroid row into routing
+      // and assignment; its exact-truth pass is q62's constant-probe
+      // broadcast
+      "q249_nprobe_sweep",
+      // q250 embeds q240's scoring (the single-row train-token total
+      // cross) under its per-language rank refinement
+      "q250_ppl_gate",
+      // q251 crosses the single-row corpus-total census into the
+      // vocabulary-grain deviation sum and the per-source report
+      "q251_source_drift")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -765,6 +765,155 @@ class QueriesSpec extends AnyFunSuite {
       r.getAs[Double]("corr") > 0.0))
   }
 
+  test("ilog256 piecewise-linear log2 stays within 0.0901 bits of log2") {
+    // exact at powers of two, worst between them; q241's weights ride
+    // this bound (doc'd as ~0.086 bits/token). The chord bound is
+    // 1 - (1 + ln(ln 2)) / ln 2 ~ 0.08607 bits; flooring to 1/256
+    // fixed-point adds up to 1/256 ~ 0.0039 more underestimation.
+    val xs = (1L to 4096L) ++
+      Seq(1L << 20, (1L << 20) + 12345L, 1L << 40, (1L << 44) + 7L)
+    val df = spark.createDataFrame(
+      xs.map(Tuple1(_))).toDF("x")
+    val got = df.selectExpr("x",
+      graft.ops.CorpusOps.ilog256("x") + " AS il").collect()
+    got.foreach { r =>
+      val x = r.getLong(0); val il = r.getLong(1)
+      // the chord of a concave curve sits BELOW it: the interpolation
+      // only ever underestimates log2, by at most ~0.0861 + 1/256 bits
+      val err = il / 256.0 - math.log(x.toDouble) / math.log(2.0)
+      assert(err > -0.0901 && err < 0.005,
+        s"x=$x ilog=$il err=$err")
+      if ((x & (x - 1)) == 0) // power of two → exact
+        assert(err.abs < 1e-9, s"x=$x not exact: $err")
+    }
+  }
+
+  test("q245 deep BPE trainer's first three merges equal q223's table") {
+    val deep = SparkEntry.queries("q245_bpe_deep_train")(spark, sf)
+      .filter(col("round") <= 3)
+      .collect().map(r => (r.getAs[Long]("round"),
+        r.getAs[String]("merged"), r.getAs[Long]("n"))).toSet
+    val three = SparkEntry.queries("q223_bpe_train3")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("round"),
+        r.getAs[String]("merged"), r.getAs[Long]("n"))).toSet
+    assert(deep == three)
+    // and the deep rounds keep making progress: 10 distinct merges
+    val all = SparkEntry.queries("q245_bpe_deep_train")(spark, sf)
+      .collect()
+    assert(all.length == 10)
+    assert(all.map(_.getAs[String]("merged")).distinct.length == 10)
+  }
+
+  test("q250 perplexity gate: dense per-lang ranks, ntile-balanced " +
+    "tertiles, kept = head+middle, score-ordered") {
+    val rows = SparkEntry.queries("q250_ppl_gate")(spark, sf).collect()
+    // covers exactly q240's scored population (no trigram → no row)
+    assert(rows.length ==
+      SparkEntry.queries("q240_backoff_lm")(spark, sf).count())
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val n = rs.length
+      // two-level rank refinement produced a dense 1..n per language
+      assert(rs.map(_.getAs[Long]("lang_rank")).sorted.toSeq ==
+        (1L to n).toSeq, s"$lang ranks not dense")
+      val byT = rs.groupBy(_.getAs[String]("tertile"))
+        .map { case (t, g) => t -> g.length }.withDefaultValue(0)
+      // ntile arithmetic: sizes differ by at most 1, head fills first
+      assert(byT("head") + byT("middle") + byT("tail") == n)
+      assert(byT("head") >= byT("middle") &&
+        byT("middle") >= byT("tail") && byT("head") - byT("tail") <= 1,
+        s"$lang tertile sizes $byT")
+      // the gate keeps head+middle and only them
+      rs.foreach(r => assert(r.getAs[Boolean]("kept") ==
+        (r.getAs[String]("tertile") != "tail")))
+      // ordering: every head score >= every tail score
+      val heads = rs.filter(_.getAs[String]("tertile") == "head")
+        .map(_.getAs[Long]("score_fp_mean"))
+      val tails = rs.filter(_.getAs[String]("tertile") == "tail")
+        .map(_.getAs[Long]("score_fp_mean"))
+      if (heads.nonEmpty && tails.nonEmpty)
+        assert(heads.min >= tails.max, s"$lang head/tail inversion")
+    }
+  }
+
+  test("q251 source drift: TVD in [0,1], token mass conserved, " +
+    "distributions genuinely differ") {
+    val rows = SparkEntry.queries("q251_source_drift")(spark, sf)
+      .collect()
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens)
+    rows.foreach { r =>
+      val tvd = r.getAs[Double]("tvd")
+      assert(tvd >= 0.0 && tvd <= 1.0, s"bad tvd: $r")
+    }
+    // synthetic sources are not identically distributed
+    assert(rows.exists(_.getAs[Double]("tvd") > 0.0))
+    // brute-force double TVD for one source agrees to float tolerance
+    val src = rows.minBy(_.getAs[Long]("n_tokens"))
+      .getAs[String]("source")
+    val occ = Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("t"))
+    val cs = occ.filter(col("source") === src).groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cAll = occ.groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ts = cs.values.sum.toDouble
+    val tAll = cAll.values.sum.toDouble
+    val brute = 0.5 * cAll.keys.map(w =>
+      math.abs(cs.getOrElse(w, 0L) / ts - cAll(w) / tAll)).sum
+    val got = rows.find(_.getAs[String]("source") == src).get
+      .getAs[Double]("tvd")
+    assert(math.abs(got - brute) < 1e-9, s"$got vs brute $brute")
+  }
+
+  test("q252 Heaps fit: sublinear beta, matches brute-force OLS on " +
+    "the exact fixed-point curve") {
+    val row = SparkEntry.queries("q252_heaps_fit")(spark, sf)
+      .collect().head
+    // brute force: replay the trigram curve and the ilog256 OLS
+    // driver-side from the raw table
+    val toks = Tables.documents(spark, sf)
+      .select(expr("doc_id div 100").as("b"), split(col("text"), " ")
+        .as("w"))
+      .collect().flatMap { r =>
+        val b = r.getAs[Long]("b")
+        val w = r.getSeq[String](1)
+        w.sliding(3).filter(_.length == 3)
+          .map(g => (b, g.mkString(" ")))
+      }
+    val batches = toks.map(_._1).distinct.sorted
+    assert(row.getAs[Long]("n_batches") == batches.length)
+    val firstB = toks.groupBy(_._2).map { case (_, os) =>
+      os.map(_._1).min }
+    def il(x: Long): Long = {
+      val msb = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      msb * 256L + (x * 256L >> msb) - 256L
+    }
+    var (ct, cv) = (0L, 0L)
+    val pts = batches.map { b =>
+      ct += toks.count(_._1 == b)
+      cv += firstB.count(_ == b)
+      (il(ct), il(cv))
+    }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum.toDouble
+    val sy = pts.map(_._2).sum.toDouble
+    val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(row.getAs[Double]("beta") - beta) < 1e-12,
+      s"engine ${row.getAs[Double]("beta")} vs brute $beta")
+    // vocabulary growth is real but sublinear on natural-ish text
+    assert(beta > 0.0 && beta < 1.0, s"beta out of range: $beta")
+    // and the fitted intercept reproduces the final vocab to within
+    // the chord bias: |log2 V_hat - log2 V| small at the last point
+    val lk = row.getAs[Double]("log2_k")
+    val (xl, yl) = pts.last
+    val pred = lk + beta * (xl / 256.0)
+    assert(math.abs(pred - yl / 256.0) < 0.5,
+      s"fit off at the endpoint: pred $pred vs ${yl / 256.0}")
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->

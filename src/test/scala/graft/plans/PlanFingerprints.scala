@@ -46,10 +46,16 @@ object PlanFingerprints {
     * under combined-suite memory pressure; q138's twin exchanges
     * sometimes canonicalize apart after AQE re-optimizes one stage's
     * subtree with runtime stats — distinct-count 5↔6 — the reuse-race
-    * residue even the canonical-set counting can't normalize). */
+    * residue even the canonical-set counting can't normalize;
+    * q215's candidate⋈truth join straddles the same threshold once
+    * the registry grew past ~235 queries — SMJ↔BHJ across 3 regens;
+    * q249's three sweep lanes reuse the packed-centroid /
+    * routing exchanges racily — BroadcastExchange 5↔6↔7 across 3
+    * regens, q138's residue at higher multiplicity). */
   private val Volatile =
     Set("q207_deposit_flow_e2e", "q212_dbscan_census",
-      "q138_retention_triangle")
+      "q138_retention_triangle", "q215_retrieval_metrics",
+      "q249_nprobe_sweep")
 
   /** Post-execution (AQE-final) operator multiset of a frame.
     *

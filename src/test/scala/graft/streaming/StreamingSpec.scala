@@ -1212,4 +1212,50 @@ class StreamingSpec extends AnyFunSuite {
         nDocs > nDist })
     } finally q.stop()
   }
+
+  test("DSIR gate: stream scores reproduce the batch q241 census") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // train the weight table on the batch tier
+    val weights = graft.ops.CorpusOps.dsirBucketWeights(spark, sf)
+    // feed the WHOLE corpus through the stream gate
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    input.addData(docs.map(r => CorpusStreaming.DocEvent(
+      r.getLong(0), ts("2024-01-01 10:00:00"), r.getString(1),
+      r.getString(2))).toSeq)
+    val q = CorpusStreaming.dsirGateStream(input.toDF(), weights)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_gate")
+        .groupBy("source")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.col("admit"), 1L)
+              .otherwise(0L)).as("n_sel"),
+          org.apache.spark.sql.functions.sum("doc_bits").as("sum_bits"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.SparkEntry.queries("q241_dsir_select")(spark, sf)
+        .collect()
+        .map(r => r.getAs[String]("source") ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("n_sel"),
+            r.getAs[Long]("sum_bits"))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (src, got) =>
+        assert(got == batch(src), s"$src: stream=$got batch=${batch(src)}")
+      }
+      // non-vacuous: the gate both admits and rejects somewhere
+      assert(streamed.values.exists { case (n, sel, _) => sel > 0 })
+      assert(streamed.values.exists { case (n, sel, _) => sel < n })
+    } finally q.stop()
+  }
 }
