@@ -3525,6 +3525,134 @@ object CorpusOps {
       lang_rank <= b2 AS kept
     FROM cut"""
 
+  // --------------------------------- curation funnel v2
+  /** The MODEL-GATED curation funnel — q228's raw → exact-dedup →
+    * quality funnel extended by the two trained gates this round's
+    * stack produces: q250's per-language LM-perplexity tertile cut
+    * and q241's DSIR target-likeness selection, applied in sequence
+    * (dedup → heuristic quality → LM gate → DSIR), each stage
+    * reporting docs, tokens, and the token share of raw — the
+    * end-to-end "how much trainable data survives the full modern
+    * pipeline" number, with every gate oracle-anchored elsewhere
+    * (q54/q228, q51, q250, q241) and their COMPOSITION pinned here.
+    * Both gates are trained once on the raw corpus and applied as
+    * static per-doc verdicts (the artifact-reuse deployment shape);
+    * docs outside a gate's scope (no trigram evidence / no tokens)
+    * pass it untouched — a gate abstains, it never vetoes blind.
+    * Planted exact replays (q226/q228's doc_id ≡ 0 mod 6 recipe) keep
+    * the dedup stage non-vacuous at every SF; replays die at the
+    * dedup stage before any gate verdict could matter.
+    *
+    * 100 TB design: the funnel frame carries (doc_id, fp, ntok,
+    * flags) — text collapses at the scan; the two gate verdicts
+    * attach by keyed doc_id joins (each gate's own scale story is
+    * argued at its definition); the verdict is ONE conditional
+    * aggregate producing all five stages (no per-stage corpus
+    * passes). */
+  val q257CurationFunnel: Q = (s, d) => {
+    import s.implicits._
+    val base0 = Tables.documents(s, d).select($"doc_id", $"text")
+    val aug = base0.unionByName(base0.filter($"doc_id" % 6 === 0)
+      .withColumn("doc_id", $"doc_id" + lit(7L << 40)))
+    val docs = aug
+      .withColumn("fp", TextOps.fingerprintCol)
+      .withColumn("ntok", size(split($"text", " ")).cast("long"))
+      .withColumn("pass_q", TextOps.qualityCol >= 0.4)
+      .select($"doc_id", $"fp", $"ntok", $"pass_q")
+    val surv = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+    val lm = q250PplGate(s, d).select($"doc_id", $"kept".as("lm_kept"))
+    val dsir = dsirDocBits(s, d)
+      .select(col("doc_id"), (col("doc_bits") >= 0).as("dsir_sel"))
+    val flags = docs.join(surv, Seq("fp"))
+      .withColumn("is_surv", $"doc_id" === $"keep_id")
+      .join(lm, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
+      .withColumn("lm_kept", coalesce($"lm_kept", lit(true)))
+      .withColumn("dsir_sel", coalesce($"dsir_sel", lit(true)))
+    flags.agg(
+      count(lit(1)).as("d0"),
+      sum($"ntok").cast("long").as("t0"),
+      sum(when($"is_surv", 1L).otherwise(0L)).cast("long").as("d1"),
+      sum(when($"is_surv", $"ntok").otherwise(0L)).cast("long")
+        .as("t1"),
+      sum(when($"is_surv" && $"pass_q", 1L).otherwise(0L))
+        .cast("long").as("d2"),
+      sum(when($"is_surv" && $"pass_q", $"ntok").otherwise(0L))
+        .cast("long").as("t2"),
+      sum(when($"is_surv" && $"pass_q" && $"lm_kept", 1L)
+        .otherwise(0L)).cast("long").as("d3"),
+      sum(when($"is_surv" && $"pass_q" && $"lm_kept", $"ntok")
+        .otherwise(0L)).cast("long").as("t3"),
+      sum(when($"is_surv" && $"pass_q" && $"lm_kept" && $"dsir_sel",
+        1L).otherwise(0L)).cast("long").as("d4"),
+      sum(when($"is_surv" && $"pass_q" && $"lm_kept" && $"dsir_sel",
+        $"ntok").otherwise(0L)).cast("long").as("t4"))
+      .select(expr("""stack(5,
+          'raw', d0, t0,
+          'exact_dedup', d1, t1,
+          'quality', d2, t2,
+          'lm_gate', d3, t3,
+          'dsir', d4, t4) AS (stage, n_docs, n_tokens)"""), $"t0")
+      .select($"stage", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double") / $"t0".cast("double"))
+          .as("token_share"))
+  }
+  val o257: String = s"""
+    WITH fun_base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${7L << 40} AS doc_id, text
+      FROM documents WHERE doc_id % 6 = 0),
+    fun_docs AS (
+      SELECT doc_id, ${TextOps.fingerprintSql} AS fp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+        CASE WHEN (${TextOps.qualitySql}) >= 0.4
+          THEN 1 ELSE 0 END AS pass_q
+      FROM fun_base),
+    fun_surv AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM fun_docs GROUP BY fp),
+    ppl AS ($o250),
+    ${dsirChainDuck("d")},
+    fun_flags AS (
+      SELECT f.doc_id, f.ntok, f.pass_q,
+        CASE WHEN f.doc_id = sv.keep_id THEN 1 ELSE 0 END AS is_surv,
+        COALESCE(CASE WHEN p.kept THEN 1 ELSE 0 END, 1) AS lm_kept,
+        COALESCE(CASE WHEN dd.doc_bits >= 0 THEN 1 ELSE 0 END, 1)
+          AS dsir_sel
+      FROM fun_docs f
+      JOIN fun_surv sv USING (fp)
+      LEFT JOIN ppl p ON p.doc_id = f.doc_id
+      LEFT JOIN ddoc dd ON dd.doc_id = f.doc_id),
+    fun_agg AS (
+      SELECT COUNT(*) AS d0, CAST(SUM(ntok) AS BIGINT) AS t0,
+        CAST(SUM(is_surv) AS BIGINT) AS d1,
+        CAST(SUM(CASE WHEN is_surv = 1 THEN ntok ELSE 0 END)
+          AS BIGINT) AS t1,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1
+          THEN ntok ELSE 0 END) AS BIGINT) AS t2,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1 AND lm_kept = 1
+          THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1 AND lm_kept = 1
+          THEN ntok ELSE 0 END) AS BIGINT) AS t3,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1 AND lm_kept = 1
+          AND dsir_sel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+        CAST(SUM(CASE WHEN is_surv = 1 AND pass_q = 1 AND lm_kept = 1
+          AND dsir_sel = 1 THEN ntok ELSE 0 END) AS BIGINT) AS t4
+      FROM fun_flags)
+    SELECT 'raw' AS stage, d0 AS n_docs, t0 AS n_tokens,
+      CAST(t0 AS DOUBLE) / CAST(t0 AS DOUBLE) AS token_share
+      FROM fun_agg
+    UNION ALL SELECT 'exact_dedup', d1, t1,
+      CAST(t1 AS DOUBLE) / CAST(t0 AS DOUBLE) FROM fun_agg
+    UNION ALL SELECT 'quality', d2, t2,
+      CAST(t2 AS DOUBLE) / CAST(t0 AS DOUBLE) FROM fun_agg
+    UNION ALL SELECT 'lm_gate', d3, t3,
+      CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) FROM fun_agg
+    UNION ALL SELECT 'dsir', d4, t4,
+      CAST(t4 AS DOUBLE) / CAST(t0 AS DOUBLE) FROM fun_agg"""
+
   // --------------------------------- source lexical-drift TVD
   /** Per-source lexical drift: the total-variation distance between
     * each source's unigram distribution and the whole-corpus
@@ -3931,7 +4059,11 @@ object CorpusOps {
                                        d: String): DataFrame =
     dsirWeightsFrom(dsirTok(dsirOcc(s, d)))
 
-  val q241DsirSelect: Q = (s, d) => {
+  /** Per-document DSIR importance weight (doc_id, source, doc_bits) —
+    * the doc-grain frame q241 censuses per source and q257's funnel
+    * applies as a selection gate. */
+  private[graft] def dsirDocBits(s: SparkSession, d: String)
+      : DataFrame = {
     val occ = dsirOcc(s, d)
     val tok = dsirTok(occ)
     val weights = dsirWeightsFrom(tok)
@@ -3940,6 +4072,10 @@ object CorpusOps {
     occ.join(tokW, Seq("w"))
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("w_bits")).cast("long").as("doc_bits"))
+  }
+
+  val q241DsirSelect: Q = (s, d) => {
+    dsirDocBits(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("doc_bits") >= 0, 1L).otherwise(0L)).cast("long")
@@ -3951,14 +4087,18 @@ object CorpusOps {
         col("sum_bits").cast("double")
           / (col("n_docs").cast("double") * lit(256.0)))
   }
-  val o241: String = s"""
-    WITH occ AS (
+  /** o241's CTE chain (occ → … → doc at per-document grain),
+    * parameterized on a CTE-name prefix so embedders (o257) can avoid
+    * the DuckDB nested-WITH collision rule against o240/o250's inner
+    * names. With p = "" this IS o241's chain. */
+  private def dsirChainDuck(p: String): String = s"""
+    ${p}occ AS (
       SELECT doc_id, source, lang, w
       FROM (SELECT doc_id, source, lang,
               unnest(string_split(text, ' ')) AS w
             FROM documents)
       WHERE length(w) > 0),
-    tok AS (
+    ${p}tok AS (
       SELECT w, COUNT(*) AS n_raw,
         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
           AS n_tgt,
@@ -3967,28 +4107,31 @@ object CorpusOps {
             list_transform(generate_series(1, length(w)),
               i -> CAST(unicode(w[i]) AS BIGINT))),
           (a, c) -> (a * 131 + c) % 1000000007) % 256 AS bucket
-      FROM occ GROUP BY w),
-    buckets AS (
+      FROM ${p}occ GROUP BY w),
+    ${p}buckets AS (
       SELECT bucket, CAST(SUM(n_raw) AS BIGINT) AS c_raw,
         CAST(SUM(n_tgt) AS BIGINT) AS c_tgt
-      FROM tok GROUP BY bucket),
-    tot AS (
+      FROM ${p}tok GROUP BY bucket),
+    ${p}tot AS (
       SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
         CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
-      FROM buckets),
-    weights AS (
+      FROM ${p}buckets),
+    ${p}weights AS (
       SELECT bucket,
         CAST((${ilog256Duck("(c_tgt + 1)")} - ${ilog256Duck("t_tgt")})
           - (${ilog256Duck("(c_raw + 1)")} - ${ilog256Duck("t_raw")})
           AS BIGINT) AS w_bits
-      FROM buckets, tot),
-    tokw AS (
-      SELECT w, w_bits FROM tok JOIN weights USING (bucket)),
-    doc AS (
+      FROM ${p}buckets, ${p}tot),
+    ${p}tokw AS (
+      SELECT w, w_bits FROM ${p}tok JOIN ${p}weights USING (bucket)),
+    ${p}doc AS (
       SELECT doc_id, source,
         CAST(SUM(w_bits) AS BIGINT) AS doc_bits
-      FROM occ JOIN tokw USING (w)
-      GROUP BY doc_id, source)
+      FROM ${p}occ JOIN ${p}tokw USING (w)
+      GROUP BY doc_id, source)"""
+
+  val o241: String = s"""
+    WITH ${dsirChainDuck("")}
     SELECT source, COUNT(*) AS n_docs,
       CAST(SUM(CASE WHEN doc_bits >= 0 THEN 1 ELSE 0 END) AS BIGINT)
         AS n_sel,
@@ -4136,6 +4279,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q257_curation_funnel" -> q257CurationFunnel,
     "q252_heaps_fit" -> q252HeapsFit,
     "q250_ppl_gate" -> q250PplGate,
     "q251_source_drift" -> q251SourceDrift,
@@ -4200,6 +4344,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q257_curation_funnel" -> o257,
     "q252_heaps_fit" -> o252,
     "q250_ppl_gate" -> o250,
     "q251_source_drift" -> o251,

@@ -212,6 +212,12 @@ object DedupOps {
   val q58JaccardPairs: Q = (s, d) =>
     jaccardFrom(withShingles(Tables.documents(s, d)))
 
+  /** q58's full derivation over an ARBITRARY (doc_id, text) frame —
+    * for callers that augment the corpus before pairing (q255's
+    * lang-rotated replays). [[o58Over]] is the SQL twin. */
+  private[graft] def jaccardPairsOver(docs: DataFrame): DataFrame =
+    jaccardFrom(withShingles(docs))
+
   /** Pair derivation from an already-shingled frame (see
     * [[minhashFrom]]). */
   private[ops] def jaccardFrom(base: DataFrame): DataFrame = {
@@ -247,11 +253,15 @@ object DedupOps {
       .filter($"jaccard" >= 0.5)
       .select($"doc_a", $"doc_b", $"jaccard")
   }
-  val o58: String = s"""
+  /** o58 parameterized on its corpus relation (a table or CTE name
+    * with doc_id + text) — SQL twin of [[jaccardPairsOver]]. Callers
+    * embedding it as a CTE body must not name their own CTEs
+    * sh0/kept/sh/sizes/inter (the DuckDB nested-WITH collision rule). */
+  private[graft] def o58Over(src: String): String = s"""
     WITH sh0 AS (
       SELECT DISTINCT doc_id, unnest(shs) AS sh
       FROM (SELECT doc_id, $shinglesSql AS shs
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $src))),
     kept AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf),
     sh AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN kept USING (sh)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
@@ -265,6 +275,8 @@ object DedupOps {
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5"""
+
+  val o58: String = o58Over("documents")
 
   // ------------------------------------------- containment pairs
   /** Shingle-set CONTAINMENT pairs (Broder's C(A,B) = |A∩B| / |A|,
@@ -1433,7 +1445,165 @@ object DedupOps {
     FROM tot CROSS JOIN n11 CROSS JOIN na CROSS JOIN nb"""
   }
 
+  // --------------------------------------- dedup-scope census
+  /** Global vs per-source exact dedup — the scope question every
+    * multi-snapshot corpus build answers first (the FineWeb finding:
+    * deduplicating each snapshot internally keeps more GOOD data than
+    * one global pass, because global dedup lets early snapshots eat
+    * later ones). Per source: raw docs, within-source duplicates
+    * (what source-local dedup removes), local survivors, global
+    * survivors (min-doc_id election corpus-wide), and
+    * `n_lost_to_global` — local survivors a GLOBAL pass kills because
+    * the fingerprint's canonical copy lives in another source. That
+    * last column is the per-source price of global scope.
+    *
+    * Non-vacuous at every SF: doc_id ≡ 0 (mod 7) plants a
+    * CROSS-source exact replay at +8·2⁴⁰ (source relabeled
+    * `mirror_<src>`), doc_id ≡ 0 (mod 11) a WITHIN-source replay at
+    * +9·2⁴⁰ — both scopes fire, and the mirror sources lose all their
+    * local survivors to global scope by construction (originals carry
+    * the smaller ids).
+    *
+    * 100 TB design: text collapses to the 8-byte fingerprint at the
+    * scan and never shuffles; survivor election is two map-side
+    * combined aggregates — per (fp, source), then per fp over THAT
+    * census (min of per-source minima = global min, so the global
+    * pass never re-reads the corpus); the verdict join carries
+    * (fp, source, ids) rows only. */
+  val q253DedupScope: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"source", $"text")
+    val cross = base.filter($"doc_id" % 7 === 0)
+      .select(($"doc_id" + lit(8L << 40)).as("doc_id"),
+        concat(lit("mirror_"), $"source").as("source"), $"text")
+    val within = base.filter($"doc_id" % 11 === 0)
+      .select(($"doc_id" + lit(9L << 40)).as("doc_id"), $"source",
+        $"text")
+    val docs = base.unionByName(cross).unionByName(within)
+      .select($"doc_id", $"source", TextOps.fingerprintCol.as("fp"))
+    val keepS = docs.groupBy($"fp", $"source")
+      .agg(min($"doc_id").as("keep_s"))
+      .localCheckpoint() // feeds the global election AND the verdict
+    val keepG = keepS.groupBy($"fp").agg(min($"keep_s").as("keep_g"))
+    docs.join(keepS, Seq("fp", "source"))
+      .join(keepG, Seq("fp"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"doc_id" =!= $"keep_s", 1L).otherwise(0L))
+          .cast("long").as("n_within_dups"),
+        sum(when($"doc_id" === $"keep_s", 1L).otherwise(0L))
+          .cast("long").as("n_local_survivors"),
+        sum(when($"doc_id" === $"keep_g", 1L).otherwise(0L))
+          .cast("long").as("n_global_survivors"),
+        sum(when($"doc_id" === $"keep_s" && $"doc_id" =!= $"keep_g", 1L)
+          .otherwise(0L)).cast("long").as("n_lost_to_global"))
+  }
+  val o253: String = s"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${8L << 40} AS doc_id,
+        'mirror_' || source AS source, text
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + ${9L << 40} AS doc_id, source, text
+      FROM documents WHERE doc_id % 11 = 0),
+    docs AS (
+      SELECT doc_id, source, ${TextOps.fingerprintSql} AS fp
+      FROM corpus),
+    ks AS (
+      SELECT fp, source, MIN(doc_id) AS keep_s
+      FROM docs GROUP BY 1, 2),
+    kg AS (SELECT fp, MIN(keep_s) AS keep_g FROM ks GROUP BY 1)
+    SELECT d.source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN d.doc_id <> ks.keep_s THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_within_dups,
+      CAST(SUM(CASE WHEN d.doc_id = ks.keep_s THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_local_survivors,
+      CAST(SUM(CASE WHEN d.doc_id = kg.keep_g THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_global_survivors,
+      CAST(SUM(CASE WHEN d.doc_id = ks.keep_s AND d.doc_id <> kg.keep_g
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_to_global
+    FROM docs d
+    JOIN ks ON ks.fp = d.fp AND ks.source = d.source
+    JOIN kg ON kg.fp = d.fp
+    GROUP BY d.source"""
+
+  // --------------------------------- cross-lingual leakage census
+  /** Near-duplicate pairs censused along the LANGUAGE axis — the
+    * translation-/boilerplate-contamination face of q238's split
+    * leakage: a near-dup pair whose sides carry different langs means
+    * the "different-language" eval slice is not independent of train
+    * (machine-translated replays, shared templates). Census per
+    * unordered lang pair with a cross-lang flag and the exact
+    * fixed-point mean Jaccard (floor ×1e15 per pair — one IEEE divide
+    * each, summed as int64, the q240 convention).
+    *
+    * Non-vacuous at every SF: doc_id ≡ 0 (mod 8) plants a one-token-
+    * appended replay at +11·2⁴⁰ RELABELED `<lang>_x` (q216's
+    * perturbation recipe × q189's relabel recipe) — each stands in
+    * for a translated twin: near-dup by construction, different lang
+    * by construction.
+    *
+    * 100 TB design: rides q58's df-capped posting-list machinery over
+    * the augmented corpus ([[jaccardPairsOver]] — one shingle-keyed
+    * exchange, in-row pair generation, never all-pairs); langs attach
+    * by two keyed joins against the (doc_id, lang) projection; the
+    * census is map-side combined on a |langs|² key domain. */
+  val q255CrossLangLeak: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .select($"doc_id", $"lang", $"text")
+    val replay = base.filter($"doc_id" % 8 === 0)
+      .select(($"doc_id" + lit(11L << 40)).as("doc_id"),
+        concat($"lang", lit("_x")).as("lang"),
+        concat($"text", lit(" zzz")).as("text"))
+    val aug = base.unionByName(replay)
+    val pairs = jaccardPairsOver(aug.select($"doc_id", $"text"))
+    val langs = aug.select($"doc_id", $"lang")
+    pairs
+      .join(langs.select($"doc_id".as("doc_a"), $"lang".as("la")),
+        Seq("doc_a"))
+      .join(langs.select($"doc_id".as("doc_b"), $"lang".as("lb")),
+        Seq("doc_b"))
+      .select(least($"la", $"lb").as("lang_lo"),
+        greatest($"la", $"lb").as("lang_hi"),
+        floor($"jaccard" * lit(1.0e15)).cast("long").as("j_fp"))
+      .groupBy($"lang_lo", $"lang_hi")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"j_fp").cast("long").as("j_fp_sum"))
+      .withColumn("cross_lang",
+        when($"lang_lo" =!= $"lang_hi", 1L).otherwise(0L))
+      .withColumn("mean_jaccard", $"j_fp_sum".cast("double")
+        / ($"n_pairs".cast("double") * lit(1.0e15)))
+  }
+  val o255: String = s"""
+    WITH aug AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${11L << 40} AS doc_id, lang || '_x' AS lang,
+        text || ' zzz' AS text
+      FROM documents WHERE doc_id % 8 = 0),
+    jac AS (${o58Over("aug")}),
+    tagged AS (
+      SELECT least(la.lang, lb.lang) AS lang_lo,
+        greatest(la.lang, lb.lang) AS lang_hi,
+        CAST(FLOOR(j.jaccard * 1.0e15) AS BIGINT) AS j_fp
+      FROM jac j
+      JOIN aug la ON la.doc_id = j.doc_a
+      JOIN aug lb ON lb.doc_id = j.doc_b)
+    SELECT lang_lo, lang_hi, COUNT(*) AS n_pairs,
+      CAST(SUM(j_fp) AS BIGINT) AS j_fp_sum,
+      CAST(CASE WHEN lang_lo <> lang_hi THEN 1 ELSE 0 END AS BIGINT)
+        AS cross_lang,
+      CAST(SUM(j_fp) AS DOUBLE)
+        / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS mean_jaccard
+    FROM tagged GROUP BY lang_lo, lang_hi"""
+
   val queries: Map[String, Q] = Map(
+    "q253_dedup_scope" -> q253DedupScope,
+    "q255_crosslang_leak" -> q255CrossLangLeak,
     "q213_max_shared_run" -> q213MaxSharedRun,
     "q216_dedup_truth_eval" -> q216DedupTruthEval,
     "q220_partition_agreement" -> q220PartitionAgreement,
@@ -1451,6 +1621,8 @@ object DedupOps {
     "q174_containment_pairs" -> q174ContainmentPairs)
 
   val oracles: Map[String, String] = Map(
+    "q253_dedup_scope" -> o253,
+    "q255_crosslang_leak" -> o255,
     "q213_max_shared_run" -> o213,
     "q216_dedup_truth_eval" -> o216,
     "q220_partition_agreement" -> o220,

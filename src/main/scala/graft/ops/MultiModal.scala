@@ -158,13 +158,152 @@ object MultiModal {
           FROM documents)
     WHERE frame_idx * $FrameStride < length(text)"""
 
+  // --------------------------------------- perceptual-hash dedup
+  /** Bucket cap for the pHash band index — same rationale as
+    * `DedupOps.MaxBandBucket`: a degenerate band value shared by k
+    * payloads would emit C(k,2) in-row pairs; capping the posting
+    * list bounds the blow-up and is mirrored in the oracle. */
+  private val MaxPhashBucket = 100
+
+  /** Hamming radius (of 64 bits) under which two payloads count as
+    * perceptual near-duplicates. */
+  private val PhashMaxHamming = 6
+
+  /** 16-bit lane `b` (0–3) of the 64-bit difference-hash over the
+    * payload byte stream, Spark dialect: 65 evenly-spaced sample
+    * bytes s₀…s₆₄ (position 1 + (k·(L−1)) div 64 — the 1-D resample
+    * every dHash starts with), bit j of lane b = [s₍₁₆b₊ⱼ₎ > s₍₁₆b₊ⱼ₊₁₎].
+    * Gradient bits survive global brightness/offset changes in real
+    * images; on the byte-proxy corpus they survive local edits, which
+    * is what the planted perturbation exercises. Expects columns
+    * `text` (payload byte proxy, ASCII) and `L` (its length, ≥ 2). */
+  private def phashLaneExpr(b: Int): String =
+    s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) ->
+          a + IF(ascii(substring(text,
+                   CAST(1 + ((${16 * b} + j) * (L - 1)) div 64 AS INT), 1))
+                 > ascii(substring(text,
+                   CAST(1 + ((${16 * b} + j + 1) * (L - 1)) div 64 AS INT), 1)),
+               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"""
+
+  /** DuckDB twin of [[phashLaneExpr]]. */
+  private def phashLaneDuck(b: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(0, 15), j ->
+            CASE WHEN unicode(text[1 + ((${16 * b} + j) * (L - 1)) // 64])
+                    > unicode(text[1 + ((${16 * b} + j + 1) * (L - 1)) // 64])
+                 THEN (CAST(1 AS BIGINT) << j)
+                 ELSE CAST(0 AS BIGINT) END)),
+          (a, x) -> a + x)"""
+
+  /** Perceptual-hash near-duplicate pairs over the media payload lane:
+    * each payload gets a 64-bit 1-D difference hash (dHash — the
+    * cheap, codec-agnostic perceptual fingerprint image pipelines
+    * dedup on), candidates come from 4×16-bit Hamming banding (hashes
+    * within Hamming distance 3 agree exactly on ≥1 of 4 lanes by
+    * pigeonhole; distances 4–6 are caught with the usual LSH
+    * probability — the q59/q60 SimHash machinery applied to the media
+    * lane), and candidates verify by exact bit_count XOR
+    * Hamming ≤ [[PhashMaxHamming]]. Text bytes stand in for media
+    * bytes per this module's stub convention; a real image pipeline
+    * swaps the resample source (decoded luma rows instead of payload
+    * bytes) and keeps every stage after the hash.
+    *
+    * Non-vacuous at every SF: doc_id ≡ 0 (mod 9) plants a
+    * first-byte-perturbed replay at +10·2⁴⁰ — the edit moves only
+    * sample s₀, so lanes 1–3 still collide exactly (candidate found)
+    * while lane 0 differs in ≤ 1 bit (verified at Hamming ≤ 1).
+    *
+    * 100 TB design: payload bytes never shuffle — the hash collapses
+    * each payload to four 16-bit lanes in-row at the scan; the band
+    * index shuffles (band, key, doc_id) rows only, posting lists are
+    * capped at [[MaxPhashBucket]] (mirrored in the oracle), pairs
+    * generate in-row from sorted lists, and verification joins the
+    * 4-lane hash table (5 longs/row) by id — never the payloads. */
+  val q254PhashDedup: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select($"doc_id", $"text")
+    val replay = base.filter($"doc_id" % 9 === 0)
+      .select(($"doc_id" + lit(10L << 40)).as("doc_id"),
+        concat(lit("Q"), expr("substring(text, 2)")).as("text"))
+    val hashes = base.unionByName(replay)
+      .filter(length($"text") >= 2)
+      .withColumn("L", length($"text").cast("long"))
+      .withColumn("b0", expr(phashLaneExpr(0)))
+      .withColumn("b1", expr(phashLaneExpr(1)))
+      .withColumn("b2", expr(phashLaneExpr(2)))
+      .withColumn("b3", expr(phashLaneExpr(3)))
+      .select($"doc_id", $"b0", $"b1", $"b2", $"b3")
+      .localCheckpoint() // feeds the band index AND both verify joins
+    val cand = hashes
+      .select($"doc_id",
+        posexplode(array($"b0", $"b1", $"b2", $"b3"))
+          .as(Seq("band", "key")))
+      .groupBy($"band", $"key")
+      .agg(sort_array(collect_list($"doc_id")).as("ds"))
+      .filter(size($"ds") >= 2 && size($"ds") <= MaxPhashBucket)
+      .select(explode(expr(DedupOps.pairGenExpr("ds",
+        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
+        .as("pr"))
+      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .distinct() // a pair may collide on several bands
+    cand
+      .join(hashes.select($"doc_id".as("doc_a"), $"b0".as("a0"),
+        $"b1".as("a1"), $"b2".as("a2"), $"b3".as("a3")), Seq("doc_a"))
+      .join(hashes.select($"doc_id".as("doc_b"), $"b0".as("c0"),
+        $"b1".as("c1"), $"b2".as("c2"), $"b3".as("c3")), Seq("doc_b"))
+      .withColumn("hamming", expr(
+        """bit_count(a0 ^ c0) + bit_count(a1 ^ c1)
+           + bit_count(a2 ^ c2) + bit_count(a3 ^ c3)""").cast("long"))
+      .filter($"hamming" <= PhashMaxHamming)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+  val o254: String = s"""
+    WITH payloads AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + ${10L << 40} AS doc_id,
+        'Q' || substring(text, 2) AS text
+      FROM documents WHERE doc_id % 9 = 0),
+    hx AS (
+      SELECT doc_id,
+        ${phashLaneDuck(0)} AS b0, ${phashLaneDuck(1)} AS b1,
+        ${phashLaneDuck(2)} AS b2, ${phashLaneDuck(3)} AS b3
+      FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+            FROM payloads WHERE length(text) >= 2)),
+    lanes AS (
+      SELECT doc_id, 0 AS band, b0 AS key FROM hx
+      UNION ALL SELECT doc_id, 1, b1 FROM hx
+      UNION ALL SELECT doc_id, 2, b2 FROM hx
+      UNION ALL SELECT doc_id, 3, b3 FROM hx),
+    grp AS (
+      SELECT band, key FROM lanes GROUP BY band, key
+      HAVING COUNT(*) BETWEEN 2 AND $MaxPhashBucket),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM lanes a
+      JOIN lanes b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+      JOIN grp g ON g.band = a.band AND g.key = a.key)
+    SELECT c.doc_a, c.doc_b,
+      CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+         + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+        AS BIGINT) AS hamming
+    FROM cand c
+    JOIN hx ha ON ha.doc_id = c.doc_a
+    JOIN hx hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+        + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+        <= $PhashMaxHamming"""
+
   val queries: Map[String, Q] = Map(
     "q75_media_features" -> q75MediaFeatures,
     "q76_media_batch_stats" -> q76MediaBatchStats,
-    "q111_frame_sample" -> q111FrameSample)
+    "q111_frame_sample" -> q111FrameSample,
+    "q254_phash_dedup" -> q254PhashDedup)
 
   val oracles: Map[String, String] = Map(
     "q75_media_features" -> o75,
     "q76_media_batch_stats" -> o76,
-    "q111_frame_sample" -> o111)
+    "q111_frame_sample" -> o111,
+    "q254_phash_dedup" -> o254)
 }

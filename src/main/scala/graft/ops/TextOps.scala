@@ -941,7 +941,57 @@ object TextOps {
     UNION ALL
     SELECT 'dedup_quality', d2, t2, CAST(t2 AS DOUBLE) / t0 FROM agg"""
 
+  // ------------------------------------------- term burstiness
+  /** Church–Gale burstiness over the head vocabulary: for each of the
+    * top-256 terms by collection frequency, cf (total occurrences),
+    * df (documents containing it), and burstiness = cf/df — the mean
+    * repeat count inside documents that use the term at all. A
+    * function word sits near cf/df ≈ uniform; a bursty term (template
+    * boilerplate, spam keyword) concentrates its mass in few docs —
+    * the lexical-statistics screen that catches repetitive templates
+    * q88's WITHIN-document repetition rule misses when each copy sits
+    * in a different document. q115 profiles the rank-frequency SHAPE;
+    * this profiles per-term document concentration.
+    *
+    * 100 TB design: df comes from the (term, doc) census — two
+    * map-side combined aggregates, never a count-distinct Expand; the
+    * head is extracted by the two-phase top-k heap operator
+    * (`plans/TopKPlan`), never an unpartitioned rank window over the
+    * vocabulary (the q221 lesson); the oracle is the naive
+    * row_number spelling, pinning the heap row-identical. */
+  val q256Burstiness: Q = (s, d) => {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val census = perDoc.groupBy(col("term"))
+      .agg(sum(col("c")).cast("long").as("cf"),
+        count(lit(1)).as("df"))
+    graft.plans.TopK.perGroup(census, Seq.empty,
+      Seq(("cf", true), ("term", false)), 256)
+      .withColumn("burstiness",
+        col("cf").cast("double") / col("df").cast("double"))
+  }
+  val o256: String = """
+    WITH per_doc AS (
+      SELECT term, doc_id, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+      GROUP BY term, doc_id),
+    census AS (
+      SELECT term, CAST(SUM(c) AS BIGINT) AS cf, COUNT(*) AS df
+      FROM per_doc GROUP BY term),
+    ranked AS (
+      SELECT term, cf, df,
+        CAST(row_number() OVER (ORDER BY cf DESC, term ASC) AS BIGINT)
+          AS rank
+      FROM census)
+    SELECT term, cf, df, rank,
+      CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+    FROM ranked WHERE rank <= 256"""
+
   val queries: Map[String, Q] = Map(
+    "q256_burstiness" -> q256Burstiness,
     "q226_sample_audit" -> q226SampleAudit,
     "q227_datasheet" -> q227Datasheet,
     "q228_effective_tokens" -> q228EffectiveTokens,
@@ -959,6 +1009,7 @@ object TextOps {
     "q181_kappa_audit" -> q181KappaAudit)
 
   val oracles: Map[String, String] = Map(
+    "q256_burstiness" -> o256,
     "q226_sample_audit" -> o226,
     "q227_datasheet" -> o227,
     "q228_effective_tokens" -> o228,

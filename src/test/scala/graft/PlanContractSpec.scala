@@ -330,7 +330,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q250_ppl_gate",
       // q251 crosses the single-row corpus-total census into the
       // vocabulary-grain deviation sum and the per-source report
-      "q251_source_drift")
+      "q251_source_drift",
+      // q257 composes q250's and q241's single-row total crosses (the
+      // two trained gates it applies; each declared above)
+      "q257_curation_funnel")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

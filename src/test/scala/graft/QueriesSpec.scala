@@ -914,6 +914,107 @@ class QueriesSpec extends AnyFunSuite {
       s"fit off at the endpoint: pred $pred vs ${yl / 256.0}")
   }
 
+  test("q253 dedup-scope identities hold and mirror sources lose " +
+    "every local survivor to global scope") {
+    val rows = SparkEntry.queries("q253_dedup_scope")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, w, ls, gs, lost) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_within_dups"),
+        r.getAs[Long]("n_local_survivors"),
+        r.getAs[Long]("n_global_survivors"),
+        r.getAs[Long]("n_lost_to_global"))
+      assert(w + ls == n, s"partition identity broke: $r")
+      // a global survivor is necessarily its source's local survivor
+      assert(lost == ls - gs, s"loss identity broke: $r")
+      if (r.getAs[String]("source").startsWith("mirror_"))
+        // every mirror fingerprint exists in the original source with
+        // a smaller doc_id, so global election kills ALL of them
+        assert(gs == 0L && lost == ls, s"mirror source kept docs: $r")
+    }
+    assert(rows.exists(_.getAs[Long]("n_within_dups") > 0),
+      "planted within-source replays missing")
+  }
+
+  test("q254 pHash finds every planted perturbed replay at Hamming " +
+    "<= 1 and caps verified distance") {
+    val rows = SparkEntry.queries("q254_phash_dedup")(spark, sf)
+      .collect()
+    val got = rows.map(r => (r.getAs[Long]("doc_a"),
+      r.getAs[Long]("doc_b"), r.getAs[Long]("hamming")))
+    got.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0L && h <= 6L, s"bad pair ($a,$b,$h)")
+    }
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 9 === 0 && length(col("text")) >= 2)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      val hit = got.find(p => p._1 == id && p._2 == id + (10L << 40))
+      assert(hit.isDefined, s"planted pair for $id missing")
+      // the edit moves only sample s0 -> at most bit 0 of lane 0 flips
+      assert(hit.get._3 <= 1L, s"planted pair too far: ${hit.get}")
+    }
+  }
+
+  test("q255 cross-lang census carries the planted relabeled " +
+    "replays as cross-lang near-dup mass") {
+    val rows = SparkEntry.queries("q255_crosslang_leak")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[String]("lang_lo"),
+        r.getAs[String]("lang_hi"))
+      assert(lo <= hi)
+      assert(r.getAs[Long]("cross_lang") == (if (lo == hi) 0L else 1L))
+      val mj = r.getAs[Double]("mean_jaccard")
+      assert(mj > 0.0 && mj <= 1.0, s"mean J out of range: $r")
+    }
+    // planted pairs: (lang, lang_x) rows must exist and be cross-lang
+    assert(rows.exists(r => r.getAs[Long]("cross_lang") == 1L &&
+      r.getAs[String]("lang_hi").endsWith("_x")),
+      "planted relabeled replays missing from the census")
+  }
+
+  test("q256 burstiness head is rank-complete, cf-monotone, and " +
+    ">= 1 everywhere") {
+    val rows = SparkEntry.queries("q256_burstiness")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("rank"))
+    assert(rows.nonEmpty && rows.length <= 256)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to rows.length).toSeq, "rank gaps in the head")
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("cf") >= b.getAs[Long]("cf"))
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("cf"))
+      assert(r.getAs[Double]("burstiness") >= 1.0)
+    }
+  }
+
+  test("q257 funnel is monotone, raw share is exactly 1, and the " +
+    "planted replays die at the dedup stage") {
+    val rows = SparkEntry.queries("q257_curation_funnel")(spark, sf)
+      .collect().map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("token_share"))).toMap
+    val order = Seq("raw", "exact_dedup", "quality", "lm_gate", "dsir")
+    assert(rows.keySet == order.toSet)
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(rows(a)._1 >= rows(b)._1, s"$a -> $b docs grew")
+      assert(rows(a)._2 >= rows(b)._2, s"$a -> $b tokens grew")
+      assert(rows(a)._3 >= rows(b)._3, s"$a -> $b share grew")
+    }
+    assert(rows("raw")._3 == 1.0)
+    // the mod-6 replays are exact dups: dedup must strictly shrink
+    assert(rows("exact_dedup")._1 < rows("raw")._1)
+    // and survivors equal the raw corpus (originals all win election)
+    val nRaw = Tables.documents(spark, sf).count()
+    assert(rows("exact_dedup")._1 <= nRaw)
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
