@@ -156,6 +156,71 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------- cluster density / chaining audit
+  /** Density audit of the q83 near-dup clusters — the LSH-CHAINING
+    * detector: transitive closure merges A–B and B–C into one cluster
+    * even when A and C share nothing, so a cluster's VERIFIED-edge
+    * density (n_edges / C(n,2)) is the one number separating a true
+    * replay group (a clique, density 1) from a chained artifact that
+    * would over-delete under q121's survivor election. Per cluster:
+    * members, verified q60 edges, density, and `is_complete`
+    * (edges = C(n,2) exactly).
+    *
+    * 100 TB design: rides q83's label frame (iterative CC with
+    * per-round checkpoints) and q60's capped banded edges; the edge
+    * census joins labels on ONE side only (both endpoints of an edge
+    * share a component by construction — the second join would be a
+    * no-op); everything after is (cluster, count) arithmetic. C(n,2)
+    * stays in int64 because cluster sizes are bounded by the banded
+    * pair generation caps upstream. */
+  val q259ClusterDensity: Q = (s, d) => {
+    val edges = DedupOps.q60SimHashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint() // feeds CC AND the per-cluster edge census
+    val labels = connectedComponents(
+      edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
+    val sizes = labels.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val edgeCensus = edges
+      .join(labels.select(col("doc_id").as("doc_a"),
+        col("comp").as("cluster_id")), Seq("doc_a"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"))
+    sizes.join(edgeCensus, Seq("cluster_id"))
+      .withColumn("density", col("n_edges").cast("double") * 2.0
+        / (col("n_members").cast("double")
+          * (col("n_members").cast("double") - 1.0)))
+      .withColumn("is_complete",
+        when(col("n_edges") * 2 === col("n_members")
+          * (col("n_members") - 1), 1L).otherwise(0L))
+      .select(col("cluster_id"), col("n_members"), col("n_edges"),
+        col("density"), col("is_complete"))
+  }
+  val o259: String = s"""
+    WITH RECURSIVE pairs AS (${DedupOps.o60}),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM e
+      UNION
+      SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach
+             GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+              FROM comp GROUP BY cluster_id),
+    ec AS (
+      SELECT c.cluster_id, COUNT(*) AS n_edges
+      FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
+      GROUP BY c.cluster_id)
+    SELECT s.cluster_id, s.n_members, ec.n_edges,
+      CAST(ec.n_edges AS DOUBLE) * 2.0
+        / (CAST(s.n_members AS DOUBLE)
+          * (CAST(s.n_members AS DOUBLE) - 1.0)) AS density,
+      CAST(CASE WHEN ec.n_edges * 2 = s.n_members * (s.n_members - 1)
+        THEN 1 ELSE 0 END AS BIGINT) AS is_complete
+    FROM sizes s JOIN ec USING (cluster_id)"""
+
   // --------------------------------------------- KS distribution drift
   /** Exact two-sample Kolmogorov–Smirnov drift: for every source, the
     * KS statistic D = max_v |CDF_source(v) − CDF_global(v)| of its
@@ -4279,6 +4344,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q259_cluster_density" -> q259ClusterDensity,
     "q257_curation_funnel" -> q257CurationFunnel,
     "q252_heaps_fit" -> q252HeapsFit,
     "q250_ppl_gate" -> q250PplGate,
@@ -4344,6 +4410,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q259_cluster_density" -> o259,
     "q257_curation_funnel" -> o257,
     "q252_heaps_fit" -> o252,
     "q250_ppl_gate" -> o250,

@@ -157,12 +157,19 @@ object InsightOps {
     * 100 TB design: per-row integer hash, one k-bounded TakeOrdered —
     * the same shape every "sample k docs by quality weight" curation
     * step needs; reproducible by any engine (full oracle). */
+  /** The A-ES integer priority over (doc_id, n_chars) — THE sampling
+    * key: q187 censuses the k smallest in batch, and the streaming
+    * reservoir (`CorpusStreaming.maintainReservoir`) maintains the
+    * same k-smallest set online, so both tiers elect identical
+    * samples by construction. */
+  private[graft] val aesPrioritySql: String =
+    s"(((pmod(doc_id, 1000000007) * 2654435761 + ${42L * 40503L})" +
+      s" % 1000000007) * 2654435761) % 1000000007 * 1000000 div n_chars"
+
   val q187WeightedSample: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("priority",
-        expr(s"(((pmod(doc_id, 1000000007) * 2654435761 + ${42L * 40503L})" +
-          s" % 1000000007) * 2654435761) % 1000000007 * 1000000 div n_chars"))
+      .withColumn("priority", expr(aesPrioritySql))
       .select($"doc_id", $"n_chars".as("weight"), $"priority")
       .orderBy($"priority".asc, $"doc_id".asc)
       .limit(100)

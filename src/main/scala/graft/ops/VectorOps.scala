@@ -2370,7 +2370,79 @@ object VectorOps {
       FROM a)
     SELECT cell, vec_id FROM ranked, cap WHERE r <= cap"""
 
+  // --------------------------------- dimension-collapse audit
+  /** Per-dimension variance profile of the embedding space — the
+    * anisotropy/collapse audit an index build reads before committing
+    * storage: a dimension with (near-)zero variance carries no
+    * retrieval signal but still costs index bits (and scalar
+    * quantization — q242's lane — wastes its 8 bits there), while a
+    * single dominant dimension means the space is anisotropic and
+    * cosine ranking degenerates toward that axis. Emits per dimension
+    * the mean, variance, and variance share of the total.
+    *
+    * Exactness: Σv and Σv² accumulate as decimal(30,8) (order-
+    * independent, the q217 convention); mean and variance are then a
+    * PINNED chain of IEEE ops per dimension (identical both engines);
+    * the total-variance denominator sums the 64 per-dimension
+    * variances as floor(·1e12) int64 fixed point — never a
+    * float sum over rows.
+    *
+    * 100 TB design: ONE posexplode aggregate, map-side combined to 64
+    * groups; the totals row is a broadcast single row; output is 64
+    * rows. */
+  val q258DimCollapse: Q = (s, d) => {
+    import s.implicits._
+    val per = Tables.embeddings(s, d)
+      .select(posexplode($"embedding").as(Seq("pos", "v")))
+      .withColumn("v", $"v".cast("double"))
+      .groupBy($"pos")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast("decimal(30,8)")).as("sv"),
+        sum(($"v" * $"v").cast("decimal(30,8)")).as("svv"))
+      .withColumn("mean", $"sv".cast("double") / $"n".cast("double"))
+      .withColumn("variance",
+        $"svv".cast("double") / $"n".cast("double")
+          - ($"sv".cast("double") / $"n".cast("double"))
+          * ($"sv".cast("double") / $"n".cast("double")))
+      .withColumn("var_fp",
+        floor($"variance" * lit(1.0e12)).cast("long"))
+      // 64 rows feeding both the totals row and the report — never
+      // re-run the corpus aggregate for the denominator
+      .localCheckpoint()
+    val tot = per.agg(sum($"var_fp").cast("long").as("tot_fp"))
+    per.join(broadcast(tot))
+      .select($"pos".cast("long").as("pos"), $"mean", $"variance",
+        ($"var_fp".cast("double") / $"tot_fp".cast("double"))
+          .as("var_share"))
+  }
+  val o258: String = """
+    WITH dims AS (
+      SELECT g.pos AS pos, CAST(embedding[g.pos] AS DOUBLE) AS v
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    per AS (
+      SELECT pos, COUNT(*) AS n,
+        SUM(CAST(v AS DECIMAL(30,8))) AS sv,
+        SUM(CAST(v * v AS DECIMAL(30,8))) AS svv
+      FROM dims GROUP BY pos),
+    stats AS (
+      SELECT pos,
+        CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        CAST(svv AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) AS variance
+      FROM per),
+    fp AS (
+      SELECT pos, mean, variance,
+        CAST(FLOOR(variance * 1.0e12) AS BIGINT) AS var_fp
+      FROM stats),
+    tot AS (SELECT CAST(SUM(var_fp) AS BIGINT) AS tot_fp FROM fp)
+    SELECT CAST(pos - 1 AS BIGINT) AS pos, mean, variance,
+      CAST(var_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS var_share
+    FROM fp, tot"""
+
   val queries: Map[String, Q] = Map(
+    "q258_dim_collapse" -> q258DimCollapse,
     "q249_nprobe_sweep" -> q249NprobeSweep,
     "q248_split_drift" -> q248SplitDrift,
     "q244_cluster_balanced" -> q244ClusterBalanced,
@@ -2399,6 +2471,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q258_dim_collapse" -> o258,
     "q249_nprobe_sweep" -> o249,
     "q248_split_drift" -> o248,
     "q244_cluster_balanced" -> o244,

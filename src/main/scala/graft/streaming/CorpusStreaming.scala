@@ -244,6 +244,73 @@ object CorpusStreaming {
       : Option[Long] =
     versionIds(dir, conf).sorted.lastOption
 
+  // ------------------------------------------- streaming reservoir
+  /** Streaming weighted reservoir — the online face of batch q187's
+    * A-ES sample: each arriving doc gets the SAME deterministic
+    * integer priority (`InsightOps.aesPrioritySql` — seeded two-round
+    * hash ·1e6 div n_chars), and the maintained table is the k rows
+    * with smallest priority seen so far. k-bounded top-k is a merge
+    * homomorphism (topk(A ∪ B) = topk(topk(A) ∪ topk(B))), so the
+    * incrementally-maintained sample coincides EXACTLY with batch
+    * q187 over everything ingested — StreamingSpec pins stream ≡
+    * batch on the full corpus, split across batches. Versioned commit
+    * layout follows [[maintainChecksums]] (idempotent replay, only
+    * `_SUCCESS`-committed versions served).
+    *
+    * 100 TB design: per-batch work is one k-bounded TakeOrdered
+    * (partial heaps, no sort); maintained state is k rows regardless
+    * of intake volume — the "always-fresh eval sample" a continuously
+    * ingesting pipeline reads without ever rescanning the corpus. */
+  def maintainReservoir(docs: DataFrame, tableDir: String,
+                        checkpointDir: String, k: Int = 100)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeReservoir(batch, tableDir, batchId, k)
+      }
+      .start()
+
+  /** One reservoir merge commit — separated so the incremental ≡
+    * batch-q187 contract is testable without a streaming harness. */
+  private[streaming] def mergeReservoir(batch: DataFrame,
+                                        tableDir: String,
+                                        batchId: Long, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val delta = reservoirCensus(batch, k)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val merged = versionIds(tableDir, conf).filter(_ < batchId)
+      .sorted.lastOption match {
+      case Some(v) =>
+        reservoirTopK(
+          spark.read.parquet(s"$tableDir/v$v").unionByName(delta), k)
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+    versionIds(tableDir, conf).filter(_ < batchId - 3).foreach { old =>
+      val p = new HPath(s"$tableDir/v$old")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  /** Batch-q187 spelling over one intake batch (doc_id + n_chars). */
+  private[streaming] def reservoirCensus(docs: DataFrame,
+                                         k: Int): DataFrame =
+    reservoirTopK(docs
+      .withColumn("priority",
+        expr(graft.ops.InsightOps.aesPrioritySql))
+      .select(col("doc_id"), col("n_chars").as("weight"),
+        col("priority")), k)
+
+  private def reservoirTopK(rows: DataFrame, k: Int): DataFrame =
+    rows.orderBy(col("priority").asc, col("doc_id").asc).limit(k)
+
+  /** The reservoir as of its latest committed version. */
+  def currentReservoir(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String): Option[DataFrame] =
+    latestVersion(tableDir, spark.sparkContext.hadoopConfiguration)
+      .map(v => spark.read.parquet(s"$tableDir/v$v"))
+
   /** Per-source intake census over the deduped stream: docs admitted
     * per (window, source) — the monitoring mart an intake pipeline
     * alerts on when a source's novel-document rate collapses (all

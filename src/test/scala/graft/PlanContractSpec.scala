@@ -333,7 +333,10 @@ class PlanContractSpec extends AnyFunSuite {
       "q251_source_drift",
       // q257 composes q250's and q241's single-row total crosses (the
       // two trained gates it applies; each declared above)
-      "q257_curation_funnel")
+      "q257_curation_funnel",
+      // q258 crosses the single-row total-variance census into the
+      // 64-row per-dimension frame
+      "q258_dim_collapse")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -1015,6 +1015,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows("exact_dedup")._1 <= nRaw)
   }
 
+  test("q258 per-dimension variance matches a brute recompute and " +
+    "shares sum to one") {
+    val rows = SparkEntry.queries("q258_dim_collapse")(spark, sf)
+      .collect()
+    assert(rows.length == 64)
+    rows.foreach(r => assert(r.getAs[Double]("variance") >= 0.0))
+    val shareSum = rows.map(_.getAs[Double]("var_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    // brute-force dimension 0 from the raw table
+    val v0 = Tables.embeddings(spark, sf)
+      .select(expr("CAST(embedding[0] AS DOUBLE)").as("v"))
+      .collect().map(_.getDouble(0))
+    val mean = v0.sum / v0.length
+    val variance = v0.map(x => x * x).sum / v0.length - mean * mean
+    val got = rows.find(_.getAs[Long]("pos") == 0L).get
+    assert(math.abs(got.getAs[Double]("mean") - mean) < 1e-9)
+    assert(math.abs(got.getAs[Double]("variance") - variance) < 1e-9)
+  }
+
+  test("q259 cluster densities are connected-graph-consistent and " +
+    "completeness matches density 1") {
+    val rows = SparkEntry.queries("q259_cluster_density")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_members")
+      val e = r.getAs[Long]("n_edges")
+      val dens = r.getAs[Double]("density")
+      assert(n >= 2, s"singleton cluster emitted: $r")
+      // a connected component on n nodes has at least n-1 edges and
+      // at most C(n,2) distinct verified pairs
+      assert(e >= n - 1 && e <= n * (n - 1) / 2, s"edge bounds: $r")
+      assert(dens > 0.0 && dens <= 1.0, s"density range: $r")
+      assert((r.getAs[Long]("is_complete") == 1L) == (dens == 1.0),
+        s"completeness flag disagrees with density: $r")
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->

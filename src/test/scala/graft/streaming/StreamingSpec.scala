@@ -956,6 +956,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(table(s"$tmp/inc") == inc)
   }
 
+  test("streaming reservoir maintains exactly the batch q187 sample " +
+    "across batches, replay-idempotent") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"n_chars")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("reservoir").toString
+    // incremental: two intake batches split mid-corpus
+    CorpusStreaming.mergeReservoir(
+      docs.filter($"doc_id" % 2 === 0), s"$tmp/inc", 0L, 100)
+    CorpusStreaming.mergeReservoir(
+      docs.filter($"doc_id" % 2 === 1), s"$tmp/inc", 1L, 100)
+    def table(dir: String) =
+      CorpusStreaming.currentReservoir(spark, dir).get.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+          r.getAs[Long]("priority"))).toSet
+    val inc = table(s"$tmp/inc")
+    // batch q187 over the same corpus elects the identical sample
+    val batch = graft.SparkEntry
+      .queries("q187_weighted_sample")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
+        r.getAs[Long]("priority"))).toSet
+    assert(inc == batch,
+      s"stream-batch divergence: ${inc.diff(batch)} / ${batch.diff(inc)}")
+    // replaying the last commit (crash recovery) must not change it
+    CorpusStreaming.mergeReservoir(
+      docs.filter($"doc_id" % 2 === 1), s"$tmp/inc", 1L, 100)
+    assert(table(s"$tmp/inc") == inc)
+  }
+
   test("streaming LSH candidates: band matches pair across batches, " +
     "replays dedup, full buckets saturate") {
     val s = spark
