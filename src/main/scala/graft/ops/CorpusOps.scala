@@ -156,6 +156,104 @@ object CorpusOps {
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
 
+  // --------------------------------- padding-waste batching audit
+  private val PadBatch = 32L
+
+  /** Padding-waste audit of two batching strategies: documents packed
+    * into fixed-size training batches of [[PadBatch]], each batch
+    * padded to its longest member (the attention-mask cost every
+    * non-packing trainer pays) — compared between ARRIVAL order
+    * (batch = doc_id div B; intake ids are monotone) and
+    * LENGTH-SORTED order (the dynamic-batching / bucketing trick:
+    * rank by (n_tokens, doc_id), batch = (rank−1) div B). Reports per
+    * strategy: batches, real tokens, padding tokens, padding share —
+    * the "is length bucketing worth the shuffle" number (q233/q234
+    * audit the PACKING alternative that eliminates padding entirely;
+    * this prices the strategy most fine-tune stacks actually run).
+    *
+    * 100 TB design: the sorted rank NEVER runs an unpartitioned
+    * window over the corpus — it rides q153's valueBucket two-level
+    * layout (bounded token-length histogram cumsum for offsets,
+    * per-bucket refinement windows); the per-batch census is one
+    * map-side combined aggregate; the report is 2 rows. The oracle is
+    * the naive global row_number spelling, pinning the two-level
+    * refinement row-identical. */
+  val q261PaddingWaste: Q = (s, d) => {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ntok"))
+      .localCheckpoint() // feeds both strategies + the bucket census
+    def report(batched: DataFrame, strategy: String): DataFrame =
+      batched.groupBy(col("batch_id"))
+        .agg(count(lit(1)).as("bn"),
+          max(col("ntok")).as("mx"),
+          sum(col("ntok")).cast("long").as("st"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("st")).cast("long").as("total_tokens"),
+          sum(col("bn") * col("mx") - col("st")).cast("long")
+            .as("total_padding"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("total_tokens"), col("total_padding"),
+          (col("total_padding").cast("double")
+            / (col("total_tokens") + col("total_padding"))
+              .cast("double")).as("padding_share"))
+    val arrival = report(
+      docs.withColumn("batch_id", expr(s"doc_id div $PadBatch")),
+      "arrival")
+    val bucketed = docs.withColumn("bucket",
+      Relational.valueBucket($"ntok"))
+    val offsets = bucketed.groupBy($"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("offset",
+        (sum($"bn").over(Window.orderBy($"bucket".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - $"bn").cast("long"))
+      .select($"bucket", $"offset")
+    val wb = Window.partitionBy($"bucket")
+      .orderBy($"ntok".asc, $"doc_id".asc)
+    val sorted = report(
+      bucketed.join(broadcast(offsets), Seq("bucket"))
+        .withColumn("rank",
+          ($"offset" + row_number().over(wb)).cast("long"))
+        .withColumn("batch_id", expr(s"(rank - 1) div $PadBatch")),
+      "length_sorted")
+    arrival.unionByName(sorted)
+  }
+  val o261: String = s"""
+    WITH pd AS (
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+      FROM documents),
+    arrival AS (
+      SELECT doc_id // $PadBatch AS batch_id, ntok FROM pd),
+    sorted AS (
+      SELECT (row_number() OVER (ORDER BY ntok ASC, doc_id ASC) - 1)
+        // $PadBatch AS batch_id, ntok
+      FROM pd),
+    ra AS (
+      SELECT batch_id, COUNT(*) AS bn, MAX(ntok) AS mx,
+        CAST(SUM(ntok) AS BIGINT) AS st
+      FROM arrival GROUP BY batch_id),
+    rs AS (
+      SELECT batch_id, COUNT(*) AS bn, MAX(ntok) AS mx,
+        CAST(SUM(ntok) AS BIGINT) AS st
+      FROM sorted GROUP BY batch_id),
+    rep AS (
+      SELECT 'arrival' AS strategy, COUNT(*) AS n_batches,
+        CAST(SUM(st) AS BIGINT) AS total_tokens,
+        CAST(SUM(bn * mx - st) AS BIGINT) AS total_padding
+      FROM ra
+      UNION ALL
+      SELECT 'length_sorted', COUNT(*),
+        CAST(SUM(st) AS BIGINT), CAST(SUM(bn * mx - st) AS BIGINT)
+      FROM rs)
+    SELECT strategy, n_batches, total_tokens, total_padding,
+      CAST(total_padding AS DOUBLE)
+        / CAST(total_tokens + total_padding AS DOUBLE)
+        AS padding_share
+    FROM rep"""
+
   // --------------------------------- cluster density / chaining audit
   /** Density audit of the q83 near-dup clusters — the LSH-CHAINING
     * detector: transitive closure merges A–B and B–C into one cluster
@@ -4344,6 +4442,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q261_padding_waste" -> q261PaddingWaste,
     "q259_cluster_density" -> q259ClusterDensity,
     "q257_curation_funnel" -> q257CurationFunnel,
     "q252_heaps_fit" -> q252HeapsFit,
@@ -4410,6 +4509,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q261_padding_waste" -> o261,
     "q259_cluster_density" -> o259,
     "q257_curation_funnel" -> o257,
     "q252_heaps_fit" -> o252,

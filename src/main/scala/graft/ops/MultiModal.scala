@@ -177,7 +177,7 @@ object MultiModal {
     * images; on the byte-proxy corpus they survive local edits, which
     * is what the planted perturbation exercises. Expects columns
     * `text` (payload byte proxy, ASCII) and `L` (its length, ≥ 2). */
-  private def phashLaneExpr(b: Int): String =
+  private[graft] def phashLaneExpr(b: Int): String =
     s"""aggregate(sequence(0, 15), CAST(0 AS BIGINT), (a, j) ->
           a + IF(ascii(substring(text,
                    CAST(1 + ((${16 * b} + j) * (L - 1)) div 64 AS INT), 1))

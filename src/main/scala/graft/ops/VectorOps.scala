@@ -2441,7 +2441,91 @@ object VectorOps {
       CAST(var_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS var_share
     FROM fp, tot"""
 
+  // --------------------------------- JL projection-distortion audit
+  /** Johnson–Lindenstrauss distance-preservation audit: every vector
+    * projects to 16 dims through a FIXED ±1 sign matrix (sign(k,j)
+    * from a two-constant integer hash — deterministic, engine-
+    * identical, no stored matrix), and the audit reports, for every
+    * unordered pair of the 25-probe set, the squared distance in full
+    * space vs (projected² / 16) and their ratio — the distortion a
+    * random-projection index (RP-trees, compact ANN sketches) would
+    * impose. q188 audits PREFIX truncation (Matryoshka); this audits
+    * the random-combination family, the other standard
+    * dimensionality-reduction lane. Pairs with identical full vectors
+    * carry no ratio and are excluded (mirrored).
+    *
+    * Float parity: projections and distances are in-row left folds in
+    * PINNED index order (sign·v multiply then fold-add — bit-identical
+    * IEEE in both engines); the ratio is two divides of those exact
+    * doubles. No cross-row float aggregation at all.
+    *
+    * 100 TB design: the probe set is constant-size by construction
+    * (the declared audit cost, q62's convention), so the pair frame
+    * is C(25,2) rows at ANY corpus size; each projection is one
+    * in-row fold at the scan. */
+  val q260JlAudit: Q = (s, d) => {
+    import s.implicits._
+    val projExpr = """transform(sequence(0, 15), k ->
+      aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a, j) ->
+        a + IF(((k * 2654435761 + j * 40503) % 1000000007) % 2 = 0,
+               CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE))
+            * CAST(element_at(embedding, j) AS DOUBLE)))"""
+    val probes = Tables.embeddings(s, d)
+      .filter($"vec_id" % 100 === 0 && $"vec_id" < 2500)
+      .select($"vec_id", $"embedding", expr(projExpr).as("proj"))
+    val d2Full = expr(
+      """aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE), (a, j) ->
+           a + (CAST(element_at(ea, j) AS DOUBLE)
+                 - CAST(element_at(eb, j) AS DOUBLE))
+             * (CAST(element_at(ea, j) AS DOUBLE)
+                 - CAST(element_at(eb, j) AS DOUBLE)))""")
+    val d2Proj = expr(
+      """aggregate(sequence(1, 16), CAST(0.0 AS DOUBLE), (a, k) ->
+           a + (element_at(pa, k) - element_at(pb, k))
+             * (element_at(pa, k) - element_at(pb, k)))""")
+    probes.select($"vec_id".as("vec_a"), $"embedding".as("ea"),
+        $"proj".as("pa"))
+      .join(probes.select($"vec_id".as("vec_b"), $"embedding".as("eb"),
+        $"proj".as("pb")), $"vec_a" < $"vec_b")
+      .withColumn("d2_full", d2Full)
+      .withColumn("d2_proj", d2Proj)
+      .filter($"d2_full" > 0.0)
+      .select($"vec_a", $"vec_b", $"d2_full", $"d2_proj",
+        (($"d2_proj" / lit(16.0)) / $"d2_full").as("ratio"))
+  }
+  val o260: String = """
+    WITH probes AS (
+      SELECT vec_id, embedding,
+        list_transform(generate_series(0, 15), k ->
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, 64), j ->
+              CASE WHEN ((k * 2654435761 + j * 40503) % 1000000007)
+                     % 2 = 0
+                   THEN CAST(1.0 AS DOUBLE)
+                   ELSE CAST(-1.0 AS DOUBLE) END
+                * CAST(embedding[j] AS DOUBLE))),
+            (a, x) -> a + x)) AS proj
+      FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 2500),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, 64), j ->
+            (CAST(a.embedding[j] AS DOUBLE)
+              - CAST(b.embedding[j] AS DOUBLE))
+            * (CAST(a.embedding[j] AS DOUBLE)
+              - CAST(b.embedding[j] AS DOUBLE)))),
+          (acc, x) -> acc + x) AS d2_full,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(generate_series(1, 16), k ->
+            (a.proj[k] - b.proj[k]) * (a.proj[k] - b.proj[k]))),
+          (acc, x) -> acc + x) AS d2_proj
+      FROM probes a JOIN probes b ON a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, d2_full, d2_proj,
+      (d2_proj / 16.0) / d2_full AS ratio
+    FROM pairs WHERE d2_full > 0.0"""
+
   val queries: Map[String, Q] = Map(
+    "q260_jl_audit" -> q260JlAudit,
     "q258_dim_collapse" -> q258DimCollapse,
     "q249_nprobe_sweep" -> q249NprobeSweep,
     "q248_split_drift" -> q248SplitDrift,
@@ -2471,6 +2555,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q260_jl_audit" -> o260,
     "q258_dim_collapse" -> o258,
     "q249_nprobe_sweep" -> o249,
     "q248_split_drift" -> o248,

@@ -573,6 +573,41 @@ object CorpusStreaming {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** STREAMING perceptual-hash candidates — the media lane's online
+    * near-dup path, batch q254's twin: each arriving payload collapses
+    * IN-ROW to its four 16-bit dHash lanes (the shared
+    * `MultiModal.phashLaneExpr` spelling, so the batch index and the
+    * stream candidates interoperate), and each lane keys the SAME
+    * capped [[BandBucketProcessor]] the text LSH path uses (the pHash
+    * band key is a single lane value; the processor's h2 slot rides
+    * as 0). Candidate pairs verify downstream by exact bit_count XOR
+    * Hamming — q254's verify stage over the hash store; payloads
+    * never enter state, buckets hold doc ids only, so the 100 TB/day
+    * media-intake story is the text path's unchanged. */
+  def phashCandidatesStream(docs: Dataset[DocEvent],
+                            cap: Int = graft.ops.DedupOps.MaxBandBucket)
+      : Dataset[LshCandidate] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    def lane(b: Int) = graft.ops.MultiModal.phashLaneExpr(b)
+    docs.toDF()
+      .select(col("doc_id"), col("ts"), col("text"))
+      .filter(length(col("text")) >= 2)
+      .withColumn("L", length(col("text")).cast("long"))
+      .select(col("doc_id"), unix_millis(col("ts")).as("tsMillis"),
+        expr(s"""explode(array(
+            named_struct('band', 0, 'key', ${lane(0)}),
+            named_struct('band', 1, 'key', ${lane(1)}),
+            named_struct('band', 2, 'key', ${lane(2)}),
+            named_struct('band', 3, 'key', ${lane(3)}))) AS b"""))
+      .select(concat_ws("|", col("b.band"), col("b.key"), lit(0L))
+        .as("bkey"), col("doc_id"), col("tsMillis"))
+      .as[BandEntry]
+      .groupByKey(_.bkey)
+      .transformWithState(new BandBucketProcessor(cap),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ------------------------------------- streaming split-leakage watch
   /** Streaming twin of batch q238's split-leakage census, at CANDIDATE
     * grain: every non-saturated LSH candidate pair from

@@ -207,7 +207,9 @@ class PlanContractSpec extends AnyFunSuite {
       "q233_packing_spans" -> ("div-1024 doc-bucket census (level-1 "
         + "of the packedOffsets two-level prefix sum)"),
       "q252_heaps_fit" -> ("div-1024 super-batch census (q149's "
-        + "two-level prefix-sum layout on the token/vocab lanes)"))
+        + "two-level prefix-sum layout on the token/vocab lanes)"),
+      "q261_padding_waste" -> ("<=18k valueBucket token-length "
+        + "histogram (level-1 of the sorted-rank two-level layout)"))
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
       name =>
         val df = SparkEntry.queries(name)(spark, sf)
@@ -336,7 +338,11 @@ class PlanContractSpec extends AnyFunSuite {
       "q257_curation_funnel",
       // q258 crosses the single-row total-variance census into the
       // 64-row per-dimension frame
-      "q258_dim_collapse")
+      "q258_dim_collapse",
+      // q260's pair frame is the constant 25-probe set non-equi
+      // self-joined (C(25,2) rows at any corpus size — the declared
+      // audit cost, q62's convention)
+      "q260_jl_audit")
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -1053,6 +1053,63 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q260 JL ratios match a driver-side recompute of the sign " +
+    "projection") {
+    val rows = SparkEntry.queries("q260_jl_audit")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("d2_full") > 0.0)
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio >= 0.0 && !ratio.isNaN)
+      assert(math.abs(ratio
+        - (r.getAs[Double]("d2_proj") / 16.0)
+          / r.getAs[Double]("d2_full")) < 1e-12)
+    }
+    // brute-force the first pair end to end
+    val first = rows.minBy(r => (r.getAs[Long]("vec_a"),
+      r.getAs[Long]("vec_b")))
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(first.getAs[Long]("vec_a"),
+        first.getAs[Long]("vec_b")))
+      .orderBy("vec_id")
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    def proj(v: Array[Double]): Array[Double] =
+      Array.tabulate(16) { k =>
+        (1 to 64).foldLeft(0.0) { (a, j) =>
+          val sign =
+            if (((k * 2654435761L + j * 40503L) % 1000000007L) % 2 == 0)
+              1.0 else -1.0
+          a + sign * v(j - 1)
+        }
+      }
+    val d2f = (0 until 64)
+      .map(i => (emb(0)(i) - emb(1)(i)) * (emb(0)(i) - emb(1)(i))).sum
+    val (pa, pb) = (proj(emb(0)), proj(emb(1)))
+    val d2p = (0 until 16)
+      .map(i => (pa(i) - pb(i)) * (pa(i) - pb(i))).sum
+    assert(math.abs(first.getAs[Double]("d2_full") - d2f) < 1e-9)
+    assert(math.abs(first.getAs[Double]("d2_proj") - d2p) < 1e-9)
+  }
+
+  test("q261 length-sorted batching never pads more than arrival " +
+    "order on the same corpus") {
+    val rows = SparkEntry.queries("q261_padding_waste")(spark, sf)
+      .collect().map(r => r.getAs[String]("strategy") -> r).toMap
+    val (a, sRow) = (rows("arrival"), rows("length_sorted"))
+    assert(a.getAs[Long]("total_tokens")
+      == sRow.getAs[Long]("total_tokens"), "token mass differs")
+    assert(sRow.getAs[Long]("total_padding")
+      <= a.getAs[Long]("total_padding"), "sorting made padding worse")
+    Seq(a, sRow).foreach { r =>
+      val (p, t) = (r.getAs[Long]("total_padding"),
+        r.getAs[Long]("total_tokens"))
+      assert(p >= 0L)
+      assert(math.abs(r.getAs[Double]("padding_share")
+        - p.toDouble / (t + p).toDouble) < 1e-12)
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->

@@ -1046,6 +1046,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming pHash candidates: perturbed payload pairs with its " +
+    "original across batches on the unchanged lanes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val textA = "alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda mu nu xi omicron pi rho sigma tau"
+      val textB = "Q" + textA.substring(1) // q254's planted edit
+      val input = MemoryStream[CorpusStreaming.DocEvent]
+      input.addData(
+        CorpusStreaming.DocEvent(1, ts("2024-01-01 10:00:00"), textA, "s0"))
+      val q = CorpusStreaming
+        .phashCandidatesStream(input.toDS(), cap = 10)
+        .writeStream.format("memory").queryName("ph_cand")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("ph_cand").count() == 0)
+        input.addData(
+          CorpusStreaming.DocEvent(2, ts("2024-01-01 10:05:00"), textB, "s0"))
+        q.processAllAvailable()
+        val rows = spark.table("ph_cand").collect()
+          .filter(!_.getAs[Boolean]("saturated"))
+          .map(r => (r.getAs[Int]("band"), r.getAs[Long]("doc_a"),
+            r.getAs[Long]("doc_b")))
+        // the first-byte edit moves only sample s0: lane 0 may differ
+        // but lanes 1-3 collide exactly -> the pair emits on at least
+        // those three bands
+        val pairBands = rows.filter(p => p._2 == 1L && p._3 == 2L)
+          .map(_._1).toSet
+        assert(Set(1, 2, 3).subsetOf(pairBands), rows.mkString(";"))
+      } finally q.stop()
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming split-leakage watch: cross-split candidate flags, " +
     "same-split candidate does not, splits match batch q105") {
     val s = spark
