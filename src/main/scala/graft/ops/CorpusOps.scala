@@ -201,21 +201,8 @@ object CorpusOps {
     val arrival = report(
       docs.withColumn("batch_id", expr(s"doc_id div $PadBatch")),
       "arrival")
-    val bucketed = docs.withColumn("bucket",
-      Relational.valueBucket($"ntok"))
-    val offsets = bucketed.groupBy($"bucket")
-      .agg(count(lit(1)).as("bn"))
-      .withColumn("offset",
-        (sum($"bn").over(Window.orderBy($"bucket".asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - $"bn").cast("long"))
-      .select($"bucket", $"offset")
-    val wb = Window.partitionBy($"bucket")
-      .orderBy($"ntok".asc, $"doc_id".asc)
     val sorted = report(
-      bucketed.join(broadcast(offsets), Seq("bucket"))
-        .withColumn("rank",
-          ($"offset" + row_number().over(wb)).cast("long"))
+      Relational.twoLevelRank(docs, "ntok", "doc_id", asc = true)
         .withColumn("batch_id", expr(s"(rank - 1) div $PadBatch")),
       "length_sorted")
     arrival.unionByName(sorted)
@@ -3637,23 +3624,8 @@ object CorpusOps {
         Seq("doc_id"))
       .select($"doc_id", $"lang",
         expr("score_fp div n_tri").as("m_fp"))
-      .withColumn("bucket", Relational.valueBucket($"m_fp"))
-    val offsets = scored.groupBy($"lang", $"bucket")
-      .agg(count(lit(1)).as("bn"))
-      .withColumn("offset",
-        (sum($"bn").over(Window.partitionBy($"lang")
-          .orderBy($"bucket".desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - $"bn").cast("long"))
-      .withColumn("n", sum($"bn").over(Window.partitionBy($"lang")
-        .rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)).cast("long"))
-      .select($"lang", $"bucket", $"offset", $"n")
-    val wb = Window.partitionBy($"lang", $"bucket")
-      .orderBy($"m_fp".desc, $"doc_id".asc)
-    scored.join(broadcast(offsets), Seq("lang", "bucket"))
-      .withColumn("lang_rank",
-        ($"offset" + row_number().over(wb)).cast("long"))
+    Relational.twoLevelRank(scored, "m_fp", "doc_id", asc = false,
+        partCols = Seq("lang"), rankCol = "lang_rank", nCol = "n")
       .withColumn("b1", (expr("n div 3")
         + when($"n" % 3 >= 1, 1L).otherwise(0L)).cast("long"))
       .withColumn("b2", (expr("2 * (n div 3)")

@@ -144,19 +144,6 @@ object InsightOps {
     CROSS JOIN n"""
 
   // ---------------------------------------------- weighted sampling
-  /** Weighted sampling without replacement, A-ES shape (Efraimidis–
-    * Spirakis): each doc gets priority u/w — u a seeded uniform from
-    * the q81 two-round mod-prime hash, w = n_chars — and the k
-    * smallest priorities win, so selection probability scales with
-    * weight. The float key u^(1/w) of the textbook construction is
-    * replaced by INTEGER u·SCALE div w: same ordering semantics for
-    * sampling purposes, zero cross-engine float risk, ANSI-safe
-    * (u < 1e9+7, SCALE 1e6 → product < 1.1e15). TakeOrdered (top-k
-    * heaps, no global sort) serves the k rows.
-    *
-    * 100 TB design: per-row integer hash, one k-bounded TakeOrdered —
-    * the same shape every "sample k docs by quality weight" curation
-    * step needs; reproducible by any engine (full oracle). */
   /** The A-ES integer priority over (doc_id, n_chars) — THE sampling
     * key: q187 censuses the k smallest in batch, and the streaming
     * reservoir (`CorpusStreaming.maintainReservoir`) maintains the
@@ -166,6 +153,20 @@ object InsightOps {
     s"(((pmod(doc_id, 1000000007) * 2654435761 + ${42L * 40503L})" +
       s" % 1000000007) * 2654435761) % 1000000007 * 1000000 div n_chars"
 
+  /** Weighted sampling without replacement, A-ES shape (Efraimidis–
+    * Spirakis): each doc gets priority u/w — u a seeded uniform from
+    * the q81 two-round mod-prime hash, w = n_chars — and the k
+    * smallest priorities win, so selection probability scales with
+    * weight. The float key u^(1/w) of the textbook construction is
+    * replaced by INTEGER u·SCALE div w ([[aesPrioritySql]]): same
+    * ordering semantics for sampling purposes, zero cross-engine
+    * float risk, ANSI-safe (u < 1e9+7, SCALE 1e6 → product <
+    * 1.1e15). TakeOrdered (top-k heaps, no global sort) serves the k
+    * rows.
+    *
+    * 100 TB design: per-row integer hash, one k-bounded TakeOrdered —
+    * the same shape every "sample k docs by quality weight" curation
+    * step needs; reproducible by any engine (full oracle). */
   val q187WeightedSample: Q = (s, d) => {
     import s.implicits._
     Tables.documents(s, d)

@@ -208,10 +208,18 @@ object MultiModal {
     * swaps the resample source (decoded luma rows instead of payload
     * bytes) and keeps every stage after the hash.
     *
-    * Non-vacuous at every SF: doc_id ≡ 0 (mod 9) plants a
-    * first-byte-perturbed replay at +10·2⁴⁰ — the edit moves only
-    * sample s₀, so lanes 1–3 still collide exactly (candidate found)
-    * while lane 0 differs in ≤ 1 bit (verified at Hamming ≤ 1).
+    * Non-vacuous by construction (verified at all three SFs):
+    * doc_id ≡ 0 (mod 9) plants a first-byte-perturbed replay at
+    * +10·2⁴⁰. The edit rewrites the prefix of samples that resample
+    * byte 1 (just s₀ when L ≥ 66; a run of equal samples when
+    * shorter) — gradient bits inside an equal-valued prefix cannot
+    * flip, so exactly ≤ 1 bit (the prefix-boundary bit, lane
+    * ⌊bit/16⌋ — lane 0 for L ≥ 66) differs and the other three lanes
+    * collide exactly. The guarantee holds while those shared lanes'
+    * buckets stay under [[MaxPhashBucket]] — true at the tested SFs;
+    * at corpus scale an over-cap lane drops its pairs (the standard
+    * LSH recall trade, mirrored in the oracle and surfaced online by
+    * the streaming twin's saturation markers).
     *
     * 100 TB design: payload bytes never shuffle — the hash collapses
     * each payload to four 16-bit lanes in-row at the scan; the band

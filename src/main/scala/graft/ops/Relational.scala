@@ -1257,6 +1257,51 @@ object Relational {
       .cast("long")
   }
 
+  /** THE two-level exact-rank layout — the one spelling behind every
+    * census-scale rank in the registry (q153/q161 global, q250
+    * per-language, q261 by token length), so the offset arithmetic
+    * and tie discipline live in one place: [[valueBucket]] maps the
+    * (NONNEGATIVE) long `valueCol` to a value-monotonic histogram key
+    * (≤ ~18k buckets per partition), the BOUNDED bucket census
+    * cumsum yields each bucket's rank offset plus the partition row
+    * count, and per-(partition, bucket) windows refine — no window
+    * ever partitions corpus/census-scale rows. Ties break on
+    * `tieCol` so both engines bin identically. Appends `rankCol`
+    * (1-based in `asc` direction) and `nCol` (partition row count);
+    * oracles stay the naive row_number spellings, pinning the
+    * refinement row-identical. */
+  private[graft] def twoLevelRank(df: DataFrame, valueCol: String,
+      tieCol: String, asc: Boolean, partCols: Seq[String] = Seq.empty,
+      rankCol: String = "rank", nCol: String = "__n"): DataFrame = {
+    val part = partCols.map(col)
+    val bucketed = df.withColumn("__tlr_bucket", valueBucket(col(valueCol)))
+    val bOrd = if (asc) col("__tlr_bucket").asc else col("__tlr_bucket").desc
+    val offsets = bucketed
+      .groupBy(part :+ col("__tlr_bucket"): _*)
+      .agg(count(lit(1)).as("__tlr_bn"))
+      .withColumn("__tlr_off",
+        (sum(col("__tlr_bn")).over(Window.partitionBy(part: _*)
+          .orderBy(bOrd)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("__tlr_bn")).cast("long"))
+      .withColumn(nCol, sum(col("__tlr_bn"))
+        .over(Window.partitionBy(part: _*)
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)).cast("long"))
+      .select(part :+ col("__tlr_bucket") :+ col("__tlr_off")
+        :+ col(nCol): _*)
+    val vOrd =
+      if (asc) Seq(col(valueCol).asc, col(tieCol).asc)
+      else Seq(col(valueCol).desc, col(tieCol).asc)
+    val wb = Window.partitionBy(part :+ col("__tlr_bucket"): _*)
+      .orderBy(vOrd: _*)
+    bucketed
+      .join(broadcast(offsets), partCols :+ "__tlr_bucket")
+      .withColumn(rankCol,
+        (col("__tlr_off") + row_number().over(wb)).cast("long"))
+      .drop("__tlr_bucket", "__tlr_off")
+  }
+
   /** Customer-revenue Pareto deciles: customers ranked by exact-cents
     * revenue, split into 10 equal-count bins, each bin's share of
     * total revenue — the 80/20 concentration report.
@@ -1276,22 +1321,8 @@ object Relational {
       .groupBy($"o_custkey")
       .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
-      .withColumn("bucket", valueBucket($"cents"))
-    val offsets = custRev.groupBy($"bucket")
-      .agg(count(lit(1)).as("bn"))
-      .withColumn("offset",
-        (sum($"bn").over(Window.orderBy($"bucket".desc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - $"bn").cast("long"))
-      .withColumn("n", sum($"bn").over(Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing))
-        .cast("long"))
-      .select($"bucket", $"offset", $"n")
-    val wb = Window.partitionBy($"bucket")
-      .orderBy($"cents".desc, $"o_custkey".asc)
-    val ranked = custRev.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("rn",
-        ($"offset" + row_number().over(wb)).cast("long"))
+    val ranked = twoLevelRank(custRev, "cents", "o_custkey",
+        asc = false, rankCol = "rn", nCol = "n")
       .withColumn("decile", expr("((rn - 1) * 10) div n"))
     ranked.groupBy($"decile")
       .agg(count(lit(1)).as("n_customers"),
@@ -1343,19 +1374,8 @@ object Relational {
       .groupBy($"o_custkey")
       .agg((sum($"o_totalprice".cast("decimal(18,2)")) * 100)
         .cast("long").as("cents"))
-      .withColumn("bucket", valueBucket($"cents"))
-    val offsets = custRev.groupBy($"bucket")
-      .agg(count(lit(1)).as("bn"))
-      .withColumn("offset",
-        (sum($"bn").over(Window.orderBy($"bucket".asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - $"bn").cast("long"))
-      .select($"bucket", $"offset")
-    val wb = Window.partitionBy($"bucket")
-      .orderBy($"cents".asc, $"o_custkey".asc)
-    custRev.join(broadcast(offsets), Seq("bucket"))
-      .withColumn("i",
-        ($"offset" + row_number().over(wb)).cast("long"))
+    twoLevelRank(custRev, "cents", "o_custkey", asc = true,
+      rankCol = "i")
       // the cast rides an OPERAND so the rank×cents product is decimal
       // from the start — i ~ 4e9 × cents ~ 1e10 overflows an int64
       // product silently in Spark and throws in DuckDB (the q220

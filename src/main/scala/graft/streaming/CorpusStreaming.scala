@@ -302,8 +302,14 @@ object CorpusStreaming {
       .select(col("doc_id"), col("n_chars").as("weight"),
         col("priority")), k)
 
+  /** k smallest priorities, doc_id-DEDUPED first: an at-least-once
+    * source re-delivering a sampled doc in a LATER batch would
+    * otherwise occupy two reservoir slots (its rows are identical —
+    * the priority is a pure id hash — so the dedup is exact), the
+    * same replay discipline BandBucketProcessor applies in-bucket. */
   private def reservoirTopK(rows: DataFrame, k: Int): DataFrame =
-    rows.orderBy(col("priority").asc, col("doc_id").asc).limit(k)
+    rows.dropDuplicates("doc_id")
+      .orderBy(col("priority").asc, col("doc_id").asc).limit(k)
 
   /** The reservoir as of its latest committed version. */
   def currentReservoir(spark: org.apache.spark.sql.SparkSession,

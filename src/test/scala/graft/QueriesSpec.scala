@@ -953,7 +953,8 @@ class QueriesSpec extends AnyFunSuite {
     planted.foreach { id =>
       val hit = got.find(p => p._1 == id && p._2 == id + (10L << 40))
       assert(hit.isDefined, s"planted pair for $id missing")
-      // the edit moves only sample s0 -> at most bit 0 of lane 0 flips
+      // the edit rewrites an equal-valued sample prefix -> at most
+      // the one prefix-boundary gradient bit flips
       assert(hit.get._3 <= 1L, s"planted pair too far: ${hit.get}")
     }
   }

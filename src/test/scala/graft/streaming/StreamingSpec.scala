@@ -965,11 +965,15 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id", $"n_chars")
     val tmp = java.nio.file.Files
       .createTempDirectory("reservoir").toString
-    // incremental: two intake batches split mid-corpus
+    // incremental: two intake batches split mid-corpus; batch 1 also
+    // RE-DELIVERS a slice of batch 0 (at-least-once source) — the
+    // duplicates must not eat reservoir slots
     CorpusStreaming.mergeReservoir(
       docs.filter($"doc_id" % 2 === 0), s"$tmp/inc", 0L, 100)
     CorpusStreaming.mergeReservoir(
-      docs.filter($"doc_id" % 2 === 1), s"$tmp/inc", 1L, 100)
+      docs.filter($"doc_id" % 2 === 1)
+        .unionByName(docs.filter($"doc_id" % 10 === 0)),
+      s"$tmp/inc", 1L, 100)
     def table(dir: String) =
       CorpusStreaming.currentReservoir(spark, dir).get.collect()
         .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("weight"),
@@ -1076,9 +1080,9 @@ class StreamingSpec extends AnyFunSuite {
           .filter(!_.getAs[Boolean]("saturated"))
           .map(r => (r.getAs[Int]("band"), r.getAs[Long]("doc_a"),
             r.getAs[Long]("doc_b")))
-        // the first-byte edit moves only sample s0: lane 0 may differ
-        // but lanes 1-3 collide exactly -> the pair emits on at least
-        // those three bands
+        // textA is > 65 bytes, so the first-byte edit moves only
+        // sample s0: lane 0 may differ but lanes 1-3 collide exactly
+        // -> the pair emits on at least those three bands
         val pairBands = rows.filter(p => p._2 == 1L && p._3 == 2L)
           .map(_._1).toSet
         assert(Set(1, 2, 3).subsetOf(pairBands), rows.mkString(";"))
