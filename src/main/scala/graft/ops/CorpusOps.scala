@@ -3684,7 +3684,12 @@ object CorpusOps {
     * argued at its definition); the verdict is ONE conditional
     * aggregate producing all five stages (no per-stage corpus
     * passes). */
-  val q257CurationFunnel: Q = (s, d) => {
+  /** The per-doc gate-verdict frame behind q257's funnel and q262's
+    * release manifest: (doc_id, ntok, pass_q, is_surv, lm_kept,
+    * dsir_sel) over the mod-6-replay-augmented corpus.
+    * [[funnelFlagsSql]] is the SQL twin (a WITH-body fragment ending
+    * in `fun_flags`). */
+  private def curationFlags(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base0 = Tables.documents(s, d).select($"doc_id", $"text")
     val aug = base0.unionByName(base0.filter($"doc_id" % 6 === 0)
@@ -3698,13 +3703,17 @@ object CorpusOps {
     val lm = q250PplGate(s, d).select($"doc_id", $"kept".as("lm_kept"))
     val dsir = dsirDocBits(s, d)
       .select(col("doc_id"), (col("doc_bits") >= 0).as("dsir_sel"))
-    val flags = docs.join(surv, Seq("fp"))
+    docs.join(surv, Seq("fp"))
       .withColumn("is_surv", $"doc_id" === $"keep_id")
       .join(lm, Seq("doc_id"), "left")
       .join(dsir, Seq("doc_id"), "left")
       .withColumn("lm_kept", coalesce($"lm_kept", lit(true)))
       .withColumn("dsir_sel", coalesce($"dsir_sel", lit(true)))
-    flags.agg(
+  }
+
+  val q257CurationFunnel: Q = (s, d) => {
+    import s.implicits._
+    curationFlags(s, d).agg(
       count(lit(1)).as("d0"),
       sum($"ntok").cast("long").as("t0"),
       sum(when($"is_surv", 1L).otherwise(0L)).cast("long").as("d1"),
@@ -3732,8 +3741,13 @@ object CorpusOps {
         ($"n_tokens".cast("double") / $"t0".cast("double"))
           .as("token_share"))
   }
-  val o257: String = s"""
-    WITH fun_base AS (
+  /** o257's gate-verdict CTE chain (fun_base → … → fun_flags) — the
+    * WITH-body fragment shared with o262. Embedders must avoid the
+    * nested chains' CTE names (o250's base/sc/ranked/cut, o240's
+    * toks/tri_tr/bi_tr/uni_tr/tot/occ/scored, the d-prefixed DSIR
+    * chain) at their outer level. */
+  private def funnelFlagsSql: String = s"""
+    fun_base AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + ${7L << 40} AS doc_id, text
@@ -3757,7 +3771,10 @@ object CorpusOps {
       FROM fun_docs f
       JOIN fun_surv sv USING (fp)
       LEFT JOIN ppl p ON p.doc_id = f.doc_id
-      LEFT JOIN ddoc dd ON dd.doc_id = f.doc_id),
+      LEFT JOIN ddoc dd ON dd.doc_id = f.doc_id)"""
+
+  val o257: String = s"""
+    WITH $funnelFlagsSql,
     fun_agg AS (
       SELECT COUNT(*) AS d0, CAST(SUM(ntok) AS BIGINT) AS t0,
         CAST(SUM(is_surv) AS BIGINT) AS d1,
@@ -3787,6 +3804,94 @@ object CorpusOps {
       CAST(t3 AS DOUBLE) / CAST(t0 AS DOUBLE) FROM fun_agg
     UNION ALL SELECT 'dsir', d4, t4,
       CAST(t4 AS DOUBLE) / CAST(t0 AS DOUBLE) FROM fun_agg"""
+
+  // --------------------------------- release manifest
+  private val ManifestShards = 8L
+
+  /** The training-data RELEASE MANIFEST — the last mile that turns
+    * audits into an artifact: the docs surviving the HARD-FILTER
+    * cascade (dedup ∧ quality ∧ LM tertile — q257's first four
+    * stages; DSIR stays out of the gate because it is a resampling
+    * WEIGHT in its own construction, the sampler's input rather than
+    * a filter, and its sign threshold is all-or-nothing on a corpus
+    * whose target-likeness shifts together) are assigned their q105
+    * split and, within each split, dealt into [[ManifestShards]]
+    * shards by token-count snake draft (q225's deal at DOC grain —
+    * alternating direction over the length rank keeps every shard's
+    * token mass near the split mean, so data loaders stream any
+    * shard without a long tail). Emits the per-(split, shard) census
+    * with each shard's balance against its split's ideal share — the
+    * table a release publishes next to the parquet it describes.
+    *
+    * 100 TB design: the gate frame is q257's (each gate's scale story
+    * at its definition); the within-split length rank rides
+    * [[Relational.twoLevelRank]] (bounded histogram cumsum, never a
+    * split-partition corpus sort); the census and balance are
+    * |splits|·|shards| rows. */
+  val q262ReleaseManifest: Q = (s, d) => {
+    import s.implicits._
+    val kept = curationFlags(s, d)
+      .filter($"is_surv" && $"pass_q" && $"lm_kept")
+      .select($"doc_id", $"ntok")
+      .withColumn("split", splitAssign($"doc_id"))
+      // the gate frame is the expensive composite (q250 + DSIR); the
+      // rank layout and census each consume their input twice, so
+      // materialize once here instead of 4x-inlining the gate plan
+      .localCheckpoint()
+    val census = Relational.twoLevelRank(kept, "ntok", "doc_id",
+        asc = false, partCols = Seq("split"))
+      .withColumn("shard", expr(
+        s"""CASE WHEN ((rank - 1) div $ManifestShards) % 2 = 0
+              THEN (rank - 1) % $ManifestShards
+              ELSE $ManifestShards - 1 - (rank - 1) % $ManifestShards
+            END"""))
+      .groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ntok").cast("long").as("n_tokens"))
+    val totals = census.groupBy($"split")
+      .agg(sum($"n_tokens").cast("long").as("split_tokens"))
+    census.join(broadcast(totals), Seq("split"))
+      .select($"split", $"shard", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double")
+          / ($"split_tokens".cast("double")
+            / lit(ManifestShards.toDouble))).as("balance"))
+  }
+  val o262: String = s"""
+    WITH $funnelFlagsSql,
+    mkept AS (
+      SELECT doc_id, ntok,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id, ntok,
+          (((doc_id % 1000000007) * 2654435761 + 5851) % 1000000007)
+            % 100 AS b
+        FROM fun_flags
+        WHERE is_surv = 1 AND pass_q = 1 AND lm_kept = 1)),
+    rankedm AS (
+      SELECT split, ntok,
+        CAST(row_number() OVER (PARTITION BY split
+          ORDER BY ntok DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM mkept),
+    sharded AS (
+      SELECT split, ntok,
+        CASE WHEN ((rank - 1) // $ManifestShards) % 2 = 0
+          THEN (rank - 1) % $ManifestShards
+          ELSE $ManifestShards - 1 - (rank - 1) % $ManifestShards
+        END AS shard
+      FROM rankedm),
+    mcensus AS (
+      SELECT split, shard, COUNT(*) AS n_docs,
+        CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM sharded GROUP BY split, shard),
+    mtot AS (
+      SELECT split, CAST(SUM(n_tokens) AS BIGINT) AS split_tokens
+      FROM mcensus GROUP BY split)
+    SELECT c.split, c.shard, c.n_docs, c.n_tokens,
+      CAST(c.n_tokens AS DOUBLE)
+        / (CAST(t.split_tokens AS DOUBLE) / $ManifestShards.0)
+        AS balance
+    FROM mcensus c JOIN mtot t USING (split)"""
 
   // --------------------------------- source lexical-drift TVD
   /** Per-source lexical drift: the total-variation distance between
@@ -4414,6 +4519,7 @@ object CorpusOps {
     FROM m"""
 
   val queries: Map[String, Q] = Map(
+    "q262_release_manifest" -> q262ReleaseManifest,
     "q261_padding_waste" -> q261PaddingWaste,
     "q259_cluster_density" -> q259ClusterDensity,
     "q257_curation_funnel" -> q257CurationFunnel,
@@ -4481,6 +4587,7 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q262_release_manifest" -> o262,
     "q261_padding_waste" -> o261,
     "q259_cluster_density" -> o259,
     "q257_curation_funnel" -> o257,

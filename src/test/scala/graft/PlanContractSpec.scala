@@ -343,6 +343,10 @@ class PlanContractSpec extends AnyFunSuite {
       // self-joined (C(25,2) rows at any corpus size — the declared
       // audit cost, q62's convention)
       "q260_jl_audit")
+    // (q262 composes q257's gate frame — q250 + q241 single-row
+    // total crosses, each declared above — but its localCheckpoint
+    // materializes the gate before this scan sees the plan, the
+    // q232/q234 hiding caveat)
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sf)
       df.write.format("noop").mode("overwrite").save()

@@ -1111,6 +1111,29 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q262 manifest shards partition each split's mass and the " +
+    "snake draft deals doc counts within one") {
+    val rows = SparkEntry.queries("q262_release_manifest")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      assert(sh >= 0L && sh < 8L)
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+    rows.groupBy(_.getAs[String]("split")).foreach { case (sp, rs) =>
+      // balances are shares of the split's ideal: they sum to the
+      // shard count over the shards that exist
+      val bSum = rs.map(_.getAs[Double]("balance")).sum
+      assert(math.abs(bSum - 8.0) < 1e-9, s"$sp balance sum $bSum")
+      // the snake draft deals ranks cyclically: per-shard doc counts
+      // differ by at most one within a split
+      val counts = rs.map(_.getAs[Long]("n_docs"))
+      assert(counts.max - counts.min <= 1L,
+        s"$sp doc counts skewed: ${counts.mkString(",")}")
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
