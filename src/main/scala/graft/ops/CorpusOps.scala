@@ -3676,7 +3676,12 @@ object CorpusOps {
     * pass it untouched — a gate abstains, it never vetoes blind.
     * Planted exact replays (q226/q228's doc_id ≡ 0 mod 6 recipe) keep
     * the dedup stage non-vacuous at every SF; replays die at the
-    * dedup stage before any gate verdict could matter.
+    * dedup stage before any gate verdict could matter. Note the DSIR
+    * stage reports the ≥ 0-bits threshold FAITHFULLY, and on a corpus
+    * whose target-likeness shifts together that threshold is
+    * all-or-nothing (kills everything at sf0.001, keeps everything at
+    * sf0.1) — which is exactly why q262's manifest treats DSIR as the
+    * sampler's weight rather than a hard gate.
     *
     * 100 TB design: the funnel frame carries (doc_id, fp, ntok,
     * flags) — text collapses at the scan; the two gate verdicts
