@@ -71,6 +71,43 @@ object EngineProperties extends Properties("engine") {
       ours == ref
     }
 
+  // ------------------------------------------- two-level exact rank
+  private val tlrRows: Gen[List[(Int, Long)]] =
+    Gen.choose(1, 40).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.choose(0, 2),
+        // nonnegative (the valueBucket contract), wide spread so rows
+        // cross bucket boundaries, plus heavy ties
+        Gen.oneOf(Gen.choose(0L, 9L), Gen.choose(0L, 999999L)))))
+
+  property("twoLevelRank == row_number window, any data, both " +
+    "directions, global and partitioned") =
+    Prop.forAllNoShrink(tlrRows, Gen.oneOf(true, false),
+      Gen.oneOf(true, false)) { (rows, asc, partitioned) =>
+      val s = spark
+      import s.implicits._
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g.toLong, v, i.toLong) }
+        .toDF("grp", "value", "id")
+      val parts = if (partitioned) Seq("grp") else Seq.empty[String]
+      // five queries ride this layout (q153/q161/q250/q261/q262) —
+      // pin it against the naive window spelling they all mirror in
+      // their oracles
+      val ours = graft.ops.Relational
+        .twoLevelRank(df, "value", "id", asc, parts)
+        .select("grp", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val ord: Seq[org.apache.spark.sql.Column] =
+        if (asc) Seq($"value".asc, $"id".asc)
+        else Seq($"value".desc, $"id".asc)
+      val w = Window
+        .partitionBy(parts.map(col): _*)
+        .orderBy(ord: _*)
+      val ref = df.withColumn("rank", row_number().over(w).cast("long"))
+        .select("grp", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      ours == ref
+    }
+
   // ----------------------------------------------- fingerprint kernel
   // arbitrary unicode-ish text with spaces (including empty tokens,
   // leading/trailing/double spaces, non-ASCII and non-BMP codepoints)
