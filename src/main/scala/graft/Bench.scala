@@ -74,12 +74,19 @@ object Bench {
       s""""cpus":$cpus,"concurrent":$concurrent}"""
     println(json)
     // the driver captures stdout with a bounded tail that has truncated
-    // the per-query map before (BENCH_r05); keep a full copy on disk
-    try {
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_LAST.json"),
+    // the per-query map before (BENCH_r05); keep a full copy on disk.
+    // BENCH_LAST.json is the SCRATCH copy — the driver's concurrent
+    // per-round run clobbers it freely. A solo closing bench passes
+    // SPARK_GRAFT_BENCH_OUT=BENCH_SOLO_r0N.json to land on a per-round
+    // name the driver never writes (round-7 verdict finding 2: the
+    // committed solo artifact was overwritten by a loadavg-8.5 run).
+    val outs = "BENCH_LAST.json" +:
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").toSeq
+    outs.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (json + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 

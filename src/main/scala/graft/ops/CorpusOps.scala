@@ -3833,7 +3833,12 @@ object CorpusOps {
     * [[Relational.twoLevelRank]] (bounded histogram cumsum, never a
     * split-partition corpus sort); the census and balance are
     * |splits|·|shards| rows. */
-  val q262ReleaseManifest: Q = (s, d) => {
+  /** Doc-grain (doc_id, ntok, split, shard) release assignment — the
+    * shared truth behind [[q262ReleaseManifest]]'s census and
+    * [[writeRelease]]'s partitioned artifact, so the manifest a
+    * release PUBLISHES and the data it SHIPS cannot drift apart. */
+  private[ops] def releaseAssignments(s: SparkSession,
+                                      d: String): DataFrame = {
     import s.implicits._
     val kept = curationFlags(s, d)
       .filter($"is_surv" && $"pass_q" && $"lm_kept")
@@ -3843,13 +3848,23 @@ object CorpusOps {
       // rank layout and census each consume their input twice, so
       // materialize once here instead of 4x-inlining the gate plan
       .localCheckpoint()
-    val census = Relational.twoLevelRank(kept, "ntok", "doc_id",
+    Relational.twoLevelRank(kept, "ntok", "doc_id",
         asc = false, partCols = Seq("split"))
       .withColumn("shard", expr(
         s"""CASE WHEN ((rank - 1) div $ManifestShards) % 2 = 0
               THEN (rank - 1) % $ManifestShards
               ELSE $ManifestShards - 1 - (rank - 1) % $ManifestShards
             END"""))
+      .select($"doc_id", $"ntok", $"split", $"shard")
+  }
+
+  /** The per-(split, shard) census + balance over an assignment
+    * frame — q262's output shape, factored so [[writeRelease]]'s
+    * re-read audit regenerates the identical census from the
+    * written artifact. */
+  private def releaseCensus(asg: DataFrame): DataFrame = {
+    import asg.sparkSession.implicits._
+    val census = asg
       .groupBy($"split", $"shard")
       .agg(count(lit(1)).as("n_docs"),
         sum($"ntok").cast("long").as("n_tokens"))
@@ -3861,6 +3876,9 @@ object CorpusOps {
           / ($"split_tokens".cast("double")
             / lit(ManifestShards.toDouble))).as("balance"))
   }
+
+  val q262ReleaseManifest: Q = (s, d) =>
+    releaseCensus(releaseAssignments(s, d))
   val o262: String = s"""
     WITH $funnelFlagsSql,
     mkept AS (
@@ -3897,6 +3915,100 @@ object CorpusOps {
         / (CAST(t.split_tokens AS DOUBLE) / $ManifestShards.0)
         AS balance
     FROM mcensus c JOIN mtot t USING (split)"""
+
+  // --------------------------------- release write path
+  /** Canonical JSON manifest for a release census (rows sorted by
+    * (split, shard)); regenerated from the re-read artifact by the
+    * audit and compared BYTE-EQUAL to the published file. */
+  private def manifestJson(censusRows: Seq[(String, Long, Long, Long,
+      Double)]): String = {
+    val shardLines = censusRows.sorted.map {
+      case (split, shard, nDocs, nTokens, balance) =>
+        s"""{"split":"$split","shard":$shard,"n_docs":$nDocs,""" +
+          s""""n_tokens":$nTokens,"balance":$balance}"""
+    }
+    s"""{"manifest_shards":$ManifestShards,""" +
+      s""""n_docs":${censusRows.map(_._3).sum},""" +
+      s""""n_tokens":${censusRows.map(_._4).sum},""" +
+      s""""shards":[${shardLines.mkString(",")}]}"""
+  }
+
+  private def collectCensus(census: DataFrame)
+      : Seq[(String, Long, Long, Long, Double)] =
+    census.collect().map { r =>  // |splits|·|shards| rows — driver-safe
+      // Number-route the ints: the partitionBy writer round-trips
+      // `shard` as INT, so the re-read census boxes Integer where the
+      // pre-write census boxes Long
+      (r.getAs[String]("split"), r.getAs[Number]("shard").longValue(),
+        r.getAs[Number]("n_docs").longValue(),
+        r.getAs[Number]("n_tokens").longValue(),
+        r.getAs[Double]("balance"))
+    }.toSeq
+
+  /** Writes the q262 release as a real artifact and audits it by
+    * re-reading what was written — the last mile from census to
+    * shipped data (reference analog: the mart write + `_meta`
+    * manifest pattern, etl/metadata.py:45-128 / etl/marts/
+    * transfers.py:266-313, that the POS side already mirrors):
+    *
+    *   `outDir/data/split=…/shard=…/` parquet — survivor documents
+    *     (doc_id, text, lang, source, n_chars, ntok) partitioned by
+    *     the snake-draft assignment, so a trainer reads exactly one
+    *     directory per (split, shard);
+    *   `outDir/_meta/manifest.json` — the q262 census, the shipped
+    *     twin of what the query reports.
+    *
+    * The returned audit frame joins the PRE-write census against a
+    * census recomputed from the RE-READ parquet — n_docs, n_tokens,
+    * AND ntok recomputed from the written text (a corrupted or
+    * truncated text column fails the audit even when row counts
+    * survive) — one row per (split, shard) with an `ok` verdict.
+    * The manifest file is separately regenerated from the re-read
+    * data and compared byte-equal ([[manifestJson]] is canonical).
+    *
+    * 100 TB design: the write is the assignment frame joined to the
+    * corpus by doc_id (survivors are always ORIGINAL ids — min-id
+    * election — so the join hits the raw table, never the augmented
+    * frame) and shuffled only by the partitionBy writer; the audit
+    * censuses collapse at the scan; only the |splits|·|shards|-row
+    * census ever reaches the driver. */
+  def writeRelease(s: SparkSession, d: String,
+                   outDir: String): DataFrame = {
+    import s.implicits._
+    val asg = releaseAssignments(s, d).localCheckpoint()
+    val census = releaseCensus(asg)
+    asg.join(Tables.documents(s, d), Seq("doc_id"))
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
+        $"ntok", $"split", $"shard")
+      .write.mode("overwrite").partitionBy("split", "shard")
+      .parquet(s"$outDir/data")
+    val censusRows = collectCensus(census)
+    val metaDir = java.nio.file.Paths.get(outDir, "_meta")
+    java.nio.file.Files.createDirectories(metaDir)
+    java.nio.file.Files.writeString(metaDir.resolve("manifest.json"),
+      manifestJson(censusRows) + "\n")
+    // ---- re-read audit: the artifact must reproduce the census
+    val back = s.read.parquet(s"$outDir/data")
+      .withColumn("ntok_recount",
+        size(split($"text", " ")).cast("long"))
+    val backCensus = back.groupBy($"split", $"shard")
+      .agg(count(lit(1)).as("rr_n_docs"),
+        sum($"ntok").cast("long").as("rr_n_tokens"),
+        sum($"ntok_recount").cast("long").as("rr_n_tokens_recount"))
+    val rereadManifest = manifestJson(collectCensus(
+      releaseCensus(back.select($"doc_id", $"ntok", $"split",
+        $"shard"))))
+    val fileManifest = java.nio.file.Files.readString(
+      metaDir.resolve("manifest.json")).stripLineEnd
+    val manifestOk = rereadManifest == fileManifest
+    census.join(backCensus, Seq("split", "shard"), "full_outer")
+      .withColumn("manifest_file_ok", lit(manifestOk))
+      .withColumn("ok",
+        $"n_docs" === $"rr_n_docs" &&
+          $"n_tokens" === $"rr_n_tokens" &&
+          $"n_tokens" === $"rr_n_tokens_recount" &&
+          lit(manifestOk))
+  }
 
   // --------------------------------- source lexical-drift TVD
   /** Per-source lexical drift: the total-variation distance between
@@ -4211,6 +4323,97 @@ object CorpusOps {
     ${(1 to DeepBpeRounds).map(k =>
       s"SELECT round, mx, my, mx || my AS merged, n FROM top$k")
       .mkString("\n    UNION ALL\n    ")}"""
+
+  // --------------------------- convergence-bounded BPE trainer
+  /** Stop when the best remaining pair is rarer than this — the
+    * "vocabulary is saturated" signal a production trainer uses
+    * instead of a fixed round count. 2000 sits between the test
+    * corpora's round-5 (~2.7k) and round-6 (~1.9k) peaks at
+    * sf0.001/sf0.01 (early stop exercised) and below every sf0.1
+    * count (the [[DeepBpeRounds]] cap branch exercised). */
+  private val BpeMinMergeCount = 2000L
+
+  /** q245's trainer under a CONVERGENCE loop: merge rounds run until
+    * the best pair's count drops under [[BpeMinMergeCount]] (that
+    * round learns nothing worth keeping and is not emitted) or the
+    * [[DeepBpeRounds]] cap is hit. The stop decision reads ONE
+    * materialized row per round on the driver — the q83 convergence-
+    * count convention (a bounded scalar per iteration, never data).
+    * The oracle runs the full fixed-round chain and keeps the
+    * running-min-above-threshold prefix — by construction the exact
+    * rows the adaptive loop emits, since both engines compute
+    * identical per-round tops and the loop stops at the FIRST
+    * below-threshold round.
+    *
+    * 100 TB design: q245's unchanged (vocab-grain rounds, broadcast
+    * merge row, checkpointed flat lineage); convergence adds one
+    * driver-side single-row read per round. */
+  val q263BpeConvergedTrain: Q = (s, d) => {
+    import s.implicits._
+    val words0 = Tables.documents(s, d)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") > 0)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .select($"cnt", $"syms")
+      .localCheckpoint()
+    var words = words0
+    var lastTop: DataFrame = null
+    val tops = Seq.newBuilder[DataFrame]
+    var emitted = 0
+    var converged = false
+    var r = 1
+    while (!converged && r <= DeepBpeRounds) {
+      val top = words
+        .select($"cnt", explode(expr(
+          """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
+                      slice(syms, 2, greatest(size(syms) - 1, 0)),
+                      (a, b) -> named_struct('mx', a, 'my', b))"""))
+          .as("p"))
+        .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
+        .agg(sum($"cnt").cast("long").as("n"))
+        .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
+        .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
+        .localCheckpoint()
+      lastTop = top
+      // the convergence probe: one ≤1-row driver read per round
+      val head = top.collect()
+      if (head.isEmpty ||
+          head(0).getAs[Long]("n") < BpeMinMergeCount) {
+        converged = true
+      } else {
+        tops += top
+        emitted += 1
+        words = words
+          .join(broadcast(top.select($"mx", $"my")), lit(true), "left")
+          .withColumn("folded", expr(bpeFoldExpr))
+          .withColumn("syms", expr(bpeFinishExpr))
+          .select($"cnt", $"syms")
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val all =
+      if (emitted > 0) tops.result().reduce(_ unionByName _)
+      else lastTop.limit(0) // degenerate corpus: empty, right schema
+    all.select($"round", $"mx", $"my",
+      concat($"mx", $"my").as("merged"), $"n")
+  }
+  val o263: String = s"""
+    WITH $bpeWords0Sql,
+    ${(1 to DeepBpeRounds).map(bpeRoundSql).mkString(",\n    ")},
+    allr AS (
+      ${(1 to DeepBpeRounds).map(k =>
+        s"SELECT round, mx, my, n FROM top$k")
+        .mkString("\n      UNION ALL\n      ")}),
+    pref AS (
+      SELECT round, mx, my, n,
+        MIN(n) OVER (ORDER BY round
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmin
+      FROM allr)
+    SELECT round, mx, my, mx || my AS merged, n
+    FROM pref WHERE runmin >= $BpeMinMergeCount"""
 
   // --------------------------------- DSIR importance selection
   /** Data selection via importance resampling (DSIR, Xie et al. 2023,
@@ -4534,6 +4737,7 @@ object CorpusOps {
     "q247_vocab_sweep" -> q247VocabSweep,
     "q246_effective_mixture" -> q246EffectiveMixture,
     "q245_bpe_deep_train" -> q245BpeDeepTrain,
+    "q263_bpe_converged_train" -> q263BpeConvergedTrain,
     "q241_dsir_select" -> q241DsirSelect,
     "q240_backoff_lm" -> q240BackoffLm,
     "q233_packing_spans" -> q233PackingSpans,
@@ -4602,6 +4806,7 @@ object CorpusOps {
     "q247_vocab_sweep" -> o247,
     "q246_effective_mixture" -> o246,
     "q245_bpe_deep_train" -> o245,
+    "q263_bpe_converged_train" -> o263,
     "q241_dsir_select" -> o241,
     "q240_backoff_lm" -> o240,
     "q233_packing_spans" -> o233,

@@ -206,7 +206,13 @@ object MultiModal {
     * Hamming ≤ [[PhashMaxHamming]]. Text bytes stand in for media
     * bytes per this module's stub convention; a real image pipeline
     * swaps the resample source (decoded luma rows instead of payload
-    * bytes) and keeps every stage after the hash.
+    * bytes) and keeps every stage after the hash. The byte proxy is
+    * ASCII-projected (q157's regexp_replace convention) before
+    * sampling: Spark's `ascii` reads UTF-16 units where DuckDB's
+    * `unicode` reads codepoints, so a non-BMP character at a sample
+    * position would otherwise diverge between the engines — the
+    * projection makes the contract [[phashLaneExpr]] documents hold
+    * by construction rather than by corpus luck.
     *
     * Non-vacuous by construction (verified at all three SFs):
     * doc_id ≡ 0 (mod 9) plants a first-byte-perturbed replay at
@@ -234,6 +240,7 @@ object MultiModal {
       .select(($"doc_id" + lit(10L << 40)).as("doc_id"),
         concat(lit("Q"), expr("substring(text, 2)")).as("text"))
     val hashes = base.unionByName(replay)
+      .withColumn("text", regexp_replace($"text", "[^\\x00-\\x7F]", ""))
       .filter(length($"text") >= 2)
       .withColumn("L", length($"text").cast("long"))
       .withColumn("b0", expr(phashLaneExpr(0)))
@@ -277,7 +284,10 @@ object MultiModal {
         ${phashLaneDuck(0)} AS b0, ${phashLaneDuck(1)} AS b1,
         ${phashLaneDuck(2)} AS b2, ${phashLaneDuck(3)} AS b3
       FROM (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
-            FROM payloads WHERE length(text) >= 2)),
+            FROM (SELECT doc_id,
+                    regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS text
+                  FROM payloads)
+            WHERE length(text) >= 2)),
     lanes AS (
       SELECT doc_id, 0 AS band, b0 AS key FROM hx
       UNION ALL SELECT doc_id, 1, b1 FROM hx

@@ -436,17 +436,27 @@ object VectorOps {
     * only explode, map-side-combined down to k×64 groups. All sums
     * that cross rows go through exact decimals, so every double is
     * order-independent and bit-identical cross-engine. */
-  val q102LloydStep: Q = (s, d) => {
+  /** The label-mean seed centroids (c_label, carr) — q102's update
+    * target, and the offline-trained coarse quantizer the STREAMING
+    * centroid maintenance ([[graft.streaming.CorpusStreaming
+    * .maintainCentroids]]) keeps sufficient statistics against. */
+  private[graft] def labelCentroids(s: SparkSession,
+                                    d: String): DataFrame = {
     import s.implicits._
     val dims = Tables.embeddings(s, d)
       .select($"label", posexplode($"embedding").as(Seq("pos", "v")))
       .withColumn("v", $"v".cast("double"))
-    val centroids = dims.groupBy($"label".as("c_label"), $"pos")
+    dims.groupBy($"label".as("c_label"), $"pos")
       .agg((sum($"v".cast("decimal(30,8)")).cast("double")
         / count(lit(1))).as("c"))
-    val packedPer = centroids.groupBy($"c_label")
+      .groupBy($"c_label")
       .agg(array_sort(collect_list(struct($"pos", $"c"))).as("pc"))
       .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
+  }
+
+  val q102LloydStep: Q = (s, d) => {
+    import s.implicits._
+    val packedPer = labelCentroids(s, d)
     val packed = packedPer
       .agg(array_sort(collect_list(struct($"c_label", $"carr")))
         .as("cents"))
@@ -2412,7 +2422,13 @@ object VectorOps {
     val tot = per.agg(sum($"var_fp").cast("long").as("tot_fp"))
     per.join(broadcast(tot))
       .select($"pos".cast("long").as("pos"), $"mean", $"variance",
-        ($"var_fp".cast("double") / $"tot_fp".cast("double"))
+        // fully-collapsed space: every variance floors to 0 at the
+        // 1e-12 fixed point → tot_fp = 0. That degenerate corpus is
+        // exactly what the audit flags; share is undefined, so both
+        // engines must agree on NULL (Spark x/0 = null already, but
+        // the explicit guard keeps the SQL/NULLIF twin honest).
+        when($"tot_fp" === 0L, lit(null).cast("double"))
+          .otherwise($"var_fp".cast("double") / $"tot_fp".cast("double"))
           .as("var_share"))
   }
   val o258: String = """
@@ -2438,7 +2454,8 @@ object VectorOps {
       FROM stats),
     tot AS (SELECT CAST(SUM(var_fp) AS BIGINT) AS tot_fp FROM fp)
     SELECT CAST(pos - 1 AS BIGINT) AS pos, mean, variance,
-      CAST(var_fp AS DOUBLE) / CAST(tot_fp AS DOUBLE) AS var_share
+      CAST(var_fp AS DOUBLE) / CAST(NULLIF(tot_fp, 0) AS DOUBLE)
+        AS var_share
     FROM fp, tot"""
 
   // --------------------------------- JL projection-distortion audit

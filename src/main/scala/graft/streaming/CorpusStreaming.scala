@@ -304,11 +304,18 @@ object CorpusStreaming {
 
   /** k smallest priorities, doc_id-DEDUPED first: an at-least-once
     * source re-delivering a sampled doc in a LATER batch would
-    * otherwise occupy two reservoir slots (its rows are identical —
-    * the priority is a pure id hash — so the dedup is exact), the
-    * same replay discipline BandBucketProcessor applies in-bucket. */
+    * otherwise occupy two reservoir slots. The election is
+    * DETERMINISTIC — min (priority, weight) per doc_id — because the
+    * priority divides by n_chars, so a redelivery that arrives with a
+    * changed n_chars (a re-crawl, a cleaner upgrade) must elect the
+    * same row on every replay or the maintained sample diverges from
+    * batch q187. Byte-identical redelivery reduces to the plain dedup
+    * discipline BandBucketProcessor applies in-bucket. */
   private def reservoirTopK(rows: DataFrame, k: Int): DataFrame =
-    rows.dropDuplicates("doc_id")
+    rows.groupBy(col("doc_id"))
+      .agg(min(struct(col("priority"), col("weight"))).as("elect"))
+      .select(col("doc_id"), col("elect.weight").as("weight"),
+        col("elect.priority").as("priority"))
       .orderBy(col("priority").asc, col("doc_id").asc).limit(k)
 
   /** The reservoir as of its latest committed version. */
@@ -316,6 +323,141 @@ object CorpusStreaming {
                        tableDir: String): Option[DataFrame] =
     latestVersion(tableDir, spark.sparkContext.hadoopConfiguration)
       .map(v => spark.read.parquet(s"$tableDir/v$v"))
+
+  // ------------------------- incremental IVF centroid maintenance
+  /** Online twin of batch q102's Lloyd update through the versioned-
+    * commit store: arriving vectors assign to their nearest SEED
+    * centroid (the offline-trained coarse quantizer — artifact-reuse
+    * deployment, same shape as q257's static gates) and the store
+    * accumulates per-cell SUFFICIENT STATISTICS — member count,
+    * inertia, and the per-dimension coordinate sum. Counts and exact
+    * decimal sums are a merge homomorphism, so the maintained table
+    * after any batch split is IDENTICAL to the batch recompute —
+    * [[currentCentroids]] reproduces q102's (cell, n_vecs, inertia,
+    * movement) bit-for-bit (StreamingSpec pins it), and the updated
+    * centroid itself (sums/n) is the Lloyd re-center a nightly
+    * re-index reads without rescanning the corpus.
+    *
+    * Replay discipline: within a batch, a redelivered vec_id elects
+    * deterministically (min embedding — the reservoir's election
+    * rule); a replayed batch id overwrites its own version against
+    * the predecessor (idempotent). Cross-batch redelivery is the
+    * upstream fingerprint-dedup stage's contract, as for every
+    * consumer downstream of intake dedup ([[routeByQuality]]).
+    *
+    * 100 TB/day design: state is k rows of (long, decimal, 64
+    * decimals) — bytes per cell, constant in intake volume; the
+    * assignment is the broadcast-join in-row argmin (payload vectors
+    * never shuffle; the only exchange is the k×64-group stats
+    * aggregate). */
+  def maintainCentroids(vecs: DataFrame, tableDir: String,
+                        checkpointDir: String, seed: DataFrame)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeCentroids(batch, tableDir, batchId, seed)
+      }
+      .start()
+
+  /** One stats merge commit — separated so stream ≡ batch-q102 is
+    * testable without a streaming harness. `seed` is (c_label, carr)
+    * — [[graft.ops.VectorOps.labelCentroids]]' shape. */
+  private[streaming] def mergeCentroids(batch: DataFrame,
+                                        tableDir: String,
+                                        batchId: Long,
+                                        seed: DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val delta = centroidStats(batch, seed)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val merged = versionIds(tableDir, conf).filter(_ < batchId)
+      .sorted.lastOption match {
+      case Some(v) =>
+        mergeStats(
+          spark.read.parquet(s"$tableDir/v$v").unionByName(delta))
+      case None => delta
+    }
+    merged.write.mode("overwrite").parquet(s"$tableDir/v$batchId")
+    versionIds(tableDir, conf).filter(_ < batchId - 3).foreach { old =>
+      val p = new HPath(s"$tableDir/v$old")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  /** Per-cell sufficient statistics of one vector batch under the
+    * seed assignment: (cell, n, inertia, sums). The argmin expression
+    * and every decimal route mirror q102 exactly — that is what makes
+    * the merged table reproduce the batch recompute bit-for-bit. */
+  private[streaming] def centroidStats(vecs: DataFrame,
+                                       seed: DataFrame): DataFrame = {
+    val packed = seed
+      .agg(array_sort(collect_list(struct(col("c_label"), col("carr"))))
+        .as("cents"))
+    val assigned = vecs
+      .groupBy(col("vec_id"))
+      .agg(min(col("embedding")).as("embedding")) // deterministic
+      .join(broadcast(packed))
+      .withColumn("a", expr(
+        """array_min(transform(cents, ct -> named_struct(
+             'd2', l2sq_native(embedding, ct.carr),
+             'c_label', ct.c_label)))"""))
+      .select(col("embedding"), col("a.c_label").as("cell"),
+        col("a.d2").as("d2"))
+      .localCheckpoint() // feeds the cell census AND the dim sums
+    val cells = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("d2").cast("decimal(30,8)")).cast("decimal(38,8)")
+          .as("inertia"))
+    val sums = assigned
+      .select(col("cell"), posexplode(col("embedding"))
+        .as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("v").cast("decimal(30,8)")).cast("decimal(38,8)")
+        .as("s"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"))))
+        .as("ps"))
+      .select(col("cell"), expr("transform(ps, x -> x.s)").as("sums"))
+    cells.join(sums, Seq("cell"))
+  }
+
+  /** Re-collapse a union of stats tables to one row per cell (counts
+    * add; inertia adds; sums add element-wise — all exact). */
+  private def mergeStats(stats: DataFrame): DataFrame = {
+    val cells = stats.groupBy(col("cell"))
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("inertia")).cast("decimal(38,8)").as("inertia"))
+    val sums = stats
+      .select(col("cell"), posexplode(col("sums")).as(Seq("pos", "s")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("s")).cast("decimal(38,8)").as("s"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("s"))))
+        .as("ps"))
+      .select(col("cell"), expr("transform(ps, x -> x.s)").as("sums"))
+    cells.join(sums, Seq("cell"))
+  }
+
+  /** The maintained table rendered as q102's report — (cell, n_vecs,
+    * inertia, movement) plus the re-centered `centroid` a re-index
+    * consumes. `seed` must be the same frame the maintenance ran
+    * against. */
+  def currentCentroids(spark: org.apache.spark.sql.SparkSession,
+                       tableDir: String,
+                       seed: DataFrame): Option[DataFrame] =
+    latestVersion(tableDir, spark.sparkContext.hadoopConfiguration)
+      .map { v =>
+        spark.read.parquet(s"$tableDir/v$v")
+          .withColumn("centroid", expr(
+            "transform(sums, x -> CAST(x AS DOUBLE) / n)"))
+          .join(seed.select(col("c_label").as("cell"), col("carr")),
+            Seq("cell"))
+          .select(col("cell"), col("n").as("n_vecs"),
+            col("inertia").cast("double").as("inertia"),
+            sqrt(expr("l2sq_native(carr, centroid)")).as("movement"),
+            col("centroid"))
+      }
 
   /** Per-source intake census over the deduped stream: docs admitted
     * per (window, source) — the monitoring mart an intake pipeline
@@ -598,6 +740,10 @@ object CorpusStreaming {
     def lane(b: Int) = graft.ops.MultiModal.phashLaneExpr(b)
     docs.toDF()
       .select(col("doc_id"), col("ts"), col("text"))
+      // q254's ASCII projection — the stream hashes MUST equal the
+      // batch hashes byte-for-byte or the candidate keys can't join
+      .withColumn("text",
+        regexp_replace(col("text"), "[^\\x00-\\x7F]", ""))
       .filter(length(col("text")) >= 2)
       .withColumn("L", length(col("text")).cast("long"))
       .select(col("doc_id"), unix_millis(col("ts")).as("tsMillis"),

@@ -804,6 +804,26 @@ class QueriesSpec extends AnyFunSuite {
     assert(all.map(_.getAs[String]("merged")).distinct.length == 10)
   }
 
+  test("q263 convergence loop emits exactly q245's running-min prefix " +
+    "and stops early at sf0.001") {
+    val deep = SparkEntry.queries("q245_bpe_deep_train")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("merged"),
+        r.getAs[Long]("n")))
+    // independent prefix computation from q245's fixed-round table
+    val want = deep.takeWhile(_._3 >= 2000L)
+    val got = SparkEntry.queries("q263_bpe_converged_train")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("round"))
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("merged"),
+        r.getAs[Long]("n")))
+    assert(got.toSeq == want.toSeq,
+      s"converged ${got.toSeq} != prefix ${want.toSeq}")
+    // the threshold must actually bind at this SF (round-6 peak ~1.9k)
+    assert(got.nonEmpty && got.length < 10,
+      s"early stop not exercised: ${got.length} rounds")
+    got.foreach { case (_, _, n) => assert(n >= 2000L) }
+  }
+
   test("q250 perplexity gate: dense per-lang ranks, ntile-balanced " +
     "tertiles, kept = head+middle, score-ordered") {
     val rows = SparkEntry.queries("q250_ppl_gate")(spark, sf).collect()
@@ -1011,9 +1031,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows("raw")._3 == 1.0)
     // the mod-6 replays are exact dups: dedup must strictly shrink
     assert(rows("exact_dedup")._1 < rows("raw")._1)
-    // and survivors equal the raw corpus (originals all win election)
-    val nRaw = Tables.documents(spark, sf).count()
-    assert(rows("exact_dedup")._1 <= nRaw)
+    // survivors = distinct fingerprints of the RAW corpus exactly
+    // (replays copy text verbatim, so they add no new fingerprint;
+    // natural exact dups collapse on both sides of the equality)
+    val nFp = Tables.documents(spark, sf)
+      .select(graft.ops.TextOps.fingerprintCol.as("fp"))
+      .agg(org.apache.spark.sql.functions.countDistinct("fp"))
+      .head.getLong(0)
+    assert(rows("exact_dedup")._1 == nFp,
+      s"dedup survivors ${rows("exact_dedup")._1} != distinct raw fingerprints $nFp")
   }
 
   test("q258 per-dimension variance matches a brute recompute and " +

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Scale rehearsal — executes the 100× story instead of annotating it.
+  *
+  * Every heavy operator in this repo carries a "100 TB design" note
+  * plus a plan contract, but through round 7 nothing had RUN above
+  * sf0.1 (~5k docs / 2k vectors). This main amplifies the corpus
+  * deterministically (below), re-runs the heaviest dedup / ANN /
+  * curation queries at each amplification, and writes
+  * `SCALE_r08.json` with per-query wall times, the fitted growth
+  * exponent α (t ∝ N^α between the two largest amplifications), a
+  * sub-quadratic verdict per query, and a same-session plan-shape
+  * comparison (1× vs largest-×: AQE adaptations such as a broadcast
+  * demoting to SMJ at bigger inputs are RECORDED, not failed — that
+  * adaptation is precisely what we want AQE to do at scale).
+  *
+  * Amplifier (pure Spark, fully deterministic — no RNG, no clock):
+  * replica k of `documents` shifts every letter by k mod 26
+  * (translate), inserts a replica-unique salt token after every 2nd
+  * word, and offsets doc_id by k·2²⁰ (base ids < 2²⁰; planted-replay
+  * offsets live at ≥ 2⁴⁰, so both recipes keep firing collision-free
+  * on the amplified corpus). Token-3-gram shingles always span a salt
+  * (salts occur every 3rd stream token), so replica shingle sets are
+  * DISJOINT from each other and from the originals — the amplified
+  * corpus behaves like a genuinely larger independent corpus (dup
+  * densities stay proportional; candidate volume must not blow up
+  * quadratically). `embeddings` replicas jitter each dimension by a
+  * hash-seeded offset in [−0.05, 0.05) and offset vec_id the same
+  * way, spreading replicas into distinct near-neighbors rather than
+  * coincident points. lang/source distributions are left unchanged —
+  * bounded dimensions stay bounded.
+  *
+  * Usage (test classpath for PlanFingerprints reuse):
+  *   sbt "Test/runMain graft.ScaleRehearsal [sfDir] [workDir] [amps]"
+  * defaults: /root/testdata/sf0.1 target/scale 1,8,64
+  */
+object ScaleRehearsal {
+
+  /** The rehearsal set — the queries the round-7 verdict named as the
+    * heaviest dedup/ANN/curation paths, plus TF-IDF and Lloyd. */
+  val RehearsalQueries: Seq[String] = Seq(
+    "q58_jaccard_pairs", "q82_curation", "q85_tfidf_topk",
+    "q98_union_dup_clusters", "q102_lloyd_step",
+    "q107_minhash_estimate", "q117_ivfpq_search",
+    "q171_pagerank_dup_graph", "q213_max_shared_run",
+    "q250_ppl_gate", "q253_dedup_scope", "q254_phash_dedup",
+    "q255_crosslang_leak", "q257_curation_funnel",
+    "q262_release_manifest")
+
+  private val SmallTables = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events")
+
+  private val Alpha = "abcdefghijklmnopqrstuvwxyz"
+
+  /** Replica-k document perturbation (k ≥ 1). */
+  private def perturbDocs(docs: DataFrame, k: Int): DataFrame = {
+    val shift = k % 26
+    val rot = Alpha.drop(shift) + Alpha.take(shift)
+    val salt = s"zzr${k}q"
+    docs
+      .withColumn("doc_id", col("doc_id") + lit(k.toLong << 20))
+      .withColumn("text",
+        translate(col("text"), Alpha + Alpha.toUpperCase,
+          rot + rot.toUpperCase))
+      .withColumn("text", array_join(flatten(
+        expr(s"""transform(split(text, ' '), (w, i) ->
+             IF((i + 1) % 2 = 0, array(w, '$salt'), array(w)))""")),
+        " "))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** Replica-k embedding perturbation (k ≥ 1). */
+  private def perturbEmb(emb: DataFrame, k: Int): DataFrame =
+    emb
+      .withColumn("embedding", expr(
+        s"""transform(embedding, (v, i) -> CAST(v +
+            (pmod(hash(vec_id, $k, i), 1000) / 1000.0 - 0.5) * 0.1
+            AS FLOAT))"""))
+      .withColumn("vec_id", col("vec_id") + lit(k.toLong << 20))
+
+  /** Materializes the A×-amplified table dir (idempotent: skips if
+    * present). Small tables hard-link/copy through symlinks so the
+    * dir is a complete sf layout every `Tables` reader accepts. */
+  def amplify(spark: SparkSession, sfDir: String, outDir: String,
+              a: Int): Unit = {
+    val marker = Paths.get(s"$outDir/_AMPLIFIED_OK")
+    if (Files.exists(marker)) return
+    Files.createDirectories(Paths.get(outDir))
+    SmallTables.foreach { t =>
+      val link = Paths.get(s"$outDir/$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(s"$sfDir/$t.parquet"))
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    (0 until a).map(k => if (k == 0) docs else perturbDocs(docs, k))
+      .reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    (0 until a).map(k => if (k == 0) emb else perturbEmb(emb, k))
+      .reduce(_ unionByName _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    Files.createFile(marker)
+  }
+
+  private def runOne(spark: SparkSession, name: String,
+                     dir: String): Double = {
+    val t0 = System.nanoTime()
+    val ok =
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        true
+      } catch { case e: Throwable =>
+        System.err.println(s"[scale] $name @ $dir failed: ${e.getMessage}")
+        false
+      }
+    val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc() // per-query isolation, same rationale as Bench
+    dt
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val workDir = args.lift(1).getOrElse("target/scale")
+    val amps = args.lift(2).getOrElse("1,8,64")
+      .split(",").map(_.trim.toInt).toSeq.sorted
+    val outJson =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r08.json")
+    val names = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(pats => RehearsalQueries.filter(n => pats.exists(n.contains)))
+      .getOrElse(RehearsalQueries)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dirs: Seq[(Int, String)] = amps.map { a =>
+      if (a == 1) a -> sfDir
+      else {
+        val d = s"$workDir/x$a"
+        println(s"[scale] amplifying x$a -> $d")
+        amplify(spark, sfDir, d, a)
+        a -> d
+      }
+    }
+    val nDocs = dirs.map { case (a, d) =>
+      a -> spark.read.parquet(s"$d/documents.parquet").count()
+    }.toMap
+    println(s"[scale] corpus sizes: $nDocs")
+
+    // warm-up (parquet footers, codegen) before any measured query
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    // measure: per amplification ascending, queries in declared order
+    val times = scala.collection.mutable.Map
+      .empty[(String, Int), Double]
+    for ((a, d) <- dirs; n <- names) {
+      val dt = runOne(spark, n, d)
+      times((n, a)) = dt
+      println(f"[scale] x$a%-3d $n%-28s ${dt}%8.2f s")
+    }
+
+    // plan-shape comparison: 1x vs largest amplification, same session
+    val aLo = amps.head
+    val aHi = amps.last
+    val shapes = names.map { n =>
+      val fpLo = graft.plans.PlanFingerprints.fingerprint(
+        SparkEntry.queries(n)(spark, dirs.head._2))
+      val fpHi = graft.plans.PlanFingerprints.fingerprint(
+        SparkEntry.queries(n)(spark, dirs.last._2))
+      n -> (fpLo, fpHi)
+    }.toMap
+
+    val aMid = if (amps.size >= 2) amps(amps.size - 2) else aLo
+    def q(s: String) = "\"" + s + "\""
+    val rows = names.map { n =>
+      val tHi = times((n, aHi))
+      val tMid = times((n, aMid))
+      // exponent between the two LARGEST points — the small point is
+      // dominated by the ~0.5 s JVM fixed cost and would bias α low
+      val alpha =
+        if (tHi > 0 && tMid > 0 && aHi != aMid)
+          math.log(tHi / tMid) / math.log(aHi.toDouble / aMid)
+        else Double.NaN
+      // sub-quadratic gate, with a floor guard: a query whose hi-scale
+      // time is still < 5 s is fixed-cost-dominated and judged pass
+      val pass = !tHi.isNaN && tHi >= 0 &&
+        (tHi < 5.0 || (!alpha.isNaN && alpha < 2.0))
+      val (fpLo, fpHi) = shapes(n)
+      val ts = amps.map(a => s"${q("t_x" + a)}:${times((n, a))}")
+        .mkString(",")
+      s"""${q(n)}:{$ts,${q("alpha")}:${if (alpha.isNaN) "null" else f"$alpha%.3f"},""" +
+        s"""${q("subquadratic_pass")}:$pass,""" +
+        s"""${q("plan_shape_stable")}:${fpLo == fpHi},""" +
+        (if (fpLo == fpHi) ""
+         else s"""${q("plan_x" + aLo)}:${q(fpLo)},${q("plan_x" + aHi)}:${q(fpHi)},""") +
+        s"""${q("t_ratio_hi")}:${if (tMid > 0) f"${tHi / tMid}%.2f" else "null"}}"""
+    }
+    val failed = names.filter(n => amps.exists(a => times((n, a)) < 0))
+    val json =
+      s"""{${q("sf")}:${q(sfDir)},${q("amplifications")}:[${amps.mkString(",")}],""" +
+        s"""${q("n_docs")}:{${nDocs.toSeq.sorted.map { case (a, c) => s"${q("x" + a)}:$c" }.mkString(",")}},""" +
+        s"""${q("cpus")}:$cpus,""" +
+        s"""${q("alpha_grading")}:${q(s"fit between x$aMid and x$aHi")},""" +
+        s"""${q("failed")}:[${failed.map(q).mkString(",")}],""" +
+        s"""${q("queries")}:{${rows.mkString(",")}}}"""
+    Files.writeString(Paths.get(outJson), json + "\n")
+    println(s"[scale] wrote $outJson")
+    spark.stop()
+  }
+}

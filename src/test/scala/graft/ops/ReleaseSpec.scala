@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-trip contract for [[CorpusOps.writeRelease]]: the shipped
+  * artifact (partitioned parquet + _meta/manifest.json) must
+  * reproduce the q262 census exactly when re-read. */
+class ReleaseSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new graft.functions.GraftExtensions)
+    .getOrCreate()
+
+  test("writeRelease round-trips: audit green, manifest byte-stable, " +
+    "artifact census equals q262") {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-release").toString
+    val audit = CorpusOps.writeRelease(spark, sf, out).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Boolean]("manifest_file_ok"), r.toString)
+      assert(r.getAs[Boolean]("ok"), s"audit row failed: $r")
+    }
+    // the published manifest equals the q262 census row-for-row
+    val q262 = graft.SparkEntry
+      .queries("q262_release_manifest")(spark, sf).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toSet
+    val shipped = audit.map(r => (r.getAs[String]("split"),
+      r.getAs[Long]("shard"), r.getAs[Long]("rr_n_docs"),
+      r.getAs[Long]("rr_n_tokens"))).toSet
+    assert(shipped == q262,
+      s"artifact census != q262: ${shipped.diff(q262)} / ${q262.diff(shipped)}")
+    // one directory per (split, shard) — the layout a trainer reads
+    val splits = new java.io.File(s"$out/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splits.forall(_.startsWith("split=")), splits.toString)
+    // every written doc_id is an ORIGINAL corpus id (min-id election:
+    // planted replays at >= 2^40 must never ship)
+    val maxId = spark.read.parquet(s"$out/data")
+      .agg(max(col("doc_id"))).head.getLong(0)
+    assert(maxId < (1L << 40), s"replay id shipped: $maxId")
+  }
+}

@@ -993,6 +993,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(table(s"$tmp/inc") == inc)
   }
 
+  test("streaming centroid stats reproduce batch q102 bit-exactly " +
+    "across batches, replay-idempotent") {
+    val s = spark
+    import s.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val seed = graft.ops.VectorOps.labelCentroids(spark, sfDir)
+      .localCheckpoint()
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("centroids").toString
+    // two intake batches split mid-corpus; batch 1 carries a WITHIN-
+    // batch duplicate slice (at-least-once delivery inside a batch) —
+    // the deterministic per-vec_id election must absorb it
+    CorpusStreaming.mergeCentroids(
+      vecs.filter($"vec_id" % 2 === 0), s"$tmp/inc", 0L, seed)
+    val b1 = vecs.filter($"vec_id" % 2 === 1)
+    CorpusStreaming.mergeCentroids(
+      b1.unionByName(b1.filter($"vec_id" % 5 === 1)),
+      s"$tmp/inc", 1L, seed)
+    def table() = CorpusStreaming
+      .currentCentroids(spark, s"$tmp/inc", seed).get.collect()
+      .map(r => r.getAs[Number]("cell").longValue() ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("inertia"),
+          r.getAs[Double]("movement")))).toMap
+    val inc = table()
+    // sufficient statistics are a merge homomorphism over exact
+    // decimals: the maintained table must equal batch q102 BIT-FOR-BIT
+    val batch = graft.SparkEntry
+      .queries("q102_lloyd_step")(spark, sfDir).collect()
+      .map(r => r.getAs[Number]("cell").longValue() ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Double]("inertia"),
+          r.getAs[Double]("movement")))).toMap
+    assert(inc == batch,
+      s"stream-batch divergence: ${inc.toSet.diff(batch.toSet)} / " +
+        s"${batch.toSet.diff(inc.toSet)}")
+    // replaying the last commit (crash recovery) must not change it
+    CorpusStreaming.mergeCentroids(b1, s"$tmp/inc", 1L, seed)
+    assert(table() == inc)
+  }
+
   test("streaming LSH candidates: band matches pair across batches, " +
     "replays dedup, full buckets saturate") {
     val s = spark
