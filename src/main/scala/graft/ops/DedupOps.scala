@@ -85,6 +85,42 @@ object DedupOps {
           i -> transform(slice($arr, i + 1, greatest(size($arr) - i, 0)),
             x -> $body)))"""
 
+  /** Max members for which an identical-signature group expands its
+    * C(m,2) pairs IN-ROW via [[pairGenExpr]]. In-row generation
+    * materializes the whole pair array in one row before the explode,
+    * so a boilerplate-grade group (the scale rehearsal measured a
+    * 25k-member simhash clique on an amplified corpus → C(m,2) ≈
+    * 3·10⁸ structs in ONE row) is an executor OOM at ANY cluster
+    * size. Above this bound [[withinPairs]] switches to a member-ROW
+    * self-join on the signature, where the quadratic OUTPUT streams
+    * through the join iterator (SMJ buffers spill to disk) instead of
+    * materializing. C(1000,2) ≈ 5·10⁵ structs ≈ 8 MB — comfortably
+    * in-row. */
+  private[graft] val InRowPairMembers = 1000
+
+  /** Unordered member pairs (doc_a < doc_b) of identical-signature
+    * groups, memory-safe at any group size: bounded groups expand
+    * in-row (one pass, zero extra shuffle — the common case); larger
+    * groups take the self-join lane above. `groups` must carry the
+    * key columns plus a SORTED `ids` array; the two lanes partition
+    * the groups, so the union is duplicate-free. */
+  private[ops] def withinPairs(groups: DataFrame,
+                               keyCols: Seq[String]): DataFrame = {
+    val inRow = groups
+      .filter(size(col("ids")).between(2, InRowPairMembers))
+      .select(explode(expr(pairGenExpr("ids",
+        "named_struct('doc_a', element_at(ids, i), 'doc_b', x)")))
+        .as("pr"))
+      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+    val giant = groups.filter(size(col("ids")) > InRowPairMembers)
+      .select(keyCols.map(col) :+ explode(col("ids")).as("doc_a"): _*)
+    val joined = giant
+      .join(giant.withColumnRenamed("doc_a", "doc_b"), keyCols)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    inRow.unionByName(joined)
+  }
+
   // ------------------------------------------------------------ MinHash
   /** MinHash signature: 4 independent hash functions (a*x+b mod p) over
     * the shingle set; per-doc minimum each. The standard Broder
@@ -513,48 +549,53 @@ object DedupOps {
     val s = sig.sparkSession
     import s.implicits._
     // hamming-0 cliques: one row per distinct signature; consumed by
-    // both the within-pairs and the banding path → checkpoint the
-    // (bounded: ≤ one row per distinct signature) frame.
+    // both the within-pairs and the banding path (plus the member
+    // join-back below) → checkpoint the (bounded: ≤ one row per
+    // distinct signature) frame.
     val groups = sig.groupBy($"simhash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .localCheckpoint()
-    val within = groups
-      .filter(size($"ids") >= 2)
-      .select($"simhash", explode(expr(pairGenExpr("ids",
-        "named_struct('doc_a', element_at(ids, i), 'doc_b', x)")))
-        .as("pr"))
-      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
-        expr("bit_count(simhash ^ simhash)").as("hamming"))
+    // hamming-0 member pairs, memory-safe at any group size (the
+    // boilerplate regime: one template shared by 10⁵ pages is ONE
+    // group here) — see [[withinPairs]].
+    val within = withinPairs(groups, Seq("simhash"))
+      .select($"doc_a", $"doc_b", lit(0).as("hamming"))
+    // banding carries SIGNATURES ONLY — member id arrays never enter
+    // the band shuffle; they join back after the (cheap, signature-
+    // grain) Hamming verify.
     val posts = groups
-      .select($"simhash", $"ids", expr(
+      .select($"simhash", expr(
         """explode(array(
              named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
              named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
            AS b"""))
       .groupBy($"b.band", $"b.bk")
-      .agg(sort_array(collect_list(struct($"simhash", $"ids"))).as("gs"))
+      .agg(sort_array(collect_list($"simhash")).as("gs"))
       .filter(size($"gs") >= 2)
       .filter(size($"gs") <= MaxBandBucket) // mirrored in o60
-    val cross = posts
+    val sigPairs = posts
       .select(explode(expr(pairGenExpr("gs",
-        """named_struct('sa', element_at(gs, i).simhash,
-             'ia', element_at(gs, i).ids,
-             'sb', x.simhash, 'ib', x.ids)"""))).as("pr"))
-      .select($"pr.sa".as("sa"), $"pr.ia".as("ia"),
-        $"pr.sb".as("sb"), $"pr.ib".as("ib"))
+        "named_struct('sa', element_at(gs, i), 'sb', x)"))).as("pr"))
+      .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       // verify at SIGNATURE grain, before member expansion
       .filter($"hamming" <= 2)
       // a both-halves agreement appears in both bands: dedupe the
       // (small, verified) signature pairs, never doc pairs
       .distinct()
-      .select(explode(expr(
-        """flatten(transform(ia, a -> transform(ib, b ->
-             named_struct('doc_a', least(a, b),
-                          'doc_b', greatest(a, b)))))""")).as("pr"),
-        $"hamming")
-      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"),
-        $"hamming")
+    // member expansion via CHAINED explodes: |ia|·|ib| doc pairs
+    // stream out as generator rows — never one in-row pair array
+    // (two giant verified groups would otherwise materialize their
+    // whole cross product in a single row).
+    val cross = sigPairs
+      .join(groups.select($"simhash".as("sa"), $"ids".as("ia")),
+        Seq("sa"))
+      .join(groups.select($"simhash".as("sb"), $"ids".as("ib")),
+        Seq("sb"))
+      .select(explode($"ia").as("a"), $"ib", $"hamming")
+      .select($"a", explode($"ib").as("b"), $"hamming")
+      .select(least($"a", $"b").as("doc_a"),
+        greatest($"a", $"b").as("doc_b"), $"hamming")
     // within ∩ cross = ∅ (cross pairs differ in signature) and both
     // sides are duplicate-free — no final distinct needed.
     within.unionByName(cross)
@@ -768,28 +809,34 @@ object DedupOps {
       .groupBy($"mh0", $"mh1", $"mh2", $"mh3")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
       .localCheckpoint()
-    val within = groups
-      .filter(size($"ids") >= 2)
-      .select(explode(expr(pairGenExpr("ids",
-        "named_struct('doc_a', element_at(ids, i), 'doc_b', x)")))
-        .as("pr"))
-      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
-    val cross = groups
-      .select($"ids", expr(
+    // memory-safe at any exact-dup group size — see [[withinPairs]]
+    val within = withinPairs(groups, Seq("mh0", "mh1", "mh2", "mh3"))
+    // banding carries SIGNATURES only (the q60 layout): member id
+    // arrays join back after banding and expand via chained explodes,
+    // so no in-row array ever holds a whole group cross product.
+    val sigPairs = groups
+      .select(struct($"mh0", $"mh1", $"mh2", $"mh3").as("sig"), expr(
         """explode(array(
              named_struct('band', 0, 'k1', mh0, 'k2', mh1),
              named_struct('band', 1, 'k1', mh2, 'k2', mh3))) AS b"""))
       .groupBy($"b.band", $"b.k1", $"b.k2")
-      .agg(sort_array(collect_list($"ids")).as("gs"))
+      .agg(sort_array(collect_list($"sig")).as("gs"))
       .filter(size($"gs") >= 2)
       .filter(size($"gs") <= MaxBandBucket) // mirrored in o157
       .select(explode(expr(pairGenExpr("gs",
-        "named_struct('ia', element_at(gs, i), 'ib', x)"))).as("pr"))
-      .select(explode(expr(
-        """flatten(transform(pr.ia, a -> transform(pr.ib, b ->
-             named_struct('doc_a', least(a, b),
-                          'doc_b', greatest(a, b)))))""")).as("p2"))
-      .select($"p2.doc_a".as("doc_a"), $"p2.doc_b".as("doc_b"))
+        "named_struct('sa', element_at(gs, i), 'sb', x)"))).as("pr"))
+      .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
+    val cross = sigPairs
+      .join(groups.select(
+        struct($"mh0", $"mh1", $"mh2", $"mh3").as("sa"),
+        $"ids".as("ia")), Seq("sa"))
+      .join(groups.select(
+        struct($"mh0", $"mh1", $"mh2", $"mh3").as("sb"),
+        $"ids".as("ib")), Seq("sb"))
+      .select(explode($"ia").as("a"), $"ib")
+      .select($"a", explode($"ib").as("b"))
+      .select(least($"a", $"b").as("doc_a"),
+        greatest($"a", $"b").as("doc_b"))
     // distinct signatures agreeing on both bands would be identical —
     // impossible — so cross pairs are unique and disjoint from within
     val cand = within.unionByName(cross)

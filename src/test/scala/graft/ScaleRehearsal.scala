@@ -20,15 +20,16 @@ import java.nio.file.{Files, Paths}
   *
   * Amplifier (pure Spark, fully deterministic — no RNG, no clock):
   * replica k of `documents` shifts every letter by k mod 26
-  * (translate), inserts a replica-unique salt token after every 2nd
-  * word, and offsets doc_id by k·2²⁰ (base ids < 2²⁰; planted-replay
-  * offsets live at ≥ 2⁴⁰, so both recipes keep firing collision-free
-  * on the amplified corpus). Token-3-gram shingles always span a salt
-  * (salts occur every 3rd stream token), so replica shingle sets are
-  * DISJOINT from each other and from the originals — the amplified
-  * corpus behaves like a genuinely larger independent corpus (dup
-  * densities stay proportional; candidate volume must not blow up
-  * quadratically). `embeddings` replicas jitter each dimension by a
+  * (translate), inserts a replica-tagged WORD-DERIVED salt token
+  * after every 2nd word (see [[perturbDocs]] for why the salt must
+  * not be constant), and offsets doc_id by k·2²⁰ (base ids < 2²⁰;
+  * planted-replay offsets live at ≥ 2⁴⁰, so both recipes keep firing
+  * collision-free on the amplified corpus). Token-3-gram shingles
+  * always span a salt (salts occur every 3rd stream token), so
+  * replica shingle sets are DISJOINT from each other and from the
+  * originals — the amplified corpus behaves like a genuinely larger
+  * independent corpus (dup densities stay proportional; candidate
+  * volume must not blow up quadratically). `embeddings` replicas jitter each dimension by a
   * hash-seeded offset in [−0.05, 0.05) and offset vec_id the same
   * way, spreading replicas into distinct near-neighbors rather than
   * coincident points. lang/source distributions are left unchanged —
@@ -56,11 +57,24 @@ object ScaleRehearsal {
 
   private val Alpha = "abcdefghijklmnopqrstuvwxyz"
 
-  /** Replica-k document perturbation (k ≥ 1). */
+  /** Replica-k document perturbation (k ≥ 1).
+    *
+    * The salt token is a deterministic function of the PRECEDING WORD
+    * (plus the replica id), not one fixed token: the first cut used a
+    * constant per-replica salt, which put ~⅓ of every replica doc's
+    * token mass on a single token — the frequency-weighted simhash
+    * majority vote then collapsed 62% of the x8 corpus onto ONE
+    * signature (a 25k-member hamming-0 clique), which is a property
+    * of the amplifier, not of a genuinely larger corpus. Word-derived
+    * salts make the replica token multiset a bijective image of the
+    * original doubled multiset: per-replica signature/dup structure
+    * stays isomorphic to the base corpus (densities proportional),
+    * while the replica-unique `zzr{k}x` prefix keeps every salted
+    * 3-gram — and every 3-token window spans a salt — disjoint across
+    * replicas and from the originals. */
   private def perturbDocs(docs: DataFrame, k: Int): DataFrame = {
     val shift = k % 26
     val rot = Alpha.drop(shift) + Alpha.take(shift)
-    val salt = s"zzr${k}q"
     docs
       .withColumn("doc_id", col("doc_id") + lit(k.toLong << 20))
       .withColumn("text",
@@ -68,7 +82,10 @@ object ScaleRehearsal {
           rot + rot.toUpperCase))
       .withColumn("text", array_join(flatten(
         expr(s"""transform(split(text, ' '), (w, i) ->
-             IF((i + 1) % 2 = 0, array(w, '$salt'), array(w)))""")),
+             IF((i + 1) % 2 = 0,
+                array(w, concat('zzr${k}x',
+                  CAST(pmod(hash(w), 997) AS STRING))),
+                array(w)))""")),
         " "))
       .withColumn("n_chars", length(col("text")))
   }
@@ -139,14 +156,29 @@ object ScaleRehearsal {
       .map(pats => RehearsalQueries.filter(n => pats.exists(n.contains)))
       .getOrElse(RehearsalQueries)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new functions.GraftExtensions)
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new functions.GraftExtensions)
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    var spark = newSession()
+    // a task OOM in local mode kills the whole SparkContext — record
+    // the failure, rebuild the session, and keep measuring the rest
+    def ensureAlive(): Unit =
+      if (spark.sparkContext.isStopped) {
+        println("[scale] SparkContext died — rebuilding session")
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        spark = newSession()
+        SparkEntry.entry(spark)
+          .write.format("noop").mode("overwrite").save()
+      }
 
     val dirs: Seq[(Int, String)] = amps.map { a =>
       if (a == 1) a -> sfDir
@@ -169,10 +201,12 @@ object ScaleRehearsal {
     val times = scala.collection.mutable.Map
       .empty[(String, Int), Double]
     for ((a, d) <- dirs; n <- names) {
+      ensureAlive()
       val dt = runOne(spark, n, d)
       times((n, a)) = dt
       println(f"[scale] x$a%-3d $n%-28s ${dt}%8.2f s")
     }
+    ensureAlive()
 
     // plan-shape comparison: 1x vs largest amplification, same session
     val aLo = amps.head
