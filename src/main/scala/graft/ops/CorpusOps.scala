@@ -130,7 +130,12 @@ object CorpusOps {
   }
 
   val q83DupClusters: Q = (s, d) => {
-    val labels = connectedComponents(DedupOps.q60SimHashPairs(s, d)
+    // cluster-grain edges (star + one rep edge per verified signature
+    // pair): identical components to the all-pairs census in LINEAR
+    // edge volume — the oracle keeps computing components from the
+    // all-pairs SQL, independently witnessing the equivalence
+    // (see DedupOps.simhashClusterEdges).
+    val labels = connectedComponents(DedupOps.q60ClusterEdges(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val sizes = labels.groupBy(col("comp").as("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -749,35 +754,70 @@ object CorpusOps {
     * order-dependent; the long sum is exact), then one double
     * multiply-add per node per iteration.
     *
-    * 100 TB design: the textbook distributed PageRank layout — the
-    * edge list (with source degree) materializes ONCE
-    * (localCheckpoint; Catalyst has no DataFrame-level common-subtree
-    * reuse, so the unrolled loop would otherwise recompute the q60
-    * candidate generation every iteration), and each iteration is one
-    * join on the rank frontier + one map-side-combined sum keyed on
-    * the destination. Iteration state is (node, rank) — 16 bytes —
-    * never text. */
+    * 100 TB design: PageRank runs at SIGNATURE grain (see the
+    * two-level note in the body) — the weighted edge list (with
+    * source degree) materializes ONCE (localCheckpoint; Catalyst has
+    * no DataFrame-level common-subtree reuse, so the unrolled loop
+    * would otherwise recompute the candidate generation every
+    * iteration), each iteration is one join on the rank frontier +
+    * one map-side-combined sum keyed on the destination, and the
+    * member expansion is a final join on the signature. Iteration
+    * state is (signature, rank) — 16 bytes — never text, and the
+    * edge volume is linear in distinct signatures even when a
+    * boilerplate clique holds 10⁸ members. */
   val q171PagerankDupGraph: Q = (s, d) => {
     import s.implicits._
-    val e0 = DedupOps.q60SimHashPairs(s, d).select($"doc_a", $"doc_b")
-    val ed = e0.select($"doc_a".as("u"), $"doc_b".as("v"))
-      .unionByName(e0.select($"doc_b".as("u"), $"doc_a".as("v")))
-    val deg = ed.groupBy($"u").agg(count(lit(1)).as("deg"))
-    val edeg = ed.join(deg, Seq("u")).localCheckpoint()
-    var ranks = deg.select($"u", lit(1.0).as("r"))
+    // TWO-LEVEL respelling (round 8): every member of an identical-
+    // signature group has the SAME neighborhood in the all-pairs dup
+    // graph (all other members of its group + all members of every
+    // verified neighbor group), so degree and rank are constant
+    // within a group and PageRank can run at SIGNATURE grain with
+    // multiplicities — |signatures| nodes instead of |docs|, and
+    // LINEAR edge volume instead of the 10⁸-edge all-pairs census the
+    // scale rehearsal measured on a boilerplate-grade corpus.
+    // EXACTNESS: the fixed-point contribution floor(r/deg·1e12) is
+    // identical for every member of a group, so the member-level sum
+    // Σ floor(...) equals the weighted w·floor(...) EXACTLY in int64
+    // (no float reordering) — the unchanged all-pairs oracle is the
+    // bit-level witness. Weight INTO t from neighbor group s is m_s;
+    // the within-clique term is a self-edge of weight m_t − 1.
+    // int64 bound: w·c_fp ≤ N·max(r/deg)·1e12 — the SAME bound as the
+    // member-level sum (ROADMAP §int64 note applies to both).
+    val sig = DedupOps.q59SimHash(s, d)
+    val groups = sig.groupBy($"simhash")
+      .agg(min($"doc_id").as("rep"), count(lit(1)).as("m"))
+      .localCheckpoint()
+    val sp = DedupOps.verifiedSigPairs(groups.select($"simhash"))
+      .select($"sa", $"sb")
+    val dir = sp.select($"sa".as("src"), $"sb".as("dst"))
+      .unionByName(sp.select($"sb".as("src"), $"sa".as("dst")))
+      .join(groups.select($"simhash".as("src"), $"m".as("w")), Seq("src"))
+    val self = groups.filter($"m" > 1)
+      .select($"simhash".as("src"), $"simhash".as("dst"),
+        ($"m" - 1).as("w"))
+    val wed = dir.unionByName(self)
+    // member degree of group t = Σ incoming weights (= (m_t − 1) +
+    // Σ_{verified nbr s} m_s) — identical to the all-pairs degree
+    val deg = wed.groupBy($"dst").agg(sum($"w").as("deg"))
+      .select($"dst".as("src"), $"deg")
+    val edeg = wed.join(deg, Seq("src")).localCheckpoint()
+    var ranks = deg.select($"src", lit(1.0).as("r"))
     for (_ <- 1 to 3) {
-      ranks = edeg.join(ranks, Seq("u"))
+      ranks = edeg.join(ranks, Seq("src"))
         .withColumn("c_fp",
           floor($"r" / $"deg".cast("double") * lit(1.0e12)))
-        .groupBy($"v")
-        .agg(sum($"c_fp").as("s_fp"))
-        .select($"v".as("u"),
+        .groupBy($"dst")
+        .agg(sum($"w" * $"c_fp").as("s_fp"))
+        .select($"dst".as("src"),
           (lit(0.15) + lit(0.85) *
             ($"s_fp".cast("double") / lit(1.0e12))).as("r"))
     }
-    edeg.select($"u", $"deg").distinct()
-      .join(ranks, Seq("u"))
-      .select($"u".as("doc_id"), $"deg".cast("long").as("degree"),
+    // expand back to members: every doc inherits its group's
+    // (degree, rank) — the exact member-level values
+    sig
+      .join(deg.select($"src".as("simhash"), $"deg"), Seq("simhash"))
+      .join(ranks.select($"src".as("simhash"), $"r"), Seq("simhash"))
+      .select($"doc_id", $"deg".cast("long").as("degree"),
         $"r".as("pagerank"))
   }
   val o171: String = {
@@ -820,7 +860,12 @@ object CorpusOps {
     * either endpoint ≡ 0 mod 7) makes both engines construct the
     * same scenario. */
   val q163IncrementalClusters: Q = (s, d) => {
-    val edges = DedupOps.q60SimHashPairs(s, d)
+    // cluster-grain edges: the old/new split partitions a DIFFERENT
+    // (linear) edge set than the all-pairs census, but the final
+    // labels are CC over the union of both partitions = CC over the
+    // full cluster-edge graph = the same components the all-pairs
+    // oracle computes — the contraction-algebra witness is unchanged
+    val edges = DedupOps.q60ClusterEdges(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
     val isNew = col("src") % 7 === 0 || col("dst") % 7 === 0
@@ -1349,7 +1394,13 @@ object CorpusOps {
     * shuffles only (doc_id, comp) pairs — never text. */
   val q98UnionDupClusters: Q = (s, d) => {
     val shared = DedupOps.sharedTextSignals(s, d)
-    val sim = DedupOps.simhashPairsFrom(DedupOps.simhashFrom(shared))
+    // cluster-grain simhash edges: same components/incidence as the
+    // all-pairs census in linear volume (a boilerplate clique of m
+    // docs contributes m−1 star edges, not C(m,2) — the round-8 scale
+    // rehearsal measured 10⁸ all-pairs edges on a 40k corpus before
+    // this). The oracle still unions the all-pairs o60 — identical
+    // clusters, independently witnessed.
+    val sim = DedupOps.simhashClusterEdges(DedupOps.simhashFrom(shared))
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("kind"))
     val jac = DedupOps.jaccardFrom(shared)
       .select(col("doc_a"), col("doc_b"), lit("jaccard").as("kind"))
@@ -2767,7 +2818,9 @@ object CorpusOps {
     * corpus-scale — and one window pass yields size, canonical id and
     * verdict together. */
   val q121SurvivorElection: Q = (s, d) => {
-    val labels = connectedComponents(DedupOps.q60SimHashPairs(s, d)
+    // cluster-grain edges — identical components in linear volume;
+    // the all-pairs oracle independently witnesses the equivalence
+    val labels = connectedComponents(DedupOps.q60ClusterEdges(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val qual = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.qualityExpr.as("quality"))
@@ -3073,7 +3126,12 @@ object CorpusOps {
     * output (distinct doc ids, broadcast); quality is in-row; the
     * bucket census is 11-row bounded. */
   val q145QualityDupCalibration: Q = (s, d) => {
-    val pairs = DedupOps.q60SimHashPairs(s, d)
+    // per-doc incidence only — the cluster-grain edge form carries
+    // the same "has a verified near-dup" node set as the all-pairs
+    // census (every member of an m≥2 group is on its star; a
+    // verified singleton is on its rep cross edge) in linear volume;
+    // the all-pairs oracle independently witnesses it
+    val pairs = DedupOps.q60ClusterEdges(s, d)
     val dupDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()

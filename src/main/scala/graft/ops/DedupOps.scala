@@ -543,6 +543,96 @@ object DedupOps {
     * cap is engine-identical at any scale. */
   private[graft] val MaxBandBucket = 100
 
+  /** Verified near-signature pairs at SIGNATURE grain: LSH banding on
+    * the two 16-bit halves over one row per DISTINCT signature, bucket
+    * cap [[MaxBandBucket]], exact Hamming ≤ 2 verify, both-bands
+    * dedupe. Shared by the pair census ([[simhashPairsFrom]]) and the
+    * cluster-edge form ([[simhashClusterEdges]]) so the candidate
+    * semantics (and the o60 oracle mirror) can never drift between
+    * them. Input must carry one row per distinct `simhash`; output is
+    * (sa, sb, hamming), unordered-unique. */
+  private[ops] def verifiedSigPairs(sigGrain: DataFrame): DataFrame = {
+    val s = sigGrain.sparkSession
+    import s.implicits._
+    // banding carries SIGNATURES ONLY — member id arrays never enter
+    // the band shuffle; consumers attach members AFTER the (cheap,
+    // signature-grain) Hamming verify.
+    sigGrain
+      .select($"simhash", expr(
+        """explode(array(
+             named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
+             named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
+           AS b"""))
+      .groupBy($"b.band", $"b.bk")
+      .agg(sort_array(collect_list($"simhash")).as("gs"))
+      .filter(size($"gs") >= 2)
+      .filter(size($"gs") <= MaxBandBucket) // mirrored in o60
+      .select(explode(expr(pairGenExpr("gs",
+        "named_struct('sa', element_at(gs, i), 'sb', x)"))).as("pr"))
+      .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
+      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+      // verify at SIGNATURE grain, before member expansion
+      .filter($"hamming" <= 2)
+      // a both-halves agreement appears in both bands: dedupe the
+      // (small, verified) signature pairs, never doc pairs
+      .distinct()
+  }
+
+  /** CLUSTER-GRAIN simhash evidence: the connectivity of
+    * [[simhashPairsFrom]]'s pair graph in LINEAR edge volume — the
+    * form every cluster consumer (q83/q98/q121/q145/q163) rides.
+    *
+    * The round-8 scale rehearsal measured why this exists: a
+    * boilerplate-grade corpus put 34% of all documents on ONE simhash
+    * signature, so the all-pairs census emitted ~10⁸ edges at a 40k
+    * corpus (C(m,2) within-cliques plus |A|·|B| cross expansions) and
+    * connected components spent its whole budget chewing edges that
+    * add no connectivity. A clique is connected by a STAR and two
+    * cliques by ONE representative edge, so this emits:
+    *   - within: (rep, member) for every non-representative member —
+    *     groupBy(min) + join-back, m−1 edges per group, NO collected
+    *     id arrays (a 10⁸-member group never builds a 10⁸-element
+    *     array anywhere);
+    *   - cross: (rep_a, rep_b) once per VERIFIED signature pair from
+    *     [[verifiedSigPairs]] — never |A|·|B| member pairs.
+    *
+    * Equivalence (why consumers can ride this without oracle
+    * changes): every member is connected to its group's rep by the
+    * star, and verified groups' reps are connected by the cross edge,
+    * so connected components, component membership, per-doc "has a
+    * verified near-dup" incidence, and the node set are IDENTICAL to
+    * the all-pairs graph — only pair multiplicities differ. The
+    * consumers' oracles keep computing components from the all-pairs
+    * SQL (o60), making each green row an independent witness that the
+    * collapse is lossless. Degree-semantics consumers (q143 census,
+    * q171 pagerank, q197 triangles, q201 k-core, q259 density) keep
+    * the pair census by contract. */
+  private[ops] def simhashClusterEdges(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
+    // one row per distinct signature with its elected representative;
+    // feeds the star join-back, the banding, and both cross lookups
+    val reps = sig.groupBy($"simhash")
+      .agg(min($"doc_id").as("rep"))
+      .localCheckpoint()
+    val star = sig.join(reps, Seq("simhash"))
+      .filter($"doc_id" =!= $"rep")
+      .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
+    val cross = verifiedSigPairs(reps.select($"simhash"))
+      .join(reps.select($"simhash".as("sa"), $"rep".as("ra")), Seq("sa"))
+      .join(reps.select($"simhash".as("sb"), $"rep".as("rb")), Seq("sb"))
+      .select(least($"ra", $"rb").as("doc_a"),
+        greatest($"ra", $"rb").as("doc_b"))
+    // star edges are within-signature, cross edges span signatures →
+    // disjoint; reps are distinct (a doc holds one signature) so each
+    // verified signature pair yields one unique rep pair.
+    star.unionByName(cross)
+  }
+
+  /** [[simhashClusterEdges]] over the corpus signature frame. */
+  private[ops] def q60ClusterEdges(s: SparkSession, d: String): DataFrame =
+    simhashClusterEdges(q59SimHash(s, d))
+
   /** Pair derivation from an already-computed signature frame (see
     * [[minhashFrom]] / [[jaccardFrom]] for the pattern). */
   private[ops] def simhashPairsFrom(sig: DataFrame): DataFrame = {
@@ -560,29 +650,7 @@ object DedupOps {
     // group here) — see [[withinPairs]].
     val within = withinPairs(groups, Seq("simhash"))
       .select($"doc_a", $"doc_b", lit(0).as("hamming"))
-    // banding carries SIGNATURES ONLY — member id arrays never enter
-    // the band shuffle; they join back after the (cheap, signature-
-    // grain) Hamming verify.
-    val posts = groups
-      .select($"simhash", expr(
-        """explode(array(
-             named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
-             named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
-           AS b"""))
-      .groupBy($"b.band", $"b.bk")
-      .agg(sort_array(collect_list($"simhash")).as("gs"))
-      .filter(size($"gs") >= 2)
-      .filter(size($"gs") <= MaxBandBucket) // mirrored in o60
-    val sigPairs = posts
-      .select(explode(expr(pairGenExpr("gs",
-        "named_struct('sa', element_at(gs, i), 'sb', x)"))).as("pr"))
-      .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
-      .withColumn("hamming", expr("bit_count(sa ^ sb)"))
-      // verify at SIGNATURE grain, before member expansion
-      .filter($"hamming" <= 2)
-      // a both-halves agreement appears in both bands: dedupe the
-      // (small, verified) signature pairs, never doc pairs
-      .distinct()
+    val sigPairs = verifiedSigPairs(groups.select($"simhash"))
     // member expansion via CHAINED explodes: |ia|·|ib| doc pairs
     // stream out as generator rows — never one in-row pair array
     // (two giant verified groups would otherwise materialize their

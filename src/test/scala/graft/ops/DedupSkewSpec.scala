@@ -121,6 +121,78 @@ class DedupSkewSpec extends AnyFunSuite {
       m.toLong * (m - 1) / 2)
   }
 
+  // ------------------------------------- cluster edges (q83/q98 form)
+
+  /** Union-find components over an undirected edge array. */
+  private def comps(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent.keys.toArray.map(k => k -> find(k)).toMap
+  }
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("clusterEdges: identical components, node set, and per-doc " +
+    "incidence as the all-pairs census — with linear edge volume") {
+    // two cliques with a verified bridge (hamming 1, same top half) +
+    // an isolated pair + a fully isolated singleton (must NOT appear)
+    val a = 0x00050003L
+    val rows =
+      (1L to 5L).map(_ -> a) ++           // clique A
+      (10L to 13L).map(_ -> (a ^ 1L)) ++  // clique B, hamming-1 from A
+      Seq(20L -> 0x7777000AL, 21L -> 0x7777000AL, // isolated pair
+        30L -> 0x1234FFFFL)               // isolated singleton
+    val allPairs = edgeSet(DedupOps.simhashPairsFrom(sigFrame(rows)))
+    val cluster = edgeSet(DedupOps.simhashClusterEdges(sigFrame(rows)))
+    // linear volume: 4 + 3 + 1 star edges + 1 cross edge
+    assert(cluster.length == 9)
+    assert(allPairs.length == 10 + 6 + 20 + 1) // C(5,2)+C(4,2)+5·4+C(2,2)
+    // same node set, same components, same incidence
+    val nodes = (e: Array[(Long, Long)]) => e.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(nodes(cluster) == nodes(allPairs) && !nodes(cluster)(30L))
+    assert(comps(cluster) == comps(allPairs))
+  }
+
+  test("property: clusterEdges components ≡ all-pairs components on " +
+    "random signature multisets") {
+    val prop = Prop.forAllNoShrink(
+      Gen.listOfN(24, Gen.choose(0L, 15L))) { sigs: List[Long] =>
+      // signatures drawn from a 16-value space with small hamming
+      // distances → dense groups, verified cross pairs, and isolates
+      val rows = sigs.zipWithIndex.map { case (g, i) =>
+        (i + 1).toLong -> (0xAB00L | g)
+      }
+      val ap = edgeSet(DedupOps.simhashPairsFrom(sigFrame(rows)))
+      val ce = edgeSet(DedupOps.simhashClusterEdges(sigFrame(rows)))
+      comps(ce) == comps(ap) && ce.length <= ap.length
+    }
+    val res = PropTest.check(
+      PropTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("clusterEdges: giant identical-signature group stays linear " +
+    "(m-1 star edges, no C(m,2))") {
+    val m = DedupOps.InRowPairMembers + 500
+    val out = DedupOps.simhashClusterEdges(
+      sigFrame((1L to m.toLong).map(i => i -> 0x5A5A5A5AL)))
+    assert(out.count() == m - 1L)
+    val agg = out.agg(min(col("doc_a")), max(col("doc_a"))).head
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 1L,
+      "every star edge anchors at the representative (min id)")
+  }
+
   test("withinPairs: join lane ≡ in-row lane on a multi-column key") {
     val s = spark
     import s.implicits._
