@@ -2813,10 +2813,14 @@ object CorpusOps {
     *
     * 100 TB design: CC labels shuffle only (doc_id, comp) longs;
     * quality is an in-row expression joined on doc_id (cannot skew);
-    * the election window partitions by cluster_id, whose partition
-    * size is the CLUSTER size — bounded by LSH-band design, never
-    * corpus-scale — and one window pass yields size, canonical id and
-    * verdict together. */
+    * the election is a per-cluster AGGREGATE (count + struct-max:
+    * highest quality, doc_id-asc tiebreak via negated id) joined back
+    * on cluster_id — partial-combinable, so a boilerplate cluster
+    * holding 10⁸ members map-side combines instead of buffering one
+    * 10⁸-row window partition (the round-8 rehearsal showed clusters
+    * ARE corpus-scale in the boilerplate regime — 34% of docs on one
+    * signature — so a cluster-partitioned window is a skew hazard,
+    * not a bounded one). */
   val q121SurvivorElection: Q = (s, d) => {
     // cluster-grain edges — identical components in linear volume;
     // the all-pairs oracle independently witnesses the equivalence
@@ -2824,13 +2828,18 @@ object CorpusOps {
       .select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val qual = Tables.documents(s, d)
       .select(col("doc_id"), TextOps.qualityExpr.as("quality"))
-    val full = Window.partitionBy(col("cluster_id"))
-      .orderBy(col("quality").desc, col("doc_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+    val members = labels.select(col("doc_id"), col("comp").as("cluster_id"))
       .join(qual, Seq("doc_id"))
-      .withColumn("cluster_size", count(lit(1)).over(full).cast("long"))
-      .withColumn("canonical_id", first(col("doc_id")).over(full))
+    // struct max = lexicographic (quality, −doc_id): max quality,
+    // smallest doc_id on ties — the window's (quality desc, doc_id
+    // asc) first(), as one partial-aggregable max
+    val elect = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"),
+        max(struct(col("quality"), (-col("doc_id")).as("neg_id")))
+          .as("w"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("w.neg_id")).as("canonical_id"))
+    members.join(elect, Seq("cluster_id"))
       .withColumn("is_survivor",
         when(col("doc_id") === col("canonical_id"), 1L).otherwise(0L))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
@@ -2947,10 +2956,15 @@ object CorpusOps {
         greatest(col("sa"), col("sb")).as("source_hi"),
         floor(col("jaccard") * lit(1.0e15)).cast("long").as("jfp"))
       .groupBy(col("source_lo"), col("source_hi"))
+      // sum the 1e15 fixed point in decimal(38,0): the int64 spelling
+      // overflows once one source-pair group holds >~9.2k near-dup
+      // pairs (q255's ×64 rehearsal failure — same class). Both
+      // engines round the same exact decimal to the same double.
       .agg(count(lit(1)).as("n_pairs"),
-        sum(col("jfp")).cast("long").as("jaccard_fp"))
+        sum(col("jfp").cast("decimal(38,0)")).cast("double")
+          .as("jaccard_fp"))
       .withColumn("mean_jaccard",
-        col("jaccard_fp").cast("double")
+        col("jaccard_fp")
           / (col("n_pairs").cast("double") * lit(1.0e15)))
   }
   val o123: String = s"""
@@ -2963,8 +2977,8 @@ object CorpusOps {
       FROM jac j JOIN src a ON a.doc_id = j.doc_a
                  JOIN src b ON b.doc_id = j.doc_b)
     SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
-      CAST(SUM(jfp) AS BIGINT) AS jaccard_fp,
-      CAST(SUM(jfp) AS DOUBLE)
+      CAST(SUM(CAST(jfp AS DECIMAL(38,0))) AS DOUBLE) AS jaccard_fp,
+      CAST(SUM(CAST(jfp AS DECIMAL(38,0))) AS DOUBLE)
         / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS mean_jaccard
     FROM m GROUP BY 1, 2"""
 

@@ -1653,7 +1653,10 @@ object DedupOps {
     * (machine-translated replays, shared templates). Census per
     * unordered lang pair with a cross-lang flag and the exact
     * fixed-point mean Jaccard (floor ×1e15 per pair — one IEEE divide
-    * each, summed as int64, the q240 convention).
+    * each, summed EXACTLY in decimal(38,0): the q240 int64 spelling
+    * overflows once one lang-pair group holds >~9.2k near-dup pairs,
+    * which the ×64 scale rehearsal reached; the decimal sum is good
+    * to 10²³ pairs and both engines round it to the same double).
     *
     * Non-vacuous at every SF: doc_id ≡ 0 (mod 8) plants a one-token-
     * appended replay at +11·2⁴⁰ RELABELED `<lang>_x` (q216's
@@ -1686,11 +1689,17 @@ object DedupOps {
         greatest($"la", $"lb").as("lang_hi"),
         floor($"jaccard" * lit(1.0e15)).cast("long").as("j_fp"))
       .groupBy($"lang_lo", $"lang_hi")
+      // the per-pair 1e15 fixed point is too hot for an int64 census
+      // sum: >~9.2k near-dup pairs in ONE lang-pair group overflows
+      // (the round-8 x64 rehearsal hit it). Sum EXACTLY in
+      // decimal(38,0) — good to 10²³ pairs — and surface the sum as
+      // double: both engines round the same exact decimal to the
+      // same nearest double, so the hash compare still bites.
       .agg(count(lit(1)).as("n_pairs"),
-        sum($"j_fp").cast("long").as("j_fp_sum"))
+        sum($"j_fp".cast("decimal(38,0)")).cast("double").as("j_fp_sum"))
       .withColumn("cross_lang",
         when($"lang_lo" =!= $"lang_hi", 1L).otherwise(0L))
-      .withColumn("mean_jaccard", $"j_fp_sum".cast("double")
+      .withColumn("mean_jaccard", $"j_fp_sum"
         / ($"n_pairs".cast("double") * lit(1.0e15)))
   }
   val o255: String = s"""
@@ -1709,10 +1718,10 @@ object DedupOps {
       JOIN aug la ON la.doc_id = j.doc_a
       JOIN aug lb ON lb.doc_id = j.doc_b)
     SELECT lang_lo, lang_hi, COUNT(*) AS n_pairs,
-      CAST(SUM(j_fp) AS BIGINT) AS j_fp_sum,
+      CAST(SUM(CAST(j_fp AS DECIMAL(38,0))) AS DOUBLE) AS j_fp_sum,
       CAST(CASE WHEN lang_lo <> lang_hi THEN 1 ELSE 0 END AS BIGINT)
         AS cross_lang,
-      CAST(SUM(j_fp) AS DOUBLE)
+      CAST(SUM(CAST(j_fp AS DECIMAL(38,0))) AS DOUBLE)
         / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS mean_jaccard
     FROM tagged GROUP BY lang_lo, lang_hi"""
 

@@ -60,7 +60,13 @@ object PlanFingerprints {
     if (sys.env.contains("SPARK_GRAFT_FP_NOVOLATILE")) Set.empty
     else Set("q207_deposit_flow_e2e", "q212_dbscan_census",
       "q138_retention_triangle", "q215_retrieval_metrics",
-      "q249_nprobe_sweep")
+      "q249_nprobe_sweep",
+      // round-8 admission: after the cluster-edge respelling, q147's
+      // broadcast count flipped 2↔3 across 4 observed runs (the
+      // distinct-canonicalized-broadcast set races on whether AQE
+      // re-optimizes the shared simhash subtree before each consumer
+      // plans its join)
+      "q147_method_agreement")
 
   /** Post-execution (AQE-final) operator multiset of a frame.
     *
