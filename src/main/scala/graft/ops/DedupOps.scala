@@ -551,7 +551,7 @@ object DedupOps {
     * semantics (and the o60 oracle mirror) can never drift between
     * them. Input must carry one row per distinct `simhash`; output is
     * (sa, sb, hamming), unordered-unique. */
-  private[ops] def verifiedSigPairs(sigGrain: DataFrame): DataFrame = {
+  private[graft] def verifiedSigPairs(sigGrain: DataFrame): DataFrame = {
     val s = sigGrain.sparkSession
     import s.implicits._
     // banding carries SIGNATURES ONLY — member id arrays never enter
@@ -630,7 +630,7 @@ object DedupOps {
   }
 
   /** [[simhashClusterEdges]] over the corpus signature frame. */
-  private[ops] def q60ClusterEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def q60ClusterEdges(s: SparkSession, d: String): DataFrame =
     simhashClusterEdges(q59SimHash(s, d))
 
   /** Pair derivation from an already-computed signature frame (see
