@@ -42,11 +42,17 @@ import java.nio.file.{Files, Paths}
 object ScaleRehearsal {
 
   /** The rehearsal set — the queries the round-7 verdict named as the
-    * heaviest dedup/ANN/curation paths, plus TF-IDF and Lloyd. */
+    * heaviest dedup/ANN/curation paths, plus TF-IDF and Lloyd, plus
+    * (round 8) the four queries the first rehearsal's findings
+    * respelled: the cluster-edge riders q121/q145/q163 and the
+    * decimal-census q123 — so the fixes themselves stay evidenced at
+    * the largest amplification. */
   val RehearsalQueries: Seq[String] = Seq(
     "q58_jaccard_pairs", "q82_curation", "q85_tfidf_topk",
     "q98_union_dup_clusters", "q102_lloyd_step",
     "q107_minhash_estimate", "q117_ivfpq_search",
+    "q121_survivor_election", "q123_source_contamination",
+    "q145_quality_dup_calibration", "q163_incremental_clusters",
     "q171_pagerank_dup_graph", "q213_max_shared_run",
     "q250_ppl_gate", "q253_dedup_scope", "q254_phash_dedup",
     "q255_crosslang_leak", "q257_curation_funnel",
