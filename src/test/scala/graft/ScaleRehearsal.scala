@@ -215,14 +215,20 @@ object ScaleRehearsal {
     ensureAlive()
 
     // plan-shape comparison: 1x vs largest amplification, same session
+    // (fingerprinting EXECUTES each query at both dirs — AQE-final —
+    // so deep-amplification probes can skip it via NOSHAPES)
     val aLo = amps.head
     val aHi = amps.last
+    val doShapes = !sys.env.contains("SPARK_GRAFT_SCALE_NOSHAPES")
     val shapes = names.map { n =>
-      val fpLo = graft.plans.PlanFingerprints.fingerprint(
-        SparkEntry.queries(n)(spark, dirs.head._2))
-      val fpHi = graft.plans.PlanFingerprints.fingerprint(
-        SparkEntry.queries(n)(spark, dirs.last._2))
-      n -> (fpLo, fpHi)
+      if (!doShapes) n -> ("", "")
+      else {
+        val fpLo = graft.plans.PlanFingerprints.fingerprint(
+          SparkEntry.queries(n)(spark, dirs.head._2))
+        val fpHi = graft.plans.PlanFingerprints.fingerprint(
+          SparkEntry.queries(n)(spark, dirs.last._2))
+        n -> (fpLo, fpHi)
+      }
     }.toMap
 
     val aMid = if (amps.size >= 2) amps(amps.size - 2) else aLo
@@ -245,9 +251,10 @@ object ScaleRehearsal {
         .mkString(",")
       s"""${q(n)}:{$ts,${q("alpha")}:${if (alpha.isNaN) "null" else f"$alpha%.3f"},""" +
         s"""${q("subquadratic_pass")}:$pass,""" +
-        s"""${q("plan_shape_stable")}:${fpLo == fpHi},""" +
-        (if (fpLo == fpHi) ""
-         else s"""${q("plan_x" + aLo)}:${q(fpLo)},${q("plan_x" + aHi)}:${q(fpHi)},""") +
+        (if (!doShapes) ""
+         else s"""${q("plan_shape_stable")}:${fpLo == fpHi},""" +
+           (if (fpLo == fpHi) ""
+            else s"""${q("plan_x" + aLo)}:${q(fpLo)},${q("plan_x" + aHi)}:${q(fpHi)},""")) +
         s"""${q("t_ratio_hi")}:${if (tMid > 0) f"${tHi / tMid}%.2f" else "null"}}"""
     }
     val failed = names.filter(n => amps.exists(a => times((n, a)) < 0))
