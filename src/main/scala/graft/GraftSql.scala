@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Raw-SQL face of the engine: register every testdata table as a temp
   * view so the full surface — built-in operators AND the native
   * expressions `GraftExtensions` injects (`strip_accents_native`,
-  * `parse_money_native`, `simhash32_native`, `fingerprint64_native`,
+  * `parse_money_native`, `simhash64_native`, `fingerprint64_native`,
   * `shingles3_native`, `bloom_filter_agg`/`bloom_might_contain`) — is
   * reachable from `spark.sql(...)` with no DataFrame code at all.
   *

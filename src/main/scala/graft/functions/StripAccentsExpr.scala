@@ -85,14 +85,19 @@ case class ParseMoney(child: Expression) extends UnaryExpression {
 }
 
 /** Native SimHash kernel (the LLM-dedup hot path): one pass over the
-  * pre-hashed token array updating 32 bit-counters, instead of the 32
+  * pre-hashed token array updating 64 bit-counters, instead of the 64
   * separate `aggregate(...)` folds the composed-expression spelling
   * needs (each fold re-walks the whole array). Bit-exact with the
-  * DuckDB oracle's fold arithmetic: per bit, sign of Σ(2·bit−1). */
+  * DuckDB oracle's fold arithmetic: per bit, sign of Σ(2·bit−1).
+  * Input elements pack two independent 32-bit token-hash lanes
+  * (low ∥ high), so all 64 votes read from one array walk; bit 63 of
+  * the result makes the signature NEGATIVE as a signed long — every
+  * downstream use is bitwise (shift/mask/xor/bit_count), which both
+  * Spark and DuckDB define identically on two's-complement BIGINT. */
 object SimHashUtil {
-  def simhash32(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+  def simhash64(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = arr.numElements()
-    val acc = new Array[Long](32)
+    val acc = new Array[Long](64)
     var i = 0
     while (i < n) {
       // a NULL element null-poisons every bit's vote sum in the
@@ -102,7 +107,7 @@ object SimHashUtil {
       if (arr.isNullAt(i)) return 0L
       val x = arr.getLong(i)
       var b = 0
-      while (b < 32) {
+      while (b < 64) {
         acc(b) += 2L * ((x >> b) & 1L) - 1L
         b += 1
       }
@@ -110,7 +115,7 @@ object SimHashUtil {
     }
     var r = 0L
     var b = 0
-    while (b < 32) {
+    while (b < 64) {
       if (acc(b) > 0L) r |= (1L << b)
       b += 1
     }
@@ -118,23 +123,28 @@ object SimHashUtil {
   }
 }
 
-/** `simhash32_native(array<bigint>)` → bigint: SimHash of a pre-hashed
-  * token array as ONE codegen'd call — replaces 32 higher-order folds
-  * in q59/q60/q83's signature stage. */
-case class SimHash32(child: Expression) extends UnaryExpression {
+/** `simhash64_native(array<bigint>)` → bigint: 64-bit SimHash of a
+  * pre-hashed token array as ONE codegen'd call — replaces 64
+  * higher-order folds in q59/q60/q83's signature stage. 64 bits (the
+  * Manku et al., WWW'07 fingerprint width) rather than 32 so that
+  * boilerplate-heavy corpora don't collapse onto a handful of
+  * signatures — the round-8 ×256 scale probe measured 32-bit
+  * signatures saturating their 2×16 band space past ~10⁵ distinct
+  * signatures. */
+case class SimHash64(child: Expression) extends UnaryExpression {
   override def nullIntolerant: Boolean = true
   override def dataType: DataType =
     org.apache.spark.sql.types.LongType
   override def nullSafeEval(input: Any): Any =
-    SimHashUtil.simhash32(
+    SimHashUtil.simhash64(
       input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.SimHashUtil.simhash32($c)")
+      s"graft.functions.SimHashUtil.simhash64($c)")
   override protected def withNewChildInternal(newChild: Expression)
-      : SimHash32 = copy(child = newChild)
-  override def prettyName: String = "simhash32"
+      : SimHash64 = copy(child = newChild)
+  override def prettyName: String = "simhash64"
 }
 
 /** Optimizer rule: collapse nested idempotent normalizers —
@@ -166,10 +176,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "parse_money_native"),
       (children: Seq[Expression]) => ParseMoney(children.head)))
     ext.injectFunction((
-      FunctionIdentifier("simhash32_native"),
-      new ExpressionInfo(classOf[SimHash32].getName,
-        "simhash32_native"),
-      (children: Seq[Expression]) => SimHash32(children.head)))
+      FunctionIdentifier("simhash64_native"),
+      new ExpressionInfo(classOf[SimHash64].getName,
+        "simhash64_native"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
     ext.injectFunction((
       FunctionIdentifier("shingles3_native"),
       new ExpressionInfo(classOf[Shingles3].getName,

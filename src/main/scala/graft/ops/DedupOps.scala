@@ -475,34 +475,54 @@ object DedupOps {
         >= 0.8"""
 
   // ------------------------------------------------------------ SimHash
-  /** 32-bit SimHash per doc: per bit, the sign of the sum of ±1 votes
-    * from every token hash — computed by the native `simhash32_native`
-    * Catalyst expression (ONE codegen'd pass over the pre-hashed token
-    * array; the composed-expression spelling needed 32 separate folds,
-    * each re-walking the array). No explode, no shuffle. */
+  /** 64-bit SimHash per doc (the Manku et al., WWW'07 fingerprint
+    * width): per bit, the sign of the sum of ±1 votes from every token
+    * hash — computed by the native `simhash64_native` Catalyst
+    * expression (ONE codegen'd pass over the pre-hashed token array;
+    * the composed-expression spelling needed 64 separate folds, each
+    * re-walking the array). No explode, no shuffle. Bit 63 makes the
+    * signature negative as a signed BIGINT; every consumer is bitwise
+    * (shift/mask/xor/bit_count), identical on two's-complement int64
+    * in both engines. The oracle votes bits 0–31 from the first
+    * token-hash lane and 32–63 from the second — exactly the bits of
+    * the packed lane the Spark side folds — and assembles the
+    * signature with `|` (disjoint bit terms; bit 63's term is spelled
+    * min-int64 via subtraction because neither parser accepts the raw
+    * literal and DuckDB's `<<` raises on overflow). */
   private def simhashSql: String = {
-    val h = s"((CAST(greatest(unicode(x), 0) * 131 + length(x) AS BIGINT) * 2654435761) & 4294967295)"
-    (0 until 32).map { b =>
+    val h1 = s"((CAST(greatest(unicode(x), 0) * 131 + length(x) AS BIGINT) * 2654435761) & 4294967295)"
+    val h2 = s"((CAST(greatest(unicode(x), 0) * 131 + length(x) AS BIGINT) * 2246822519) & 4294967295)"
+    (0 until 64).map { b =>
+      val (h, bit) = if (b < 32) (h1, b) else (h2, b - 32)
+      val value =
+        if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << b} AS BIGINT)"
       s"""(CASE WHEN list_sum(list_transform(t,
-            x -> 2 * ((($h) >> $b) & 1) - 1)) > 0
-          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
-    }.mkString(" + ")
+            x -> 2 * ((($h) >> $bit) & 1) - 1)) > 0
+          THEN $value ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" | ")
   }
 
-  /** Adds `thm` (per-token 32-bit multiplicative hashes — the SimHash
-    * vote input) — split out, like [[withShingles]], so composites
-    * (q98/q147) can derive BOTH text signals from one scan+tokenize
-    * of the corpus. */
+  /** Adds `thm` (per-token hashes — the SimHash vote input): TWO
+    * independent 32-bit multiplicative lanes packed low ∥ high into
+    * one BIGINT, so the 64-bit fold walks a single array. Split out,
+    * like [[withShingles]], so composites (q98/q147) can derive BOTH
+    * text signals from one scan+tokenize of the corpus. shiftleft is
+    * Java `<<` (bitwise, never an ANSI overflow); the high lane makes
+    * large hashes negative, which the bit-reads don't care about. */
   private[ops] def withTokenHashes(df: DataFrame): DataFrame =
     df.withColumn("thm", expr(
       """transform(split(text, ' '), x ->
-           (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
-             & 4294967295)"""))
+           ((CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
+              & 4294967295)
+           | shiftleft((CAST(ascii(x) * 131 + length(x) AS BIGINT)
+                          * 2246822519)
+              & 4294967295, 32))"""))
 
   /** Signature derivation from a frame that already carries `thm`. */
   private[ops] def simhashFrom(base: DataFrame): DataFrame =
     base.select(col("doc_id"),
-      expr("simhash32_native(thm)").as("simhash"))
+      expr("simhash64_native(thm)").as("simhash"))
 
   val q59SimHash: Q = (s, d) =>
     simhashFrom(withTokenHashes(Tables.documents(s, d)))
@@ -510,8 +530,10 @@ object DedupOps {
     SELECT doc_id, ${simhashSql} AS simhash
     FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"""
 
-  /** SimHash near-dup pairs: LSH on the two 16-bit halves (pairs must
-    * agree on at least one half), then exact Hamming ≤ 2 verify.
+  /** SimHash near-dup pairs: LSH on the four 16-bit lanes (pairs must
+    * agree on at least one lane — the Manku et al. 4-table layout,
+    * also q254's pHash layout), then exact Hamming ≤
+    * [[SimHashHammingMax]] verify.
     *
     * Degenerate-skew hardening (the round-5 verdict's #1): identical
     * signatures are PRE-COLLAPSED into (signature, member-ids) groups
@@ -523,7 +545,7 @@ object DedupOps {
     * q54 first if that output itself is too large). Residual buckets
     * are then capped at [[MaxBandBucket]] DISTINCT signatures — the
     * q58 `MaxShingleDf` convention, MIRRORED in the oracle, so a
-    * 16-bit half shared by hundreds of distinct signatures (corpus-
+    * 16-bit lane shared by hundreds of distinct signatures (corpus-
     * wide noise, no near-dup signal) is dropped identically by both
     * engines at any scale. Cross-signature candidates Hamming-verify
     * BEFORE member expansion, so failing signature pairs never
@@ -543,14 +565,25 @@ object DedupOps {
     * cap is engine-identical at any scale. */
   private[graft] val MaxBandBucket = 100
 
+  /** Exact-Hamming verify threshold on the 64-bit signatures — the
+    * same 6.25% bit-disagreement the old 2-of-32 threshold admitted
+    * (Manku et al. ship 3-of-64 for 8B pages; 4 keeps the prior
+    * fraction). LSH guarantee: ≤ 3 flipped bits always leave one of
+    * the four 16-bit lanes intact; 4 flips are caught unless they
+    * land in four distinct lanes — the standard banding recall trade,
+    * mirrored in the oracle so both engines drop identically. */
+  private[graft] val SimHashHammingMax = 4
+
   /** Verified near-signature pairs at SIGNATURE grain: LSH banding on
-    * the two 16-bit halves over one row per DISTINCT signature, bucket
-    * cap [[MaxBandBucket]], exact Hamming ≤ 2 verify, both-bands
-    * dedupe. Shared by the pair census ([[simhashPairsFrom]]) and the
-    * cluster-edge form ([[simhashClusterEdges]]) so the candidate
-    * semantics (and the o60 oracle mirror) can never drift between
-    * them. Input must carry one row per distinct `simhash`; output is
-    * (sa, sb, hamming), unordered-unique. */
+    * the four 16-bit lanes over one row per DISTINCT signature, bucket
+    * cap [[MaxBandBucket]], exact Hamming ≤ [[SimHashHammingMax]]
+    * verify, cross-band dedupe. Shared by the pair census
+    * ([[simhashPairsFrom]]) and the cluster-edge form
+    * ([[simhashClusterEdges]]) so the candidate semantics (and the o60
+    * oracle mirror) can never drift between them. Input must carry one
+    * row per distinct `simhash`; output is (sa, sb, hamming),
+    * unordered-unique. Shifts are arithmetic in both engines — the
+    * & 65535 mask makes the lane keys sign-independent. */
   private[graft] def verifiedSigPairs(sigGrain: DataFrame): DataFrame = {
     val s = sigGrain.sparkSession
     import s.implicits._
@@ -560,8 +593,10 @@ object DedupOps {
     sigGrain
       .select($"simhash", expr(
         """explode(array(
-             named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
-             named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
+             named_struct('band', 0, 'bk', shiftright(simhash, 48) & 65535),
+             named_struct('band', 1, 'bk', shiftright(simhash, 32) & 65535),
+             named_struct('band', 2, 'bk', shiftright(simhash, 16) & 65535),
+             named_struct('band', 3, 'bk', simhash & 65535)))
            AS b"""))
       .groupBy($"b.band", $"b.bk")
       .agg(sort_array(collect_list($"simhash")).as("gs"))
@@ -572,9 +607,9 @@ object DedupOps {
       .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       // verify at SIGNATURE grain, before member expansion
-      .filter($"hamming" <= 2)
-      // a both-halves agreement appears in both bands: dedupe the
-      // (small, verified) signature pairs, never doc pairs
+      .filter($"hamming" <= SimHashHammingMax)
+      // a multi-lane agreement appears in each agreeing band: dedupe
+      // the (small, verified) signature pairs, never doc pairs
       .distinct()
   }
 
@@ -670,24 +705,34 @@ object DedupOps {
   }
   val o60: String = s"""
     WITH sig AS (${o59}),
-    bh0 AS (SELECT simhash >> 16 AS bk, COUNT(DISTINCT simhash) AS nsig
-            FROM sig GROUP BY 1),
-    bh1 AS (SELECT simhash & 65535 AS bk, COUNT(DISTINCT simhash) AS nsig
-            FROM sig GROUP BY 1),
+    bh0 AS (SELECT (simhash >> 48) & 65535 AS bk,
+                   COUNT(DISTINCT simhash) AS nsig FROM sig GROUP BY 1),
+    bh1 AS (SELECT (simhash >> 32) & 65535 AS bk,
+                   COUNT(DISTINCT simhash) AS nsig FROM sig GROUP BY 1),
+    bh2 AS (SELECT (simhash >> 16) & 65535 AS bk,
+                   COUNT(DISTINCT simhash) AS nsig FROM sig GROUP BY 1),
+    bh3 AS (SELECT simhash & 65535 AS bk,
+                   COUNT(DISTINCT simhash) AS nsig FROM sig GROUP BY 1),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sa, b.simhash AS sb
       FROM sig a
       JOIN sig b ON a.doc_id < b.doc_id
-      LEFT JOIN bh0 ON bh0.bk = (a.simhash >> 16)
-      LEFT JOIN bh1 ON bh1.bk = (a.simhash & 65535)
+      LEFT JOIN bh0 ON bh0.bk = ((a.simhash >> 48) & 65535)
+      LEFT JOIN bh1 ON bh1.bk = ((a.simhash >> 32) & 65535)
+      LEFT JOIN bh2 ON bh2.bk = ((a.simhash >> 16) & 65535)
+      LEFT JOIN bh3 ON bh3.bk = (a.simhash & 65535)
       WHERE a.simhash = b.simhash
-         OR ((a.simhash >> 16) = (b.simhash >> 16)
+         OR (((a.simhash >> 48) & 65535) = ((b.simhash >> 48) & 65535)
              AND bh0.nsig <= ${MaxBandBucket})
+         OR (((a.simhash >> 32) & 65535) = ((b.simhash >> 32) & 65535)
+             AND bh1.nsig <= ${MaxBandBucket})
+         OR (((a.simhash >> 16) & 65535) = ((b.simhash >> 16) & 65535)
+             AND bh2.nsig <= ${MaxBandBucket})
          OR ((a.simhash & 65535) = (b.simhash & 65535)
-             AND bh1.nsig <= ${MaxBandBucket}))
+             AND bh3.nsig <= ${MaxBandBucket}))
     SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 2"""
+    FROM cand WHERE bit_count(xor(sa, sb)) <= ${SimHashHammingMax}"""
 
   // ----------------------------------------- MinHash estimator audit
   /** MinHash-estimated Jaccard vs EXACT Jaccard on the verified q58

@@ -17,21 +17,28 @@ class ExtensionsSpec extends AnyFunSuite {
     .withExtensions(new GraftExtensions)
     .getOrCreate()
 
-  test("simhash32_native matches the 32-fold composed spelling") {
+  test("simhash64_native matches the 64-fold composed spelling") {
     val s = spark
     import s.implicits._
     import org.apache.spark.sql.functions._
-    val composed = (0 until 32).map { b =>
+    // bit 63's term is min-int64 (the raw literal doesn't parse);
+    // terms have disjoint bits so bitwise OR assembles the signature
+    // without overflow regardless of evaluation order
+    val composed = (0 until 64).map { b =>
+      val value =
+        if (b == 63) "(CAST(-9223372036854775807 AS BIGINT) - 1)"
+        else s"CAST(${1L << b} AS BIGINT)"
       s"""(CASE WHEN aggregate(h, CAST(0 AS BIGINT),
             (acc, x) -> acc + (2 * (shiftright(x, $b) & 1) - 1)) > 0
-          THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
-    }.mkString(" + ")
+          THEN $value ELSE CAST(0 AS BIGINT) END)"""
+    }.mkString(" | ")
     val df = Seq(
       Seq(7L, 2654435761L, 40L, 1L << 31),
+      Seq(-1L, Long.MinValue, (0xABCDL << 48) | 17L),
       Seq(0L),
       Seq.empty[Long]
     ).toDF("h")
-      .select(expr("simhash32_native(h)").as("native"),
+      .select(expr("simhash64_native(h)").as("native"),
         expr(composed).as("composed"))
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1),
       s"native ${r.getLong(0)} vs composed ${r.getLong(1)}"))

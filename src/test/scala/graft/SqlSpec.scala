@@ -34,9 +34,10 @@ class SqlSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT strip_accents_native('Café São') AS s").head()
     assert(r.getString(0) == "Cafe Sao")
-    // simhash32_native over a real column's token hashes
+    // simhash64_native over a real column's packed two-lane token
+    // hashes (low lane shown single here — the kernel only reads bits)
     val n = spark.sql("""
-      SELECT simhash32_native(transform(split(text, ' '), x ->
+      SELECT simhash64_native(transform(split(text, ' '), x ->
         (CAST(ascii(x) * 131 + length(x) AS BIGINT) * 2654435761)
           & 4294967295)) AS sh
       FROM documents""").filter("sh IS NOT NULL").count()

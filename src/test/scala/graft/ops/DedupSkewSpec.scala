@@ -60,7 +60,7 @@ class DedupSkewSpec extends AnyFunSuite {
     val out = DedupOps.simhashPairsFrom(sigFrame(sigs)).collect()
     // e.g. low halves 0 and 1 differ by one bit → hamming 1 survives
     assert(out.nonEmpty)
-    assert(out.forall(_.getAs[Int]("hamming") <= 2))
+    assert(out.forall(_.getAs[Int]("hamming") <= DedupOps.SimHashHammingMax))
   }
 
   test("mixed: identical-signature clique + near signature cross pairs") {
