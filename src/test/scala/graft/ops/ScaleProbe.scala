@@ -21,6 +21,9 @@ object ScaleProbe {
 
     val shared = DedupOps.sharedTextSignals(spark, d)
     val sig = DedupOps.simhashFrom(shared)
+    println("=== docs vs distinct signatures (resolution)")
+    sig.agg(count(lit(1)).as("docs"),
+      countDistinct($"simhash").as("nsig")).show(false)
     println("=== simhash identical-signature group sizes (top 10)")
     sig.groupBy($"simhash").agg(count(lit(1)).as("m"))
       .orderBy($"m".desc).limit(10).show(false)
@@ -30,8 +33,10 @@ object ScaleProbe {
     val posts = groups
       .select($"simhash", $"ids", expr(
         """explode(array(
-             named_struct('band', 0, 'bk', CAST(shiftright(simhash, 16) AS BIGINT)),
-             named_struct('band', 1, 'bk', CAST(simhash & 65535 AS BIGINT))))
+             named_struct('band', 0, 'bk', shiftright(simhash, 48) & 65535),
+             named_struct('band', 1, 'bk', shiftright(simhash, 32) & 65535),
+             named_struct('band', 2, 'bk', shiftright(simhash, 16) & 65535),
+             named_struct('band', 3, 'bk', simhash & 65535)))
            AS b"""))
       .groupBy($"b.band", $"b.bk")
       .agg(count(lit(1)).as("nsig"), sum(size($"ids")).as("nmembers"))
