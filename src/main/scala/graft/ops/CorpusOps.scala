@@ -4798,7 +4798,261 @@ object CorpusOps {
           / (n * 256.0) END AS log2_k
     FROM m"""
 
+  // ------------------------- Naive-Bayes quality classifier
+  /** The fixed-point label threshold (quality × 1e6) splitting the
+    * corpus into balanced high/low classes at every SF (measured:
+    * ~49% positive at sf0.001/0.01/0.1). */
+  private val NbLabelThreshold = 420000L
+
+  /** Model-based quality classification, trained in-engine: a
+    * multinomial Naive Bayes classifier (the fastText/logistic-gate
+    * shape GPT-3/PaLM-style pipelines use to keep "looks like quality
+    * text") is TRAINED on q105's train split against a deterministic
+    * quality label (the q51 composite, thresholded at
+    * [[NbLabelThreshold]] for class balance), then applied to all
+    * three splits; the output is the per-split confusion census —
+    * held-out val/test rows measure generalization, the train row
+    * measures fit. This is the third standard curation gate next to
+    * q250 (generative LM perplexity) and q241 (importance reweighting):
+    * a DISCRIMINATIVE classifier with explicit labels.
+    *
+    * Exactness: all log-probabilities are [[ilog256]] fixed-point
+    * (exact int64 bits×256, the q241 convention) with Laplace
+    * smoothing — per token w the class-evidence is
+    * (ilog(n1+1) − ilog(T1+V)) − (ilog(n0+1) − ilog(T0+V)), per doc
+    * the occurrence-sum plus the prior ilog(D1) − ilog(D0), predict
+    * positive iff total ≥ 0. ilog256's chord bias (≤ 0.0901 bits,
+    * QueriesSpec-pinned) shifts every term identically in both
+    * engines; no runtime log anywhere. Per-token bits ≤ ~2·55·256 so
+    * a 2^40-token document stays far inside int64.
+    *
+    * 100 TB design: classification resolves at VOCABULARY grain — the
+    * train token census (map-side combined) is scored once against
+    * two single-row broadcast censuses (token totals + doc priors),
+    * and the occurrence stream takes exactly ONE keyed join against
+    * the scored vocabulary (q240's move); the confusion census is a
+    * 3-row aggregate. No windows, no distinct aggregates, nothing
+    * quadratic. */
+  val q264NbQualityClassifier: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("split", splitAssign(col("doc_id")))
+      .withColumn("y",
+        when(floor(TextOps.qualityCol * lit(1.0e6)).cast("long")
+          >= NbLabelThreshold, 1L).otherwise(0L))
+    val occ = docs
+      .select(col("doc_id"), col("split"), col("y"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tok = occ.filter(col("split") === "train")
+      .groupBy(col("w"))
+      .agg(sum(col("y")).cast("long").as("n1"),
+        sum(lit(1L) - col("y")).cast("long").as("n0"))
+    val tots = tok.agg(count(lit(1)).cast("long").as("v"),
+      sum(col("n1")).cast("long").as("t1"),
+      sum(col("n0")).cast("long").as("t0"))
+    val prior = docs.filter(col("split") === "train")
+      .agg(sum(col("y")).cast("long").as("d1"),
+        sum(lit(1L) - col("y")).cast("long").as("d0"))
+    val scoredTok = occ.select(col("w")).distinct()
+      .join(tok, Seq("w"), "left")
+      .na.fill(0L, Seq("n1", "n0"))
+      .join(broadcast(tots))
+      .withColumn("w_bits", expr(
+        s"""CAST(((${ilog256("(n1 + 1)")} - ${ilog256("(t1 + v)")})
+              - (${ilog256("(n0 + 1)")} - ${ilog256("(t0 + v)")}))
+            AS BIGINT)"""))
+      .select(col("w"), col("w_bits"))
+    occ.join(scoredTok, Seq("w"))
+      .groupBy(col("doc_id"), col("split"), col("y"))
+      .agg(sum(col("w_bits")).cast("long").as("sum_bits"))
+      .join(broadcast(prior))
+      .withColumn("pred", when(col("sum_bits")
+        + expr(s"CAST((${ilog256("d1")} - ${ilog256("d0")}) AS BIGINT)")
+        >= 0L, 1L).otherwise(0L))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_label_pos"),
+        sum(col("pred")).cast("long").as("n_pred_pos"),
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("tp"),
+        sum(when(col("y") === 0L && col("pred") === 0L, 1L)
+          .otherwise(0L)).cast("long").as("tn"),
+        sum(when(col("y") === 0L && col("pred") === 1L, 1L)
+          .otherwise(0L)).cast("long").as("fp"),
+        sum(when(col("y") === 1L && col("pred") === 0L, 1L)
+          .otherwise(0L)).cast("long").as("fn"))
+      .withColumn("accuracy", (col("tp") + col("tn")).cast("double")
+        / col("n_docs").cast("double"))
+  }
+  val o264: String = s"""
+    WITH nbd AS (
+      SELECT doc_id, text,
+        CASE WHEN b < 80 THEN 'train'
+             WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        CASE WHEN CAST(FLOOR((${TextOps.qualitySql}) * 1.0e6) AS BIGINT)
+               >= $NbLabelThreshold THEN 1 ELSE 0 END AS y
+      FROM (SELECT *, (((doc_id % 1000000007) * 2654435761 + 5851)
+              % 1000000007) % 100 AS b FROM documents)),
+    nbocc AS (
+      SELECT doc_id, split, y, w FROM (
+        SELECT doc_id, split, y, unnest(string_split(text, ' ')) AS w
+        FROM nbd)
+      WHERE length(w) > 0),
+    nbtok AS (
+      SELECT w, CAST(SUM(y) AS BIGINT) AS n1,
+        CAST(SUM(1 - y) AS BIGINT) AS n0
+      FROM nbocc WHERE split = 'train' GROUP BY w),
+    nbtot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        CAST(SUM(n1) AS BIGINT) AS t1,
+        CAST(SUM(n0) AS BIGINT) AS t0 FROM nbtok),
+    nbprior AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS d1,
+        CAST(SUM(1 - y) AS BIGINT) AS d0
+      FROM nbd WHERE split = 'train'),
+    nbsc AS (
+      SELECT w, CAST(((${ilog256Duck("(n1 + 1)")}
+            - ${ilog256Duck("(t1 + v)")})
+          - (${ilog256Duck("(n0 + 1)")} - ${ilog256Duck("(t0 + v)")}))
+        AS BIGINT) AS w_bits
+      FROM (SELECT g.w, COALESCE(k.n1, 0) AS n1, COALESCE(k.n0, 0) AS n0
+            FROM (SELECT DISTINCT w FROM nbocc) g
+            LEFT JOIN nbtok k USING (w))
+      CROSS JOIN nbtot),
+    nbdoc AS (
+      SELECT doc_id, split, y, CAST(SUM(w_bits) AS BIGINT) AS sum_bits
+      FROM nbocc JOIN nbsc USING (w) GROUP BY 1, 2, 3),
+    nbpred AS (
+      SELECT split, y, CASE WHEN sum_bits
+          + CAST((${ilog256Duck("d1")} - ${ilog256Duck("d0")}) AS BIGINT)
+          >= 0 THEN 1 ELSE 0 END AS pred
+      FROM nbdoc CROSS JOIN nbprior)
+    SELECT split, COUNT(*) AS n_docs,
+      CAST(SUM(y) AS BIGINT) AS n_label_pos,
+      CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
+      CAST(SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS tp,
+      CAST(SUM(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS tn,
+      CAST(SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+        AS BIGINT) AS fp,
+      CAST(SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+        AS BIGINT) AS fn,
+      CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM nbpred GROUP BY split"""
+
+  // ------------------------------ DoReMi-lite domain reweighting
+  /** One DoReMi-style multiplicative-weights update of the per-source
+    * mixture (Xie et al. 2023, reduced to the in-engine observable):
+    * each source's EXCESS LOSS proxy is how far its mean q240
+    * backoff-LM score falls below the corpus mean (less fluent under
+    * the shared reference LM = harder domain = upweight), and the new
+    * mixture weight is w ∝ base_share · 2^(η·excess). The exponential
+    * rides integer bit arithmetic: the exponent is quantized to
+    * e = floor(excess·2048 + 16384) (η = 2048 steps per unit score,
+    * the +16384 offset keeps it nonnegative — a COMMON factor the
+    * normalization cancels exactly, as does the min-shift below), and
+    * 2^(e/256) is spelled shiftleft(1, e div 256)·(256 + e mod 256) —
+    * the [[ilog256]] chord in reverse (≤ 6% per-step bias, identical
+    * in both engines, monotone in e, so the weight ORDERING is exact).
+    * Subtracting min(e) before exponentiating bounds the shift at
+    * |sources|-census grain, keeping every multiplier comfortably in
+    * int64.
+    *
+    * 100 TB design: everything after q240's (already scale-argued)
+    * scoring pass lives at |sources| grain — the per-source censuses,
+    * the single-row global mean / min-exponent / weight-total crosses
+    * are all broadcast scalars; the tiny exponent frame is
+    * localCheckpointed so its two consumers never re-run the LM
+    * subtree (the q262 plan-inline lesson). */
+  val q265DoremiReweight: Q = (s, d) => {
+    val lm = q240BackoffLm(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+    // per-source Σ of 1e15-scale fixed-point scores overflows int64
+    // past ~9e3 doc·trigram mass — decimal(38,0) keeps the sums exact
+    // (the q255 convention); means surface as one double divide of the
+    // exact integers (both engines round the same exact value)
+    val srcs = lm.groupBy(col("source"))
+      .agg(sum(col("score_fp").cast("decimal(38,0)")).as("s_fp"),
+        sum(col("n_tri").cast("decimal(38,0)")).as("n"))
+    val ndocs = Tables.documents(s, d).groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val glob = srcs.agg(sum(col("s_fp")).as("gs"),
+      sum(col("n")).as("gn"))
+    val e = srcs.join(ndocs, Seq("source")).join(broadcast(glob))
+      .withColumn("mean_src",
+        col("s_fp").cast("double") / col("n").cast("double"))
+      .withColumn("mean_g",
+        col("gs").cast("double") / col("gn").cast("double"))
+      .withColumn("e", floor(((col("mean_g") - col("mean_src"))
+        / lit(1.0e15)) * lit(2048.0) + lit(16384.0)).cast("long"))
+      .localCheckpoint() // |sources| rows; three consumers below
+    val emin = e.agg(min(col("e")).as("e_min"))
+    val tot = e.agg(sum(col("n_docs")).cast("long").as("tot_docs"))
+    val w = e.join(broadcast(emin)).join(broadcast(tot))
+      .withColumn("e_bits", col("e") - col("e_min"))
+      .withColumn("mult", expr(
+        """shiftleft(CAST(1 AS BIGINT), CAST(e_bits div 256 AS INT))
+           * (256 + e_bits % 256)"""))
+      .withColumn("weight_base",
+        col("n_docs").cast("double") / col("tot_docs").cast("double"))
+      .withColumn("w_fp", floor(col("weight_base")
+        * col("mult").cast("double") * lit(1.0e6)).cast("long"))
+    val totw = w.agg(sum(col("w_fp")).cast("long").as("tot_w"))
+    w.join(broadcast(totw))
+      .select(col("source"), col("n_docs"),
+        (col("mean_src") / lit(1.0e15)).as("mean_score"),
+        ((col("mean_g") - col("mean_src")) / lit(1.0e15))
+          .as("excess_score"),
+        col("e_bits"), col("mult"), col("weight_base"),
+        (col("w_fp").cast("double") / col("tot_w").cast("double"))
+          .as("weight_new"))
+  }
+  val o265: String = s"""
+    WITH lm AS (${o240}),
+    dsrc AS (SELECT doc_id, source FROM documents),
+    srcs AS (
+      SELECT source, CAST(SUM(CAST(score_fp AS HUGEINT)) AS HUGEINT)
+          AS s_fp,
+        CAST(SUM(CAST(n_tri AS HUGEINT)) AS HUGEINT) AS n
+      FROM lm JOIN dsrc USING (doc_id) GROUP BY source),
+    nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+    gl AS (SELECT CAST(SUM(s_fp) AS HUGEINT) AS gs,
+             CAST(SUM(n) AS HUGEINT) AS gn FROM srcs),
+    ee AS (
+      SELECT srcs.source, nd.n_docs,
+        CAST(s_fp AS DOUBLE) / CAST(n AS DOUBLE) AS mean_src,
+        CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE) AS mean_g,
+        CAST(FLOOR(((CAST(gs AS DOUBLE) / CAST(gn AS DOUBLE)
+            - CAST(s_fp AS DOUBLE) / CAST(n AS DOUBLE))
+          / 1.0e15) * 2048.0 + 16384.0) AS BIGINT) AS e
+      FROM srcs JOIN nd USING (source) CROSS JOIN gl),
+    em AS (SELECT MIN(e) AS e_min FROM ee),
+    td AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM ee),
+    ww AS (
+      SELECT source, n_docs, mean_src, mean_g, e - e_min AS e_bits,
+        (CAST(1 AS BIGINT) << CAST((e - e_min) // 256 AS INT))
+          * (256 + (e - e_min) % 256) AS mult,
+        CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS weight_base
+      FROM ee CROSS JOIN em CROSS JOIN td),
+    ww2 AS (
+      SELECT *, CAST(FLOOR(weight_base * CAST(mult AS DOUBLE) * 1.0e6)
+        AS BIGINT) AS w_fp
+      FROM ww),
+    tw AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS tot_w FROM ww2)
+    SELECT source, n_docs,
+      mean_src / 1.0e15 AS mean_score,
+      (mean_g - mean_src) / 1.0e15 AS excess_score,
+      e_bits, mult, weight_base,
+      CAST(w_fp AS DOUBLE) / CAST(tot_w AS DOUBLE) AS weight_new
+    FROM ww2 CROSS JOIN tw"""
+
   val queries: Map[String, Q] = Map(
+    "q264_nb_quality_classifier" -> q264NbQualityClassifier,
+    "q265_doremi_reweight" -> q265DoremiReweight,
     "q262_release_manifest" -> q262ReleaseManifest,
     "q261_padding_waste" -> q261PaddingWaste,
     "q259_cluster_density" -> q259ClusterDensity,
@@ -4868,6 +5122,8 @@ object CorpusOps {
     "q90_mixture_weights" -> q90MixtureWeights)
 
   val oracles: Map[String, String] = Map(
+    "q264_nb_quality_classifier" -> o264,
+    "q265_doremi_reweight" -> o265,
     "q262_release_manifest" -> o262,
     "q261_padding_waste" -> o261,
     "q259_cluster_density" -> o259,

@@ -255,8 +255,13 @@ object DedupOps {
     jaccardFrom(withShingles(docs))
 
   /** Pair derivation from an already-shingled frame (see
-    * [[minhashFrom]]). */
-  private[ops] def jaccardFrom(base: DataFrame): DataFrame = {
+    * [[minhashFrom]]). `minJ` is the report threshold — q58 and every
+    * near-dup consumer keep the 0.5 default; q266 lowers it to 0.0 to
+    * observe the FULL candidate-pair similarity population (the
+    * operating-point sweep needs the below-threshold mass too; the
+    * candidate set stays df-cap bounded either way). */
+  private[ops] def jaccardFrom(base: DataFrame,
+                               minJ: Double = 0.5): DataFrame = {
     val s = base.sparkSession
     import s.implicits._
     val exploded = base
@@ -286,14 +291,15 @@ object DedupOps {
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
       .withColumn("jaccard",
         $"i".cast("double") / ($"na" + $"nb" - $"i").cast("double"))
-      .filter($"jaccard" >= 0.5)
+      .filter($"jaccard" >= minJ)
       .select($"doc_a", $"doc_b", $"jaccard")
   }
   /** o58 parameterized on its corpus relation (a table or CTE name
     * with doc_id + text) — SQL twin of [[jaccardPairsOver]]. Callers
     * embedding it as a CTE body must not name their own CTEs
     * sh0/kept/sh/sizes/inter (the DuckDB nested-WITH collision rule). */
-  private[graft] def o58Over(src: String): String = s"""
+  private[graft] def o58Over(src: String,
+                             minJ: String = "0.5"): String = s"""
     WITH sh0 AS (
       SELECT DISTINCT doc_id, unnest(shs) AS sh
       FROM (SELECT doc_id, $shinglesSql AS shs
@@ -310,7 +316,7 @@ object DedupOps {
     FROM inter
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= 0.5"""
+    WHERE CAST(i AS DOUBLE) / CAST(sa.n + sb.n - i AS DOUBLE) >= $minJ"""
 
   val o58: String = o58Over("documents")
 
@@ -1770,7 +1776,136 @@ object DedupOps {
         / (CAST(COUNT(*) AS DOUBLE) * 1.0e15) AS mean_jaccard
     FROM tagged GROUP BY lang_lo, lang_hi"""
 
+  // ---------------------------------- LSH operating-point calibration
+  /** MinHash-LSH (b, r) operating-point sweep: for every way of
+    * splitting a 16-lane signature into b bands of r rows
+    * ((16,1), (8,2), (4,4), (2,8), (1,16)), the expected candidate
+    * recall above the J ≥ 0.5 near-dup threshold and the expected
+    * false-candidate rate below it, evaluated against the OBSERVED
+    * candidate-pair similarity population (q58's df-capped posting
+    * layout with the report threshold dropped to 0.0 — the sweep needs
+    * the below-threshold mass that q58 discards). The collision
+    * probability for a pair at similarity s is the standard S-curve
+    * p = 1 − (1 − s^r)^b (Broder per-lane match probability = J,
+    * independent lanes); the config a pipeline should run is the one
+    * whose curve is steepest around its threshold — this query turns
+    * that textbook plot into a census over the corpus's own pair
+    * distribution, which is what actually determines the FP bill.
+    *
+    * Float parity: s is one IEEE divide of exact ints (bit-identical);
+    * every power is an explicit multiplication chain (s² = s·s,
+    * s⁴ = s²·s², …, never a runtime pow — the q182 no-runtime-log/pow
+    * convention), so p is the identical IEEE op DAG on both engines;
+    * per-pair p is then fixed-pointed (floor ×1e12) and summed in
+    * decimal(38,0) (exact past int64, the q255 convention), surfaced
+    * as one double division.
+    *
+    * 100 TB design: the pair population is q58's bounded candidate
+    * layout (one shingle-keyed exchange, ≤ C(df-cap, 2) in-row pairs
+    * per shingle); the sweep itself is O(1) arithmetic per pair × 5
+    * stacked configs, collapsing to a 5-row census — no new shuffle
+    * beyond q58's own. */
+  val q266LshOperatingPoints: Q = (s, d) => {
+    import s.implicits._
+    val pw = jaccardFrom(withShingles(Tables.documents(s, d)), 0.0)
+      .withColumn("s2", $"jaccard" * $"jaccard")
+      .withColumn("s4", $"s2" * $"s2")
+      .withColumn("s8", $"s4" * $"s4")
+      .withColumn("s16", $"s8" * $"s8")
+      // (16,1): 1-(1-s)^16   — t-chain
+      .withColumn("t1", lit(1.0) - $"jaccard")
+      .withColumn("t2", $"t1" * $"t1")
+      .withColumn("t4", $"t2" * $"t2")
+      .withColumn("t8", $"t4" * $"t4")
+      .withColumn("p16x1", lit(1.0) - $"t8" * $"t8")
+      // (8,2): 1-(1-s^2)^8   — u-chain
+      .withColumn("u1", lit(1.0) - $"s2")
+      .withColumn("u2", $"u1" * $"u1")
+      .withColumn("u4", $"u2" * $"u2")
+      .withColumn("p8x2", lit(1.0) - $"u4" * $"u4")
+      // (4,4): 1-(1-s^4)^4   — v-chain
+      .withColumn("v1", lit(1.0) - $"s4")
+      .withColumn("v2", $"v1" * $"v1")
+      .withColumn("p4x4", lit(1.0) - $"v2" * $"v2")
+      // (2,8): 1-(1-s^8)^2
+      .withColumn("w1", lit(1.0) - $"s8")
+      .withColumn("p2x8", lit(1.0) - $"w1" * $"w1")
+      // (1,16): s^16
+      .withColumn("p1x16", $"s16")
+    pw.select($"jaccard",
+        expr("""stack(5, 16, 1, p16x1, 8, 2, p8x2, 4, 4, p4x4,
+                         2, 8, p2x8, 1, 16, p1x16)
+                AS (bands, rows_per_band, p)"""))
+      .withColumn("p_fp", floor($"p" * lit(1.0e12)).cast("long"))
+      .groupBy($"bands", $"rows_per_band")
+      .agg(
+        sum(when($"jaccard" >= 0.5, 1L).otherwise(0L)).cast("long")
+          .as("n_above"),
+        sum(when($"jaccard" < 0.5, 1L).otherwise(0L)).cast("long")
+          .as("n_below"),
+        sum(when($"jaccard" >= 0.5, $"p_fp").otherwise(0L)
+          .cast("decimal(38,0)")).as("caught_dec"),
+        sum(when($"jaccard" < 0.5, $"p_fp").otherwise(0L)
+          .cast("decimal(38,0)")).as("fp_dec"))
+      .select($"bands", $"rows_per_band", $"n_above", $"n_below",
+        when($"n_above" > 0L, $"caught_dec".cast("double")
+          / ($"n_above".cast("double") * lit(1.0e12))).as("exp_recall"),
+        when($"n_below" > 0L, $"fp_dec".cast("double")
+          / ($"n_below".cast("double") * lit(1.0e12))).as("exp_fp_rate"))
+  }
+  val o266: String = s"""
+    WITH jp AS (${o58Over("documents", "0.0")}),
+    pw AS (
+      SELECT jaccard,
+        jaccard * jaccard AS s2,
+        (jaccard * jaccard) * (jaccard * jaccard) AS s4
+      FROM jp),
+    pw2 AS (
+      SELECT jaccard, s2, s4, s4 * s4 AS s8, (s4 * s4) * (s4 * s4) AS s16,
+        1.0 - jaccard AS t1, 1.0 - s2 AS u1, 1.0 - s4 AS v1,
+        1.0 - s4 * s4 AS w1
+      FROM pw),
+    pw3 AS (
+      SELECT jaccard,
+        1.0 - (((t1 * t1) * (t1 * t1)) * ((t1 * t1) * (t1 * t1)))
+            * (((t1 * t1) * (t1 * t1)) * ((t1 * t1) * (t1 * t1)))
+          AS p16x1,
+        1.0 - ((u1 * u1) * (u1 * u1)) * ((u1 * u1) * (u1 * u1)) AS p8x2,
+        1.0 - (v1 * v1) * (v1 * v1) AS p4x4,
+        1.0 - w1 * w1 AS p2x8,
+        s16 AS p1x16
+      FROM pw2),
+    stacked AS (
+      SELECT jaccard, 16 AS bands, 1 AS rows_per_band, p16x1 AS p FROM pw3
+      UNION ALL
+      SELECT jaccard, 8, 2, p8x2 FROM pw3
+      UNION ALL
+      SELECT jaccard, 4, 4, p4x4 FROM pw3
+      UNION ALL
+      SELECT jaccard, 2, 8, p2x8 FROM pw3
+      UNION ALL
+      SELECT jaccard, 1, 16, p1x16 FROM pw3)
+    SELECT bands, rows_per_band,
+      CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_above,
+      CAST(SUM(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_below,
+      CASE WHEN SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) > 0
+        THEN CAST(SUM(CAST(CASE WHEN jaccard >= 0.5
+               THEN CAST(FLOOR(p * 1.0e12) AS BIGINT) ELSE 0 END
+               AS HUGEINT)) AS DOUBLE)
+          / (CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END)
+               AS DOUBLE) * 1.0e12) END AS exp_recall,
+      CASE WHEN SUM(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END) > 0
+        THEN CAST(SUM(CAST(CASE WHEN jaccard < 0.5
+               THEN CAST(FLOOR(p * 1.0e12) AS BIGINT) ELSE 0 END
+               AS HUGEINT)) AS DOUBLE)
+          / (CAST(SUM(CASE WHEN jaccard < 0.5 THEN 1 ELSE 0 END)
+               AS DOUBLE) * 1.0e12) END AS exp_fp_rate
+    FROM stacked GROUP BY bands, rows_per_band"""
+
   val queries: Map[String, Q] = Map(
+    "q266_lsh_operating_points" -> q266LshOperatingPoints,
     "q253_dedup_scope" -> q253DedupScope,
     "q255_crosslang_leak" -> q255CrossLangLeak,
     "q213_max_shared_run" -> q213MaxSharedRun,
@@ -1790,6 +1925,7 @@ object DedupOps {
     "q174_containment_pairs" -> q174ContainmentPairs)
 
   val oracles: Map[String, String] = Map(
+    "q266_lsh_operating_points" -> o266,
     "q253_dedup_scope" -> o253,
     "q255_crosslang_leak" -> o255,
     "q213_max_shared_run" -> o213,

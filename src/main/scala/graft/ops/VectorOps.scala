@@ -2541,7 +2541,90 @@ object VectorOps {
       (d2_proj / 16.0) / d2_full AS ratio
     FROM pairs WHERE d2_full > 0.0"""
 
+  // ------------------------------- semantic decontamination screen
+  /** Embedding-space decontamination: the SEMANTIC twin of q89's
+    * n-gram eval-set screen. The eval benchmark is a constant-size
+    * slice (vec_id % 10 = 7 AND vec_id < 1000 — ≤ 100 vectors no
+    * matter how big the table grows, the q62 constant-broadcast rule);
+    * every remaining vector is scored by its MAX cosine to any eval
+    * vector and censused per label at three thresholds (0.45 catches
+    * the natural tail of this corpus, whose max cosines top out at
+    * ~0.49; 0.90/0.99 catch only true copies). Paraphrase-level eval
+    * contamination survives n-gram decontamination (reworded questions
+    * share no 8-gram) — the embedding screen is the standard second
+    * layer.
+    *
+    * Non-vacuity: every third eval vector is replayed verbatim into
+    * the train side at +11·2^40 (the planted-replay id convention) —
+    * those land at cos ≈ 1.0, so the ≥ 0.90/0.99 lanes are exercised;
+    * QueriesSpec pins the planted count exactly.
+    *
+    * Float parity: each cosine is the [[dot]] left-fold over element
+    * order divided by two norms — bit-identical per pair — and
+    * `array_max` / MAX over bit-identical doubles agree exactly.
+    *
+    * 100 TB design: the eval set is ONE broadcast row of packed
+    * (id, norm, embedding) structs; the corpus side is scanned once
+    * with an IN-ROW max fold (O(N·|eval|·dim) work, no shuffle of
+    * train embeddings, no pair materialization); the census is a
+    * |labels|-row aggregate. The declared BroadcastNestedLoopJoin is
+    * the single packed-row cross — q91's shape. */
+  val q267SemanticDecon: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .withColumn("norm", sqrt(expr(dot("embedding", "embedding"))))
+    val eval = e.filter($"vec_id" % 10 === 7 && $"vec_id" < 1000)
+    val plants = eval.filter($"vec_id" % 30 === 7)
+      .withColumn("vec_id", $"vec_id" + lit(11L << 40))
+    val train = e.filter(!($"vec_id" % 10 === 7 && $"vec_id" < 1000))
+      .unionByName(plants)
+    val packed = eval
+      .select(struct($"vec_id".as("e_id"), $"norm".as("e_norm"),
+        $"embedding".as("e_emb")).as("ev"))
+      .agg(array_sort(collect_list($"ev")).as("evs"))
+    train.join(broadcast(packed))
+      .withColumn("max_cos", expr(
+        """array_max(transform(evs, ev ->
+             dot_f32_native(embedding, ev.e_emb)
+               / (norm * ev.e_norm)))"""))
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when($"max_cos" >= 0.45, 1L).otherwise(0L)).cast("long")
+          .as("n_cont45"),
+        sum(when($"max_cos" >= 0.90, 1L).otherwise(0L)).cast("long")
+          .as("n_cont90"),
+        sum(when($"max_cos" >= 0.99, 1L).otherwise(0L)).cast("long")
+          .as("n_cont99"),
+        max($"max_cos").as("max_cos"))
+  }
+  val o267: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, embedding,
+        sqrt(${dotSql("embedding", "embedding")}) AS norm
+      FROM embeddings),
+    ev AS (SELECT * FROM e WHERE vec_id % 10 = 7 AND vec_id < 1000),
+    tr AS (
+      SELECT * FROM e WHERE NOT (vec_id % 10 = 7 AND vec_id < 1000)
+      UNION ALL
+      SELECT vec_id + (CAST(11 AS BIGINT) << 40), label, embedding, norm
+      FROM ev WHERE vec_id % 30 = 7),
+    mc AS (
+      SELECT tr.vec_id, tr.label,
+        MAX(${dotSql("tr.embedding", "ev.embedding")}
+          / (tr.norm * ev.norm)) AS max_cos
+      FROM tr, ev GROUP BY tr.vec_id, tr.label)
+    SELECT label, COUNT(*) AS n_train,
+      CAST(SUM(CASE WHEN max_cos >= 0.45 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cont45,
+      CAST(SUM(CASE WHEN max_cos >= 0.90 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cont90,
+      CAST(SUM(CASE WHEN max_cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cont99,
+      MAX(max_cos) AS max_cos
+    FROM mc GROUP BY label"""
+
   val queries: Map[String, Q] = Map(
+    "q267_semantic_decon" -> q267SemanticDecon,
     "q260_jl_audit" -> q260JlAudit,
     "q258_dim_collapse" -> q258DimCollapse,
     "q249_nprobe_sweep" -> q249NprobeSweep,
@@ -2572,6 +2655,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q267_semantic_decon" -> o267,
     "q260_jl_audit" -> o260,
     "q258_dim_collapse" -> o258,
     "q249_nprobe_sweep" -> o249,

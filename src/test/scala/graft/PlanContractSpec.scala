@@ -342,7 +342,19 @@ class PlanContractSpec extends AnyFunSuite {
       // q260's pair frame is the constant 25-probe set non-equi
       // self-joined (C(25,2) rows at any corpus size — the declared
       // audit cost, q62's convention)
-      "q260_jl_audit")
+      "q260_jl_audit",
+      // q264 crosses two single-row censuses (train token totals +
+      // doc priors) into the vocabulary-grain scoring frame — the
+      // q240/q241 shape
+      "q264_nb_quality_classifier",
+      // q265 embeds q240's train-total cross and adds three
+      // |sources|-census scalars (global mean, min exponent, weight
+      // total) — all single broadcast rows
+      "q265_doremi_reweight",
+      // q267's eval benchmark is ONE packed broadcast row folded
+      // in-row against the corpus scan (q91's shape; constant-size
+      // eval set per the q62 rule)
+      "q267_semantic_decon")
     // (q262 composes q257's gate frame — q250 + q241 single-row
     // total crosses, each declared above — but its localCheckpoint
     // materializes the gate before this scan sees the plan, the

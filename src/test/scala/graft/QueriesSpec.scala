@@ -1160,6 +1160,101 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q264 NB classifier: confusion partitions every split and the " +
+    "train fit beats chance") {
+    val rows = SparkEntry.queries("q264_nb_quality_classifier")(spark, sf)
+      .collect().map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet == Set("train", "val", "test"))
+    rows.values.foreach { r =>
+      val (n, tp, tn, fp, fn) = (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("tp"), r.getAs[Long]("tn"),
+        r.getAs[Long]("fp"), r.getAs[Long]("fn"))
+      assert(tp + tn + fp + fn == n, s"confusion does not partition: $r")
+      assert(tp + fn == r.getAs[Long]("n_label_pos"))
+      assert(tp + fp == r.getAs[Long]("n_pred_pos"))
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(math.abs(acc - (tp + tn).toDouble / n.toDouble) < 1e-12)
+    }
+    // the corpus labels are ~balanced by construction (threshold
+    // measured); a fitted NB must beat coin-flip on its own train set
+    assert(rows("train").getAs[Double]("accuracy") > 0.55,
+      s"train fit too weak: ${rows("train")}")
+    val total = rows.values.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("q265 DoReMi step: weights renormalize to one and follow the " +
+    "excess-loss ordering") {
+    val rows = SparkEntry.queries("q265_doremi_reweight")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(_.getAs[Double]("weight_new")).sum
+    assert(math.abs(wSum - 1.0) < 1e-9, s"weights sum to $wSum")
+    assert(rows.map(_.getAs[Long]("e_bits")).min == 0L,
+      "min-shift must zero the smallest exponent")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("mult") >= 256L, s"chord multiplier < 1: $r")
+      assert(r.getAs[Double]("weight_base") > 0.0)
+    }
+    // among equal-base-share sources, a strictly larger quantized
+    // excess must never get a smaller new weight (monotone chord)
+    for {
+      a <- rows; b <- rows
+      if a.getAs[Long]("n_docs") == b.getAs[Long]("n_docs")
+      if a.getAs[Long]("e_bits") > b.getAs[Long]("e_bits")
+    } assert(a.getAs[Double]("weight_new") >=
+      b.getAs[Double]("weight_new"),
+      s"weight ordering violates excess ordering: $a vs $b")
+  }
+
+  test("q266 LSH sweep: S-curve collision mass is monotone in the " +
+    "band split on both sides of the threshold") {
+    val rows = SparkEntry.queries("q266_lsh_operating_points")(spark, sf)
+      .collect().sortBy(-_.getAs[Int]("bands"))
+    assert(rows.length == 5)
+    assert(rows.map(r => (r.getAs[Int]("bands"),
+      r.getAs[Int]("rows_per_band"))).toSeq ==
+      Seq((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+    // the pair population is config-independent
+    assert(rows.map(_.getAs[Long]("n_above")).distinct.length == 1)
+    assert(rows.map(_.getAs[Long]("n_below")).distinct.length == 1)
+    // more, shorter bands = a permissive OR = more collision mass for
+    // EVERY s in (0,1): recall and FP rate both decrease as r grows
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Double]("exp_recall")
+          >= b.getAs[Double]("exp_recall"), s"recall not monotone")
+        assert(a.getAs[Double]("exp_fp_rate")
+          >= b.getAs[Double]("exp_fp_rate"), s"fp rate not monotone")
+      case _ =>
+    }
+    rows.foreach { r =>
+      val (rec, fpr) = (r.getAs[Double]("exp_recall"),
+        r.getAs[Double]("exp_fp_rate"))
+      assert(rec >= 0.0 && rec <= 1.0 && fpr >= 0.0 && fpr <= 1.0)
+      assert(rec > fpr, s"S-curve inverted: $r")
+    }
+  }
+
+  test("q267 semantic decon: every planted eval replica is flagged at " +
+    "0.99 and the threshold lanes nest") {
+    val rows = SparkEntry.queries("q267_semantic_decon")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cont45") >= r.getAs[Long]("n_cont90"))
+      assert(r.getAs[Long]("n_cont90") >= r.getAs[Long]("n_cont99"))
+      assert(r.getAs[Long]("n_cont45") <= r.getAs[Long]("n_train"))
+    }
+    val nPlanted = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 30 === 7 && col("vec_id") < 1000)
+      .count()
+    assert(nPlanted > 0, "plant recipe selected nothing")
+    assert(rows.map(_.getAs[Long]("n_cont99")).sum == nPlanted,
+      "planted verbatim replicas must be exactly the >=0.99 mass")
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->
