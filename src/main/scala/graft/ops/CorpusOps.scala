@@ -4833,7 +4833,12 @@ object CorpusOps {
     * the scored vocabulary (q240's move); the confusion census is a
     * 3-row aggregate. No windows, no distinct aggregates, nothing
     * quadratic. */
-  val q264NbQualityClassifier: Q = (s, d) => {
+  /** Per-document NB evidence (doc_id, split, y, bits): total
+    * classifier log-odds = Σ occurrence w_bits + the class prior, in
+    * 1/256-bit fixed point — the trained-model application pass.
+    * Shared by q264 (threshold-at-0 confusion census) and q268
+    * (calibration curve over the evidence itself). */
+  private def nbDocBits(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .withColumn("split", splitAssign(col("doc_id")))
       .withColumn("y",
@@ -4866,9 +4871,14 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("split"), col("y"))
       .agg(sum(col("w_bits")).cast("long").as("sum_bits"))
       .join(broadcast(prior))
-      .withColumn("pred", when(col("sum_bits")
-        + expr(s"CAST((${ilog256("d1")} - ${ilog256("d0")}) AS BIGINT)")
-        >= 0L, 1L).otherwise(0L))
+      .withColumn("bits", col("sum_bits")
+        + expr(s"CAST((${ilog256("d1")} - ${ilog256("d0")}) AS BIGINT)"))
+      .select(col("doc_id"), col("split"), col("y"), col("bits"))
+  }
+
+  val q264NbQualityClassifier: Q = (s, d) => {
+    nbDocBits(s, d)
+      .withColumn("pred", when(col("bits") >= 0L, 1L).otherwise(0L))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("y")).cast("long").as("n_label_pos"),
@@ -4884,8 +4894,12 @@ object CorpusOps {
       .withColumn("accuracy", (col("tp") + col("tn")).cast("double")
         / col("n_docs").cast("double"))
   }
-  val o264: String = s"""
-    WITH nbd AS (
+  /** o264's CTE chain through per-doc NB evidence (${p}nbbits:
+    * doc_id, split, y, bits), parameterized on a prefix for embedders
+    * — the dsirChainDuck pattern. With p = "" this is o264's chain;
+    * o268 reads the same nbbits frame. */
+  private def nbChainDuck(p: String): String = s"""
+    ${p}nbd AS (
       SELECT doc_id, text,
         CASE WHEN b < 80 THEN 'train'
              WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
@@ -4893,40 +4907,47 @@ object CorpusOps {
                >= $NbLabelThreshold THEN 1 ELSE 0 END AS y
       FROM (SELECT *, (((doc_id % 1000000007) * 2654435761 + 5851)
               % 1000000007) % 100 AS b FROM documents)),
-    nbocc AS (
+    ${p}nbocc AS (
       SELECT doc_id, split, y, w FROM (
         SELECT doc_id, split, y, unnest(string_split(text, ' ')) AS w
-        FROM nbd)
+        FROM ${p}nbd)
       WHERE length(w) > 0),
-    nbtok AS (
+    ${p}nbtok AS (
       SELECT w, CAST(SUM(y) AS BIGINT) AS n1,
         CAST(SUM(1 - y) AS BIGINT) AS n0
-      FROM nbocc WHERE split = 'train' GROUP BY w),
-    nbtot AS (
+      FROM ${p}nbocc WHERE split = 'train' GROUP BY w),
+    ${p}nbtot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS v,
         CAST(SUM(n1) AS BIGINT) AS t1,
-        CAST(SUM(n0) AS BIGINT) AS t0 FROM nbtok),
-    nbprior AS (
+        CAST(SUM(n0) AS BIGINT) AS t0 FROM ${p}nbtok),
+    ${p}nbprior AS (
       SELECT CAST(SUM(y) AS BIGINT) AS d1,
         CAST(SUM(1 - y) AS BIGINT) AS d0
-      FROM nbd WHERE split = 'train'),
-    nbsc AS (
+      FROM ${p}nbd WHERE split = 'train'),
+    ${p}nbsc AS (
       SELECT w, CAST(((${ilog256Duck("(n1 + 1)")}
             - ${ilog256Duck("(t1 + v)")})
           - (${ilog256Duck("(n0 + 1)")} - ${ilog256Duck("(t0 + v)")}))
         AS BIGINT) AS w_bits
       FROM (SELECT g.w, COALESCE(k.n1, 0) AS n1, COALESCE(k.n0, 0) AS n0
-            FROM (SELECT DISTINCT w FROM nbocc) g
-            LEFT JOIN nbtok k USING (w))
-      CROSS JOIN nbtot),
-    nbdoc AS (
+            FROM (SELECT DISTINCT w FROM ${p}nbocc) g
+            LEFT JOIN ${p}nbtok k USING (w))
+      CROSS JOIN ${p}nbtot),
+    ${p}nbdoc AS (
       SELECT doc_id, split, y, CAST(SUM(w_bits) AS BIGINT) AS sum_bits
-      FROM nbocc JOIN nbsc USING (w) GROUP BY 1, 2, 3),
-    nbpred AS (
-      SELECT split, y, CASE WHEN sum_bits
+      FROM ${p}nbocc JOIN ${p}nbsc USING (w) GROUP BY 1, 2, 3),
+    ${p}nbbits AS (
+      SELECT doc_id, split, y, sum_bits
           + CAST((${ilog256Duck("d1")} - ${ilog256Duck("d0")}) AS BIGINT)
-          >= 0 THEN 1 ELSE 0 END AS pred
-      FROM nbdoc CROSS JOIN nbprior)
+          AS bits
+      FROM ${p}nbdoc CROSS JOIN ${p}nbprior)"""
+
+  val o264: String = s"""
+    WITH ${nbChainDuck("")},
+    nbpred AS (
+      SELECT split, y,
+        CASE WHEN bits >= 0 THEN 1 ELSE 0 END AS pred
+      FROM nbbits)
     SELECT split, COUNT(*) AS n_docs,
       CAST(SUM(y) AS BIGINT) AS n_label_pos,
       CAST(SUM(pred) AS BIGINT) AS n_pred_pos,
@@ -4941,6 +4962,176 @@ object CorpusOps {
       CAST(SUM(CASE WHEN y = pred THEN 1 ELSE 0 END) AS DOUBLE)
         / CAST(COUNT(*) AS DOUBLE) AS accuracy
     FROM nbpred GROUP BY split"""
+
+  // ------------------------------- NB calibration curve
+  /** Reliability diagram of the q264 classifier: documents bucketed
+    * by their NB log-odds EVIDENCE (quarter-bit-wide buckets — 64
+    * units of bits×256 — clamped to [−8, 8], a bounded 17-bucket
+    * domain at any corpus size; Laplace smoothing over a shared
+    * vocabulary keeps per-doc evidence to a few bits, so quarter-bit
+    * resolution is what resolves the curve) and censused per
+    * (split, bucket) with the empirical
+    * positive rate and mean evidence. A gate threshold is only as
+    * good as the score's calibration — a monotone pos_rate curve says
+    * the evidence ORDERING is informative (so a tighter/looser
+    * threshold trades precision for recall predictably); a flat curve
+    * says the NB gate adds nothing over its prior. The held-out
+    * val/test curves are the ones that matter (train's curve measures
+    * fit).
+    *
+    * Both-engine gotcha baked in: the bucket floor-divides a possibly
+    * NEGATIVE evidence, and Spark `div` truncates toward zero while
+    * DuckDB `//` floors — the +2^40 offset (subtracted back as
+    * 2^40/64 after the divide, exact because 64 | 2^40) keeps the
+    * operand positive so both engines floor identically (the
+    * q231/q233 division-dialect rule). |bits| < 2^40 holds to
+    * ~40M-token documents at the worst per-token weight.
+    *
+    * 100 TB design: rides [[nbDocBits]]'s vocab-grain layout; the
+    * curve itself is a (3 splits × 17 buckets)-row aggregate with
+    * decimal-routed evidence sums. */
+  val q268NbCalibration: Q = (s, d) => {
+    nbDocBits(s, d)
+      .withColumn("bucket",
+        greatest(lit(-8L), least(lit(8L),
+          expr("(bits + 1099511627776) div 64") - lit(17179869184L))))
+      .groupBy(col("split"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(col("bits").cast("decimal(38,0)")).as("bits_dec"))
+      .select(col("split"), col("bucket"), col("n_docs"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n_docs").cast("double"))
+          .as("pos_rate"),
+        (col("bits_dec").cast("double")
+          / (col("n_docs").cast("double") * lit(256.0)))
+          .as("mean_bits"))
+  }
+  val o268: String = s"""
+    WITH ${nbChainDuck("")}
+    SELECT split, bucket, n_docs, n_pos,
+      CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pos_rate,
+      CAST(bits_dec AS DOUBLE)
+        / (CAST(n_docs AS DOUBLE) * 256.0) AS mean_bits
+    FROM (
+      SELECT split,
+        GREATEST(-8, LEAST(8,
+          (bits + 1099511627776) // 64 - 17179869184)) AS bucket,
+        COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos,
+        CAST(SUM(CAST(bits AS HUGEINT)) AS HUGEINT) AS bits_dec
+      FROM nbbits GROUP BY 1, 2)"""
+
+  // ------------------------------- gate-agreement audit
+  /** Pairwise Cohen's kappa between the three quality gates the
+    * engine now trains or applies — the heuristic RULE (the q51
+    * composite at the q264 label threshold), the discriminative NB
+    * verdict (q264, evidence ≥ 0), and the generative LM tertile cut
+    * (q250, `kept`) — the "are my filters redundant or
+    * complementary?" audit a pipeline runs before stacking gates:
+    * κ ≈ 1 means the second gate adds nothing; κ ≈ 0 means the gates
+    * see different documents (stacking multiplies the cut); κ < 0
+    * means they actively disagree (investigate before shipping
+    * either). Same chance-corrected statistic as q181's annotator
+    * audit, here over gate verdicts. Docs outside the LM gate's
+    * scope (no trigram evidence) count as kept — q257's abstention
+    * convention, shared so the verdicts compose identically.
+    *
+    * Float parity: κ = (p_obs − p_exp)/(1 − p_exp) from exact-count
+    * divisions in pinned order, one guard on the p_exp = 1
+    * degenerate; all counts from ONE conditional aggregate over the
+    * doc-grain verdict frame.
+    *
+    * 100 TB design: rides [[nbDocBits]] (vocab-grain) and q250 (its
+    * own two-level layout) joined at doc grain; the agreement census
+    * is one aggregate collapsing to a single row, stacked to 3 pair
+    * rows. */
+  val q269GateAgreement: Q = (s, d) => {
+    val nb = nbDocBits(s, d)
+      .select(col("doc_id"), (col("y") === 1L).as("rule"),
+        (col("bits") >= 0L).as("nb"))
+    val lm = q250PplGate(s, d)
+      .select(col("doc_id"), col("kept").as("lm"))
+    val flags = nb.join(lm, Seq("doc_id"), "left")
+      .withColumn("lm", coalesce(col("lm"), lit(true)))
+    val agg = flags.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(when(col("rule"), 1L).otherwise(0L)).cast("long").as("c_rule"),
+      sum(when(col("nb"), 1L).otherwise(0L)).cast("long").as("c_nb"),
+      sum(when(col("lm"), 1L).otherwise(0L)).cast("long").as("c_lm"),
+      sum(when(col("rule") && col("nb"), 1L).otherwise(0L))
+        .cast("long").as("rb11"),
+      sum(when(!col("rule") && !col("nb"), 1L).otherwise(0L))
+        .cast("long").as("rb00"),
+      sum(when(col("rule") && col("lm"), 1L).otherwise(0L))
+        .cast("long").as("rl11"),
+      sum(when(!col("rule") && !col("lm"), 1L).otherwise(0L))
+        .cast("long").as("rl00"),
+      sum(when(col("nb") && col("lm"), 1L).otherwise(0L))
+        .cast("long").as("bl11"),
+      sum(when(!col("nb") && !col("lm"), 1L).otherwise(0L))
+        .cast("long").as("bl00"))
+    agg.select(expr("""stack(3,
+        'rule', 'nb', c_rule, c_nb, rb11, rb00,
+        'rule', 'lm', c_rule, c_lm, rl11, rl00,
+        'nb',   'lm', c_nb,   c_lm, bl11, bl00)
+        AS (gate_a, gate_b, ca, cb, n11, n00)"""), col("n"))
+      .withColumn("p_obs", (col("n11") + col("n00")).cast("double")
+        / col("n").cast("double"))
+      .withColumn("p_exp",
+        (col("ca").cast("double") / col("n").cast("double"))
+          * (col("cb").cast("double") / col("n").cast("double"))
+        + (lit(1.0) - col("ca").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("cb").cast("double") / col("n").cast("double")))
+      .select(col("gate_a"), col("gate_b"), col("n"),
+        col("p_obs"), col("p_exp"),
+        when(lit(1.0) - col("p_exp") =!= 0.0,
+          (col("p_obs") - col("p_exp")) / (lit(1.0) - col("p_exp")))
+          .as("kappa"))
+  }
+  val o269: String = s"""
+    WITH ${nbChainDuck("")},
+    ppl AS (${o250}),
+    gfl AS (
+      SELECT b.doc_id,
+        CASE WHEN b.y = 1 THEN 1 ELSE 0 END AS rule,
+        CASE WHEN b.bits >= 0 THEN 1 ELSE 0 END AS nb,
+        COALESCE(CASE WHEN p.kept THEN 1 ELSE 0 END, 1) AS lm
+      FROM nbbits b LEFT JOIN ppl p ON p.doc_id = b.doc_id),
+    gagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(rule) AS BIGINT) AS c_rule,
+        CAST(SUM(nb) AS BIGINT) AS c_nb,
+        CAST(SUM(lm) AS BIGINT) AS c_lm,
+        CAST(SUM(CASE WHEN rule = 1 AND nb = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS rb11,
+        CAST(SUM(CASE WHEN rule = 0 AND nb = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS rb00,
+        CAST(SUM(CASE WHEN rule = 1 AND lm = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS rl11,
+        CAST(SUM(CASE WHEN rule = 0 AND lm = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS rl00,
+        CAST(SUM(CASE WHEN nb = 1 AND lm = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS bl11,
+        CAST(SUM(CASE WHEN nb = 0 AND lm = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS bl00
+      FROM gfl),
+    gpairs AS (
+      SELECT 'rule' AS gate_a, 'nb' AS gate_b, n,
+        c_rule AS ca, c_nb AS cb, rb11 AS n11, rb00 AS n00 FROM gagg
+      UNION ALL SELECT 'rule', 'lm', n, c_rule, c_lm, rl11, rl00
+      FROM gagg
+      UNION ALL SELECT 'nb', 'lm', n, c_nb, c_lm, bl11, bl00
+      FROM gagg)
+    SELECT gate_a, gate_b, n, p_obs, p_exp,
+      CASE WHEN 1.0 - p_exp <> 0.0
+        THEN (p_obs - p_exp) / (1.0 - p_exp) END AS kappa
+    FROM (
+      SELECT gate_a, gate_b, n,
+        CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS p_obs,
+        (CAST(ca AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))
+        + (1.0 - CAST(ca AS DOUBLE) / CAST(n AS DOUBLE))
+          * (1.0 - CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS p_exp
+      FROM gpairs)"""
 
   // ------------------------------ DoReMi-lite domain reweighting
   /** One DoReMi-style multiplicative-weights update of the per-source
@@ -5053,6 +5244,8 @@ object CorpusOps {
   val queries: Map[String, Q] = Map(
     "q264_nb_quality_classifier" -> q264NbQualityClassifier,
     "q265_doremi_reweight" -> q265DoremiReweight,
+    "q268_nb_calibration" -> q268NbCalibration,
+    "q269_gate_agreement" -> q269GateAgreement,
     "q262_release_manifest" -> q262ReleaseManifest,
     "q261_padding_waste" -> q261PaddingWaste,
     "q259_cluster_density" -> q259ClusterDensity,
@@ -5124,6 +5317,8 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q264_nb_quality_classifier" -> o264,
     "q265_doremi_reweight" -> o265,
+    "q268_nb_calibration" -> o268,
+    "q269_gate_agreement" -> o269,
     "q262_release_manifest" -> o262,
     "q261_padding_waste" -> o261,
     "q259_cluster_density" -> o259,

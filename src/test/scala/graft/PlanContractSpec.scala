@@ -354,7 +354,13 @@ class PlanContractSpec extends AnyFunSuite {
       // q267's eval benchmark is ONE packed broadcast row folded
       // in-row against the corpus scan (q91's shape; constant-size
       // eval set per the q62 rule)
-      "q267_semantic_decon")
+      "q267_semantic_decon",
+      // q268 rides q264's nbDocBits frame — the same two single-row
+      // census crosses
+      "q268_nb_calibration",
+      // q269 composes nbDocBits' crosses with q250's (each declared
+      // above) into the one-row agreement census
+      "q269_gate_agreement")
     // (q262 composes q257's gate frame — q250 + q241 single-row
     // total crosses, each declared above — but its localCheckpoint
     // materializes the gate before this scan sees the plan, the

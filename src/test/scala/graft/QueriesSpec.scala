@@ -1255,6 +1255,53 @@ class QueriesSpec extends AnyFunSuite {
       "planted verbatim replicas must be exactly the >=0.99 mass")
   }
 
+  test("q268 calibration curve: buckets bounded, masses partition the " +
+    "corpus, and mean evidence sits inside its bucket") {
+    val rows = SparkEntry.queries("q268_nb_calibration")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= -8L && b <= 8L, s"bucket out of range: $r")
+      val pr = r.getAs[Double]("pos_rate")
+      assert(pr >= 0.0 && pr <= 1.0)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n_docs"))
+      // interior (unclamped) quarter-bit buckets cover bits/256 in
+      // [0.25·b, 0.25·b + 0.25)
+      if (b > -8L && b < 8L) {
+        val mb = r.getAs[Double]("mean_bits")
+        assert(mb >= 0.25 * b && mb < 0.25 * b + 0.25,
+          s"mean evidence escapes its bucket: $r")
+      }
+    }
+    assert(rows.map(_.getAs[Long]("bucket")).distinct.length >= 3,
+      "curve is degenerate (fewer than 3 evidence buckets)")
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+  }
+
+  test("q269 gate agreement: three pairs, kappa bounded and " +
+    "sign-consistent with chance") {
+    val rows = SparkEntry.queries("q269_gate_agreement")(spark, sf)
+      .collect()
+    assert(rows.map(r => (r.getAs[String]("gate_a"),
+      r.getAs[String]("gate_b"))).toSet ==
+      Set(("rule", "nb"), ("rule", "lm"), ("nb", "lm")))
+    assert(rows.map(_.getAs[Long]("n")).distinct.length == 1,
+      "all pairs census the same doc set")
+    rows.foreach { r =>
+      val (po, pe) = (r.getAs[Double]("p_obs"), r.getAs[Double]("p_exp"))
+      assert(po >= 0.0 && po <= 1.0)
+      assert(pe > 0.0 && pe <= 1.0)
+      if (!r.isNullAt(r.fieldIndex("kappa"))) {
+        val k = r.getAs[Double]("kappa")
+        assert(k <= 1.0 + 1e-12, s"kappa above 1: $r")
+        assert((k >= 0.0) == (po >= pe),
+          s"kappa sign disagrees with chance comparison: $r")
+      }
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->

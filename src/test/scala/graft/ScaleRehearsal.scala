@@ -56,7 +56,13 @@ object ScaleRehearsal {
     "q171_pagerank_dup_graph", "q213_max_shared_run",
     "q250_ppl_gate", "q253_dedup_scope", "q254_phash_dedup",
     "q255_crosslang_leak", "q257_curation_funnel",
-    "q262_release_manifest")
+    "q262_release_manifest",
+    // round-8 fourth session: the q264-q267 tranche — q266 rides
+    // q58's candidate layout with the threshold at 0.0 (the largest
+    // pair population in the registry), q265 embeds the q240 LM,
+    // q264 is vocab-grain scoring, q267 the broadcast-fold screen
+    "q264_nb_quality_classifier", "q265_doremi_reweight",
+    "q266_lsh_operating_points", "q267_semantic_decon")
 
   private val SmallTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events")
