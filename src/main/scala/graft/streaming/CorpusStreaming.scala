@@ -147,6 +147,53 @@ object CorpusStreaming {
       .withColumn("admit", col("doc_bits") >= 0)
   }
 
+  /** A vector on the intake stream (the embedding-tier DocEvent). */
+  final case class VecEvent(vec_id: Long, ts: java.sql.Timestamp,
+                            label: Int, embedding: Seq[Float])
+
+  /** One eval-benchmark vector as carried in the gate's literal. */
+  final case class EvalVec(e_norm: Double, e_emb: Seq[Float])
+
+  /** Streaming semantic-decontamination gate — the "train offline,
+    * serve online" face of q267, as [[dsirGateStream]] is of q241:
+    * the eval benchmark (a CONSTANT-size vector set, the q62 rule)
+    * collapses to a driver-side literal at WIRING time — ≤ ~100
+    * (norm, vector) structs, the legitimate tiny-model collect — and
+    * every intake vector is scored IN-ROW with the same
+    * max-cosine fold the batch screen runs: no stream-static join,
+    * no state store, intake-rate throughput at any scale. Emits
+    * `max_cos` plus a `contaminated` verdict at `tau`, so the router
+    * can quarantine eval-tainted intake BEFORE it reaches a training
+    * shard (the batch q267 census is then the audit over what got
+    * through).
+    *
+    * Eval norms are computed driver-side with the exact [[q267]]
+    * op sequence (left fold of double-widened squares, then sqrt),
+    * so stream scores are bit-identical to the batch screen —
+    * StreamingSpec pins the per-label census equality. */
+  def deconGateStream(vecs: DataFrame, evalSet: DataFrame,
+                      tau: Double): DataFrame = {
+    val evs = evalSet.select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val emb = r.getSeq[Float](1)
+        val norm = math.sqrt(emb.foldLeft(0.0)((a, x) =>
+          a + x.toDouble * x.toDouble))
+        EvalVec(norm, emb)
+      }.toSeq
+    vecs
+      .withColumn("norm",
+        sqrt(expr("dot_f32_native(embedding, embedding)")))
+      .withColumn("evs", typedLit(evs))
+      .withColumn("max_cos", expr(
+        """array_max(transform(evs, ev ->
+             dot_f32_native(embedding, ev.e_emb)
+               / (norm * ev.e_norm)))"""))
+      .drop("evs")
+      .withColumn("contaminated", col("max_cos") >= tau)
+  }
+
   /** INCREMENTAL maintenance of the q177 replica checksums: every
     * micro-batch folds its per-source delta census into the persisted
     * checksum table with pure column algebra — count adds, the

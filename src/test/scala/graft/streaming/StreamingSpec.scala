@@ -1381,4 +1381,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.values.exists { case (n, sel, _) => sel < n })
     } finally q.stop()
   }
+
+  test("decon gate: stream max-cos census reproduces batch q267 " +
+    "across split batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+    def isEval(id: Long) = id % 10 == 7 && id < 1000
+    // the batch q267 train side: non-eval rows plus the planted
+    // verbatim eval replicas at +11*2^40
+    val train = rows.filterNot(t => isEval(t._1)) ++
+      rows.filter(t => isEval(t._1) && t._1 % 30 == 7)
+        .map(t => (t._1 + (11L << 40), t._2, t._3))
+    val input = MemoryStream[CorpusStreaming.VecEvent]
+    val (a, b) = train.splitAt(train.length / 2)
+    val evalDf = graft.Tables.embeddings(spark, sf)
+      .filter($"vec_id" % 10 === 7 && $"vec_id" < 1000)
+    val q = CorpusStreaming.deconGateStream(input.toDF(), evalDf, 0.99)
+      .writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(a.map(t => CorpusStreaming.VecEvent(
+        t._1, ts("2024-01-01 10:00:00"), t._2, t._3)).toSeq)
+      q.processAllAvailable()
+      input.addData(b.map(t => CorpusStreaming.VecEvent(
+        t._1, ts("2024-01-01 10:01:00"), t._2, t._3)).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_gate")
+        .groupBy("label")
+        .agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_train"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.col("max_cos") >= 0.45, 1L)
+              .otherwise(0L)).as("n45"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(
+              org.apache.spark.sql.functions.col("contaminated"), 1L)
+              .otherwise(0L)).as("n99"),
+          org.apache.spark.sql.functions.max("max_cos").as("mx"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+        .toMap
+      val batch = graft.SparkEntry.queries("q267_semantic_decon")(
+        spark, sf).collect()
+        .map(r => r.getAs[Int]("label") ->
+          ((r.getAs[Long]("n_train"), r.getAs[Long]("n_cont45"),
+            r.getAs[Long]("n_cont99"), r.getAs[Double]("max_cos"))))
+        .toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (l, got) =>
+        assert(got == batch(l), s"label $l: stream=$got batch=${batch(l)}")
+      }
+      // non-vacuous: the planted replicas cross the tau=0.99 gate
+      assert(streamed.values.map(_._3).sum > 0)
+    } finally q.stop()
+  }
 }
