@@ -5133,6 +5133,177 @@ object CorpusOps {
           * (1.0 - CAST(cb AS DOUBLE) / CAST(n AS DOUBLE)) AS p_exp
       FROM gpairs)"""
 
+  // ------------------------------- data-constrained epoch allocation
+  /** Data-constrained epoch math (the Muennighoff et al. 2023
+    * operational face): allocate a fixed training-token budget across
+    * sources by q246's post-curation temperature mixture and report
+    * how many EPOCHS of each source's unique effective tokens that
+    * allocation implies — with the >4-epoch flag where repetition is
+    * past the measured value knee (repeating data helps to ~4 epochs,
+    * then decays). The budget is 3× the corpus's total effective
+    * tokens (a documented constant — training well past one epoch is
+    * the data-constrained regime this audit exists for), so
+    * upweighted sources genuinely cross integer epoch counts at
+    * every SF.
+    *
+    * 100 TB design: everything derives from q246's per-source census
+    * (its own scale story at its definition), localCheckpointed once
+    * so the report and the budget scalar never re-run the gate chain
+    * (the q262 inline lesson); the report is a |sources|-row frame
+    * against one broadcast scalar. */
+  val q270EpochAllocation: Q = (s, d) => {
+    val mix = q246EffectiveMixture(s, d).localCheckpoint()
+    val tot = mix.agg(sum(col("t_eff")).cast("long").as("tot_eff"))
+    mix.join(broadcast(tot))
+      .withColumn("budget", col("tot_eff") * lit(3L))
+      .withColumn("alloc_tokens",
+        floor(col("budget").cast("double") * col("share_eff"))
+          .cast("long"))
+      .withColumn("epochs", when(col("t_eff") > 0L,
+        col("alloc_tokens").cast("double") / col("t_eff").cast("double")))
+      .withColumn("over_cap",
+        coalesce(col("epochs") > lit(4.0), lit(false)))
+      .select(col("source"), col("t_eff"), col("share_eff"),
+        col("budget"), col("alloc_tokens"), col("epochs"),
+        col("over_cap"))
+  }
+  val o270: String = s"""
+    WITH mix AS (${o246}),
+    etot AS (SELECT CAST(SUM(t_eff) AS BIGINT) AS tot_eff FROM mix)
+    SELECT source, t_eff, share_eff,
+      tot_eff * 3 AS budget,
+      CAST(FLOOR(CAST(tot_eff * 3 AS DOUBLE) * share_eff) AS BIGINT)
+        AS alloc_tokens,
+      CASE WHEN t_eff > 0
+        THEN CAST(CAST(FLOOR(CAST(tot_eff * 3 AS DOUBLE) * share_eff)
+            AS BIGINT) AS DOUBLE) / CAST(t_eff AS DOUBLE) END
+        AS epochs,
+      COALESCE(CASE WHEN t_eff > 0
+        THEN CAST(CAST(FLOOR(CAST(tot_eff * 3 AS DOUBLE) * share_eff)
+            AS BIGINT) AS DOUBLE) / CAST(t_eff AS DOUBLE) END > 4.0,
+        FALSE) AS over_cap
+    FROM mix CROSS JOIN etot"""
+
+  // ------------------------------- shard source-mixing audit
+  /** Within-shard source-mixing audit over the q262 release: for each
+    * (split, shard) and two READING ORDERS — ingestion (doc_id) and
+    * length-sorted (q261's padding-optimal batching order) — the
+    * share of ADJACENT document pairs drawn from the same source,
+    * next to the expectation under perfect shuffling
+    * (Σ c_s·(c_s−1) / (n·(n−1)) from the shard's own source counts).
+    * mixing_ratio = observed/expected: ≈1 means the order is as
+    * mixed as random, ≫1 means same-source clumping (gradient
+    * batches see correlated text — the cost side of the
+    * padding-vs-mixing trade q261 prices the other side of).
+    *
+    * 100 TB design: within-shard positions ride
+    * [[Relational.twoLevelRank]] PARTITIONED by (split, shard) —
+    * never a census-scale window; adjacency is ONE keyed self-join
+    * on (split, shard, pos−1); both order lanes and the expectation
+    * derive from one checkpointed assignment frame (which itself
+    * checkpoints q262's gate composite). The oracle uses naive
+    * per-shard LAG windows as the independent witness. */
+  val q271ShardMixing: Q = (s, d) => {
+    import s.implicits._
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    val asg = releaseAssignments(s, d).join(src, Seq("doc_id"))
+      .localCheckpoint() // feeds two order lanes + the expectation
+    val shards = asg.select($"split", $"shard").distinct()
+      .localCheckpoint() // anchors 0-pair shards in both lanes
+    def lane(orderCol: String, name: String): DataFrame = {
+      val pos = Relational.twoLevelRank(asg, orderCol, "doc_id",
+          asc = true, partCols = Seq("split", "shard"), rankCol = "pos")
+        .select($"split", $"shard", $"pos", $"source")
+        .localCheckpoint() // consumed twice by the adjacency join
+      val nxt = pos.select($"split", $"shard",
+        ($"pos" - 1L).as("pos"), $"source".as("next_source"))
+      val pairs = pos.join(nxt, Seq("split", "shard", "pos"))
+        .groupBy($"split", $"shard")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when($"source" === $"next_source", 1L).otherwise(0L))
+            .cast("long").as("n_same"))
+      // a 1-doc shard has NO adjacent pair rows — anchor on the shard
+      // frame so it still reports (0, 0), as the oracle's LAG does
+      shards.join(pairs, Seq("split", "shard"), "left")
+        .na.fill(0L, Seq("n_pairs", "n_same"))
+        .withColumn("order_by", lit(name))
+    }
+    val exp = asg.groupBy($"split", $"shard", $"source")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"split", $"shard")
+      .agg(sum($"c").cast("long").as("n_docs"),
+        sum($"c" * ($"c" - 1L)).cast("long").as("same_mass"))
+      .withColumn("exp_share", when($"n_docs" > 1L,
+        $"same_mass".cast("double")
+          / ($"n_docs".cast("double") * ($"n_docs" - 1L).cast("double"))))
+      .select($"split", $"shard", $"n_docs", $"exp_share")
+    lane("doc_id", "doc_id").unionByName(lane("ntok", "length"))
+      .join(exp, Seq("split", "shard"))
+      .select($"split", $"shard", $"order_by", $"n_docs", $"n_pairs",
+        $"n_same",
+        when($"n_pairs" > 0L, $"n_same".cast("double")
+          / $"n_pairs".cast("double")).as("obs_share"),
+        $"exp_share",
+        when($"exp_share" > 0.0 && $"n_pairs" > 0L,
+          ($"n_same".cast("double") / $"n_pairs".cast("double"))
+            / $"exp_share").as("mixing_ratio"))
+  }
+  val o271: String = s"""
+    WITH $funnelFlagsSql,
+    mk AS (
+      SELECT f.doc_id, f.ntok, dsx.source,
+        CASE WHEN f.b < 80 THEN 'train'
+             WHEN f.b < 90 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, ntok,
+              (((doc_id % 1000000007) * 2654435761 + 5851)
+                % 1000000007) % 100 AS b
+            FROM fun_flags
+            WHERE is_surv = 1 AND pass_q = 1 AND lm_kept = 1) f
+      JOIN (SELECT doc_id, source FROM documents) dsx
+        USING (doc_id)),
+    shx AS (
+      SELECT doc_id, ntok, source, split,
+        CASE WHEN ((rank - 1) // $ManifestShards) % 2 = 0
+          THEN (rank - 1) % $ManifestShards
+          ELSE $ManifestShards - 1 - (rank - 1) % $ManifestShards
+        END AS shard
+      FROM (SELECT *, CAST(row_number() OVER (PARTITION BY split
+              ORDER BY ntok DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM mk)),
+    lane1 AS (
+      SELECT split, shard, 'doc_id' AS order_by, source,
+        LAG(source) OVER (PARTITION BY split, shard
+          ORDER BY doc_id ASC) AS prev_source
+      FROM shx),
+    lane2 AS (
+      SELECT split, shard, 'length' AS order_by, source,
+        LAG(source) OVER (PARTITION BY split, shard
+          ORDER BY ntok ASC, doc_id ASC) AS prev_source
+      FROM shx),
+    lpair AS (
+      SELECT split, shard, order_by,
+        CAST(COUNT(prev_source) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_same
+      FROM (SELECT * FROM lane1 UNION ALL SELECT * FROM lane2)
+      GROUP BY 1, 2, 3),
+    eexp AS (
+      SELECT split, shard, CAST(SUM(c) AS BIGINT) AS n_docs,
+        CASE WHEN SUM(c) > 1 THEN CAST(SUM(c * (c - 1)) AS DOUBLE)
+          / (CAST(SUM(c) AS DOUBLE) * CAST(SUM(c) - 1 AS DOUBLE)) END
+          AS exp_share
+      FROM (SELECT split, shard, source, COUNT(*) AS c
+            FROM shx GROUP BY 1, 2, 3)
+      GROUP BY 1, 2)
+    SELECT l.split, l.shard, l.order_by, e.n_docs, l.n_pairs, l.n_same,
+      CASE WHEN l.n_pairs > 0 THEN CAST(l.n_same AS DOUBLE)
+        / CAST(l.n_pairs AS DOUBLE) END AS obs_share,
+      e.exp_share,
+      CASE WHEN e.exp_share > 0.0 AND l.n_pairs > 0
+        THEN (CAST(l.n_same AS DOUBLE) / CAST(l.n_pairs AS DOUBLE))
+          / e.exp_share END AS mixing_ratio
+    FROM lpair l JOIN eexp e USING (split, shard)"""
+
   // ------------------------------ DoReMi-lite domain reweighting
   /** One DoReMi-style multiplicative-weights update of the per-source
     * mixture (Xie et al. 2023, reduced to the in-engine observable):
@@ -5246,6 +5417,8 @@ object CorpusOps {
     "q265_doremi_reweight" -> q265DoremiReweight,
     "q268_nb_calibration" -> q268NbCalibration,
     "q269_gate_agreement" -> q269GateAgreement,
+    "q270_epoch_allocation" -> q270EpochAllocation,
+    "q271_shard_mixing" -> q271ShardMixing,
     "q262_release_manifest" -> q262ReleaseManifest,
     "q261_padding_waste" -> q261PaddingWaste,
     "q259_cluster_density" -> q259ClusterDensity,
@@ -5319,6 +5492,8 @@ object CorpusOps {
     "q265_doremi_reweight" -> o265,
     "q268_nb_calibration" -> o268,
     "q269_gate_agreement" -> o269,
+    "q270_epoch_allocation" -> o270,
+    "q271_shard_mixing" -> o271,
     "q262_release_manifest" -> o262,
     "q261_padding_waste" -> o261,
     "q259_cluster_density" -> o259,

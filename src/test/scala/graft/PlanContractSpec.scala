@@ -360,7 +360,11 @@ class PlanContractSpec extends AnyFunSuite {
       "q268_nb_calibration",
       // q269 composes nbDocBits' crosses with q250's (each declared
       // above) into the one-row agreement census
-      "q269_gate_agreement")
+      "q269_gate_agreement",
+      // q270 crosses the single-row budget scalar into the
+      // |sources|-row mixture census (q246's own cross is hidden
+      // behind its checkpoint)
+      "q270_epoch_allocation")
     // (q262 composes q257's gate frame — q250 + q241 single-row
     // total crosses, each declared above — but its localCheckpoint
     // materializes the gate before this scan sees the plan, the

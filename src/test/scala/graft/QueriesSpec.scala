@@ -1302,6 +1302,52 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("q270 epoch allocation: floor-sum bound, per-row arithmetic, " +
+    "and the cap flag definition") {
+    val rows = SparkEntry.queries("q270_epoch_allocation")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    assert(rows.forall(_.getAs[Long]("budget") == budget))
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    // floors: the allocation never over-spends and wastes < 1 token
+    // per source
+    assert(alloc <= budget && alloc > budget - rows.length,
+      s"alloc $alloc vs budget $budget")
+    rows.foreach { r =>
+      val e = r.getAs[Double]("epochs")
+      assert(math.abs(r.getAs[Long]("alloc_tokens")
+        - math.floor(budget.toDouble * r.getAs[Double]("share_eff")))
+        < 0.5, s"alloc arithmetic: $r")
+      assert(r.getAs[Boolean]("over_cap") == (e > 4.0), s"cap flag: $r")
+      assert(e > 0.0)
+    }
+  }
+
+  test("q271 shard mixing: both order lanes cover every shard with " +
+    "contiguous positions and consistent ratios") {
+    val rows = SparkEntry.queries("q271_shard_mixing")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byLane = rows.groupBy(_.getAs[String]("order_by"))
+    assert(byLane.keySet == Set("doc_id", "length"))
+    val shardsPerLane = byLane.view.mapValues(_.map(r =>
+      (r.getAs[String]("split"), r.getAs[Long]("shard"))).toSet).toMap
+    assert(shardsPerLane("doc_id") == shardsPerLane("length"))
+    rows.foreach { r =>
+      // ranks within a shard are contiguous -> adjacency pairs are
+      // exactly n_docs - 1
+      assert(r.getAs[Long]("n_pairs") == r.getAs[Long]("n_docs") - 1L,
+        s"pair count: $r")
+      assert(r.getAs[Long]("n_same") <= r.getAs[Long]("n_pairs"))
+      if (!r.isNullAt(r.fieldIndex("mixing_ratio"))) {
+        assert(math.abs(r.getAs[Double]("mixing_ratio")
+          - r.getAs[Double]("obs_share") / r.getAs[Double]("exp_share"))
+          < 1e-12, s"ratio consistency: $r")
+      }
+    }
+  }
+
   test("q21 parse-money truth table matches expectations in-engine") {
     val got = SparkEntry.queries("q21_parse_money_table")(spark, sf)
       .collect().map(r => r.getInt(0) ->

@@ -62,7 +62,10 @@ object ScaleRehearsal {
     // pair population in the registry), q265 embeds the q240 LM,
     // q264 is vocab-grain scoring, q267 the broadcast-fold screen
     "q264_nb_quality_classifier", "q265_doremi_reweight",
-    "q266_lsh_operating_points", "q267_semantic_decon")
+    "q266_lsh_operating_points", "q267_semantic_decon",
+    // q271 stacks two partitioned rank lanes on the q262 gate
+    // composite — the heaviest new composition of this tranche
+    "q271_shard_mixing")
 
   private val SmallTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events")
