@@ -3842,9 +3842,10 @@ object CorpusOps {
     fun_flags AS (
       SELECT f.doc_id, f.ntok, f.pass_q,
         CASE WHEN f.doc_id = sv.keep_id THEN 1 ELSE 0 END AS is_surv,
-        COALESCE(CASE WHEN p.kept THEN 1 ELSE 0 END, 1) AS lm_kept,
-        COALESCE(CASE WHEN dd.doc_bits >= 0 THEN 1 ELSE 0 END, 1)
-          AS dsir_sel
+        CASE WHEN p.doc_id IS NULL OR p.kept THEN 1 ELSE 0 END
+          AS lm_kept,
+        CASE WHEN dd.doc_id IS NULL OR dd.doc_bits >= 0 THEN 1 ELSE 0
+          END AS dsir_sel
       FROM fun_docs f
       JOIN fun_surv sv USING (fp)
       LEFT JOIN ppl p ON p.doc_id = f.doc_id
@@ -5094,7 +5095,7 @@ object CorpusOps {
       SELECT b.doc_id,
         CASE WHEN b.y = 1 THEN 1 ELSE 0 END AS rule,
         CASE WHEN b.bits >= 0 THEN 1 ELSE 0 END AS nb,
-        COALESCE(CASE WHEN p.kept THEN 1 ELSE 0 END, 1) AS lm
+        CASE WHEN p.doc_id IS NULL OR p.kept THEN 1 ELSE 0 END AS lm
       FROM nbbits b LEFT JOIN ppl p ON p.doc_id = b.doc_id),
     gagg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -5355,14 +5356,23 @@ object CorpusOps {
     val tot = e.agg(sum(col("n_docs")).cast("long").as("tot_docs"))
     val w = e.join(broadcast(emin)).join(broadcast(tot))
       .withColumn("e_bits", col("e") - col("e_min"))
+      // int64 headroom guard: Spark's shiftleft wraps the shift amount
+      // mod 64 (silent wrong weights) while DuckDB's << raises — so the
+      // multiplier SATURATES at e_bits = 8959 (shift 34, mult ≤ 2^34·511
+      // ≈ 8.8e12, w_fp ≤ 8.8e18 < int64 max even at weight_base = 1).
+      // Beyond the cap the un-capped source would outweigh the rest by
+      // ≥ 2^34 ≈ 1.7e10, so every other normalized weight is < 1e-10 —
+      // zero at the double precision weight_new surfaces in; saturation
+      // is observationally exact. e_bits itself is reported unclamped.
       .withColumn("mult", expr(
-        """shiftleft(CAST(1 AS BIGINT), CAST(e_bits div 256 AS INT))
-           * (256 + e_bits % 256)"""))
+        """shiftleft(CAST(1 AS BIGINT),
+             CAST(least(e_bits, 8959L) div 256 AS INT))
+           * (256 + least(e_bits, 8959L) % 256)"""))
       .withColumn("weight_base",
         col("n_docs").cast("double") / col("tot_docs").cast("double"))
       .withColumn("w_fp", floor(col("weight_base")
         * col("mult").cast("double") * lit(1.0e6)).cast("long"))
-    val totw = w.agg(sum(col("w_fp")).cast("long").as("tot_w"))
+    val totw = w.agg(sum(col("w_fp").cast("decimal(38,0)")).as("tot_w"))
     w.join(broadcast(totw))
       .select(col("source"), col("n_docs"),
         (col("mean_src") / lit(1.0e15)).as("mean_score"),
@@ -5396,15 +5406,17 @@ object CorpusOps {
     td AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot_docs FROM ee),
     ww AS (
       SELECT source, n_docs, mean_src, mean_g, e - e_min AS e_bits,
-        (CAST(1 AS BIGINT) << CAST((e - e_min) // 256 AS INT))
-          * (256 + (e - e_min) % 256) AS mult,
+        (CAST(1 AS BIGINT)
+            << CAST(LEAST(e - e_min, 8959) // 256 AS INT))
+          * (256 + LEAST(e - e_min, 8959) % 256) AS mult,
         CAST(n_docs AS DOUBLE) / CAST(tot_docs AS DOUBLE) AS weight_base
       FROM ee CROSS JOIN em CROSS JOIN td),
     ww2 AS (
       SELECT *, CAST(FLOOR(weight_base * CAST(mult AS DOUBLE) * 1.0e6)
         AS BIGINT) AS w_fp
       FROM ww),
-    tw AS (SELECT CAST(SUM(w_fp) AS BIGINT) AS tot_w FROM ww2)
+    tw AS (SELECT CAST(SUM(CAST(w_fp AS HUGEINT)) AS HUGEINT) AS tot_w
+           FROM ww2)
     SELECT source, n_docs,
       mean_src / 1.0e15 AS mean_score,
       (mean_g - mean_src) / 1.0e15 AS excess_score,

@@ -2578,10 +2578,17 @@ object VectorOps {
       .withColumn("vec_id", $"vec_id" + lit(11L << 40))
     val train = e.filter(!($"vec_id" % 10 === 7 && $"vec_id" < 1000))
       .unionByName(plants)
+    // Empty-eval-slice parity guard: the global agg below emits ONE
+    // row even over zero input (an empty evs array), while the oracle's
+    // `FROM tr, ev` cross join emits ZERO rows — so an empty benchmark
+    // would diverge silently (NULL max_cos census vs no census). Filter
+    // the packed row so BOTH engines yield zero rows on an empty slice;
+    // on any populated slice this is a no-op.
     val packed = eval
       .select(struct($"vec_id".as("e_id"), $"norm".as("e_norm"),
         $"embedding".as("e_emb")).as("ev"))
       .agg(array_sort(collect_list($"ev")).as("evs"))
+      .filter(size($"evs") > 0)
     train.join(broadcast(packed))
       .withColumn("max_cos", expr(
         """array_max(transform(evs, ev ->

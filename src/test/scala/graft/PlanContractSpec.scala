@@ -166,17 +166,17 @@ class PlanContractSpec extends AnyFunSuite {
       s"undeclared Expand plans: ${violators.mkString(", ")}")
   }
 
-  test("no query plans an unpartitioned window outside the declared set") {
-    // An unpartitioned Window (empty PARTITION BY) executes as ONE
-    // partition holding its entire input — the q153/q161/q221
-    // scale-killer round 6 flagged. Every remaining use must ride a
-    // frame whose size is BOUNDED by construction (a value-domain
-    // census, a calendar grid, a two-level histogram's level-1, a
-    // post-limit frame), never corpus/census-scale rows; the map
-    // value documents each bound. A new query tripping this either
-    // wants the q125/q153 two-level prefix-sum layout, the TopK
-    // operator (q108), or a sort+limit (q221).
-    val boundedGlobalWindow = Map(
+  // An unpartitioned Window (empty PARTITION BY) executes as ONE
+  // partition holding its entire input — the q153/q161/q221
+  // scale-killer round 6 flagged. Every remaining use must ride a
+  // frame whose size is BOUNDED by construction (a value-domain
+  // census, a calendar grid, a two-level histogram's level-1, a
+  // post-limit frame), never corpus/census-scale rows; the map
+  // value documents each bound. A new query tripping this either
+  // wants the q125/q153 two-level prefix-sum layout, the TopK
+  // operator (q108), or a sort+limit (q221). (Shared by the logical
+  // whitelist test and the runtime-warning closure test below.)
+  private val boundedGlobalWindow = Map(
       "q112_bpe_merges" -> "|alphabet|^2 pair census",
       "q125_token_budget" -> "<=1001-row quality-bucket histogram",
       "q135_skew_diagnostic" -> "group-size histogram (distinct sizes)",
@@ -210,6 +210,8 @@ class PlanContractSpec extends AnyFunSuite {
         + "two-level prefix-sum layout on the token/vocab lanes)"),
       "q261_padding_waste" -> ("<=18k valueBucket token-length "
         + "histogram (level-1 of the sorted-rank two-level layout)"))
+
+  test("no query plans an unpartitioned window outside the declared set") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
       name =>
         val df = SparkEntry.queries(name)(spark, sf)
@@ -227,6 +229,81 @@ class PlanContractSpec extends AnyFunSuite {
     assert(stale.isEmpty,
       s"whitelist entries with no global window (prune them): " +
         stale.mkString(", "))
+  }
+
+  // Queries whose bounded global window HIDES from the optimizedPlan
+  // scan behind a localCheckpoint (checkpointing severs the lineage
+  // before the whitelist test's scan sees it) but still plans a
+  // partition-less WindowExec at runtime. Each bound is the same one
+  // already documented in boundedGlobalWindow via the shared helper's
+  // checkpoint-free user, named in the value.
+  private val checkpointHiddenGlobalWindow: Map[String, String] = Map(
+    "q232_shard_embedding_audit" -> ("|sources| census + |shards| " +
+      "frame inside the checkpointed assignment (q225's window)"),
+    "q234_window_occupancy" -> ("div-1024 doc-bucket census inside " +
+      "the checkpointed packedOffsets frame (q233's window)"))
+
+  test("the runtime WindowExec warning set matches the declared whitelist") {
+    // Round-8 verdict "what's wrong" #4: the whitelist above scans the
+    // LOGICAL plan, while the operational signal in verify logs
+    // ("WindowExec: No Partition Defined ...") is RUNTIME — and
+    // checkpoints hide windows from the logical scan (q232/q234). This
+    // test closes the loop: capture the actual log4j WARN events per
+    // query across construction (checkpoint materialization) AND
+    // planning, and assert warners == declared ∪ checkpoint-hidden —
+    // so every observed warning in a verify log maps to a documented
+    // bound, and a declared entry that stops warning gets pruned.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Configurator
+    // Spark's first Logging use RECONFIGURES log4j (loads its default
+    // properties), dropping any programmatically attached appender —
+    // so force session + logging init BEFORE attaching (the silent
+    // zero-capture failure mode this test's first cut hit).
+    spark.sparkContext
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val appender = new AbstractAppender(
+      "graft-window-warn-capture", null, null, false, null) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent)
+          : Unit =
+        if (e.getMessage.getFormattedMessage
+            .contains("No Partition Defined")) hits.incrementAndGet()
+    }
+    appender.start()
+    val pkg = "org.apache.spark.sql.execution.window"
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    Configurator.setLevel(pkg, Level.WARN) // a prior suite may have
+    // raised the root level to ERROR (ScaleRehearsal) — pin this logger
+    // so isWarnEnabled passes; the event then reaches the root config's
+    // appenders via additivity
+    val lc = ctx.getConfiguration.getRootLogger
+    lc.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val warners = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+        val before = hits.get()
+        // construction runs any localCheckpoints (where hidden windows
+        // execute); forcing executedPlan runs EnsureRequirements on the
+        // outer plan (where requiredChildDistribution logs the warning)
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.queryExecution.executedPlan
+        hits.get() > before
+      }.toSet
+      val declared =
+        boundedGlobalWindow.keySet ++ checkpointHiddenGlobalWindow.keySet
+      assert((warners -- declared).isEmpty,
+        s"runtime WindowExec warnings with no documented bound: " +
+          (warners -- declared).toSeq.sorted.mkString(", "))
+      assert((declared -- warners).isEmpty,
+        s"declared bounded-window entries that no longer warn " +
+          s"(prune or move): " +
+          (declared -- warners).toSeq.sorted.mkString(", "))
+    } finally {
+      lc.removeAppender(appender.getName)
+      ctx.updateLoggers()
+      appender.stop()
+    }
   }
 
   test("no query plans a cartesian product or unintended broadcast NLJ") {
