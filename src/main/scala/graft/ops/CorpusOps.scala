@@ -4352,7 +4352,18 @@ object CorpusOps {
     * weighted vocab census once; every round runs on the vocabulary
     * only (pair census map-side combined, argmax a sort-limit single
     * row, merge an in-row fold against one broadcast row). */
-  val q245BpeDeepTrain: Q = (s, d) => {
+  val q245BpeDeepTrain: Q = (s, d) =>
+    bpeDeepTrained(s, d)._1
+
+  /** q245's 10-round trainer loop, returning BOTH artifacts a real
+    * tokenizer build persists: the merge table (round, mx, my, merged,
+    * n) AND the final trained word state (cnt, syms) — word → its
+    * post-merge symbol sequence, which IS the encoded word table the
+    * corpus encode pass (q273/q274) applies. Loop layout unchanged
+    * from q245's definition (vocab-grain rounds, one broadcast merge
+    * row per round, per-round checkpoints for flat lineage). */
+  private def bpeDeepTrained(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     import s.implicits._
     val words0 = Tables.documents(s, d)
       .select(explode(split($"text", " ")).as("w"))
@@ -4386,9 +4397,10 @@ object CorpusOps {
         .localCheckpoint()
       tops += top
     }
-    tops.result().reduce(_ unionByName _)
+    val merges = tops.result().reduce(_ unionByName _)
       .select($"round", $"mx", $"my",
         concat($"mx", $"my").as("merged"), $"n")
+    (merges, words)
   }
   val o245: String = s"""
     WITH $bpeWords0Sql,
@@ -4396,6 +4408,169 @@ object CorpusOps {
     ${(1 to DeepBpeRounds).map(k =>
       s"SELECT round, mx, my, mx || my AS merged, n FROM top$k")
       .mkString("\n    UNION ALL\n    ")}"""
+
+  // ------------------------------------------- corpus BPE ENCODE pass
+  /** Per-doc BPE token stream from the trained word table: the step
+    * every training run needs between curation and packing, closing
+    * the trainer → ENCODER half of the tokenizer loop (q245 trains the
+    * merges; this applies them to the corpus). The trained word state
+    * (word → post-merge symbol sequence) already IS the encode of
+    * every distinct word, so the corpus encode is one census-to-corpus
+    * join — no per-document fold ever runs. Token IDS are assigned
+    * densely over the final vocabulary (lexicographic rank, the
+    * deterministic choice), and the whole id STREAM — values AND
+    * order — is pinned by one exact int64 lane:
+    * id_checksum = Σ_pos pos·id(token at pos), 1-based positions over
+    * the doc's concatenated word encodings (word order = position in
+    * the text, within-word order = the trained symbol sequence).
+    * A wrong id, a swapped pair, or a dropped token each move the sum.
+    *
+    * Bound note: the checksum is ≤ L²·V per doc (L = doc tokens,
+    * V = vocab size) — exact int64 to ~40k-token docs at a 5M vocab;
+    * a longer-doc corpus routes the lane through decimal(38,0) (the
+    * q255 convention).
+    *
+    * 100 TB design: the trainer side is q245's (vocab-grain rounds);
+    * the vocab-id window runs over the FINAL VOCABULARY census
+    * (|alphabet| + [[DeepBpeRounds]] rows by construction — the
+    * production analogue is the CHOSEN vocab size, ~50k); per-word id
+    * stats (k, Σid, Σj·id) collapse at word grain so the corpus join
+    * carries three ints per word, never symbol rows; per-doc offsets
+    * ride a doc_id-PARTITIONED window (bounded by doc length). Output
+    * is doc-grain — the operator's contract is one row per encoded
+    * document. */
+  val q273BpeEncode: Q = (s, d) =>
+    bpeDocTokens(s, d)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        col("id_checksum"))
+
+  /** The shared encode frame: (doc_id, lang, n_words, n_tokens,
+    * id_checksum) per non-empty document under the q245-trained
+    * tokenizer — q273 reports it; q274 packs over it. */
+  private def bpeDocTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wordsF = bpeDeepTrained(s, d)._2
+    // merging preserves concatenation, so the word string is exactly
+    // the joined symbol sequence — recovered here instead of threading
+    // `w` through 10 trainer rounds (keeps q245's plan untouched)
+    val wenc = wordsF.withColumn("w", concat_ws("", $"syms"))
+    val vocab = wenc.select(explode($"syms").as("tok")).distinct()
+      .withColumn("id",
+        row_number().over(Window.orderBy($"tok")).cast("long"))
+    val wstat = wenc
+      .select($"w", posexplode($"syms").as(Seq("j0", "tok")))
+      .join(broadcast(vocab), Seq("tok"))
+      .groupBy($"w")
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum($"id").cast("long").as("s1"),
+        sum(($"j0" + 1L) * $"id").cast("long").as("sp"))
+    val dw = Tables.documents(s, d)
+      .select($"doc_id", $"lang",
+        posexplode(split($"text", " ")).as(Seq("wpos", "w")))
+      .filter(length($"w") > 0)
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"wpos".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dw.join(wstat, Seq("w"))
+      .withColumn("cumk", sum($"k").over(wDoc).cast("long"))
+      // Σ over this word's tokens of (global pos · id), from the
+      // word-grain stats: positions offset+1 … offset+k contribute
+      // offset·Σid + Σ(j·id) where offset = cumk − k
+      .withColumn("contrib", ($"cumk" - $"k") * $"s1" + $"sp")
+      .groupBy($"doc_id", $"lang")
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum($"k").cast("long").as("n_tokens"),
+        sum($"contrib").cast("long").as("id_checksum"))
+  }
+
+  /** The encode chain's DuckDB CTE body (words0 → words10 → vocab ids
+    * → word stats → per-doc census `bdoc`) — shared by o273/o274. */
+  private def bpeEncodeChainDuck: String = s"""
+    $bpeWords0Sql,
+    ${(1 to DeepBpeRounds).map(bpeRoundSql).mkString(",\n    ")},
+    bvocab AS (
+      SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS id
+      FROM (SELECT DISTINCT unnest(syms) AS tok FROM words$DeepBpeRounds)),
+    bwpos AS (
+      SELECT w, syms[j] AS tok, j FROM (
+        SELECT w, syms, unnest(generate_series(1, len(syms))) AS j
+        FROM words$DeepBpeRounds)),
+    bwstat AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+        CAST(SUM(id) AS BIGINT) AS s1,
+        CAST(SUM(j * id) AS BIGINT) AS sp
+      FROM bwpos JOIN bvocab USING (tok) GROUP BY w),
+    bdw AS (
+      SELECT doc_id, lang, wpos, t[wpos] AS w FROM (
+        SELECT doc_id, lang, t,
+          unnest(generate_series(1, len(t))) AS wpos
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t
+              FROM documents))
+      WHERE t[wpos] <> ''),
+    benc AS (
+      SELECT d.doc_id, d.lang, s.k, s.s1, s.sp,
+        SUM(s.k) OVER (PARTITION BY d.doc_id ORDER BY d.wpos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumk
+      FROM bdw d JOIN bwstat s USING (w)),
+    bdoc AS (
+      SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(k) AS BIGINT) AS n_tokens,
+        CAST(SUM((cumk - k) * s1 + sp) AS BIGINT) AS id_checksum
+      FROM benc GROUP BY doc_id, lang)"""
+
+  val o273: String = s"""
+    WITH $bpeEncodeChainDuck
+    SELECT doc_id, lang, n_words, n_tokens,
+      CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+      id_checksum
+    FROM bdoc"""
+
+  // --------------------------------- packing over real BPE token ids
+  /** q114's greedy sequence packing RESPELLED over the encoded corpus:
+    * q114 packs q99's whitespace chunks (a proxy count); this packs
+    * each document's REAL post-BPE token count into fixed
+    * [[SeqBudget]]-token training sequences — per language in
+    * deterministic doc_id order, a doc belonging to the sequence its
+    * start offset falls in (greedy with boundary overflow, q114's
+    * exact layout). The fill census is the one the data loader
+    * validates; comparing it against q114's answers "how wrong was
+    * the whitespace proxy?" (BPE fertility ≈ 1.2–1.5× shifts every
+    * boundary).
+    *
+    * 100 TB design: the encode side is q273's (vocab-grain trainer +
+    * one census join); the packing adds ONE lang-partitioned
+    * running-sum window over DOC-grain rows (fewer rows than q114's
+    * chunk grain) and a map-side-combined census. */
+  val q274BpePack: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bpeDocTokens(s, d)
+      .withColumn("cum", sum(col("n_tokens")).over(w).cast("long"))
+      .withColumn("seq_id",
+        expr(s"(cum - n_tokens) div $SeqBudget").cast("long"))
+      .groupBy(col("lang"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"))
+      .withColumn("fill_pct",
+        col("n_tokens").cast("double") * 100.0 / SeqBudget)
+  }
+  val o274: String = s"""
+    WITH $bpeEncodeChainDuck,
+    bcum AS (
+      SELECT lang, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY lang
+          ORDER BY doc_id ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM bdoc)
+    SELECT lang,
+      CAST((cum - n_tokens) // $SeqBudget AS BIGINT) AS seq_id,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_tokens) AS DOUBLE) * 100.0 / $SeqBudget AS fill_pct
+    FROM bcum GROUP BY 1, 2"""
 
   // --------------------------- convergence-bounded BPE trainer
   /** Stop when the best remaining pair is rarer than this — the
@@ -4877,6 +5052,54 @@ object CorpusOps {
       .select(col("doc_id"), col("split"), col("y"), col("bits"))
   }
 
+  /** HASHED-VOCAB NB model for the streaming admission gate — q264's
+    * trainer respelled over the 256-bucket [[tokenBucket]] feature
+    * hash instead of the word vocabulary, so the trained model is a
+    * CONSTANT-size artifact (≤ 257 rows: bucket weights + the prior
+    * at bucket = −1) that the online gate can collapse to a literal
+    * array at wiring time — the dsirBucketWeights pattern. No
+    * stateful vocab join ever reaches the stream (the round-8 ROADMAP
+    * seam (a) trade, resolved toward hashing). Smoothing runs over
+    * the FIXED 256-bucket domain (v = 256 — another stateless
+    * property: no distinct-vocab count), so a bucket unseen in train
+    * carries weight exactly 0 (ilog(1) = 0 on both lanes: no
+    * evidence, no push). Collisions blur word evidence into bucket
+    * evidence — the standard hashing-trick trade; the word-grain
+    * q264 stays the offline-quality reference.
+    *
+    * 100 TB design: one train-split scan collapses to the 256-bucket
+    * census (map-side combined); everything after is 256-row
+    * arithmetic against one broadcast totals row. */
+  def nbHashedWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("split", splitAssign(col("doc_id")))
+      .withColumn("y",
+        when(floor(TextOps.qualityCol * lit(1.0e6)).cast("long")
+          >= NbLabelThreshold, 1L).otherwise(0L))
+      .filter(col("split") === "train")
+    val occ = docs
+      .select(col("y"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket", expr(tokenBucket("w")).cast("long"))
+    val tok = occ.groupBy(col("bucket"))
+      .agg(sum(col("y")).cast("long").as("n1"),
+        sum(lit(1L) - col("y")).cast("long").as("n0"))
+    val tots = tok.agg(sum(col("n1")).cast("long").as("t1"),
+      sum(col("n0")).cast("long").as("t0"))
+    val prior = docs
+      .agg(sum(col("y")).cast("long").as("d1"),
+        sum(lit(1L) - col("y")).cast("long").as("d0"))
+      .select(lit(-1L).as("bucket"), expr(
+        s"CAST((${ilog256("d1")} - ${ilog256("d0")}) AS BIGINT)")
+        .as("w_bits"))
+    tok.join(broadcast(tots))
+      .select(col("bucket"), expr(
+        s"""CAST(((${ilog256("(n1 + 1)")} - ${ilog256("(t1 + 256)")})
+              - (${ilog256("(n0 + 1)")} - ${ilog256("(t0 + 256)")}))
+            AS BIGINT)""").as("w_bits"))
+      .unionByName(prior)
+  }
+
   val q264NbQualityClassifier: Q = (s, d) => {
     nbDocBits(s, d)
       .withColumn("pred", when(col("bits") >= 0L, 1L).otherwise(0L))
@@ -5021,6 +5244,84 @@ object CorpusOps {
         CAST(SUM(CAST(bits AS HUGEINT)) AS HUGEINT) AS bits_dec
       FROM nbbits GROUP BY 1, 2)"""
 
+  // ------------------------------- NB ROC / threshold sweep
+  /** ROC sweep of the q264 classifier: cumulative TPR/FPR/precision at
+    * every evidence threshold, per split — the operating-point menu a
+    * pipeline reads before PICKING the gate's cut (q264 reports the
+    * bits ≥ 0 point; q268 says the score is calibrated; this says what
+    * every other threshold would buy). Thresholds are q268's
+    * quarter-bit buckets: "predict positive iff bucket ≥ thr" for each
+    * observed bucket value, so tp/fp at a row are the counts at or
+    * above that row's bucket. youden_j = tpr − fpr is the standard
+    * threshold-selection score (its argmax is the balanced operating
+    * point).
+    *
+    * 100 TB design: rides [[nbDocBits]]'s vocab-grain layout down to
+    * the same (split × ≤17 buckets) census as q268; the cumulative
+    * sums are windows PARTITIONED by split over ≤17-row partitions
+    * (never a global window), so the whole sweep adds one
+    * census-grain shuffle to q268's plan. */
+  val q272NbRocSweep: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val cens = nbDocBits(s, d)
+      .withColumn("thr",
+        greatest(lit(-8L), least(lit(8L),
+          expr("(bits + 1099511627776) div 64") - lit(17179869184L))))
+      .groupBy(col("split"), col("thr"))
+      .agg(sum(col("y")).cast("long").as("n_pos"),
+        sum(lit(1L) - col("y")).cast("long").as("n_neg"))
+    val wCum = Window.partitionBy(col("split"))
+      .orderBy(col("thr").desc)
+    val wTot = Window.partitionBy(col("split"))
+    cens
+      .withColumn("tp", sum(col("n_pos")).over(wCum).cast("long"))
+      .withColumn("fp", sum(col("n_neg")).over(wCum).cast("long"))
+      .withColumn("pos", sum(col("n_pos")).over(wTot).cast("long"))
+      .withColumn("neg", sum(col("n_neg")).over(wTot).cast("long"))
+      .select(col("split"), col("thr"), col("tp"), col("fp"),
+        when(col("pos") > 0L,
+          col("tp").cast("double") / col("pos").cast("double"))
+          .as("tpr"),
+        when(col("neg") > 0L,
+          col("fp").cast("double") / col("neg").cast("double"))
+          .as("fpr"),
+        // tp + fp ≥ the row's own bucket count ≥ 1, so no zero guard
+        (col("tp").cast("double")
+          / (col("tp") + col("fp")).cast("double")).as("prec"),
+        when(col("pos") > 0L && col("neg") > 0L,
+          col("tp").cast("double") / col("pos").cast("double")
+            - col("fp").cast("double") / col("neg").cast("double"))
+          .as("youden_j"))
+  }
+  val o272: String = s"""
+    WITH ${nbChainDuck("")},
+    rcens AS (
+      SELECT split,
+        GREATEST(-8, LEAST(8,
+          (bits + 1099511627776) // 64 - 17179869184)) AS thr,
+        CAST(SUM(y) AS BIGINT) AS n_pos,
+        CAST(SUM(1 - y) AS BIGINT) AS n_neg
+      FROM nbbits GROUP BY 1, 2),
+    rcum AS (
+      SELECT split, thr,
+        CAST(SUM(n_pos) OVER (PARTITION BY split ORDER BY thr DESC)
+          AS BIGINT) AS tp,
+        CAST(SUM(n_neg) OVER (PARTITION BY split ORDER BY thr DESC)
+          AS BIGINT) AS fp,
+        CAST(SUM(n_pos) OVER (PARTITION BY split) AS BIGINT) AS pos,
+        CAST(SUM(n_neg) OVER (PARTITION BY split) AS BIGINT) AS neg
+      FROM rcens)
+    SELECT split, thr, tp, fp,
+      CASE WHEN pos > 0
+        THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE) END AS tpr,
+      CASE WHEN neg > 0
+        THEN CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) END AS fpr,
+      CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+      CASE WHEN pos > 0 AND neg > 0
+        THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)
+           - CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE) END AS youden_j
+    FROM rcum"""
+
   // ------------------------------- gate-agreement audit
   /** Pairwise Cohen's kappa between the three quality gates the
     * engine now trains or applies — the heuristic RULE (the q51
@@ -5152,8 +5453,17 @@ object CorpusOps {
     * so the report and the budget scalar never re-run the gate chain
     * (the q262 inline lesson); the report is a |sources|-row frame
     * against one broadcast scalar. */
-  val q270EpochAllocation: Q = (s, d) => {
-    val mix = q246EffectiveMixture(s, d).localCheckpoint()
+  val q270EpochAllocation: Q = (s, d) =>
+    epochAllocFrom(q246EffectiveMixture(s, d).localCheckpoint())
+
+  /** The epoch-allocation math over ANY (source, t_eff, share_eff)
+    * census — q270 applies it to q246's mixture; EpochFixtureSpec
+    * drives it with a hand-built SKEWED census (one source upweighted
+    * far past its unique mass) to exercise the >4-epoch `over_cap`
+    * branch, which this near-uniform testdata mixture never fires —
+    * the round-8 verdict's "logic oracle-checked, interesting branch
+    * unexercised" seam. */
+  def epochAllocFrom(mix: DataFrame): DataFrame = {
     val tot = mix.agg(sum(col("t_eff")).cast("long").as("tot_eff"))
     mix.join(broadcast(tot))
       .withColumn("budget", col("tot_eff") * lit(3L))
@@ -5430,6 +5740,9 @@ object CorpusOps {
     "q268_nb_calibration" -> q268NbCalibration,
     "q269_gate_agreement" -> q269GateAgreement,
     "q270_epoch_allocation" -> q270EpochAllocation,
+    "q272_nb_roc_sweep" -> q272NbRocSweep,
+    "q273_bpe_encode" -> q273BpeEncode,
+    "q274_bpe_pack" -> q274BpePack,
     "q271_shard_mixing" -> q271ShardMixing,
     "q262_release_manifest" -> q262ReleaseManifest,
     "q261_padding_waste" -> q261PaddingWaste,
@@ -5505,6 +5818,9 @@ object CorpusOps {
     "q268_nb_calibration" -> o268,
     "q269_gate_agreement" -> o269,
     "q270_epoch_allocation" -> o270,
+    "q272_nb_roc_sweep" -> o272,
+    "q273_bpe_encode" -> o273,
+    "q274_bpe_pack" -> o274,
     "q271_shard_mixing" -> o271,
     "q262_release_manifest" -> o262,
     "q261_padding_waste" -> o261,

@@ -147,6 +147,39 @@ object CorpusStreaming {
       .withColumn("admit", col("doc_bits") >= 0)
   }
 
+  /** Streaming NB admission gate — the "train offline, serve online"
+    * face of the q264 quality classifier, completing the gate-stream
+    * family ([[dsirGateStream]] = q241's, [[deconGateStream]] =
+    * q267's): the batch tier trains the HASHED-VOCAB model
+    * (`CorpusOps.nbHashedWeights` — 256 bucket log-odds weights + the
+    * class prior at bucket −1, a constant-size artifact by
+    * construction), and this gate scores every intake document IN-ROW
+    * against it: token → feature bucket (the shared `tokenBucket`
+    * fold) → weight lookup in a 256-long literal array → prior-seeded
+    * exact int64 log-odds sum, admit when ≥ 0 (q264's verdict rule).
+    * The hashing trick is WHY this can be a stateless projection — a
+    * word-vocabulary model would need a stream-static join (stateful
+    * per-batch shuffle) just to look weights up; hashed buckets make
+    * the whole model a wiring-time literal, intake-rate throughput at
+    * any scale. StreamingSpec pins stream scores ≡ an independent
+    * plain-Scala hashed-NB over the same corpus, doc by doc. */
+  def nbGateStream(docs: DataFrame, model: DataFrame): DataFrame = {
+    val rows = model.collect()
+      .map(r => r.getLong(r.fieldIndex("bucket")) ->
+        r.getLong(r.fieldIndex("w_bits"))).toMap
+    val prior = rows.getOrElse(-1L, 0L)
+    val warr = (0L until 256L).map(b => rows.getOrElse(b, 0L))
+    val arrLit = warr.mkString("array(", "L, ", "L)")
+    docs
+      .withColumn("nb_bits", expr(
+        s"""aggregate(filter(split(text, ' '), t -> length(t) > 0),
+             CAST($prior AS BIGINT),
+             (a, t) -> a + element_at($arrLit,
+               CAST(${graft.ops.CorpusOps.tokenBucket("t")} AS INT)
+                 + 1))"""))
+      .withColumn("admit", col("nb_bits") >= 0)
+  }
+
   /** A vector on the intake stream (the embedding-tier DocEvent). */
   final case class VecEvent(vec_id: Long, ts: java.sql.Timestamp,
                             label: Int, embedding: Seq[Float])

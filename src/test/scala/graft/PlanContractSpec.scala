@@ -209,7 +209,14 @@ class PlanContractSpec extends AnyFunSuite {
       "q252_heaps_fit" -> ("div-1024 super-batch census (q149's "
         + "two-level prefix-sum layout on the token/vocab lanes)"),
       "q261_padding_waste" -> ("<=18k valueBucket token-length "
-        + "histogram (level-1 of the sorted-rank two-level layout)"))
+        + "histogram (level-1 of the sorted-rank two-level layout)"),
+      "q273_bpe_encode" -> ("vocab-id rank over the FINAL VOCABULARY "
+        + "census (|alphabet| + DeepBpeRounds rows by construction; "
+        + "production analogue = the chosen vocab size, ~50k)"))
+      // (q274 rides the same encode frame but consumes only n_tokens —
+      // Catalyst prunes the id/vocab lanes and with them the vocab
+      // rank window, so its plan is genuinely window-free at the
+      // global level; no entry needed)
 
   test("no query plans an unpartitioned window outside the declared set") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap {
@@ -435,6 +442,9 @@ class PlanContractSpec extends AnyFunSuite {
       // q268 rides q264's nbDocBits frame — the same two single-row
       // census crosses
       "q268_nb_calibration",
+      // q272 rides the same nbDocBits frame down to q268's bucket
+      // census (its windows are split-partitioned, census-grain)
+      "q272_nb_roc_sweep",
       // q269 composes nbDocBits' crosses with q250's (each declared
       // above) into the one-row agreement census
       "q269_gate_agreement",

@@ -65,7 +65,12 @@ object ScaleRehearsal {
     "q266_lsh_operating_points", "q267_semantic_decon",
     // q271 stacks two partitioned rank lanes on the q262 gate
     // composite — the heaviest new composition of this tranche
-    "q271_shard_mixing")
+    "q271_shard_mixing",
+    // round 9: the corpus ENCODE pass — vocab-grain trainer + ONE
+    // word-census join + doc-partitioned offset windows (q273), and
+    // the packing census over its token counts (q274, vocab lanes
+    // pruned by Catalyst)
+    "q273_bpe_encode", "q274_bpe_pack")
 
   private val SmallTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events")
@@ -127,16 +132,26 @@ object ScaleRehearsal {
       if (!Files.exists(link))
         Files.createSymbolicLink(link, Paths.get(s"$sfDir/$t.parquet"))
     }
+    // replicas are written in bounded batches: a single a-way union is
+    // fine to 256 legs, but the x1024 probe would hand Catalyst one
+    // 1024-leg union plan — same rows either way, O(1) plan size this way
+    val batch = 128
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    (0 until a).map(k => if (k == 0) docs else perturbDocs(docs, k))
-      .reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    (0 until a).grouped(batch).zipWithIndex.foreach { case (ks, bi) =>
+      ks.map(k => if (k == 0) docs else perturbDocs(docs, k))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode(if (bi == 0) "overwrite" else "append")
+        .parquet(s"$outDir/documents.parquet")
+    }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    (0 until a).map(k => if (k == 0) emb else perturbEmb(emb, k))
-      .reduce(_ unionByName _)
-      .repartition(spark.sparkContext.defaultParallelism)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    (0 until a).grouped(batch).zipWithIndex.foreach { case (ks, bi) =>
+      ks.map(k => if (k == 0) emb else perturbEmb(emb, k))
+        .reduce(_ unionByName _)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .write.mode(if (bi == 0) "overwrite" else "append")
+        .parquet(s"$outDir/embeddings.parquet")
+    }
     Files.createFile(marker)
   }
 

@@ -149,6 +149,51 @@ class NbFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("q272 ROC sweep equals the from-scratch cumulative counts") {
+    def bucketOf(b: Long): Long =
+      math.max(-8L, math.min(8L, Math.floorDiv(b, 64L)))
+    val expected: Map[(String, Long), (Long, Long, Long, Long)] =
+      all.groupBy(_.sp).flatMap { case (sp, ds) =>
+        val wb = ds.map(dc => (bucketOf(bits(dc.id)), dc.y))
+        val pos = wb.count(_._2 == 1L).toLong
+        val neg = wb.count(_._2 == 0L).toLong
+        wb.map(_._1).distinct.map { thr =>
+          (sp, thr) -> (wb.count(t => t._1 >= thr && t._2 == 1L).toLong,
+            wb.count(t => t._1 >= thr && t._2 == 0L).toLong, pos, neg)
+        }
+      }
+    val got = graft.SparkEntry.queries("q272_nb_roc_sweep")(
+      spark, dir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getAs[String]("split"), r.getAs[Long]("thr"))
+      val (tp, fp, pos, neg) = expected(k)
+      assert(r.getAs[Long]("tp") == tp, s"tp: $r")
+      assert(r.getAs[Long]("fp") == fp, s"fp: $r")
+      // a split with no positives (negatives) reports NULL tpr (fpr) —
+      // the guard's convention; this fixture's test split is all-pos
+      if (pos > 0)
+        assert(r.getAs[Double]("tpr") == tp.toDouble / pos, s"tpr: $r")
+      else assert(r.isNullAt(r.fieldIndex("tpr")), s"tpr: $r")
+      if (neg > 0)
+        assert(r.getAs[Double]("fpr") == fp.toDouble / neg, s"fpr: $r")
+      else assert(r.isNullAt(r.fieldIndex("fpr")), s"fpr: $r")
+      assert(r.getAs[Double]("prec") == tp.toDouble / (tp + fp),
+        s"prec: $r")
+      if (pos > 0 && neg > 0)
+        assert(r.getAs[Double]("youden_j")
+          == tp.toDouble / pos - fp.toDouble / neg, s"youden_j: $r")
+      else assert(r.isNullAt(r.fieldIndex("youden_j")), s"youden_j: $r")
+    }
+    // the sweep's loosest threshold admits everything: tpr = fpr = 1
+    all.map(_.sp).distinct.foreach { sp =>
+      val minThr = expected.keys.filter(_._1 == sp).map(_._2).min
+      val (tp, fp, pos, neg) = expected((sp, minThr))
+      assert(tp == pos && fp == neg,
+        s"$sp: loosest threshold must admit all docs")
+    }
+  }
+
   test("q269: with the LM gate abstaining everywhere, both kappas " +
     "against it are exactly zero") {
     val got = graft.SparkEntry.queries("q269_gate_agreement")(

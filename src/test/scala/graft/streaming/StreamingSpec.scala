@@ -1382,6 +1382,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NB gate: stream scores equal an independent plain-Scala " +
+    "hashed NB, doc by doc") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val model = graft.ops.CorpusOps.nbHashedWeights(spark, sf)
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // ---- independent reimplementation (no pipeline code): split
+    // hash, quality label, char-fold bucket, piecewise-linear ilog256
+    def split(id: Long): String = {
+      val b = ((id % 1000000007L) * 2654435761L + 5851L) %
+        1000000007L % 100L
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val stops = Set("the", "a", "of", "and", "in", "to")
+    def label(text: String): Long = {
+      // the quality denominator is the UNFILTERED split length
+      // (split(-1) keeps trailing empties, matching Spark's split)
+      val t = text.split(" ", -1)
+      val q = (t.count(stops).toDouble / t.length) * 0.5 +
+        math.min(1.0, text.length.toDouble / 400.0) * 0.5
+      if (math.floor(q * 1e6) >= 420000) 1L else 0L
+    }
+    def bucket(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % 1000000007L) % 256L
+    def ilog(x: Long): Long = {
+      val m = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      m * 256L + (x * 256L) / (1L << m) - 256L
+    }
+    val train = docs.filter(t => split(t._1) == "train")
+      .map(t => (label(t._2), t._2.split(" ").filter(_.nonEmpty)))
+    val n1 = Array.fill(256)(0L)
+    val n0 = Array.fill(256)(0L)
+    train.foreach { case (y, toks) =>
+      toks.foreach { w =>
+        if (y == 1L) n1(bucket(w).toInt) += 1 else n0(bucket(w).toInt) += 1
+      }
+    }
+    val t1 = n1.sum; val t0 = n0.sum
+    val d1 = train.count(_._1 == 1L).toLong
+    val d0 = train.length - d1
+    val wBits = (0 until 256).map(b =>
+      (ilog(n1(b) + 1) - ilog(t1 + 256)) - (ilog(n0(b) + 1) - ilog(t0 + 256)))
+    val prior = ilog(d1) - ilog(d0)
+    val expected: Map[Long, Long] = docs.map { case (id, text, _) =>
+      id -> (prior + text.split(" ").filter(_.nonEmpty)
+        .map(w => wBits(bucket(w).toInt)).sum)
+    }.toMap
+    // ---- stream the whole corpus through the gate in two batches
+    val input = MemoryStream[CorpusStreaming.DocEvent]
+    val q = CorpusStreaming.nbGateStream(input.toDF(), model)
+      .writeStream.format("memory").queryName("nb_gate")
+      .outputMode("append").start()
+    try {
+      val (a, b) = docs.splitAt(docs.length / 2)
+      input.addData(a.map(t => CorpusStreaming.DocEvent(
+        t._1, ts("2024-01-01 10:00:00"), t._2, t._3)).toSeq)
+      q.processAllAvailable()
+      input.addData(b.map(t => CorpusStreaming.DocEvent(
+        t._1, ts("2024-01-01 10:01:00"), t._2, t._3)).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("nb_gate")
+        .select("doc_id", "nb_bits").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed.size == docs.length)
+      streamed.foreach { case (id, bits) =>
+        assert(bits == expected(id),
+          s"doc $id: stream=$bits scratch=${expected(id)}")
+      }
+      // non-vacuous: the gate both admits and rejects somewhere
+      assert(expected.values.exists(_ >= 0))
+      assert(expected.values.exists(_ < 0))
+    } finally q.stop()
+  }
+
   test("decon gate: stream max-cos census reproduces batch q267 " +
     "across split batches") {
     val s = spark
