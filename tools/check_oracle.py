@@ -47,6 +47,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    results = {}
     for name in sorted(oracle):
         sql = oracle[name]
         path = os.path.join(out_dir, name)
@@ -55,6 +56,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         if not files:
             print(f"FAIL {name}: no spark output")
             n_fail += 1
+            results[name] = {"status": "fail", "rows": -1}
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
         want = con.execute(sql).df()
@@ -64,6 +66,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         want.columns = [c.lower() for c in want.columns]
         h_got, h_want = canon(got), canon(want)
         ok = ok_schema and len(got) == len(want) and h_got == h_want
+        results[name] = {"status": "pass" if ok else "fail",
+                         "rows": len(got)}
         if ok:
             n_pass += 1
             print(f"PASS {name} rows={len(got)}")
@@ -79,6 +83,18 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print("  spark:", g.head(3).to_dict("records"))
                 print("  duck :", w.head(3).to_dict("records"))
     print(f"\n{n_pass} pass, {n_fail} fail")
+    out = os.environ.get("CHECK_ORACLE_JSON")
+    if out:
+        art = {
+            "round": int(os.environ.get("CHECK_ORACLE_ROUND", "0")),
+            "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+            "note": os.environ.get("CHECK_ORACLE_NOTE", ""),
+            "n_pass": n_pass, "n_fail": n_fail,
+            "queries": results,
+        }
+        with open(out, "w") as f:
+            json.dump(art, f, indent=1)
+        print(f"wrote {out}")
     return 1 if n_fail else 0
 
 
