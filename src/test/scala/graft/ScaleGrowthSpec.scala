@@ -50,6 +50,37 @@ class ScaleGrowthSpec extends AnyFunSuite {
     assert(dups(ampDir) == 4 * dups(sf))
   }
 
+  test("amplifier: x4 embedding near-dup structure is replica-" +
+    "isomorphic — no cross-replica edges, per-replica counts near base") {
+    // the round-9 ×1024 probe caught the embedding analogue of the
+    // round-8 constant-salt collapse: replicas of one base vector
+    // stayed pairwise cosine-close AND shared the base label space,
+    // so q64's near-dup edge count grew 16× per 4× amplification
+    // (102M edges at x1024 = 95% of q98's input). The fix is a
+    // per-replica ±1 sign pattern (cancels within a replica, scrambles
+    // across) plus a per-replica label-space offset (the "k ∝ N
+    // clusters" production contract). This pins both: cross-replica
+    // edges must be STRUCTURALLY zero (labels disjoint), and each
+    // replica's internal edge count must stay near the base corpus's
+    // (the ±noise moves borderline-0.3 pairs slightly).
+    val baseEdges = graft.ops.VectorOps
+      .q64CosineNearDup(spark, sf).count()
+    val amp = graft.ops.VectorOps.q64CosineNearDup(spark, ampDir)
+      .withColumn("rep_a", expr("id_a div 1048576"))
+      .withColumn("rep_b", expr("id_b div 1048576"))
+    val cross = amp.filter(col("rep_a") =!= col("rep_b")).count()
+    assert(cross == 0L,
+      s"cross-replica embedding near-dup edges must be zero, got $cross")
+    val perRep = amp.groupBy(col("rep_a")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRep.size == 4, s"expected 4 replicas, got ${perRep.keys}")
+    perRep.foreach { case (rep, n) =>
+      assert(n >= baseEdges / 2 && n <= baseEdges * 2,
+        s"replica $rep edge count $n far from base $baseEdges — " +
+          "amplified near-dup structure is no longer isomorphic")
+    }
+  }
+
   test("cluster-grain simhash edges satisfy the exact structural " +
     "identity: (docs − distinct sigs) stars + one edge per verified " +
     "signature pair — NO member-pair quadratic term, at any scale") {

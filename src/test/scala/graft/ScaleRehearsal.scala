@@ -110,13 +110,42 @@ object ScaleRehearsal {
       .withColumn("n_chars", length(col("text")))
   }
 
-  /** Replica-k embedding perturbation (k ≥ 1). */
+  /** Replica-k embedding perturbation (k ≥ 1).
+    *
+    * Two lanes, each fixing a measured amplifier artifact:
+    *   - small per-element noise (as before) so replicas are not
+    *     bit-identical;
+    *   - a PER-REPLICA deterministic ±1 sign pattern s(k, i) applied
+    *     to every vector of replica k. Within a replica the pattern
+    *     cancels in every cosine (cos(s⊙u, s⊙v) = cos(u, v)), so
+    *     per-replica near-dup structure stays isomorphic to the base
+    *     corpus; ACROSS replicas the product pattern s(k,·)s(j,·) is
+    *     an independent random sign vector, so cross-replica cosines
+    *     concentrate near 0 (std ≈ 1/√dim) and land in unrelated LSH
+    *     buckets. Without it, the ×1024 probe measured the x256→x1024
+    *     embedding near-dup edge count growing 16× per 4× (quadratic:
+    *     every replica of a base vector stayed cosine-close to every
+    *     other replica — 102M edges at x1024, 95% of q98's input, the
+    *     whole α=1.27 residue; see SCALE_r09_deep + EdgeCensusProbe).
+    *     The text lanes got the equivalent fix (word-derived salts)
+    *     in round 8; this is the embedding analogue. */
   private def perturbEmb(emb: DataFrame, k: Int): DataFrame =
     emb
       .withColumn("embedding", expr(
-        s"""transform(embedding, (v, i) -> CAST(v +
-            (pmod(hash(vec_id, $k, i), 1000) / 1000.0 - 0.5) * 0.1
+        s"""transform(embedding, (v, i) -> CAST(
+            (CASE WHEN pmod(hash($k, i), 2) = 0
+              THEN 1.0 ELSE -1.0 END) *
+            (v + (pmod(hash(vec_id, $k, i), 1000) / 1000.0 - 0.5) * 0.1)
             AS FLOAT))"""))
+      // label = coarse-quantizer cell. q64/q84's documented 100 TB
+      // contract is "k ∝ N clusters keeps cell sizes constant"; an
+      // amplifier that grows the corpus but not the label space makes
+      // label-blocked candidate work quadratic BY CONSTRUCTION (cells
+      // grow ∝ N), which is an artifact of the amplifier, not of the
+      // queries. Replicating the label space per replica is the
+      // embedding analogue of giving each text replica its own salt
+      // namespace.
+      .withColumn("label", (col("label") + lit(k * 1000)).cast("int"))
       .withColumn("vec_id", col("vec_id") + lit(k.toLong << 20))
 
   /** Materializes the A×-amplified table dir (idempotent: skips if
