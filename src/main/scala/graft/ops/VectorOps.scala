@@ -192,6 +192,87 @@ object VectorOps {
     FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ${dotSql("a.embedding", "b.embedding")} / (a.norm * b.norm) >= 0.3"""
 
+  // ------------------------------------------- k-NN dup clusters
+  /** Near-duplicate CLUSTERS over the k-NN graph (k = 3) instead of
+    * the full ε-graph: each near-dup participant keeps only its 3
+    * strongest neighbors (cosine desc, id asc — deterministic under
+    * the bit-identical [[dot]] fold), and components are computed
+    * over the symmetric closure of those capped edges. This is the
+    * PRODUCTION spelling of embedding dedup clustering: the round-9
+    * ×1024 probe measured exactly why — an ε-clique of m
+    * near-identical documents (templated/boilerplate families)
+    * contributes C(m, 2) edges to q64's ε-graph (102M edges at 5M
+    * docs on the pre-fix amplifier, 95% of q98's CC input), while the
+    * k-NN graph caps it at k·m WITHOUT disconnecting the clique
+    * (every member's strongest neighbors are fellow members, so the
+    * clique stays one component). The trade is documented, not
+    * hidden: sparse CHAINS of marginal pairs can split where the
+    * ε-graph kept them bridged (a node with > k neighbors drops its
+    * weakest links), which for dedup is the accepted behavior — weak
+    * bridges between strong families are review material, not kill
+    * evidence (q259's density audit is the detector for the inverse
+    * problem).
+    *
+    * 100 TB design: edge volume is ≤ k·N by construction at ANY
+    * clique size — the CC input stays linear where the ε-graph's is
+    * quadratic in family size; the top-k rank is a window PARTITIONED
+    * by node over its own candidates (bounded by the q64 cell size);
+    * the component loop is [[CorpusOps.connectedComponents]]'s two-tier
+    * layout (driver union-find under the cap, distributed label
+    * propagation above it). The oracle recomputes components from the
+    * same capped edges with a recursive CTE — an independent witness
+    * of the fixpoint. */
+  val q275KnnDupClusters: Q = (s, d) => {
+    import s.implicits._
+    val pairs = q64CosineNearDup(s, d)
+    val sym = pairs
+      .select($"id_a".as("src"), $"id_b".as("dst"), $"cosine")
+      .unionByName(pairs
+        .select($"id_b".as("src"), $"id_a".as("dst"), $"cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
+    val knn = sym
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"src", $"dst")
+      .distinct()
+    val labels = CorpusOps.connectedComponents(knn)
+    val sizes = labels.groupBy($"comp".as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.select($"doc_id", $"comp".as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+  }
+  val o275: String = s"""
+    WITH RECURSIVE
+    kp AS (${o64}),
+    ksym AS (
+      SELECT id_a AS src, id_b AS dst, cosine FROM kp
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst, cosine FROM kp),
+    knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src
+          ORDER BY cosine DESC, dst ASC) AS rk
+        FROM ksym)
+      WHERE rk <= 3),
+    kedges AS (
+      SELECT DISTINCT src, dst FROM knn
+      UNION
+      SELECT DISTINCT dst AS src, src AS dst FROM knn),
+    kreach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM kedges
+      UNION
+      SELECT kreach.doc_id, kedges.dst
+      FROM kreach JOIN kedges ON kedges.src = kreach.r),
+    kcomp AS (
+      SELECT doc_id, MIN(r) AS cluster_id FROM kreach GROUP BY doc_id),
+    ksizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM kcomp GROUP BY cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM kcomp c JOIN ksizes s USING (cluster_id)"""
+
   // -------------------------------------------------- semantic dedup
   /** SemDeDup-style semantic deduplication census: within each
     * coarse-quantizer cell (`label`), a vector is dropped when some
@@ -2631,6 +2712,7 @@ object VectorOps {
     FROM mc GROUP BY label"""
 
   val queries: Map[String, Q] = Map(
+    "q275_knn_dup_clusters" -> q275KnnDupClusters,
     "q267_semantic_decon" -> q267SemanticDecon,
     "q260_jl_audit" -> q260JlAudit,
     "q258_dim_collapse" -> q258DimCollapse,
@@ -2662,6 +2744,7 @@ object VectorOps {
     "q91_semdedup_centroid" -> q91SemDedupCentroid)
 
   val oracles: Map[String, String] = Map(
+    "q275_knn_dup_clusters" -> o275,
     "q267_semantic_decon" -> o267,
     "q260_jl_audit" -> o260,
     "q258_dim_collapse" -> o258,

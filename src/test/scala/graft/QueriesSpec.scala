@@ -1357,4 +1357,44 @@ class QueriesSpec extends AnyFunSuite {
     assert(got(3).contains(-1234.56))
     assert(got(12).isEmpty)
   }
+
+  test("q275 k-NN clusters partition the near-dup participants, " +
+    "carry min-member ids, and refine the epsilon-graph components") {
+    val rows = SparkEntry.queries("q275_knn_dup_clusters")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // one row per participant, cluster sizes consistent
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length
+      == rows.length)
+    byCluster.foreach { case (cid, ms) =>
+      assert(ms.forall(_.getAs[Long]("cluster_size") == ms.length))
+      assert(ms.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster id must be the min member, cluster $cid")
+      assert(ms.length >= 2, s"singleton cluster emitted: $cid")
+    }
+    // refinement: knn edges are a subset of the epsilon-graph's, so
+    // every k-NN cluster must sit inside ONE epsilon-component
+    // (computed here by an independent in-test union-find over the
+    // full q64 pair set — small at this SF)
+    val pairs = SparkEntry.queries("q64_cosine_neardup")(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    byCluster.foreach { case (cid, ms) =>
+      val comps = ms.map(m => find(m.getAs[Long]("doc_id"))).distinct
+      assert(comps.length == 1,
+        s"k-NN cluster $cid spans epsilon-components $comps")
+    }
+  }
 }

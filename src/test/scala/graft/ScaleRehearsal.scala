@@ -70,7 +70,11 @@ object ScaleRehearsal {
     // word-census join + doc-partitioned offset windows (q273), and
     // the packing census over its token counts (q274, vocab lanes
     // pruned by Catalyst)
-    "q273_bpe_encode", "q274_bpe_pack")
+    "q273_bpe_encode", "q274_bpe_pack",
+    // q275 is the production k-NN respelling of embedding dup
+    // clustering — k·N edges at any clique size (the ε-graph lane the
+    // ×1024 probe measured quadratic pre-amplifier-fix)
+    "q275_knn_dup_clusters")
 
   private val SmallTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events")
