@@ -73,6 +73,23 @@ object Bench {
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""cpus":$cpus,"concurrent":$concurrent}"""
     println(json)
+    // The driver captures only the last ~2000 chars of stdout and
+    // json-parses what it finds there; the full line above (~9 KB at
+    // 260+ queries) has NEVER fit, so every official BENCH_r0N.json
+    // r01-r09 came back `parsed: null`. Emit a compact summary as the
+    // VERY LAST stdout line — same schema, but `queries` holds only
+    // the slowest handful (they dominate the total anyway) so the
+    // line stays well under the tail window. The full per-query map
+    // lives in the line above and in the on-disk artifacts.
+    val headline = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+    val hq = headline.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$hq,""" +
+      s""""queries_total":${results.size},"failed":[${failed.mkString(",")}],""" +
+      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""cpus":$cpus,"concurrent":$concurrent}"""
+    println(compact)
     // the driver captures stdout with a bounded tail that has truncated
     // the per-query map before (BENCH_r05); keep a full copy on disk.
     // BENCH_LAST.json is the SCRATCH copy — the driver's concurrent
@@ -85,6 +102,12 @@ object Bench {
     outs.foreach { p =>
       try java.nio.file.Files.write(java.nio.file.Paths.get(p),
         (json + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+      // sibling compact artifact so check_contract.py can assert the
+      // tail-window fit (<= 1500 chars) offline
+      val cp = p.stripSuffix(".json") + "_compact.json"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(cp),
+        (compact + "\n").getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
     spark.stop()

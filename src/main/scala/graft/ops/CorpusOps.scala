@@ -1452,6 +1452,80 @@ object CorpusOps {
     JOIN sizes s USING (cluster_id)
     JOIN kinds k USING (cluster_id)"""
 
+  /** q98's union-of-evidence dup clusters with the EMBEDDING lane on
+    * q275's k-NN capped edges instead of the raw ε-graph — the
+    * production spelling of the flagship (round-9 verdict "What's
+    * missing #2"). Same census columns as q98 so the two are directly
+    * comparable: on a corpus without giant boilerplate families the
+    * clusters coincide; on one WITH them, q98's ε-lane feeds C(m,2)
+    * edges per m-doc family into CC while this one feeds ≤ k·m —
+    * the ×1024 probe measured exactly that shape (102M ε-edges, 95%
+    * of q98's CC input, on the pre-fix amplifier). The trade is
+    * q275's: weak cosine chains between strong families may split
+    * (review material, not kill evidence).
+    *
+    * 100 TB design: all three lanes are now linear-volume by
+    * construction (simhash cluster-grain star edges, df-capped
+    * jaccard posting lists, k-NN-capped cosine edges); the scan +
+    * tokenize runs once via `sharedTextSignals`; the union is
+    * checkpointed once and consumed by both the CC loop and the
+    * signal census; the CC loop shuffles only (doc_id, comp). */
+  val q276UnionDupClustersKnn: Q = (s, d) => {
+    val shared = DedupOps.sharedTextSignals(s, d)
+    val sim = DedupOps.simhashClusterEdges(DedupOps.simhashFrom(shared))
+      .select(col("doc_a"), col("doc_b"), lit("simhash").as("kind"))
+    val jac = DedupOps.jaccardFrom(shared)
+      .select(col("doc_a"), col("doc_b"), lit("jaccard").as("kind"))
+    // directed top-3 edges; CC symmetrizes and the kinds census only
+    // reads DISTINCT kind per cluster, so orientation is immaterial
+    val emb = VectorOps.knnEdges(s, d)
+      .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+        lit("embedding").as("kind"))
+    val ev = sim.unionByName(jac).unionByName(emb).localCheckpoint()
+    val labels = connectedComponents(
+      ev.select(col("doc_a").as("src"), col("doc_b").as("dst")).distinct())
+    val sizes = labels.groupBy(col("comp").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val kinds = ev
+      .join(labels.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .groupBy(col("comp").as("cluster_id"))
+      .agg(countDistinct(col("kind")).as("n_signals"))
+    labels.select(col("doc_id"), col("comp").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .join(kinds, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        col("cluster_size"), col("n_signals"))
+  }
+  val o276: String = s"""
+    WITH RECURSIVE
+    sim AS (${DedupOps.o60}),
+    jac AS (${DedupOps.o58}),
+    ${VectorOps.knnCtes},
+    ev AS (
+      SELECT doc_a, doc_b, 'simhash' AS kind FROM sim
+      UNION ALL
+      SELECT doc_a, doc_b, 'jaccard' AS kind FROM jac
+      UNION ALL
+      SELECT src AS doc_a, dst AS doc_b, 'embedding' AS kind FROM knn),
+    uedges AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM ev
+               UNION
+               SELECT DISTINCT doc_b AS src, doc_a AS dst FROM ev),
+    reach(doc_id, r) AS (
+      SELECT DISTINCT src, src FROM uedges
+      UNION
+      SELECT reach.doc_id, uedges.dst
+      FROM reach JOIN uedges ON uedges.src = reach.r),
+    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+              FROM comp GROUP BY cluster_id),
+    kinds AS (SELECT c.cluster_id, COUNT(DISTINCT ev.kind) AS n_signals
+              FROM ev JOIN comp c ON c.doc_id = ev.doc_a
+              GROUP BY c.cluster_id)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size, k.n_signals
+    FROM comp c
+    JOIN sizes s USING (cluster_id)
+    JOIN kinds k USING (cluster_id)"""
+
   // ------------------------------------------------------ chunking
   private val ChunkSize = 50
   private val ChunkStride = 40
@@ -5067,6 +5141,17 @@ object CorpusOps {
     * evidence — the standard hashing-trick trade; the word-grain
     * q264 stays the offline-quality reference.
     *
+    * The weight table is DENSE over the full 0..255 domain (train
+    * census left-joined onto `range(256)`, zero-filled counts): a
+    * bucket unseen in train still carries its SMOOTHED weight
+    * ilog(1)−ilog(t1+256) − (ilog(1)−ilog(t0+256)) — which is 0 only
+    * when the class token masses coincide, so it must come from the
+    * model, not from a gate-side default. (An earlier cut emitted
+    * only seen buckets and claimed unseen ⇒ 0; that made the gate
+    * diverge from the NB formula by a class-balance-dependent
+    * constant per unseen-bucket token — round-9 ADVICE.) The gate's
+    * missing-bucket fallback is now unreachable by construction.
+    *
     * 100 TB design: one train-split scan collapses to the 256-bucket
     * census (map-side combined); everything after is 256-row
     * arithmetic against one broadcast totals row. */
@@ -5081,9 +5166,14 @@ object CorpusOps {
       .select(col("y"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("bucket", expr(tokenBucket("w")).cast("long"))
-    val tok = occ.groupBy(col("bucket"))
+    val seen = occ.groupBy(col("bucket"))
       .agg(sum(col("y")).cast("long").as("n1"),
         sum(lit(1L) - col("y")).cast("long").as("n0"))
+    // dense 0..255 domain: unseen buckets get (n1, n0) = (0, 0) so
+    // the smoothed weight formula covers them too (docstring)
+    val tok = s.range(0L, 256L).select(col("id").as("bucket"))
+      .join(seen, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n1", "n0"))
     val tots = tok.agg(sum(col("n1")).cast("long").as("t1"),
       sum(col("n0")).cast("long").as("t0"))
     val prior = docs
@@ -5796,6 +5886,7 @@ object CorpusOps {
     "q116_quality_sample" -> q116QualitySample,
     "q96_length_histogram" -> q96LengthHistogram,
     "q98_union_dup_clusters" -> q98UnionDupClusters,
+    "q276_union_dup_clusters_knn" -> q276UnionDupClustersKnn,
     "q99_chunk_docs" -> q99ChunkDocs,
     "q100_redact_blocklist" -> q100RedactBlocklist,
     "q101_length_quantiles" -> q101LengthQuantiles,
@@ -5873,6 +5964,7 @@ object CorpusOps {
     "q116_quality_sample" -> o116,
     "q96_length_histogram" -> o96,
     "q98_union_dup_clusters" -> o98,
+    "q276_union_dup_clusters_knn" -> o276,
     "q99_chunk_docs" -> o99,
     "q100_redact_blocklist" -> o100,
     "q101_length_quantiles" -> o101,

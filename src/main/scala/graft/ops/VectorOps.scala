@@ -222,7 +222,15 @@ object VectorOps {
     * propagation above it). The oracle recomputes components from the
     * same capped edges with a recursive CTE — an independent witness
     * of the fixpoint. */
-  val q275KnnDupClusters: Q = (s, d) => {
+  /** The top-3 capped near-dup edge set (src, dst) — q275's cluster
+    * input, and the linear-volume embedding evidence lane
+    * `CorpusOps.q276` swaps into the q98 union (round-9 verdict
+    * "What's missing #2": the flagship's ε-graph lane is quadratic in
+    * boilerplate-family size by construction; this lane is ≤ k·N at
+    * any clique size). Directed rows after the cap (an edge may
+    * survive from one endpoint's top-3 and not the other's); every
+    * consumer treats them as undirected. */
+  private[ops] def knnEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = q64CosineNearDup(s, d)
     val sym = pairs
@@ -231,20 +239,16 @@ object VectorOps {
         .select($"id_b".as("src"), $"id_a".as("dst"), $"cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"src").orderBy($"cosine".desc, $"dst".asc)
-    val knn = sym
+    sym
       .withColumn("rk", row_number().over(w))
       .filter($"rk" <= 3)
       .select($"src", $"dst")
       .distinct()
-    val labels = CorpusOps.connectedComponents(knn)
-    val sizes = labels.groupBy($"comp".as("cluster_id"))
-      .agg(count(lit(1)).cast("long").as("cluster_size"))
-    labels.select($"doc_id", $"comp".as("cluster_id"))
-      .join(sizes, Seq("cluster_id"))
-      .select($"doc_id", $"cluster_id", $"cluster_size")
   }
-  val o275: String = s"""
-    WITH RECURSIVE
+
+  /** The kp/ksym/knn CTE chain — the DuckDB twin of [[knnEdges]],
+    * shared by [[o275]] and CorpusOps.o276. */
+  private[ops] val knnCtes: String = s"""
     kp AS (${o64}),
     ksym AS (
       SELECT id_a AS src, id_b AS dst, cosine FROM kp
@@ -255,7 +259,21 @@ object VectorOps {
         SELECT src, dst, row_number() OVER (PARTITION BY src
           ORDER BY cosine DESC, dst ASC) AS rk
         FROM ksym)
-      WHERE rk <= 3),
+      WHERE rk <= 3)"""
+
+  val q275KnnDupClusters: Q = (s, d) => {
+    import s.implicits._
+    val knn = knnEdges(s, d)
+    val labels = CorpusOps.connectedComponents(knn)
+    val sizes = labels.groupBy($"comp".as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("cluster_size"))
+    labels.select($"doc_id", $"comp".as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+  }
+  val o275: String = s"""
+    WITH RECURSIVE
+    $knnCtes,
     kedges AS (
       SELECT DISTINCT src, dst FROM knn
       UNION

@@ -127,9 +127,13 @@ object CorpusStreaming {
     * store, intake-rate throughput at any scale. StreamingSpec pins
     * stream scores ≡ the batch q241 census over the same corpus.
     *
-    * Buckets unseen in training carry weight 0 (the add-1-smoothed
-    * LMs make them equally likely in both domains — no evidence,
-    * no push). */
+    * Buckets unseen in training score 0 by an explicit ABSTENTION
+    * convention (not because the smoothed formula yields 0 — it
+    * would give ilog(t_raw)−ilog(t_tgt) > 0, i.e. spurious
+    * target-likeness for tokens the trainer never saw, since the raw
+    * corpus mass always exceeds the target slice's). The batch q241
+    * parity pin is unaffected: batch only ever scores tokens whose
+    * buckets were counted, so the fallback is batch-unreachable. */
   def dsirGateStream(docs: DataFrame,
                      bucketWeights: DataFrame): DataFrame = {
     val trained = bucketWeights.collect()
@@ -161,8 +165,15 @@ object CorpusStreaming {
     * word-vocabulary model would need a stream-static join (stateful
     * per-batch shuffle) just to look weights up; hashed buckets make
     * the whole model a wiring-time literal, intake-rate throughput at
-    * any scale. StreamingSpec pins stream scores ≡ an independent
-    * plain-Scala hashed-NB over the same corpus, doc by doc. */
+    * any scale. The trained table is DENSE over the 0..255 domain
+    * (`nbHashedWeights` left-joins the census onto `range(256)`), so
+    * every bucket — seen in train or not — carries its smoothed NB
+    * weight and the `getOrElse(0)` below is an unreachable
+    * defensive default, not a semantic choice (round-9 ADVICE: with
+    * a sparse table the gate diverged from the NB formula on any
+    * corpus leaving a bucket unseen). StreamingSpec pins stream
+    * scores ≡ an independent plain-Scala hashed-NB over the same
+    * corpus, doc by doc. */
   def nbGateStream(docs: DataFrame, model: DataFrame): DataFrame = {
     val rows = model.collect()
       .map(r => r.getLong(r.fieldIndex("bucket")) ->

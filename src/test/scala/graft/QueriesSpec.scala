@@ -1397,4 +1397,50 @@ class QueriesSpec extends AnyFunSuite {
         s"k-NN cluster $cid spans epsilon-components $comps")
     }
   }
+
+  test("q276 union clusters (knn embedding lane) sit in the refinement " +
+    "sandwich q275 <= q276 <= q98 and carry consistent signal censuses") {
+    val q276 = SparkEntry.queries("q276_union_dup_clusters_knn")(
+      spark, sf).collect()
+    assert(q276.nonEmpty)
+    val byC = q276.groupBy(_.getAs[Long]("cluster_id"))
+    assert(q276.map(_.getAs[Long]("doc_id")).distinct.length
+      == q276.length)
+    byC.foreach { case (cid, ms) =>
+      assert(ms.forall(_.getAs[Long]("cluster_size") == ms.length),
+        s"cluster_size inconsistent in $cid")
+      assert(ms.map(_.getAs[Long]("doc_id")).min == cid,
+        s"cluster id must be the min member, cluster $cid")
+      val ns = ms.map(_.getAs[Long]("n_signals")).distinct
+      assert(ns.length == 1 && ns.head >= 1L && ns.head <= 3L,
+        s"n_signals census broken in $cid: $ns")
+    }
+    // upper bound: q276's edges (sim + jac + knn) are a subset of
+    // q98's (sim + jac + epsilon, since knn is epsilon top-3-capped),
+    // so every q276 cluster must sit inside ONE q98 cluster
+    val q98m = SparkEntry.queries("q98_union_dup_clusters")(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    byC.foreach { case (cid, ms) =>
+      val cs = ms.map(m => q98m(m.getAs[Long]("doc_id"))).distinct
+      assert(cs.length == 1, s"q276 cluster $cid spans q98 clusters $cs")
+    }
+    // lower bound: q276's edge set contains all of q275's (the knn
+    // lane verbatim), so every q275 cluster sits inside ONE q276
+    // cluster
+    val q276m = q276
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    SparkEntry.queries("q275_knn_dup_clusters")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+      .groupBy(_._2)
+      .foreach { case (cid, ms) =>
+        val cs = ms.map(m => q276m(m._1)).distinct
+        assert(cs.length == 1,
+          s"q275 cluster $cid spans q276 clusters $cs")
+      }
+    // non-vacuous: some cluster carries multi-kind evidence
+    assert(q276.exists(_.getAs[Long]("n_signals") >= 2L))
+  }
 }

@@ -141,6 +141,102 @@ class ScaleGrowthSpec extends AnyFunSuite {
       s"expected the int64 spelling to overflow, got: ${int64.getMessage}")
   }
 
+  // ------------------------------------------------- skew profile
+  private lazy val skewDir: String = {
+    val d = "target/scale-spec/skew-x4"
+    ScaleRehearsal.amplify(spark, sf, d, 4, skew = true)
+    d
+  }
+
+  test("skew amplifier: 4x docs with unique ids, family docs are " +
+    "verbatim-plus-tail near-dups, replica source mass is Zipf-hot") {
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+    val amp = spark.read.parquet(s"$skewDir/documents.parquet")
+    assert(amp.count() == 4 * base.count())
+    assert(amp.select(col("doc_id")).distinct().count() == amp.count())
+    // family membership keys on the base id, so the family count is
+    // exactly 4x the base family count. Planted-replay docs (base ids
+    // >= 2^40) make base-id recovery via pmod ambiguous — restrict
+    // both sides to the normal id space (replicas of normal docs all
+    // land under 4 * 2^20; planted docs and their replicas are >= 2^40)
+    val famBase = base.filter(col("doc_id") < lit(1L << 20))
+      .filter(expr(ScaleRehearsal.FamDocSelector)).count()
+    assert(famBase >= 2, s"fixture too small: $famBase family docs")
+    val famAmp = amp.filter(col("doc_id") < lit(4L << 20))
+      .filter(expr("pmod(hash(pmod(doc_id, 1048576)), 100) = 7"))
+    assert(famAmp.count() == 4 * famBase)
+    // family replicas: base text verbatim + one replica tail token
+    val famTexts = famAmp
+      .withColumn("base_id", expr("pmod(doc_id, 1048576)"))
+      .withColumn("rep", expr("doc_id div 1048576"))
+      .select(col("base_id"), col("rep"), col("text"))
+      .collect()
+      .groupBy(_.getAs[Long]("base_id"))
+    famTexts.foreach { case (bid, rows) =>
+      val byRep = rows.map(r =>
+        r.getAs[Long]("rep") -> r.getAs[String]("text")).toMap
+      assert(byRep.keySet == Set(0L, 1L, 2L, 3L), s"family $bid reps")
+      (1L to 3L).foreach { k =>
+        assert(byRep(k) == byRep(0L) + s" zzrep${k}tl",
+          s"family $bid replica $k is not base-verbatim + tail")
+      }
+    }
+    // Zipf sources: replica rows redraw from zsrc1..zsrc8, rank-1
+    // carries ~36.8% of replica mass (binomial noise at n≈1500 keeps
+    // the observed share within a few points)
+    val repSrc = amp
+      .filter(col("doc_id") >= lit(1L << 20)
+        && col("doc_id") < lit(4L << 20))
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count"))
+      .toMap
+    assert(repSrc.keySet.subsetOf((1 to 8).map("zsrc" + _).toSet),
+      s"replica sources outside the Zipf domain: ${repSrc.keySet}")
+    val total = repSrc.values.sum.toDouble
+    val hot = repSrc.getOrElse("zsrc1", 0L) / total
+    assert(hot > 0.30 && hot < 0.45,
+      s"zsrc1 share $hot outside the Zipf(1) envelope [0.30, 0.45]")
+    assert(repSrc.getOrElse("zsrc1", 0L) > repSrc.getOrElse("zsrc8", 0L),
+      "Zipf ordering lost between rank 1 and rank 8")
+  }
+
+  test("skew amplifier: cross-replica embedding near-dup edges exist " +
+    "and every k>=1 endpoint of one is a family vec") {
+    // the deliberate inverse of the uniform profile's zero-cross-
+    // replica invariant: family vecs keep the base label and skip the
+    // sign scramble, so their replicas form cosine~1 cross-replica
+    // cliques; NON-family replicas still cannot cross-match (their
+    // label space is offset per replica)
+    val amp = graft.ops.VectorOps.q64CosineNearDup(spark, skewDir)
+      .withColumn("rep_a", expr("id_a div 1048576"))
+      .withColumn("rep_b", expr("id_b div 1048576"))
+      .withColumn("fam_a", expr("pmod(pmod(id_a, 1048576), 100) = 0"))
+      .withColumn("fam_b", expr("pmod(pmod(id_b, 1048576), 100) = 0"))
+      .localCheckpoint()
+    val cross = amp.filter(col("rep_a") =!= col("rep_b"))
+    assert(cross.count() > 0L,
+      "skew profile produced no cross-replica embedding edges")
+    val badA = cross
+      .filter(col("rep_a") >= 1 && !col("fam_a")).count()
+    val badB = cross
+      .filter(col("rep_b") >= 1 && !col("fam_b")).count()
+    assert(badA + badB == 0L,
+      s"non-family replica endpoints on cross-replica edges: $badA+$badB")
+    // family clique volume is C(4,2)-bounded per family base vec (the
+    // controlled quadratic-in-A knob): same-base cross-replica pairs
+    // are at most C(4,2) per sampled family vec
+    val sameBase = cross
+      .filter(expr("pmod(id_a, 1048576) = pmod(id_b, 1048576)"))
+      .groupBy(expr("pmod(id_a, 1048576)").as("base_id"))
+      .count().collect()
+    assert(sameBase.nonEmpty)
+    sameBase.foreach { r =>
+      assert(r.getAs[Long]("count") <= 6L,
+        s"family ${r.getAs[Long]("base_id")}: more than C(4,2) " +
+          s"cross-replica pairs (${r.getAs[Long]("count")})")
+    }
+  }
+
   test("jaccard census: decimal sum is exact on a maximal capped " +
     "identical-text group") {
     val s = spark

@@ -74,7 +74,10 @@ object ScaleRehearsal {
     // q275 is the production k-NN respelling of embedding dup
     // clustering — k·N edges at any clique size (the ε-graph lane the
     // ×1024 probe measured quadratic pre-amplifier-fix)
-    "q275_knn_dup_clusters")
+    "q275_knn_dup_clusters",
+    // round 10: the flagship with its embedding lane on those capped
+    // edges — all three evidence lanes linear-volume by construction
+    "q276_union_dup_clusters_knn")
 
   private val SmallTables = Seq("region", "nation", "customer",
     "supplier", "part", "orders", "lineitem", "events")
@@ -152,11 +155,113 @@ object ScaleRehearsal {
       .withColumn("label", (col("label") + lit(k * 1000)).cast("int"))
       .withColumn("vec_id", col("vec_id") + lit(k.toLong << 20))
 
+  // ----------------------------------------------------- skew profile
+  /** Round-10 skew profile (round-9 verdict "What's missing #1"): the
+    * uniform amplifier replicates near-uniformly — every replica's
+    * dup structure is isomorphic to the base and cross-replica
+    * structure is zero BY CONSTRUCTION. Real corpora are Zipfian:
+    * hot sources, giant boilerplate families at controlled rates,
+    * hot join keys. Three deliberate skew knobs, all deterministic:
+    *
+    *   1. FAMILY docs (1% of base ids, [[FamDocSelector]]): their
+    *      replicas keep the base text VERBATIM plus one
+    *      replica-distinct tail token — so each family doc becomes an
+    *      A-member cross-replica NEAR-DUP family (shared shingles →
+    *      hot posting lists and LSH bands; the df caps and the k-NN
+    *      edge cap are exactly the machinery this stresses). Their
+    *      embeddings keep the base label (hot cells) and skip the
+    *      sign scramble (cross-replica cosines ≈ 1) — the ε-graph
+    *      lane sees C(A,2) edges per family where q275/q276's k-NN
+    *      lane sees ≤ k·A: the contrast the skew rehearsal exists to
+    *      measure.
+    *   2. ZIPF source mass: every replica doc's `source` is redrawn
+    *      from an 8-value Zipf(1) distribution (rank-1 ≈ 36.8% of
+    *      mass) — hot groupBy/join keys for every source-grain census
+    *      (q241/q251/q265/q271...).
+    *   3. Everything else rides the uniform lanes, so the skewed
+    *      corpus is the uniform corpus + controlled hot spots, and a
+    *      skew-vs-uniform α diff attributes to the skew.
+    *
+    * The uniform profile's zero-cross-replica invariants
+    * (ScaleGrowthSpec) intentionally do NOT hold here — the skew spec
+    * pins instead that cross-replica edges appear ONLY among family
+    * docs and at the C(A,2)-bounded rate the knobs dictate. */
+  private[graft] val FamDocSelector = "pmod(hash(doc_id), 100) = 7"
+  // plain modulus (not hash) so the 1% family is a subset of q64's
+  // `vec_id % 5 = 0` sample — every embedding family is visible to
+  // the near-dup lanes at every SF
+  private[graft] val FamVecSelector = "pmod(vec_id, 100) = 0"
+
+  /** Zipf(1) over 8 hot sources: p(r) ∝ 1/r, H₈ ≈ 2.7179, CDF·1000 =
+    * 368, 552, 675, 767, 841, 902, 955, 1000. */
+  private def zipfSourceCase(k: Int): String = {
+    val cum = Seq(368, 552, 675, 767, 841, 902, 955, 1000)
+    val cases = cum.zipWithIndex.map { case (c, i) =>
+      s"WHEN pmod(hash(doc_id, $k, 'zipf'), 1000) < $c THEN 'zsrc${i + 1}'"
+    }.mkString(" ")
+    s"CASE $cases ELSE source END"
+  }
+
+  /** Replica-k document perturbation, skew profile (k ≥ 1). */
+  private def perturbDocsSkew(docs: DataFrame, k: Int): DataFrame = {
+    val shift = k % 26
+    val rot = Alpha.drop(shift) + Alpha.take(shift)
+    docs
+      // family membership keys on the BASE id (pre-offset) so every
+      // replica of a family doc is in the family
+      .withColumn("fam", expr(FamDocSelector))
+      .withColumn("doc_id", col("doc_id") + lit(k.toLong << 20))
+      .withColumn("t_rot",
+        translate(col("text"), Alpha + Alpha.toUpperCase,
+          rot + rot.toUpperCase))
+      .withColumn("t_uni", array_join(flatten(
+        expr(s"""transform(split(t_rot, ' '), (w, i) ->
+             IF((i + 1) % 2 = 0,
+                array(w, concat('zzr${k}x',
+                  CAST(pmod(hash(w), 997) AS STRING))),
+                array(w)))""")),
+        " "))
+      .withColumn("text", when(col("fam"),
+        // family lane: base text verbatim + one replica tail token —
+        // near-dup (not exact-dup) across replicas and vs the base
+        concat(col("text"), lit(s" zzrep${k}tl")))
+        .otherwise(col("t_uni")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("source", expr(zipfSourceCase(k)))
+      .drop("fam", "t_rot", "t_uni")
+  }
+
+  /** Replica-k embedding perturbation, skew profile (k ≥ 1). */
+  private def perturbEmbSkew(emb: DataFrame, k: Int): DataFrame =
+    emb
+      .withColumn("fam", expr(FamVecSelector))
+      .withColumn("embedding", expr(
+        s"""CASE WHEN fam THEN
+              transform(embedding, (v, i) -> CAST(
+                v + (pmod(hash(vec_id, $k, i), 1000) / 1000.0 - 0.5)
+                  * 0.02
+                AS FLOAT))
+            ELSE
+              transform(embedding, (v, i) -> CAST(
+                (CASE WHEN pmod(hash($k, i), 2) = 0
+                  THEN 1.0 ELSE -1.0 END) *
+                (v + (pmod(hash(vec_id, $k, i), 1000) / 1000.0 - 0.5)
+                  * 0.1)
+                AS FLOAT))
+            END"""))
+      // family vecs keep the BASE label — a hot quantizer cell that
+      // grows with A, the deliberate inverse of the uniform profile's
+      // per-replica label-space offset
+      .withColumn("label", when(col("fam"), col("label"))
+        .otherwise((col("label") + lit(k * 1000)).cast("int")))
+      .withColumn("vec_id", col("vec_id") + lit(k.toLong << 20))
+      .drop("fam")
+
   /** Materializes the A×-amplified table dir (idempotent: skips if
     * present). Small tables hard-link/copy through symlinks so the
     * dir is a complete sf layout every `Tables` reader accepts. */
   def amplify(spark: SparkSession, sfDir: String, outDir: String,
-              a: Int): Unit = {
+              a: Int, skew: Boolean = false): Unit = {
     val marker = Paths.get(s"$outDir/_AMPLIFIED_OK")
     if (Files.exists(marker)) return
     Files.createDirectories(Paths.get(outDir))
@@ -171,7 +276,9 @@ object ScaleRehearsal {
     val batch = 128
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     (0 until a).grouped(batch).zipWithIndex.foreach { case (ks, bi) =>
-      ks.map(k => if (k == 0) docs else perturbDocs(docs, k))
+      ks.map(k => if (k == 0) docs
+          else if (skew) perturbDocsSkew(docs, k)
+          else perturbDocs(docs, k))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode(if (bi == 0) "overwrite" else "append")
@@ -179,7 +286,9 @@ object ScaleRehearsal {
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     (0 until a).grouped(batch).zipWithIndex.foreach { case (ks, bi) =>
-      ks.map(k => if (k == 0) emb else perturbEmb(emb, k))
+      ks.map(k => if (k == 0) emb
+          else if (skew) perturbEmbSkew(emb, k)
+          else perturbEmb(emb, k))
         .reduce(_ unionByName _)
         .repartition(spark.sparkContext.defaultParallelism)
         .write.mode(if (bi == 0) "overwrite" else "append")
@@ -214,6 +323,13 @@ object ScaleRehearsal {
       .split(",").map(_.trim.toInt).toSeq.sorted
     val outJson =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_r08.json")
+    // skew profile (see the skew-profile scaladoc above); amplified
+    // dirs are cached separately from the uniform profile's
+    val skew = sys.env.contains("SPARK_GRAFT_SCALE_SKEW")
+    // median-of-R per (query, dir) — q58's round-9 α carried a ±0.4
+    // error bar from single-shot run variance at ~5 s absolute times
+    val repeats = sys.env.get("SPARK_GRAFT_SCALE_REPEATS")
+      .map(_.toInt).getOrElse(1)
     val names = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .map(pats => RehearsalQueries.filter(n => pats.exists(n.contains)))
@@ -246,9 +362,9 @@ object ScaleRehearsal {
     val dirs: Seq[(Int, String)] = amps.map { a =>
       if (a == 1) a -> sfDir
       else {
-        val d = s"$workDir/x$a"
-        println(s"[scale] amplifying x$a -> $d")
-        amplify(spark, sfDir, d, a)
+        val d = if (skew) s"$workDir/skew-x$a" else s"$workDir/x$a"
+        println(s"[scale] amplifying x$a (skew=$skew) -> $d")
+        amplify(spark, sfDir, d, a, skew)
         a -> d
       }
     }
@@ -264,10 +380,16 @@ object ScaleRehearsal {
     val times = scala.collection.mutable.Map
       .empty[(String, Int), Double]
     for ((a, d) <- dirs; n <- names) {
-      ensureAlive()
-      val dt = runOne(spark, n, d)
+      val dts = (1 to repeats).map { _ =>
+        ensureAlive()
+        runOne(spark, n, d)
+      }
+      val valid = dts.filter(_ >= 0).sorted
+      val dt = if (valid.isEmpty) -1.0 else valid(valid.size / 2)
       times((n, a)) = dt
-      println(f"[scale] x$a%-3d $n%-28s ${dt}%8.2f s")
+      println(f"[scale] x$a%-3d $n%-28s ${dt}%8.2f s" +
+        (if (repeats > 1) s" (median of ${valid.size}: " +
+          valid.map(v => f"$v%.2f").mkString(", ") + ")" else ""))
     }
     ensureAlive()
 
@@ -287,6 +409,40 @@ object ScaleRehearsal {
         n -> (fpLo, fpHi)
       }
     }.toMap
+
+    // optional: rehearse the release WRITE path at the largest
+    // amplification (round-9 verdict "What's missing #3" — the
+    // partitioned write + manifest + re-read audit had only ever run
+    // at sf0.001 x1)
+    val releaseJson =
+      if (!sys.env.contains("SPARK_GRAFT_SCALE_RELEASE")) ""
+      else {
+        ensureAlive()
+        val relDir = s"$workDir/release-${if (skew) "skew-" else ""}x$aHi"
+        println(s"[scale] writeRelease @ x$aHi -> $relDir")
+        val t0 = System.nanoTime()
+        val audit =
+          try Some(graft.ops.CorpusOps
+            .writeRelease(spark, dirs.last._2, relDir).collect())
+          catch { case e: Throwable =>
+            System.err.println(s"[scale] writeRelease failed: ${e.getMessage}")
+            None
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        audit match {
+          case Some(rows) =>
+            val nDocsShipped = rows.map(_.getAs[Long]("rr_n_docs")).sum
+            val nToks = rows.map(_.getAs[Long]("rr_n_tokens")).sum
+            val allOk = rows.forall(r => r.getAs[Boolean]("ok"))
+            println(f"[scale] writeRelease x$aHi: $dt%.2f s, " +
+              s"$nDocsShipped docs / $nToks tokens, audit ok=$allOk")
+            s""""release_write":{"amp":$aHi,"t_sec":$dt,""" +
+              s""""n_docs_shipped":$nDocsShipped,"n_tokens":$nToks,""" +
+              s""""n_census_rows":${rows.length},"audit_all_ok":$allOk},"""
+          case None =>
+            s""""release_write":{"amp":$aHi,"t_sec":$dt,"failed":true},"""
+        }
+      }
 
     val aMid = if (amps.size >= 2) amps(amps.size - 2) else aLo
     def q(s: String) = "\"" + s + "\""
@@ -316,10 +472,13 @@ object ScaleRehearsal {
     }
     val failed = names.filter(n => amps.exists(a => times((n, a)) < 0))
     val json =
-      s"""{${q("sf")}:${q(sfDir)},${q("amplifications")}:[${amps.mkString(",")}],""" +
+      s"""{${q("sf")}:${q(sfDir)},${q("profile")}:${q(if (skew) "skew" else "uniform")},""" +
+        s"""${q("repeats")}:$repeats,""" +
+        s"""${q("amplifications")}:[${amps.mkString(",")}],""" +
         s"""${q("n_docs")}:{${nDocs.toSeq.sorted.map { case (a, c) => s"${q("x" + a)}:$c" }.mkString(",")}},""" +
         s"""${q("cpus")}:$cpus,""" +
         s"""${q("alpha_grading")}:${q(s"fit between x$aMid and x$aHi")},""" +
+        releaseJson +
         s"""${q("failed")}:[${failed.map(q).mkString(",")}],""" +
         s"""${q("queries")}:{${rows.mkString(",")}}}"""
     Files.writeString(Paths.get(outJson), json + "\n")

@@ -99,6 +99,17 @@ def check_bench_json(path, schema, errors):
     if "\n" in text:
         errors.append(f"bench: {path} is not ONE line "
                       f"(driver tail-parses a single JSON line)")
+    # Compact artifacts exist to recover the driver's bounded tail
+    # capture (~2000 chars, r01-r09 all `parsed: null`): Bench prints
+    # the compact line LAST on stdout and mirrors it to
+    # *_compact.json. The tail window must fit the line plus slack
+    # for whatever the harness appends after it.
+    if path.endswith("_compact.json") and \
+            len(text) > schema["bench_compact_max_chars"]:
+        errors.append(
+            f"bench: {path} is {len(text)} chars, exceeds the "
+            f"{schema['bench_compact_max_chars']}-char compact budget "
+            f"(driver tail capture is ~2000 chars)")
     try:
         obj = json.loads(text)
     except Exception as e:
