@@ -142,29 +142,35 @@ class ScaleGrowthSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------- skew profile
+  // x8, not x4: the replica vec_id offset shifts ids by k (mod 5), so
+  // q64's `% 5` sample sees a family replica only at k ≡ 0 (mod 5) —
+  // the smallest amplification with a SAMPLED cross-replica family
+  // pair is x8 (k ∈ {0, 5})
+  private val SkewAmp = 8
   private lazy val skewDir: String = {
-    val d = "target/scale-spec/skew-x4"
-    ScaleRehearsal.amplify(spark, sf, d, 4, skew = true)
+    val d = s"target/scale-spec/skew-x$SkewAmp"
+    ScaleRehearsal.amplify(spark, sf, d, SkewAmp, skew = true)
     d
   }
 
-  test("skew amplifier: 4x docs with unique ids, family docs are " +
-    "verbatim-plus-tail near-dups, replica source mass is Zipf-hot") {
+  test("skew amplifier: amplified docs with unique ids, family docs " +
+    "are verbatim-plus-tail near-dups, replica source mass is Zipf-hot") {
     val base = spark.read.parquet(s"$sf/documents.parquet")
     val amp = spark.read.parquet(s"$skewDir/documents.parquet")
-    assert(amp.count() == 4 * base.count())
+    assert(amp.count() == SkewAmp * base.count())
     assert(amp.select(col("doc_id")).distinct().count() == amp.count())
     // family membership keys on the base id, so the family count is
-    // exactly 4x the base family count. Planted-replay docs (base ids
-    // >= 2^40) make base-id recovery via pmod ambiguous — restrict
-    // both sides to the normal id space (replicas of normal docs all
-    // land under 4 * 2^20; planted docs and their replicas are >= 2^40)
+    // exactly SkewAmp x the base family count. Planted-replay docs
+    // (base ids >= 2^40) make base-id recovery via pmod ambiguous —
+    // restrict both sides to the normal id space (replicas of normal
+    // docs all land under SkewAmp * 2^20; planted docs and their
+    // replicas are >= 2^40)
     val famBase = base.filter(col("doc_id") < lit(1L << 20))
       .filter(expr(ScaleRehearsal.FamDocSelector)).count()
     assert(famBase >= 2, s"fixture too small: $famBase family docs")
-    val famAmp = amp.filter(col("doc_id") < lit(4L << 20))
+    val famAmp = amp.filter(col("doc_id") < lit(SkewAmp.toLong << 20))
       .filter(expr("pmod(hash(pmod(doc_id, 1048576)), 100) = 7"))
-    assert(famAmp.count() == 4 * famBase)
+    assert(famAmp.count() == SkewAmp * famBase)
     // family replicas: base text verbatim + one replica tail token
     val famTexts = famAmp
       .withColumn("base_id", expr("pmod(doc_id, 1048576)"))
@@ -175,18 +181,19 @@ class ScaleGrowthSpec extends AnyFunSuite {
     famTexts.foreach { case (bid, rows) =>
       val byRep = rows.map(r =>
         r.getAs[Long]("rep") -> r.getAs[String]("text")).toMap
-      assert(byRep.keySet == Set(0L, 1L, 2L, 3L), s"family $bid reps")
-      (1L to 3L).foreach { k =>
+      assert(byRep.keySet == (0L until SkewAmp.toLong).toSet,
+        s"family $bid reps: ${byRep.keySet}")
+      (1L until SkewAmp.toLong).foreach { k =>
         assert(byRep(k) == byRep(0L) + s" zzrep${k}tl",
           s"family $bid replica $k is not base-verbatim + tail")
       }
     }
     // Zipf sources: replica rows redraw from zsrc1..zsrc8, rank-1
-    // carries ~36.8% of replica mass (binomial noise at n≈1500 keeps
+    // carries ~36.8% of replica mass (binomial noise at n≈3500 keeps
     // the observed share within a few points)
     val repSrc = amp
       .filter(col("doc_id") >= lit(1L << 20)
-        && col("doc_id") < lit(4L << 20))
+        && col("doc_id") < lit(SkewAmp.toLong << 20))
       .groupBy(col("source")).count().collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Long]("count"))
       .toMap
@@ -210,8 +217,8 @@ class ScaleGrowthSpec extends AnyFunSuite {
     val amp = graft.ops.VectorOps.q64CosineNearDup(spark, skewDir)
       .withColumn("rep_a", expr("id_a div 1048576"))
       .withColumn("rep_b", expr("id_b div 1048576"))
-      .withColumn("fam_a", expr("pmod(pmod(id_a, 1048576), 100) = 0"))
-      .withColumn("fam_b", expr("pmod(pmod(id_b, 1048576), 100) = 0"))
+      .withColumn("fam_a", expr("pmod(pmod(id_a, 1048576), 20) = 0"))
+      .withColumn("fam_b", expr("pmod(pmod(id_b, 1048576), 20) = 0"))
       .localCheckpoint()
     val cross = amp.filter(col("rep_a") =!= col("rep_b"))
     assert(cross.count() > 0L,
@@ -222,17 +229,21 @@ class ScaleGrowthSpec extends AnyFunSuite {
       .filter(col("rep_b") >= 1 && !col("fam_b")).count()
     assert(badA + badB == 0L,
       s"non-family replica endpoints on cross-replica edges: $badA+$badB")
-    // family clique volume is C(4,2)-bounded per family base vec (the
-    // controlled quadratic-in-A knob): same-base cross-replica pairs
-    // are at most C(4,2) per sampled family vec
+    // family clique volume is bounded by C(#sampled reps, 2) per
+    // family base vec (the controlled quadratic-in-A knob): at x8
+    // only k ∈ {0, 5} of a family are in q64's % 5 sample, so
+    // same-base cross-replica pairs are at most C(2,2) = 1 per family
+    val sampledReps = (0 until SkewAmp).count(_ % 5 == 0)
+    val capPairs = sampledReps.toLong * (sampledReps - 1) / 2
     val sameBase = cross
       .filter(expr("pmod(id_a, 1048576) = pmod(id_b, 1048576)"))
       .groupBy(expr("pmod(id_a, 1048576)").as("base_id"))
       .count().collect()
-    assert(sameBase.nonEmpty)
+    assert(sameBase.nonEmpty,
+      "no same-base cross-replica family pairs surfaced")
     sameBase.foreach { r =>
-      assert(r.getAs[Long]("count") <= 6L,
-        s"family ${r.getAs[Long]("base_id")}: more than C(4,2) " +
+      assert(r.getAs[Long]("count") <= capPairs,
+        s"family ${r.getAs[Long]("base_id")}: more than C($sampledReps,2) " +
           s"cross-replica pairs (${r.getAs[Long]("count")})")
     }
   }

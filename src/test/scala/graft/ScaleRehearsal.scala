@@ -187,10 +187,13 @@ object ScaleRehearsal {
     * pins instead that cross-replica edges appear ONLY among family
     * docs and at the C(A,2)-bounded rate the knobs dictate. */
   private[graft] val FamDocSelector = "pmod(hash(doc_id), 100) = 7"
-  // plain modulus (not hash) so the 1% family is a subset of q64's
-  // `vec_id % 5 = 0` sample — every embedding family is visible to
-  // the near-dup lanes at every SF
-  private[graft] val FamVecSelector = "pmod(vec_id, 100) = 0"
+  // plain modulus (not hash) so family BASE ids sit inside q64's
+  // `vec_id % 5 = 0` sample. The replica offset k·2^20 shifts ids by
+  // k (mod 5), so only every 5th REPLICA of a family is sampled —
+  // the 5% base rate nets ~1% of the SAMPLED corpus in families, and
+  // family sizes visible to the near-dup lanes grow as ⌈A/5⌉ (still
+  // ∝ A, the knob the skew rehearsal turns)
+  private[graft] val FamVecSelector = "pmod(vec_id, 20) = 0"
 
   /** Zipf(1) over 8 hot sources: p(r) ∝ 1/r, H₈ ≈ 2.7179, CDF·1000 =
     * 368, 552, 675, 767, 841, 902, 955, 1000. */
