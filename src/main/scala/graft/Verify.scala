@@ -49,6 +49,17 @@ object Verify {
       .filter { case (k, _) => keep(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Compact status as the LAST stdout line (same rationale as
+    // Bench's compact line — the driver's tail capture is ~2000
+    // chars): how many dumps landed vs were attempted, so a
+    // tail-reading harness can tell "Verify ran clean" apart from
+    // "Verify died mid-dump" without parsing the output dir.
+    val dumped = selected.keys.count(n =>
+      Files.exists(Paths.get(s"$outDir/$n/_SUCCESS")))
+    println(s"""{"verify_attempted":${selected.size},""" +
+      s""""verify_dumped":$dumped,""" +
+      s""""oracle_entries":${SparkEntry.oracleSql.count(e => keep(e._1))},""" +
+      s""""out_dir":${q(outDir)},"sf":${q(sfDir)}}""")
     spark.stop()
   }
 }

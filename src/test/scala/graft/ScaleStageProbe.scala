@@ -64,9 +64,13 @@ object ScaleStageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_SCALE_SKEW probes the Zipf/dup-family profile (the
+    // q98-vs-q276 epsilon-vs-kNN contrast needs family sizes only the
+    // deep amplifications reach)
+    val skew = sys.env.contains("SPARK_GRAFT_SCALE_SKEW")
     val dirs: Map[Int, String] = amps.map { a =>
-      val dir = s"$workDir/x$a"
-      ScaleRehearsal.amplify(spark, sfDir, dir, a)
+      val dir = if (skew) s"$workDir/skew-x$a" else s"$workDir/x$a"
+      ScaleRehearsal.amplify(spark, sfDir, dir, a, skew)
       a -> dir
     }.toMap
 
@@ -126,6 +130,7 @@ object ScaleStageProbe {
     }.mkString("{", ",", "}")
     val json =
       s"""{"sf":${q(sfDir)},"amplifications":[${amps.mkString(",")}],""" +
+      s""""profile":${q(if (skew) "skew" else "uniform")},""" +
       s""""cpus":$cpus,""" +
       s""""alpha_grading":"fit between x$lo and x$hi",""" +
       s""""stage_grouping":"by callsite name; growth = task-time """ +

@@ -22,14 +22,19 @@ object EdgeCensusProbe {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_SCALE_SKEW reads the skew-profile dirs and also
+    // counts the k-NN capped lane (q276's) next to the ε lane (q98's)
+    // — the edge-volume contrast the dup-family knob exists to show
+    val skew = sys.env.contains("SPARK_GRAFT_SCALE_SKEW")
     for (a <- amps) {
-      val d = s"target/scale/x$a"
+      val d = if (skew) s"target/scale/skew-x$a" else s"target/scale/x$a"
       val shared = DedupOps.sharedTextSignals(spark, d)
       val sim = DedupOps
         .simhashClusterEdges(DedupOps.simhashFrom(shared)).count()
       val jac = DedupOps.jaccardFrom(shared).count()
       val emb = VectorOps.q64CosineNearDup(spark, d).count()
-      println(s"[edges] x$a sim=$sim jac=$jac emb=$emb")
+      val knn = VectorOps.knnEdges(spark, d).count()
+      println(s"[edges] x$a sim=$sim jac=$jac emb=$emb knn=$knn")
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
