@@ -44,8 +44,20 @@ def main(out, runs):
     }
     with open(out, "w") as f:
         f.write(json.dumps(merged, separators=(",", ":")) + "\n")
+    # compact twin (the tail-window-sized artifact Bench itself also
+    # writes): top-10 slowest queries only, no run provenance
+    top = sorted(((n, v) for n, v in med.items() if v >= 0),
+                 key=lambda t: -t[1])[:10]
+    compact = dict(merged)
+    compact["queries"] = dict(top)
+    compact["queries_total"] = len(med)
+    del compact["run_totals"]
+    cpath = (out[:-5] if out.endswith(".json") else out) + "_compact.json"
+    with open(cpath, "w") as f:
+        f.write(json.dumps(compact, separators=(",", ":")) + "\n")
     print(f"wrote {out}: total={merged['value']:.1f}s "
-          f"run_totals={[round(v, 1) for v in merged['run_totals']]}")
+          f"run_totals={[round(v, 1) for v in merged['run_totals']]} "
+          f"(+ {cpath})")
 
 
 if __name__ == "__main__":
