@@ -147,16 +147,16 @@ object CorpusOps {
     * scale because near-dup clusters are tiny), component = min
     * reachable id — same fixpoint the propagation loop converges to. */
   val o83: String = s"""
-    WITH RECURSIVE pairs AS (${DedupOps.o60}),
-    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED (${DedupOps.o60}),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION ALL
           SELECT doc_b AS src, doc_a AS dst FROM pairs),
     reach(doc_id, r) AS (
       SELECT DISTINCT src, src FROM e
       UNION
       SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
-    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
-    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+    comp AS MATERIALIZED (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS MATERIALIZED (SELECT cluster_id, COUNT(*) AS cluster_size
               FROM comp GROUP BY cluster_id)
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c JOIN sizes s USING (cluster_id)"""
@@ -287,19 +287,19 @@ object CorpusOps {
         col("density"), col("is_complete"))
   }
   val o259: String = s"""
-    WITH RECURSIVE pairs AS (${DedupOps.o60}),
-    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED (${DedupOps.o60}),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION ALL
           SELECT doc_b AS src, doc_a AS dst FROM pairs),
     reach(doc_id, r) AS (
       SELECT DISTINCT src, src FROM e
       UNION
       SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
-    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach
+    comp AS MATERIALIZED (SELECT doc_id, MIN(r) AS cluster_id FROM reach
              GROUP BY doc_id),
-    sizes AS (SELECT cluster_id, COUNT(*) AS n_members
+    sizes AS MATERIALIZED (SELECT cluster_id, COUNT(*) AS n_members
               FROM comp GROUP BY cluster_id),
-    ec AS (
+    ec AS MATERIALIZED (
       SELECT c.cluster_id, COUNT(*) AS n_edges
       FROM pairs p JOIN comp c ON c.doc_id = p.doc_a
       GROUP BY c.cluster_id)
@@ -832,11 +832,11 @@ object CorpusOps {
       JOIN deg ON deg.u = ed.u
       GROUP BY ed.v)"""
     s"""
-    WITH e0 AS (${DedupOps.o60}),
-    ed AS (SELECT doc_a AS u, doc_b AS v FROM e0
+    WITH e0 AS MATERIALIZED (${DedupOps.o60}),
+    ed AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM e0
            UNION ALL
            SELECT doc_b AS u, doc_a AS v FROM e0),
-    deg AS (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u),
+    deg AS MATERIALIZED (SELECT u, COUNT(*) AS deg FROM ed GROUP BY u),
     r0 AS (SELECT u, 1.0 AS r FROM deg),${iter("r0", "r1")},${iter("r1", "r2")},${iter("r2", "r3")}
     SELECT deg.u AS doc_id, CAST(deg.deg AS BIGINT) AS degree,
            r3.r AS pagerank
@@ -1424,16 +1424,16 @@ object CorpusOps {
   }
   val o98: String = s"""
     WITH RECURSIVE
-    sim AS (${DedupOps.o60}),
-    jac AS (${DedupOps.o58}),
-    emb AS (${VectorOps.o64}),
-    ev AS (
+    sim AS MATERIALIZED (${DedupOps.o60}),
+    jac AS MATERIALIZED (${DedupOps.o58}),
+    emb AS MATERIALIZED (${VectorOps.o64}),
+    ev AS MATERIALIZED (
       SELECT doc_a, doc_b, 'simhash' AS kind FROM sim
       UNION ALL
       SELECT doc_a, doc_b, 'jaccard' AS kind FROM jac
       UNION ALL
       SELECT id_a AS doc_a, id_b AS doc_b, 'embedding' AS kind FROM emb),
-    uedges AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM ev
+    uedges AS MATERIALIZED (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM ev
                UNION
                SELECT DISTINCT doc_b AS src, doc_a AS dst FROM ev),
     reach(doc_id, r) AS (
@@ -1441,10 +1441,10 @@ object CorpusOps {
       UNION
       SELECT reach.doc_id, uedges.dst
       FROM reach JOIN uedges ON uedges.src = reach.r),
-    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
-    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+    comp AS MATERIALIZED (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS MATERIALIZED (SELECT cluster_id, COUNT(*) AS cluster_size
               FROM comp GROUP BY cluster_id),
-    kinds AS (SELECT c.cluster_id, COUNT(DISTINCT ev.kind) AS n_signals
+    kinds AS MATERIALIZED (SELECT c.cluster_id, COUNT(DISTINCT ev.kind) AS n_signals
               FROM ev JOIN comp c ON c.doc_id = ev.doc_a
               GROUP BY c.cluster_id)
     SELECT c.doc_id, c.cluster_id, s.cluster_size, k.n_signals
@@ -1498,16 +1498,16 @@ object CorpusOps {
   }
   val o276: String = s"""
     WITH RECURSIVE
-    sim AS (${DedupOps.o60}),
-    jac AS (${DedupOps.o58}),
+    sim AS MATERIALIZED (${DedupOps.o60}),
+    jac AS MATERIALIZED (${DedupOps.o58}),
     ${VectorOps.knnCtes},
-    ev AS (
+    ev AS MATERIALIZED (
       SELECT doc_a, doc_b, 'simhash' AS kind FROM sim
       UNION ALL
       SELECT doc_a, doc_b, 'jaccard' AS kind FROM jac
       UNION ALL
       SELECT src AS doc_a, dst AS doc_b, 'embedding' AS kind FROM knn),
-    uedges AS (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM ev
+    uedges AS MATERIALIZED (SELECT DISTINCT doc_a AS src, doc_b AS dst FROM ev
                UNION
                SELECT DISTINCT doc_b AS src, doc_a AS dst FROM ev),
     reach(doc_id, r) AS (
@@ -1515,10 +1515,10 @@ object CorpusOps {
       UNION
       SELECT reach.doc_id, uedges.dst
       FROM reach JOIN uedges ON uedges.src = reach.r),
-    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
-    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size
+    comp AS MATERIALIZED (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    sizes AS MATERIALIZED (SELECT cluster_id, COUNT(*) AS cluster_size
               FROM comp GROUP BY cluster_id),
-    kinds AS (SELECT c.cluster_id, COUNT(DISTINCT ev.kind) AS n_signals
+    kinds AS MATERIALIZED (SELECT c.cluster_id, COUNT(DISTINCT ev.kind) AS n_signals
               FROM ev JOIN comp c ON c.doc_id = ev.doc_a
               GROUP BY c.cluster_id)
     SELECT c.doc_id, c.cluster_id, s.cluster_size, k.n_signals
@@ -2920,16 +2920,16 @@ object CorpusOps {
         col("quality"), col("canonical_id"), col("is_survivor"))
   }
   val o121: String = s"""
-    WITH RECURSIVE pairs AS (${DedupOps.o60}),
-    e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    WITH RECURSIVE pairs AS MATERIALIZED (${DedupOps.o60}),
+    e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
           UNION ALL
           SELECT doc_b AS src, doc_a AS dst FROM pairs),
     reach(doc_id, r) AS (
       SELECT DISTINCT src, src FROM e
       UNION
       SELECT reach.doc_id, e.dst FROM reach JOIN e ON e.src = reach.r),
-    comp AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
-    qual AS (SELECT doc_id, ${TextOps.qualitySql} AS quality
+    comp AS MATERIALIZED (SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    qual AS MATERIALIZED (SELECT doc_id, ${TextOps.qualitySql} AS quality
              FROM documents)
     SELECT c.doc_id, c.cluster_id,
       CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)

@@ -925,24 +925,24 @@ object InsightOps {
       .unionByName(cens(e2, 2)).unionByName(cens(e3, 3))
   }
   val o201: String = s"""
-    WITH e0 AS (SELECT doc_a, doc_b FROM (${DedupOps.o60})),
-    k1 AS (SELECT v FROM (
+    WITH e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM (${DedupOps.o60})),
+    k1 AS MATERIALIZED (SELECT v FROM (
         SELECT v, COUNT(*) AS deg FROM (
           SELECT doc_a AS v FROM e0 UNION ALL SELECT doc_b AS v FROM e0)
         GROUP BY v) WHERE deg >= 2),
-    e1 AS (SELECT e0.doc_a, e0.doc_b FROM e0
+    e1 AS MATERIALIZED (SELECT e0.doc_a, e0.doc_b FROM e0
       JOIN k1 a ON a.v = e0.doc_a JOIN k1 b ON b.v = e0.doc_b),
-    k2 AS (SELECT v FROM (
+    k2 AS MATERIALIZED (SELECT v FROM (
         SELECT v, COUNT(*) AS deg FROM (
           SELECT doc_a AS v FROM e1 UNION ALL SELECT doc_b AS v FROM e1)
         GROUP BY v) WHERE deg >= 2),
-    e2 AS (SELECT e1.doc_a, e1.doc_b FROM e1
+    e2 AS MATERIALIZED (SELECT e1.doc_a, e1.doc_b FROM e1
       JOIN k2 a ON a.v = e1.doc_a JOIN k2 b ON b.v = e1.doc_b),
-    k3 AS (SELECT v FROM (
+    k3 AS MATERIALIZED (SELECT v FROM (
         SELECT v, COUNT(*) AS deg FROM (
           SELECT doc_a AS v FROM e2 UNION ALL SELECT doc_b AS v FROM e2)
         GROUP BY v) WHERE deg >= 2),
-    e3 AS (SELECT e2.doc_a, e2.doc_b FROM e2
+    e3 AS MATERIALIZED (SELECT e2.doc_a, e2.doc_b FROM e2
       JOIN k3 a ON a.v = e2.doc_a JOIN k3 b ON b.v = e2.doc_b)
     SELECT 0 AS round,
       (SELECT COUNT(*) FROM (SELECT DISTINCT v FROM (

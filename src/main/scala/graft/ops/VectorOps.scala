@@ -249,12 +249,12 @@ object VectorOps {
   /** The kp/ksym/knn CTE chain — the DuckDB twin of [[knnEdges]],
     * shared by [[o275]] and CorpusOps.o276. */
   private[ops] val knnCtes: String = s"""
-    kp AS (${o64}),
-    ksym AS (
+    kp AS MATERIALIZED (${o64}),
+    ksym AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst, cosine FROM kp
       UNION ALL
       SELECT id_b AS src, id_a AS dst, cosine FROM kp),
-    knn AS (
+    knn AS MATERIALIZED (
       SELECT src, dst FROM (
         SELECT src, dst, row_number() OVER (PARTITION BY src
           ORDER BY cosine DESC, dst ASC) AS rk
