@@ -11,6 +11,21 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses the LAST ~2000 chars of `sbt runMain` stdout
+// for Bench/Verify's final JSON status line. sbt's default logger
+// re-prefixes every forked-process line with "[info] " and appends a
+// "[success] Total time ..." banner AFTER the program's output — the
+// r10 driver tail capture shows the compact JSON line in-window but
+// prefixed and non-final, which is why every official bench artifact
+// r01–r10 came back `parsed: null`. Pass forked stdout through
+// verbatim and drop the banner so the program's own last line is
+// literally the last line of the sbt invocation.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the shell command loop, not by a task —
+// exclude it from the unused-key lint (it demonstrably works: the
+// banner is gone)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

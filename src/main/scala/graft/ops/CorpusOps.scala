@@ -5135,11 +5135,9 @@ object CorpusOps {
     * stateful vocab join ever reaches the stream (the round-8 ROADMAP
     * seam (a) trade, resolved toward hashing). Smoothing runs over
     * the FIXED 256-bucket domain (v = 256 — another stateless
-    * property: no distinct-vocab count), so a bucket unseen in train
-    * carries weight exactly 0 (ilog(1) = 0 on both lanes: no
-    * evidence, no push). Collisions blur word evidence into bucket
-    * evidence — the standard hashing-trick trade; the word-grain
-    * q264 stays the offline-quality reference.
+    * property: no distinct-vocab count). Collisions blur word
+    * evidence into bucket evidence — the standard hashing-trick
+    * trade; the word-grain q264 stays the offline-quality reference.
     *
     * The weight table is DENSE over the full 0..255 domain (train
     * census left-joined onto `range(256)`, zero-filled counts): a

@@ -25,7 +25,7 @@ class ScaleGrowthSpec extends AnyFunSuite {
     .withExtensions(new functions.GraftExtensions)
     .getOrCreate()
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = ScaleRehearsal.SpecSfDir
   private lazy val ampDir: String = {
     val d = "target/scale-spec/x4"
     ScaleRehearsal.amplify(spark, sf, d, 4)

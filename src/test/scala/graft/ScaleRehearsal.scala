@@ -168,12 +168,18 @@ object ScaleRehearsal {
     *      replica-distinct tail token — so each family doc becomes an
     *      A-member cross-replica NEAR-DUP family (shared shingles →
     *      hot posting lists and LSH bands; the df caps and the k-NN
-    *      edge cap are exactly the machinery this stresses). Their
-    *      embeddings keep the base label (hot cells) and skip the
-    *      sign scramble (cross-replica cosines ≈ 1) — the ε-graph
-    *      lane sees C(A,2) edges per family where q275/q276's k-NN
-    *      lane sees ≤ k·A: the contrast the skew rehearsal exists to
-    *      measure.
+    *      edge cap are exactly the machinery this stresses). A
+    *      SEPARATE family population on the embedding side
+    *      ([[FamVecSelector]], 5% of base vec_ids — intentionally a
+    *      DIFFERENT id set from the 1% text families, because the two
+    *      lanes need different base rates: embedding families must
+    *      survive q64's `vec_id % 5 = 0` sampling, which only every
+    *      5th replica passes, so a 5% base rate nets ~1% of the
+    *      sampled corpus — see the [[FamVecSelector]] comment) keeps
+    *      the base label (hot cells) and skips the sign scramble
+    *      (cross-replica cosines ≈ 1) — the ε-graph lane sees C(A,2)
+    *      edges per family where q275/q276's k-NN lane sees ≤ k·A:
+    *      the contrast the skew rehearsal exists to measure.
     *   2. ZIPF source mass: every replica doc's `source` is redrawn
     *      from an 8-value Zipf(1) distribution (rank-1 ≈ 36.8% of
     *      mass) — hot groupBy/join keys for every source-grain census
@@ -260,13 +266,49 @@ object ScaleRehearsal {
       .withColumn("vec_id", col("vec_id") + lit(k.toLong << 20))
       .drop("fam")
 
-  /** Materializes the A×-amplified table dir (idempotent: skips if
-    * present). Small tables hard-link/copy through symlinks so the
-    * dir is a complete sf layout every `Tables` reader accepts. */
+  /** The sf dir every amplifier-driven SPEC uses (ScaleGrowthSpec,
+    * ReleaseSpec, SkewJoinSpec) — factored so a testdata relayout is
+    * a one-line change (round-10 ADVICE). The rehearsal/probe MAINS
+    * still take their sf dir as an argument. */
+  private[graft] val SpecSfDir = "/root/testdata/sf0.001"
+
+  /** Amplifier-profile version, baked into every `_AMPLIFIED_OK`
+    * marker together with (a, skew). BUMP THIS on ANY change to
+    * perturbDocs / perturbEmb / perturbDocsSkew / perturbEmbSkew /
+    * zipfSourceCase / Fam*Selector / amplify itself: [[amplify]]
+    * treats a marker whose content differs from the current profile
+    * string as STALE and rebuilds the dir, so cached amplified trees
+    * (including the big target/scale x256/x1024 ones) can no longer
+    * silently survive a knob change (round-10 ADVICE; previously the
+    * convention was "remember to delete target/scale by hand"). */
+  private[graft] val AmplifierVersion = 1
+
+  private[graft] def amplifyProfile(a: Int, skew: Boolean): String =
+    s"v$AmplifierVersion a=$a skew=$skew"
+
+  /** Materializes the A×-amplified table dir (idempotent: skips only
+    * if the dir carries a marker matching the CURRENT amplifier
+    * profile; any other marker content — including the pre-version
+    * empty markers — means stale knobs and forces a rebuild). Small
+    * tables hard-link/copy through symlinks so the dir is a complete
+    * sf layout every `Tables` reader accepts. */
   def amplify(spark: SparkSession, sfDir: String, outDir: String,
               a: Int, skew: Boolean = false): Unit = {
+    val profile = amplifyProfile(a, skew)
     val marker = Paths.get(s"$outDir/_AMPLIFIED_OK")
-    if (Files.exists(marker)) return
+    if (Files.exists(marker) &&
+        new String(Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8).trim == profile) return
+    val root = Paths.get(outDir)
+    if (Files.exists(root)) {
+      // stale profile: wipe and regenerate (walk does not follow the
+      // small-table symlinks; reverse order deletes children first)
+      import scala.jdk.CollectionConverters._
+      Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(Files.delete)
+      System.err.println(
+        s"[scale] $outDir had a stale amplifier marker - rebuilt as $profile")
+    }
     Files.createDirectories(Paths.get(outDir))
     SmallTables.foreach { t =>
       val link = Paths.get(s"$outDir/$t.parquet")
@@ -297,7 +339,8 @@ object ScaleRehearsal {
         .write.mode(if (bi == 0) "overwrite" else "append")
         .parquet(s"$outDir/embeddings.parquet")
     }
-    Files.createFile(marker)
+    Files.write(marker, profile.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def runOne(spark: SparkSession, name: String,

@@ -88,7 +88,7 @@ class SkewJoinSpec extends AnyFunSuite {
       spark.conf.set(
         "spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
       val d = "target/scale-spec/skew-x8"
-      ScaleRehearsal.amplify(spark, "/root/testdata/sf0.001", d, 8,
+      ScaleRehearsal.amplify(spark, ScaleRehearsal.SpecSfDir, d, 8,
         skew = true)
       val docs = Tables.documents(spark, d)
         .select($"source", $"doc_id", $"text")

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * artifact (partitioned parquet + _meta/manifest.json) must
   * reproduce the q262 census exactly when re-read. */
 class ReleaseSpec extends AnyFunSuite {
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = graft.ScaleRehearsal.SpecSfDir
 
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")

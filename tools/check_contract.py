@@ -29,6 +29,8 @@ import re
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+import lint_oracles  # noqa: E402  (tools/ is not a package)
 
 
 def load_schema():
@@ -88,6 +90,13 @@ def check_verify_dir(out_dir, schema, errors):
     for k in sorted(rows_only & oracle_set):
         errors.append(f"verify: '{k}' is declared rows-only but HAS an "
                       f"oracle entry — update driver_contract.json")
+    # DuckDB-dialect lint (round-10 verdict item 5): the known
+    # gate-killing SQL traps, strict for any oracle not in the
+    # committed baseline — see tools/lint_oracles.py
+    baseline = lint_oracles.load_baseline()
+    for key, msg in lint_oracles.lint_registry(oracle):
+        if key not in baseline:
+            errors.append(f"verify: oracle lint: {msg}")
 
 
 def check_bench_json(path, schema, errors):

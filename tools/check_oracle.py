@@ -14,9 +14,12 @@ import json
 import math
 import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
+
+HERE = os.path.dirname(os.path.abspath(__file__))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -48,6 +51,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     results = {}
+    oracle_secs = {}
     for name in sorted(oracle):
         sql = oracle[name]
         path = os.path.join(out_dir, name)
@@ -59,7 +63,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = {"status": "fail", "rows": -1}
             continue
         got = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        t0 = time.monotonic()
         want = con.execute(sql).df()
+        t_oracle = time.monotonic() - t0
+        oracle_secs[name] = t_oracle
         ok_schema = sorted(map(str.lower, got.columns)) == sorted(
             map(str.lower, want.columns))
         got.columns = [c.lower() for c in got.columns]
@@ -82,7 +89,53 @@ def main(sf_dir: str, out_dir: str) -> int:
                     list(sorted(want.columns))).reset_index(drop=True)
                 print("  spark:", g.head(3).to_dict("records"))
                 print("  duck :", w.head(3).to_dict("records"))
+    for name, t in oracle_secs.items():
+        results[name]["oracle_sec"] = round(t, 3)
     print(f"\n{n_pass} pass, {n_fail} fail")
+
+    # ---- oracle-duration budget (round-10 verdict item 1) ----
+    # The official gate died twice (r08/r09 CORRECTNESS = `{}`) from
+    # pathologically slow oracles (q201's inlined CTE chain: 548 s
+    # alone at sf0.01; o71's struct min/max: 151.7 s at sf0.1) and was
+    # recovered by hand-timing every oracle. This ASSERTS the budget
+    # so a regression fails the gauntlet instead of silently zeroing
+    # the next round's gate. Budgets live in driver_contract.json and
+    # are enforced at the driver gate's SF only (other SFs report
+    # timings but don't fail — absolute numbers don't transfer).
+    budget = json.load(
+        open(os.path.join(HERE, "driver_contract.json"))).get(
+        "oracle_budget", {})
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = sum(oracle_secs.values())
+    if oracle_secs:
+        slow = sorted(oracle_secs.items(), key=lambda t: -t[1])[:5]
+        print(f"oracle suite: {total:.1f}s total over {len(oracle_secs)} "
+              "queries; slowest: "
+              + ", ".join(f"{n}={t:.1f}s" for n, t in slow))
+    budget_fail = 0
+    if budget and sf == budget.get("enforced_sf") and \
+            os.environ.get("CHECK_ORACLE_NO_BUDGET") != "1":
+        # env overrides exist to let the gauntlet PROVE the failure
+        # path fires (seeded-violation check), not for loosening
+        each_max = float(os.environ.get(
+            "CHECK_ORACLE_BUDGET_EACH", budget["each_sec"]))
+        total_max = float(os.environ.get(
+            "CHECK_ORACLE_BUDGET_TOTAL", budget["total_sec"]))
+        for name, t in sorted(oracle_secs.items()):
+            if t > each_max:
+                budget_fail += 1
+                print(f"BUDGET VIOLATION: oracle {name} took {t:.1f}s "
+                      f"(> {each_max}s at sf{sf}) - a DuckDB pathology "
+                      "(unmaterialized multi-ref CTE? struct min/max?) "
+                      "that can zero the official gate")
+        if total > total_max:
+            budget_fail += 1
+            print(f"BUDGET VIOLATION: oracle suite total {total:.1f}s "
+                  f"(> {total_max}s at sf{sf})")
+        if not budget_fail:
+            print(f"oracle budget OK (each <= {each_max}s, "
+                  f"total <= {total_max}s at sf{sf})")
+
     out = os.environ.get("CHECK_ORACLE_JSON")
     if out:
         art = {
@@ -90,12 +143,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
             "note": os.environ.get("CHECK_ORACLE_NOTE", ""),
             "n_pass": n_pass, "n_fail": n_fail,
+            "oracle_total_sec": round(total, 1),
+            "oracle_budget_violations": budget_fail,
             "queries": results,
         }
         with open(out, "w") as f:
             json.dump(art, f, indent=1)
         print(f"wrote {out}")
-    return 1 if n_fail else 0
+    return 1 if (n_fail or budget_fail) else 0
 
 
 if __name__ == "__main__":

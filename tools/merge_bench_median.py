@@ -10,8 +10,21 @@ to one polluted run; the output keeps the driver-facing bench schema
 Usage: python3 tools/merge_bench_median.py OUT RUN1 RUN2 RUN3 ...
 """
 import json
+import os
 import statistics
 import sys
+
+
+def compact_budget():
+    """The driver tail window budget from tools/driver_contract.json.
+
+    Enforced HERE at write time (round-10 ADVICE), not only when
+    someone remembers to pass the _compact.json path to
+    check_contract.py.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "driver_contract.json")) as f:
+        return json.load(f)["bench_compact_max_chars"]
 
 
 def main(out, runs):
@@ -53,8 +66,15 @@ def main(out, runs):
     compact["queries_total"] = len(med)
     del compact["run_totals"]
     cpath = (out[:-5] if out.endswith(".json") else out) + "_compact.json"
+    line = json.dumps(compact, separators=(",", ":"))
+    budget = compact_budget()
+    if len(line) > budget:
+        sys.exit(f"compact line is {len(line)} chars, exceeds the "
+                 f"{budget}-char bench_compact_max_chars budget "
+                 f"(driver tail capture is ~2000 chars) - not writing "
+                 f"{cpath}")
     with open(cpath, "w") as f:
-        f.write(json.dumps(compact, separators=(",", ":")) + "\n")
+        f.write(line + "\n")
     print(f"wrote {out}: total={merged['value']:.1f}s "
           f"run_totals={[round(v, 1) for v in merged['run_totals']]} "
           f"(+ {cpath})")
