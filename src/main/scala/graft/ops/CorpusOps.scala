@@ -1122,11 +1122,11 @@ object CorpusOps {
         (col("n_tokens") - size(array_distinct(col("t")))).cast("double")
           / col("n_tokens").cast("double"))
     val bigrams = docs
-      .select(col("doc_id"), expr(
-        """explode(zip_with(
-             slice(t, 1, greatest(size(t) - 1, 0)),
-             slice(t, 2, greatest(size(t) - 1, 0)),
-             (a, b) -> concat(a, ' ', b))) AS gram"""))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, greatest(size(t) - 1, 1))")).as("i"))
+      .filter(col("i") + 1 <= size(col("t")))
+      .select(col("doc_id"), concat(element_at(col("t"), col("i")),
+        lit(" "), element_at(col("t"), col("i") + 1)).as("gram"))
       .groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -2403,6 +2403,38 @@ object CorpusOps {
     """CASE WHEN folded.prev IS NULL THEN folded.out
             ELSE concat(folded.out, array(folded.prev)) END"""
 
+  /** Adjacent-symbol pair census (mx, my, n) over a weighted word
+    * vocabulary — ONE codegen position-explode + element_at pass
+    * (the zip_with-over-slices spelling it replaces ran interpreted
+    * lambdas and struct allocs per symbol, per word, per round).
+    * Emits the identical census. */
+  private def bpePairCensus(words: DataFrame): DataFrame = words
+    .select(col("cnt"), col("syms"),
+      explode(expr("sequence(1, greatest(size(syms) - 1, 1))")).as("i"))
+    .filter(col("i") + 1 <= size(col("syms")))
+    .select(col("cnt"),
+      element_at(col("syms"), col("i")).as("mx"),
+      element_at(col("syms"), col("i") + 1).as("my"))
+    .groupBy(col("mx"), col("my"))
+    .agg(sum(col("cnt")).cast("long").as("n"))
+
+  /** Apply one broadcast (mx, my) merge row to every word via the
+    * native [[graft.functions.BpeMerge]] kernel (linear scan,
+    * codegen) — replaces the interpreted [[bpeFoldExpr]] +
+    * [[bpeFinishExpr]] pair, which rebuilt the accumulator array per
+    * symbol (O(n²) copies per word per round). Same LEFT-on-TRUE
+    * degenerate-corpus convention: a null merge row is the identity. */
+  private def bpeApplyMerge(words: DataFrame, top: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftPlanBridge
+    words
+      .join(broadcast(top.select(col("mx"), col("my"))), lit(true), "left")
+      .withColumn("syms", bridge.column(graft.functions.BpeMerge(
+        bridge.expression(col("syms")), bridge.expression(col("mx")),
+        bridge.expression(col("my")))))
+      .select(keep.map(col): _*)
+  }
+
   val q223BpeTrain3: Q = (s, d) => {
     import s.implicits._
     val words0 = Tables.documents(s, d)
@@ -2416,27 +2448,16 @@ object CorpusOps {
       // re-scan and re-tokenize the corpus (shuffle reuse does not
       // span jobs) — the census must collapse the corpus ONCE
       .localCheckpoint()
-    def pairCensus(words: DataFrame): DataFrame = words
-      .select($"cnt", explode(expr(
-        """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-                    slice(syms, 2, greatest(size(syms) - 1, 0)),
-                    (a, b) -> named_struct('mx', a, 'my', b))""")).as("p"))
-      .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
-      .agg(sum($"cnt").cast("long").as("n"))
     def mergeRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
-      val top = pairCensus(words)
+      val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
         .localCheckpoint() // single row; feeds the report AND the merge
       // LEFT join on TRUE (not crossJoin): a degenerate corpus whose
       // pair census is empty must leave the vocabulary UNCHANGED
-      // (null mx never matches inside the fold), not empty it —
+      // (null mx never matches inside the merge), not empty it —
       // mirrored by the LEFT JOIN top$k ON TRUE in bpeRoundSql
-      val merged = words
-        .join(broadcast(top.select($"mx", $"my")), lit(true), "left")
-        .withColumn("folded", expr(bpeFoldExpr))
-        .withColumn("syms", expr(bpeFinishExpr))
-        .select($"cnt", $"syms")
+      val merged = bpeApplyMerge(words, top, Seq("cnt", "syms"))
       (top, merged)
     }
     val (t1, w1) = mergeRound(words0, 1)
@@ -2545,22 +2566,12 @@ object CorpusOps {
       .select($"w", $"cnt", $"syms")
       .localCheckpoint()
     def round(words: DataFrame): DataFrame = {
-      val top = words
-        .select($"cnt", explode(expr(
-          """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-                      slice(syms, 2, greatest(size(syms) - 1, 0)),
-                      (a, b) -> named_struct('mx', a, 'my', b))"""))
-          .as("p"))
-        .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
-        .agg(sum($"cnt").cast("long").as("n"))
+      val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
-        .localCheckpoint() // single row; broadcast into the fold
+        .localCheckpoint() // single row; broadcast into the merge
       // LEFT on TRUE: q223's degenerate-corpus convention — an empty
       // merge census must be a no-op, not empty the vocabulary
-      words.join(broadcast(top.select($"mx", $"my")), lit(true), "left")
-        .withColumn("folded", expr(bpeFoldExpr))
-        .withColumn("syms", expr(bpeFinishExpr))
-        .select($"w", $"cnt", $"syms")
+      bpeApplyMerge(words, top, Seq("w", "cnt", "syms"))
     }
     val w3 = round(round(round(words0)))
     langw
@@ -3129,11 +3140,11 @@ object CorpusOps {
   val q134BigramFluency: Q = (s, d) => {
     val occ = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(t) - 1), i ->
-             named_struct('w1', element_at(t, i),
-                          'w2', element_at(t, i + 1)))""")).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, greatest(size(t) - 1, 1))")).as("i"))
+      .filter(col("i") + 1 <= size(col("t")))
+      .select(col("doc_id"), element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
     val bigrams = occ.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val firsts = bigrams.groupBy(col("w1"))
@@ -3599,36 +3610,55 @@ object CorpusOps {
          (p, c) -> named_struct('w1', p.w1, 'w2', p.w2, 'w3', c))"""
 
   val q240BackoffLm: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // ONE scan + tokenize of the corpus feeds every gram pass below
+    // (the before-plan re-scanned and re-tokenized documents SEVEN
+    // times: tri + bi×2 + uni×2 as join build sides, occ×2) — at
+    // 100 TB that is seven corpus passes for one trained model.
+    val toks = Tables.documents(s, d)
       .withColumn("t", split(col("text"), " "))
       .withColumn("split", splitAssign(col("doc_id")))
-    val triExpr = TriExpr
+      .select(col("doc_id"), col("split"), col("t"))
+      .localCheckpoint()
+    // n-gram streams via position explode + element_at PROJECTED
+    // ACROSS the Generate boundary — whole-stage-codegen end to end,
+    // no interpreted zip_with lambdas, no per-element struct allocs,
+    // no slice copies (the old TriExpr spelling measured ~100 µs per
+    // token here; this one is array indexing). The guard: sequence()
+    // counts DOWN when its end < start, so pin the end to ≥ 1 and
+    // drop the spurious position row for short docs with the i-filter
+    // (emits the identical row multiset as the zip_with spelling).
     def grams(df: DataFrame, n: Int): DataFrame = n match {
       case 1 => df.select(explode(col("t")).as("w1"))
-      case 2 => df.select(explode(expr(
-          """zip_with(slice(t, 1, greatest(size(t) - 1, 0)),
-                      slice(t, 2, greatest(size(t) - 1, 0)),
-                      (a, b) -> named_struct('w1', a, 'w2', b))"""))
-          .as("g"))
-        .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
-      case _ => df.select(explode(expr(triExpr)).as("g"))
-        .select(col("g.w1").as("w1"), col("g.w2").as("w2"),
-          col("g.w3").as("w3"))
+      case 2 => df
+        .select(col("t"), explode(expr(
+          "sequence(1, greatest(size(t) - 1, 1))")).as("i"))
+        .filter(col("i") + 1 <= size(col("t")))
+        .select(element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+      case _ => df
+        .select(df.columns.map(col) :+ explode(expr(
+          "sequence(1, greatest(size(t) - 2, 1))")).as("i"): _*)
+        .filter(col("i") + 2 <= size(col("t")))
+        .select(df.columns.filter(_ != "t").map(col)
+          :+ element_at(col("t"), col("i")).as("w1")
+          :+ element_at(col("t"), col("i") + 1).as("w2")
+          :+ element_at(col("t"), col("i") + 2).as("w3"): _*)
     }
-    val train = docs.filter(col("split") === "train")
+    val train = toks.filter(col("split") === "train")
+    // the three train censuses ARE the trained LM — materialize each
+    // once (bi and uni used to be recomputed per join reference)
     val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c123"))
+      .agg(count(lit(1)).as("c123")).localCheckpoint()
     val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(count(lit(1)).as("c12")).localCheckpoint()
     val uni = grams(train, 1).groupBy(col("w1"))
-      .agg(count(lit(1)).as("c1"))
+      .agg(count(lit(1)).as("c1")).localCheckpoint()
     val total = uni.agg(sum(col("c1")).cast("long").as("t_tokens"))
     // occurrence stream (all splits), and its DISTINCT trigram census —
-    // the only frame the backoff-resolution joins ever touch
-    val occ = docs
-      .select(col("doc_id"), col("split"), explode(expr(triExpr)).as("g"))
-      .select(col("doc_id"), col("split"),
-        col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+    // the only frame the backoff-resolution joins ever touch; derived
+    // twice from the checkpointed token frame (recomputing the cheap
+    // explode beats materializing a 3-words-per-token stream)
+    val occ = grams(toks.select(col("doc_id"), col("split"), col("t")), 3)
     val scored = occ.select(col("w1"), col("w2"), col("w3")).distinct()
       .join(tri, Seq("w1", "w2", "w3"), "left")
       .join(bi, Seq("w1", "w2"), "left")
@@ -4015,6 +4045,10 @@ object CorpusOps {
       .groupBy($"split", $"shard")
       .agg(count(lit(1)).as("n_docs"),
         sum($"ntok").cast("long").as("n_tokens"))
+      // |splits|·|shards| rows, consumed twice (join left + totals):
+      // without this the whole assignment subtree — gate stack plus
+      // twoLevelRank — re-executes once per consumer
+      .localCheckpoint()
     val totals = census.groupBy($"split")
       .agg(sum($"n_tokens").cast("long").as("split_tokens"))
     census.join(broadcast(totals), Seq("split"))
@@ -4450,24 +4484,13 @@ object CorpusOps {
     var words = words0
     val tops = Seq.newBuilder[DataFrame]
     for (r <- 1 to DeepBpeRounds) {
-      val top = words
-        .select($"cnt", explode(expr(
-          """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-                      slice(syms, 2, greatest(size(syms) - 1, 0)),
-                      (a, b) -> named_struct('mx', a, 'my', b))"""))
-          .as("p"))
-        .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
-        .agg(sum($"cnt").cast("long").as("n"))
+      val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
         .localCheckpoint()
       // LEFT on TRUE: q223's degenerate-corpus convention — an empty
       // merge census must be a no-op, not empty the vocabulary
-      words = words
-        .join(broadcast(top.select($"mx", $"my")), lit(true), "left")
-        .withColumn("folded", expr(bpeFoldExpr))
-        .withColumn("syms", expr(bpeFinishExpr))
-        .select($"cnt", $"syms")
+      words = bpeApplyMerge(words, top, Seq("cnt", "syms"))
         .localCheckpoint()
       tops += top
     }
@@ -4687,14 +4710,7 @@ object CorpusOps {
     var converged = false
     var r = 1
     while (!converged && r <= DeepBpeRounds) {
-      val top = words
-        .select($"cnt", explode(expr(
-          """zip_with(slice(syms, 1, greatest(size(syms) - 1, 0)),
-                      slice(syms, 2, greatest(size(syms) - 1, 0)),
-                      (a, b) -> named_struct('mx', a, 'my', b))"""))
-          .as("p"))
-        .groupBy($"p.mx".as("mx"), $"p.my".as("my"))
-        .agg(sum($"cnt").cast("long").as("n"))
+      val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
         .localCheckpoint()
@@ -4707,11 +4723,7 @@ object CorpusOps {
       } else {
         tops += top
         emitted += 1
-        words = words
-          .join(broadcast(top.select($"mx", $"my")), lit(true), "left")
-          .withColumn("folded", expr(bpeFoldExpr))
-          .withColumn("syms", expr(bpeFinishExpr))
-          .select($"cnt", $"syms")
+        words = bpeApplyMerge(words, top, Seq("cnt", "syms"))
           .localCheckpoint()
         r += 1
       }
@@ -4952,10 +4964,13 @@ object CorpusOps {
     import s.implicits._
     val bt = Tables.documents(s, d)
       .withColumn("t", split($"text", " "))
-      .select(expr("doc_id div 100").as("batch"),
-        explode(expr(TriExpr)).as("g"))
+      .select(expr("doc_id div 100").as("batch"), $"t",
+        explode(expr("sequence(1, greatest(size(t) - 2, 1))")).as("i"))
+      .filter($"i" + 2 <= size($"t"))
       .select($"batch",
-        concat_ws(" ", $"g.w1", $"g.w2", $"g.w3").as("term"))
+        concat_ws(" ", element_at($"t", $"i"),
+          element_at($"t", $"i" + 1), element_at($"t", $"i" + 2))
+          .as("term"))
       .groupBy($"batch", $"term")
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint() // feeds BOTH lanes: position sums + firsts
@@ -5609,11 +5624,20 @@ object CorpusOps {
       .localCheckpoint() // feeds two order lanes + the expectation
     val shards = asg.select($"split", $"shard").distinct()
       .localCheckpoint() // anchors 0-pair shards in both lanes
-    def lane(orderCol: String, name: String): DataFrame = {
-      val pos = Relational.twoLevelRank(asg, orderCol, "doc_id",
-          asc = true, partCols = Seq("split", "shard"), rankCol = "pos")
-        .select($"split", $"shard", $"pos", $"source")
-        .localCheckpoint() // consumed twice by the adjacency join
+    // BOTH order lanes' positions come off ONE checkpointed frame
+    // (two chained twoLevelRank passes) instead of a per-lane
+    // checkpoint each — one materialization, and the two adjacency
+    // joins below read the same in-memory rows
+    val pos2 = Relational.twoLevelRank(
+        Relational.twoLevelRank(asg, "doc_id", "doc_id", asc = true,
+          partCols = Seq("split", "shard"), rankCol = "pos_id"),
+        "ntok", "doc_id", asc = true,
+        partCols = Seq("split", "shard"), rankCol = "pos_len")
+      .select($"split", $"shard", $"pos_id", $"pos_len", $"source")
+      .localCheckpoint()
+    def lane(posCol: String, name: String): DataFrame = {
+      val pos = pos2.select($"split", $"shard",
+        col(posCol).as("pos"), $"source")
       val nxt = pos.select($"split", $"shard",
         ($"pos" - 1L).as("pos"), $"source".as("next_source"))
       val pairs = pos.join(nxt, Seq("split", "shard", "pos"))
@@ -5636,7 +5660,7 @@ object CorpusOps {
         $"same_mass".cast("double")
           / ($"n_docs".cast("double") * ($"n_docs" - 1L).cast("double"))))
       .select($"split", $"shard", $"n_docs", $"exp_share")
-    lane("doc_id", "doc_id").unionByName(lane("ntok", "length"))
+    lane("pos_id", "doc_id").unionByName(lane("pos_len", "length"))
       .join(exp, Seq("split", "shard"))
       .select($"split", $"shard", $"order_by", $"n_docs", $"n_pairs",
         $"n_same",

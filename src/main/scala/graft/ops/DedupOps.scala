@@ -75,6 +75,29 @@ object DedupOps {
     * now serves every posting-list pair path (q58, q60, q156, q157,
     * q167, q170, q174); callers wrap it in explode()/filter() as
     * their shape needs. */
+  /** Whole-stage-codegen pair generation: every i<j pair of the
+    * (sorted) array column `arr` as bound columns `__pa`/`__pb` —
+    * the DataFrame-level successor of [[pairGenExpr]] for the
+    * explode() call sites. Two chained position explodes +
+    * element_at stay entirely in generated code (no interpreted
+    * lambdas, no per-pair struct allocs, no slice copies) and emit
+    * the IDENTICAL row multiset: rows with size(arr) < 2 emit
+    * nothing, exactly like an exploded pairGenExpr. `keep` columns
+    * ride along; callers project/rename (`__pa`/`__pb` are structs
+    * when `arr` holds structs). Both sequence() calls are
+    * ascending-safe under the size ≥ 2 filter. */
+  private[graft] def pairExplode(df: DataFrame, arr: String,
+      keep: Seq[String] = Nil): DataFrame = {
+    val ks = keep.map(col)
+    df.filter(size(col(arr)) >= 2)
+      .select(ks :+ col(arr)
+        :+ explode(expr(s"sequence(1, size($arr) - 1)")).as("__pi"): _*)
+      .select(ks :+ col(arr) :+ col("__pi")
+        :+ explode(expr(s"sequence(__pi + 1, size($arr))")).as("__pj"): _*)
+      .withColumn("__pa", element_at(col(arr), col("__pi")))
+      .withColumn("__pb", element_at(col(arr), col("__pj")))
+  }
+
   private[graft] def pairGenExpr(arr: String, body: String): String =
     // TOTAL on any array: sequence(a, b) counts DOWN when b < a, so a
     // size-0/1 input would iterate i ∈ {1, 0[, -1]} and evaluate
@@ -106,12 +129,10 @@ object DedupOps {
     * the groups, so the union is duplicate-free. */
   private[ops] def withinPairs(groups: DataFrame,
                                keyCols: Seq[String]): DataFrame = {
-    val inRow = groups
-      .filter(size(col("ids")).between(2, InRowPairMembers))
-      .select(explode(expr(pairGenExpr("ids",
-        "named_struct('doc_a', element_at(ids, i), 'doc_b', x)")))
-        .as("pr"))
-      .select(col("pr.doc_a").as("doc_a"), col("pr.doc_b").as("doc_b"))
+    val inRow = pairExplode(
+        groups.filter(size(col("ids")).between(2, InRowPairMembers)),
+        "ids")
+      .select(col("__pa").as("doc_a"), col("__pb").as("doc_b"))
     val giant = groups.filter(size(col("ids")) > InRowPairMembers)
       .select(keyCols.map(col) :+ explode(col("ids")).as("doc_a"): _*)
     val joined = giant
@@ -277,15 +298,17 @@ object DedupOps {
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // in-row pair generation over the SORTED posting list: i<j gives
     // doc_a < doc_b directly (collect_list order is nondeterministic,
-    // the sort makes the emitted pairs engine-stable)
-    val pairs = postings
-      .filter(size($"docs") >= 2)
-      .withColumn("ds", sort_array($"docs"))
-      .select(explode(expr(pairGenExpr("ds",
-        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
-        .as("pr"))
+    // the sort makes the emitted pairs engine-stable). Two chained
+    // position explodes + element_at, NOT the flatten(transform(...))
+    // pairGenExpr spelling: both Generates and the projection stay in
+    // whole-stage codegen (no interpreted lambdas, no per-pair struct
+    // allocs, no slice copies), emitting the identical pair multiset.
+    // size ≥ 2 makes both sequence() calls ascending-safe.
+    val pairs = pairExplode(
+        postings.withColumn("ds", sort_array($"docs")), "ds")
+      .select($"__pa".as("doc_a"), $"__pb".as("doc_b"))
     pairs
-      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("i"))
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
@@ -353,14 +376,11 @@ object DedupOps {
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = postings
-      .filter(size($"docs") >= 2)
-      .withColumn("ds", sort_array($"docs"))
-      .select(explode(expr(pairGenExpr("ds",
-        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
-        .as("pr"))
+    val pairs = pairExplode(
+        postings.withColumn("ds", sort_array($"docs")), "ds")
+      .select($"__pa".as("doc_a"), $"__pb".as("doc_b"))
     pairs
-      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("i"))
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), Seq("doc_a"))
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), Seq("doc_b"))
@@ -437,13 +457,11 @@ object DedupOps {
       .select(explode($"ds").as("e"))
       .groupBy($"e.doc_id".as("doc_id"))
       .agg(sum($"e.tf" * $"e.tf").as("n2"))
-    val dots = postings.filter(size($"ds") >= 2)
-      .select(explode(expr(pairGenExpr("ds",
-        """named_struct('doc_a', element_at(ds, i).doc_id,
-             'doc_b', x.doc_id,
-             'prod', element_at(ds, i).tf * x.tf)"""))).as("pr"))
-      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
-      .agg(sum($"pr.prod").as("dot"))
+    val dots = pairExplode(postings, "ds")
+      .select($"__pa.doc_id".as("doc_a"), $"__pb.doc_id".as("doc_b"),
+        ($"__pa.tf" * $"__pb.tf").as("prod"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum($"prod").as("dot"))
     dots
       .join(norms.select($"doc_id".as("doc_a"), $"n2".as("na2")),
         Seq("doc_a"))
@@ -608,9 +626,8 @@ object DedupOps {
       .agg(sort_array(collect_list($"simhash")).as("gs"))
       .filter(size($"gs") >= 2)
       .filter(size($"gs") <= MaxBandBucket) // mirrored in o60
-      .select(explode(expr(pairGenExpr("gs",
-        "named_struct('sa', element_at(gs, i), 'sb', x)"))).as("pr"))
-      .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
+      .transform(pairExplode(_, "gs"))
+      .select($"__pa".as("sa"), $"__pb".as("sb"))
       .withColumn("hamming", expr("bit_count(sa ^ sb)"))
       // verify at SIGNATURE grain, before member expansion
       .filter($"hamming" <= SimHashHammingMax)
@@ -833,11 +850,9 @@ object DedupOps {
     val sizes = srcSh.groupBy($"source").agg(count(lit(1)).as("n"))
     val inter = srcSh.groupBy($"sh")
       .agg(sort_array(collect_list($"source")).as("ss"))
-      .filter(size($"ss") >= 2)
-      .select(explode(expr(pairGenExpr("ss",
-        "named_struct('source_a', element_at(ss, i), 'source_b', x)")))
-        .as("pr"))
-      .groupBy($"pr.source_a".as("source_a"), $"pr.source_b".as("source_b"))
+      .transform(pairExplode(_, "ss"))
+      .select($"__pa".as("source_a"), $"__pb".as("source_b"))
+      .groupBy($"source_a", $"source_b")
       .agg(count(lit(1)).as("i"))
     val est = (0 until 4).map(j =>
       when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
@@ -942,9 +957,8 @@ object DedupOps {
       .agg(sort_array(collect_list($"sig")).as("gs"))
       .filter(size($"gs") >= 2)
       .filter(size($"gs") <= MaxBandBucket) // mirrored in o157
-      .select(explode(expr(pairGenExpr("gs",
-        "named_struct('sa', element_at(gs, i), 'sb', x)"))).as("pr"))
-      .select($"pr.sa".as("sa"), $"pr.sb".as("sb"))
+      .transform(pairExplode(_, "gs"))
+      .select($"__pa".as("sa"), $"__pb".as("sb"))
     val cross = sigPairs
       .join(groups.select(
         struct($"mh0", $"mh1", $"mh2", $"mh3").as("sa"),
@@ -1066,14 +1080,11 @@ object DedupOps {
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = postings
-      .filter(size($"docs") >= 2)
-      .withColumn("ds", sort_array($"docs"))
-      .select(explode(expr(pairGenExpr("ds",
-        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
-        .as("pr"))
+    val pairs = pairExplode(
+        postings.withColumn("ds", sort_array($"docs")), "ds")
+      .select($"__pa".as("doc_a"), $"__pb".as("doc_b"))
     pairs
-      .groupBy($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("n_shared"))
       .filter($"n_shared" >= 2)
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("sel_a")),
@@ -1200,14 +1211,9 @@ object DedupOps {
       .agg(collect_list(struct($"doc_id", $"pos")).as("ds0"))
       .filter(size($"ds0").between(2, MaxShingleDf))
       .withColumn("ds", sort_array($"ds0"))
-    val matches = postings
-      .select(explode(expr(pairGenExpr("ds",
-        """named_struct(
-             'doc_a', element_at(ds, i).doc_id,
-             'pos_a', element_at(ds, i).pos,
-             'doc_b', x.doc_id,
-             'pos_b', x.pos)"""))).as("m"))
-      .select($"m.doc_a", $"m.doc_b", $"m.pos_a", $"m.pos_b")
+    val matches = pairExplode(postings, "ds")
+      .select($"__pa.doc_id".as("doc_a"), $"__pb.doc_id".as("doc_b"),
+        $"__pa.pos".as("pos_a"), $"__pb.pos".as("pos_b"))
     val w = Window.partitionBy($"doc_a", $"doc_b", $"diag")
       .orderBy($"pos_a")
     matches
@@ -1315,9 +1321,8 @@ object DedupOps {
     val pairs = bands.groupBy($"band", $"h1", $"h2")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds").between(2, MaxBandBucket))
-      .select(explode(expr(pairGenExpr("ds",
-        "named_struct('a', element_at(ds, i), 'b', x)"))).as("p"))
-      .select($"p.a".as("a"), $"p.b".as("b"))
+      .transform(pairExplode(_, "ds"))
+      .select($"__pa".as("a"), $"__pb".as("b"))
       .distinct()
     val truth = truthPairs.withColumn("is_truth", lit(1L))
     val candStats = pairs

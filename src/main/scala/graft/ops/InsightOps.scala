@@ -105,12 +105,9 @@ object InsightOps {
     val brandSupport = ob
       .select(explode($"bs").as("brand"))
       .groupBy($"brand").agg(count(lit(1)).as("sup"))
-    val pairs = ob
-      .filter(size($"bs") >= 2)
-      .select(explode(expr(DedupOps.pairGenExpr("bs",
-        "named_struct('brand_a', element_at(bs, i), 'brand_b', x)")))
-        .as("pr"))
-      .groupBy($"pr.brand_a".as("brand_a"), $"pr.brand_b".as("brand_b"))
+    val pairs = DedupOps.pairExplode(ob, "bs")
+      .select($"__pa".as("brand_a"), $"__pb".as("brand_b"))
+      .groupBy($"brand_a", $"brand_b")
       .agg(count(lit(1)).as("support_ab"))
       .filter($"support_ab" >= 20)
     pairs

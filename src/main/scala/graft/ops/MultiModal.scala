@@ -256,10 +256,8 @@ object MultiModal {
       .groupBy($"band", $"key")
       .agg(sort_array(collect_list($"doc_id")).as("ds"))
       .filter(size($"ds") >= 2 && size($"ds") <= MaxPhashBucket)
-      .select(explode(expr(DedupOps.pairGenExpr("ds",
-        "named_struct('doc_a', element_at(ds, i), 'doc_b', x)")))
-        .as("pr"))
-      .select($"pr.doc_a".as("doc_a"), $"pr.doc_b".as("doc_b"))
+      .transform(DedupOps.pairExplode(_, "ds"))
+      .select($"__pa".as("doc_a"), $"__pb".as("doc_b"))
       .distinct() // a pair may collide on several bands
     cand
       .join(hashes.select($"doc_id".as("doc_a"), $"b0".as("a0"),

@@ -939,16 +939,24 @@ object Relational {
     * a 4-row report. */
   val q140FkAudit: Q = (s, d) => {
     import s.implicits._
+    // ONE declarative plan (4 left-join aggregate branches, unioned —
+    // the oracle's own shape): the previous spelling ran EIGHT eager
+    // driver-side count() actions (2 per audit), i.e. two full passes
+    // over every audited table and a driver round-trip each, before
+    // the query's own plan even executed. Same rows, same values.
     def audit(name: String, child: org.apache.spark.sql.DataFrame,
               childKey: String, parent: org.apache.spark.sql.DataFrame,
               parentKey: String, bcast: Boolean) = {
       val p = parent.select(col(parentKey).as(childKey)).distinct()
-      val orphans = child
-        .join(if (bcast) broadcast(p) else p, Seq(childKey), "left_anti")
-        .count()
-      (name, child.count(), orphans)
+        .withColumn("__hit", lit(1))
+      child.select(col(childKey))
+        .join(if (bcast) broadcast(p) else p, Seq(childKey), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_orphans"))
+        .select(lit(name).as("fk"), $"n_rows", $"n_orphans")
     }
-    val rows = Seq(
+    Seq(
       audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
         Tables.orders(s, d).withColumnRenamed("o_orderkey", "l_orderkey"),
         "l_orderkey", bcast = false),
@@ -961,10 +969,7 @@ object Relational {
       audit("supplier->nation", Tables.supplier(s, d)
           .withColumnRenamed("s_nationkey", "n_nationkey"), "n_nationkey",
         Tables.nation(s, d), "n_nationkey", bcast = true))
-    import s.implicits._
-    rows.toDF("fk", "n_rows", "n_orphans")
-      .withColumn("n_rows", $"n_rows".cast("long"))
-      .withColumn("n_orphans", $"n_orphans".cast("long"))
+      .reduce(_ unionByName _)
   }
   val o140 = """
     SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_rows,
