@@ -16,6 +16,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The default 100-entry generated-code cache thrashes on this
+      // suite: single composite queries carry 120-230 codegen
+      // fragments (q257/q262/q271 measured), so every invocation
+      // re-Janino-compiles ~2.5 s of identical source. Scale-neutral
+      // (a driver-side class cache; the fragments are shared by the 7
+      // gate-stack queries), so the same setting is right on a
+      // cluster driver.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -20,11 +20,47 @@ object Tables {
     * Catalyst still pushes filters/pruning through the repartition. */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (HeavyPerRow(name))
-      df.repartition(spark.sparkContext.defaultParallelism)
-    else df
+    if (HeavyPerRow(name)) {
+      // SCALE-ADAPTIVE fan-out (optimization round 1): the old
+      // constant repartition(defaultParallelism) sprayed a 584 KB
+      // table into 32 partitions, and at local[32] the per-task fixed
+      // cost × contention dominates every downstream stage (measured:
+      // q240 warm wall 5.0 s at 32 scan partitions vs 2.1 s at 8; the
+      // whole stage graph inherits the width). Derive the partition
+      // count from input bytes (~8 MB per partition — enough rows
+      // that per-task overhead amortizes even for per-row-heavy
+      // array/vector kernels), capped at defaultParallelism exactly
+      // as before, and skip the exchange entirely when one partition
+      // suffices. At cluster scale a real table arrives as many
+      // splits and this repartition is only the single-row-group
+      // stand-in — the adaptive count keeps it a near-no-op at tiny
+      // SF and unchanged at amplified/rehearsal sizes.
+      val n = scanPartitions(spark, s"$dir/$name.parquet")
+      if (n <= 1) df else df.repartition(n)
+    } else df
   }
   private val HeavyPerRow = Set("documents", "embeddings")
+  // ~128 KB ≈ 1000 documents/vectors per task at this corpus's row
+  // width: measured sweet spot — 1 partition serializes the
+  // shingle/posting-list map work of the jaccard family (q58 warm
+  // 1.6 s → 2.4 s), 32 partitions drown every stage in per-task
+  // overhead (q240 warm 5.0 s); 4-8 partitions at sf0.1 gives both
+  // families their best times. Amplified rehearsal dirs (×64 and up)
+  // hit the defaultParallelism cap exactly as before.
+  private val BytesPerScanPartition = 128L << 10
+
+  private def scanPartitions(spark: SparkSession, path: String): Int = {
+    val bytes =
+      try {
+        val f = new java.io.File(path)
+        if (f.isDirectory)
+          f.listFiles().filter(_.isFile).map(_.length).sum
+        else f.length
+      } catch { case _: Throwable => Long.MaxValue }
+    val ideal = (bytes + BytesPerScanPartition - 1) / BytesPerScanPartition
+    math.max(1L, math.min(
+      spark.sparkContext.defaultParallelism.toLong, ideal)).toInt
+  }
 
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

@@ -3645,10 +3645,11 @@ object CorpusOps {
           :+ element_at(col("t"), col("i") + 2).as("w3"): _*)
     }
     val train = toks.filter(col("split") === "train")
-    // the three train censuses ARE the trained LM — materialize each
-    // once (bi and uni used to be recomputed per join reference)
+    // bi and uni are each referenced by TWO backoff joins below —
+    // materialize once; tri has a single consumer, so it stays lazy
+    // (a checkpoint there is a pure extra job)
     val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c123")).localCheckpoint()
+      .agg(count(lit(1)).as("c123"))
     val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12")).localCheckpoint()
     val uni = grams(train, 1).groupBy(col("w1"))
@@ -3880,6 +3881,10 @@ object CorpusOps {
       .withColumn("ntok", size(split($"text", " ")).cast("long"))
       .withColumn("pass_q", TextOps.qualityCol >= 0.4)
       .select($"doc_id", $"fp", $"ntok", $"pass_q")
+      // doc-grain, 4 narrow columns; consumed by the survivor census
+      // AND the flags join — uncheckpointed, the augmented corpus was
+      // scanned (and fingerprint+quality evaluated) twice
+      .localCheckpoint()
     val surv = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
     val lm = q250PplGate(s, d).select($"doc_id", $"kept".as("lm_kept"))
     val dsir = dsirDocBits(s, d)
@@ -4846,8 +4851,12 @@ object CorpusOps {
     * applies as a selection gate. */
   private[graft] def dsirDocBits(s: SparkSession, d: String)
       : DataFrame = {
-    val occ = dsirOcc(s, d)
-    val tok = dsirTok(occ)
+    // occ feeds the vocab census AND the final occurrence join; tok
+    // feeds the bucket weights AND the scored-vocab join — each was
+    // recomputed per consumer (two extra corpus scans + explodes per
+    // embedding of this chain: q241, q257, q262, q271, writeRelease)
+    val occ = dsirOcc(s, d).localCheckpoint()
+    val tok = dsirTok(occ).localCheckpoint()
     val weights = dsirWeightsFrom(tok)
     val tokW = tok.join(broadcast(weights), Seq("bucket"))
       .select(col("w"), col("w_bits"))
@@ -5113,6 +5122,10 @@ object CorpusOps {
       .select(col("doc_id"), col("split"), col("y"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
+      // three consumers (train census, vocab distinct, evidence join)
+      // — uncheckpointed, each re-scanned the corpus and re-evaluated
+      // the per-doc quality label
+      .localCheckpoint()
     val tok = occ.filter(col("split") === "train")
       .groupBy(col("w"))
       .agg(sum(col("y")).cast("long").as("n1"),

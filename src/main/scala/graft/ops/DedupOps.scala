@@ -293,6 +293,10 @@ object DedupOps {
     val postings = exploded.groupBy($"sh")
       .agg(collect_list($"doc_id").as("docs"))
       .filter(size($"docs") <= MaxShingleDf)
+      // two consumers (size census + pair generation): ReuseExchange
+      // dedupes the shuffle but the collect_list FINAL aggregate — the
+      // expensive half — re-ran per consumer (the q208 convention)
+      .localCheckpoint()
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -373,6 +377,10 @@ object DedupOps {
     val postings = exploded.groupBy($"sh")
       .agg(collect_list($"doc_id").as("docs"))
       .filter(size($"docs") <= MaxShingleDf)
+      // two consumers (size census + pair generation): ReuseExchange
+      // dedupes the shuffle but the collect_list FINAL aggregate — the
+      // expensive half — re-ran per consumer (the q208 convention)
+      .localCheckpoint()
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))

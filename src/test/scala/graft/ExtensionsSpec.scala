@@ -66,9 +66,12 @@ class ExtensionsSpec extends AnyFunSuite {
       .select(expr("strip_accents_native(text)").as("n"))
     assert(scanDf.collect().forall(_.getString(0).nonEmpty))
     // AQE finalizes the plan only after execution; "*(n)" marks a
-    // whole-stage-codegen stage containing the projection
-    assert(scanDf.queryExecution.executedPlan.toString
-      .contains("*(2) Project [strip_accents(text"))
+    // whole-stage-codegen stage containing the projection (the region
+    // NUMBER is not pinned — it shifted when Tables.t's scan fan-out
+    // became size-adaptive and the sf0.001 repartition disappeared)
+    assert("""\*\(\d+\) Project \[strip_accents\(text""".r
+      .findFirstIn(scanDf.queryExecution.executedPlan.toString)
+      .isDefined)
   }
 
   test("optimizer rule collapses nested strip_accents (idempotence)") {
