@@ -71,6 +71,8 @@ object Profile {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         sys.env.getOrElse("SPARK_GRAFT_ADVISORY", "64m"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "128"))
       .withExtensions(new functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
