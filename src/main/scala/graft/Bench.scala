@@ -11,21 +11,9 @@ object Bench {
     val loadStart = load1()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // The default 100-entry generated-code cache thrashes on this
-      // suite: single composite queries carry 120-230 codegen
-      // fragments (q257/q262/q271 measured), so every invocation
-      // re-Janino-compiles ~2.5 s of identical source. Scale-neutral
-      // (a driver-side class cache; the fragments are shared by the 7
-      // gate-stack queries), so the same setting is right on a
-      // cluster driver.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-      .withExtensions(new functions.GraftExtensions)
-      .getOrCreate()
+    // session tuning (codegen-cache sizing etc.) lives in ONE place —
+    // graft.Sessions — shared by every entry point
+    val spark = Sessions.local(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (parquet footer reads, codegen compiler) so the
     // first measured query isn't charged for JVM warmup

@@ -87,7 +87,7 @@ object CorpusOps {
   }
 
   private[ops] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val materialized = pairs.localCheckpoint()
+    val materialized = pairs.localCheckpoint(eager = false)
     if (materialized.count() <= LocalCcMaxEdges) {
       val comp = localUnionFind(materialized
         .select(col("src").cast("long"), col("dst").cast("long"))
@@ -98,10 +98,10 @@ object CorpusOps {
     }
     val edges = materialized
       .union(materialized.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // no iteration cap: every round strictly decreases at least one
     // label or sets changed = 0, and labels are bounded below by the
     // component min, so termination is guaranteed in ≤ diameter
@@ -122,7 +122,7 @@ object CorpusOps {
         .select(col("doc_id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp")))
             .as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = next.filter(col("comp") < col("prev")).count()
       labels = next.select(col("doc_id"), col("comp"))
     }
@@ -188,7 +188,7 @@ object CorpusOps {
     val docs = Tables.documents(s, d)
       .select($"doc_id",
         size(split($"text", " ")).cast("long").as("ntok"))
-      .localCheckpoint() // feeds both strategies + the bucket census
+      .localCheckpoint(eager = false) // feeds both strategies + the bucket census
     def report(batched: DataFrame, strategy: String): DataFrame =
       batched.groupBy(col("batch_id"))
         .agg(count(lit(1)).as("bn"),
@@ -266,7 +266,7 @@ object CorpusOps {
   val q259ClusterDensity: Q = (s, d) => {
     val edges = DedupOps.q60SimHashPairs(s, d)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint() // feeds CC AND the per-cluster edge census
+      .localCheckpoint(eager = false) // feeds CC AND the per-cluster edge census
     val labels = connectedComponents(
       edges.select(col("doc_a").as("src"), col("doc_b").as("dst")))
     val sizes = labels.groupBy(col("comp").as("cluster_id"))
@@ -786,7 +786,7 @@ object CorpusOps {
     val sig = DedupOps.q59SimHash(s, d)
     val groups = sig.groupBy($"simhash")
       .agg(min($"doc_id").as("rep"), count(lit(1)).as("m"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sp = DedupOps.verifiedSigPairs(groups.select($"simhash"))
       .select($"sa", $"sb")
     val dir = sp.select($"sa".as("src"), $"sb".as("dst"))
@@ -800,7 +800,7 @@ object CorpusOps {
     // Σ_{verified nbr s} m_s) — identical to the all-pairs degree
     val deg = wed.groupBy($"dst").agg(sum($"w").as("deg"))
       .select($"dst".as("src"), $"deg")
-    val edeg = wed.join(deg, Seq("src")).localCheckpoint()
+    val edeg = wed.join(deg, Seq("src")).localCheckpoint(eager = false)
     var ranks = deg.select($"src", lit(1.0).as("r"))
     for (_ <- 1 to 3) {
       ranks = edeg.join(ranks, Seq("src"))
@@ -867,7 +867,7 @@ object CorpusOps {
     // oracle computes — the contraction-algebra witness is unchanged
     val edges = DedupOps.q60ClusterEdges(s, d)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val isNew = col("src") % 7 === 0 || col("dst") % 7 === 0
     val oldLabels = connectedComponents(edges.filter(!isNew))
     // contracted old state: every member points at its label; the
@@ -1067,7 +1067,7 @@ object CorpusOps {
     // eager driver action) and the exact verify join both read it —
     // without this the scan+fingerprint+distinct subtree runs twice
     val snapshot = docs.filter(col("doc_id") % 10 < 7)
-      .select(col("fp")).distinct().localCheckpoint()
+      .select(col("fp")).distinct().localCheckpoint(eager = false)
     val bloomBytes = snapshot
       .agg(expr("bloom_filter_agg(fp)").as("bf"))
       .head().getAs[Array[Byte]](0)
@@ -1087,7 +1087,7 @@ object CorpusOps {
     val batch = docs.filter(col("doc_id") % 10 >= 7)
       .withColumn("maybe_seen", coalesce(mightContain, lit(true)))
       .select(col("source"), col("fp"), col("maybe_seen"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // bloom-cleared rows never reach the join; suspects verify exactly
     val cleared = batch.filter(!col("maybe_seen"))
       .select(col("source"), lit(0L).as("seen"))
@@ -1407,7 +1407,7 @@ object CorpusOps {
     val emb = VectorOps.q64CosineNearDup(s, d)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         lit("embedding").as("kind"))
-    val ev = sim.unionByName(jac).unionByName(emb).localCheckpoint()
+    val ev = sim.unionByName(jac).unionByName(emb).localCheckpoint(eager = false)
     val labels = connectedComponents(
       ev.select(col("doc_a").as("src"), col("doc_b").as("dst")).distinct())
     val sizes = labels.groupBy(col("comp").as("cluster_id"))
@@ -1481,7 +1481,7 @@ object CorpusOps {
     val emb = VectorOps.knnEdges(s, d)
       .select(col("src").as("doc_a"), col("dst").as("doc_b"),
         lit("embedding").as("kind"))
-    val ev = sim.unionByName(jac).unionByName(emb).localCheckpoint()
+    val ev = sim.unionByName(jac).unionByName(emb).localCheckpoint(eager = false)
     val labels = connectedComponents(
       ev.select(col("doc_a").as("src"), col("doc_b").as("dst")).distinct())
     val sizes = labels.groupBy(col("comp").as("cluster_id"))
@@ -1605,7 +1605,7 @@ object CorpusOps {
     val runs = DedupOps.sharedRunsFrom(
         Tables.documents(s, d).select(col("doc_id"), col("text")))
       .filter(col("run_tokens") >= DedupOps.MinRunTokens)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def chunkSeq(st: String) = expr(
       s"""sequence(
             CASE WHEN $st <= $ChunkSize THEN 0
@@ -1897,7 +1897,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("th", expr(
         "CAST(ascii(term) * 131 + length(term) AS BIGINT)"))
-      .localCheckpoint() // feeds the grid AND the probe ranking
+      .localCheckpoint(eager = false) // feeds the grid AND the probe ranking
     val grid = cmAb.zipWithIndex.map { case ((a, b), dth) =>
       counts.select(lit(dth).as("depth"),
         ((col("th") * a + b) % lit(1000000007L) % CmWidth)
@@ -2447,12 +2447,12 @@ object CorpusOps {
       // checkpointed: each round's eager argmax action would otherwise
       // re-scan and re-tokenize the corpus (shuffle reuse does not
       // span jobs) — the census must collapse the corpus ONCE
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def mergeRound(words: DataFrame, r: Int): (DataFrame, DataFrame) = {
       val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
-        .localCheckpoint() // single row; feeds the report AND the merge
+        .localCheckpoint(eager = false) // single row; feeds the report AND the merge
       // LEFT join on TRUE (not crossJoin): a degenerate corpus whose
       // pair census is empty must leave the vocabulary UNCHANGED
       // (null mx never matches inside the merge), not empty it —
@@ -2558,17 +2558,17 @@ object CorpusOps {
       .select($"lang", explode(split($"text", " ")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val words0 = langw.groupBy($"w")
       .agg(sum($"cnt").cast("long").as("cnt"))
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select($"w", $"cnt", $"syms")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def round(words: DataFrame): DataFrame = {
       val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
-        .localCheckpoint() // single row; broadcast into the merge
+        .localCheckpoint(eager = false) // single row; broadcast into the merge
       // LEFT on TRUE: q223's degenerate-corpus convention — an empty
       // merge census must be a no-op, not empty the vocabulary
       bpeApplyMerge(words, top, Seq("w", "cnt", "syms"))
@@ -3539,7 +3539,7 @@ object CorpusOps {
     * empty windows. */
   val q234WindowOccupancy: Q = (s, d) => {
     val offs = packedOffsets(s, d).filter(col("n") > 0)
-      .localCheckpoint() // feeds the start census AND the totals row
+      .localCheckpoint(eager = false) // feeds the start census AND the totals row
     val starts = offs
       .withColumn("wid", expr(s"off div $PackWindow"))
       .groupBy(col("wid"))
@@ -3618,7 +3618,9 @@ object CorpusOps {
       .withColumn("t", split(col("text"), " "))
       .withColumn("split", splitAssign(col("doc_id")))
       .select(col("doc_id"), col("split"), col("t"))
-      .localCheckpoint()
+      // lazy: first consuming job persists it — one materialization,
+      // no dedicated job (round-12 gate-chain fold)
+      .localCheckpoint(eager = false)
     // n-gram streams via position explode + element_at PROJECTED
     // ACROSS the Generate boundary — whole-stage-codegen end to end,
     // no interpreted zip_with lambdas, no per-element struct allocs,
@@ -3651,9 +3653,9 @@ object CorpusOps {
     val tri = grams(train, 3).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c123"))
     val bi = grams(train, 2).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12")).localCheckpoint()
+      .agg(count(lit(1)).as("c12")).localCheckpoint(eager = false)
     val uni = grams(train, 1).groupBy(col("w1"))
-      .agg(count(lit(1)).as("c1")).localCheckpoint()
+      .agg(count(lit(1)).as("c1")).localCheckpoint(eager = false)
     val total = uni.agg(sum(col("c1")).cast("long").as("t_tokens"))
     // occurrence stream (all splits), and its DISTINCT trigram census —
     // the only frame the backoff-resolution joins ever touch; derived
@@ -3881,16 +3883,20 @@ object CorpusOps {
       .withColumn("ntok", size(split($"text", " ")).cast("long"))
       .withColumn("pass_q", TextOps.qualityCol >= 0.4)
       .select($"doc_id", $"fp", $"ntok", $"pass_q")
-      // doc-grain, 4 narrow columns; consumed by the survivor census
-      // AND the flags join — uncheckpointed, the augmented corpus was
-      // scanned (and fingerprint+quality evaluated) twice
-      .localCheckpoint()
-    val surv = docs.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
     val lm = q250PplGate(s, d).select($"doc_id", $"kept".as("lm_kept"))
     val dsir = dsirDocBits(s, d)
       .select(col("doc_id"), (col("doc_bits") >= 0).as("dsir_sel"))
-    docs.join(surv, Seq("fp"))
-      .withColumn("is_surv", $"doc_id" === $"keep_id")
+    // survivor election as a window MIN over the fp partition — fp is
+    // high-cardinality (near doc-grain groups, bounded group size), so
+    // this is a partitioned window, never a census-scale sort. One
+    // exchange and ONE pass over the doc frame where the previous
+    // groupBy+join spelling cost a census shuffle + a join shuffle +
+    // an eager checkpoint of the full doc frame just to read it twice
+    // (round-12 gate-chain fold, guide §2.4). Identical is_surv:
+    // doc_id = MIN(doc_id) over fp ⟺ doc_id = keep_id after the join.
+    docs
+      .withColumn("is_surv", $"doc_id" ===
+        min($"doc_id").over(Window.partitionBy($"fp")))
       .join(lm, Seq("doc_id"), "left")
       .join(dsir, Seq("doc_id"), "left")
       .withColumn("lm_kept", coalesce($"lm_kept", lit(true)))
@@ -4029,7 +4035,9 @@ object CorpusOps {
       // the gate frame is the expensive composite (q250 + DSIR); the
       // rank layout and census each consume their input twice, so
       // materialize once here instead of 4x-inlining the gate plan
-      .localCheckpoint()
+      // (lazy: the first consuming job persists it — no dedicated
+      // materialization job, round-12 fold)
+      .localCheckpoint(eager = false)
     Relational.twoLevelRank(kept, "ntok", "doc_id",
         asc = false, partCols = Seq("split"))
       .withColumn("shard", expr(
@@ -4052,8 +4060,8 @@ object CorpusOps {
         sum($"ntok").cast("long").as("n_tokens"))
       // |splits|·|shards| rows, consumed twice (join left + totals):
       // without this the whole assignment subtree — gate stack plus
-      // twoLevelRank — re-executes once per consumer
-      .localCheckpoint()
+      // twoLevelRank — re-executes once per consumer (lazy, round-12)
+      .localCheckpoint(eager = false)
     val totals = census.groupBy($"split")
       .agg(sum($"n_tokens").cast("long").as("split_tokens"))
     census.join(broadcast(totals), Seq("split"))
@@ -4161,7 +4169,7 @@ object CorpusOps {
   def writeRelease(s: SparkSession, d: String,
                    outDir: String): DataFrame = {
     import s.implicits._
-    val asg = releaseAssignments(s, d).localCheckpoint()
+    val asg = releaseAssignments(s, d).localCheckpoint(eager = false)
     val census = releaseCensus(asg)
     asg.join(Tables.documents(s, d), Seq("doc_id"))
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars",
@@ -4222,7 +4230,7 @@ object CorpusOps {
       .select($"source", explode(split($"text", " ")).as("term"))
     val st = occ.groupBy($"source", $"term")
       .agg(count(lit(1)).as("c_st"))
-      .localCheckpoint() // feeds the term census AND the dev sum
+      .localCheckpoint(eager = false) // feeds the term census AND the dev sum
     val termTot = st.groupBy($"term")
       .agg(sum($"c_st").cast("long").as("c_t"))
     val srcTot = st.groupBy($"source")
@@ -4485,18 +4493,18 @@ object CorpusOps {
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select($"cnt", $"syms")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var words = words0
     val tops = Seq.newBuilder[DataFrame]
     for (r <- 1 to DeepBpeRounds) {
       val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // LEFT on TRUE: q223's degenerate-corpus convention — an empty
       // merge census must be a no-op, not empty the vocabulary
       words = bpeApplyMerge(words, top, Seq("cnt", "syms"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       tops += top
     }
     val merges = tops.result().reduce(_ unionByName _)
@@ -4707,7 +4715,7 @@ object CorpusOps {
       .withColumn("syms", expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .select($"cnt", $"syms")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var words = words0
     var lastTop: DataFrame = null
     val tops = Seq.newBuilder[DataFrame]
@@ -4718,7 +4726,7 @@ object CorpusOps {
       val top = bpePairCensus(words)
         .orderBy($"n".desc, $"mx".asc, $"my".asc).limit(1)
         .select(lit(r.toLong).as("round"), $"mx", $"my", $"n")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       lastTop = top
       // the convergence probe: one ≤1-row driver read per round
       val head = top.collect()
@@ -4729,7 +4737,7 @@ object CorpusOps {
         tops += top
         emitted += 1
         words = bpeApplyMerge(words, top, Seq("cnt", "syms"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         r += 1
       }
     }
@@ -4855,8 +4863,8 @@ object CorpusOps {
     // feeds the bucket weights AND the scored-vocab join — each was
     // recomputed per consumer (two extra corpus scans + explodes per
     // embedding of this chain: q241, q257, q262, q271, writeRelease)
-    val occ = dsirOcc(s, d).localCheckpoint()
-    val tok = dsirTok(occ).localCheckpoint()
+    val occ = dsirOcc(s, d).localCheckpoint(eager = false)
+    val tok = dsirTok(occ).localCheckpoint(eager = false)
     val weights = dsirWeightsFrom(tok)
     val tokW = tok.join(broadcast(weights), Seq("bucket"))
       .select(col("w"), col("w_bits"))
@@ -4982,7 +4990,7 @@ object CorpusOps {
           .as("term"))
       .groupBy($"batch", $"term")
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint() // feeds BOTH lanes: position sums + firsts
+      .localCheckpoint(eager = false) // feeds BOTH lanes: position sums + firsts
     val newV = bt.groupBy($"term")
       .agg(min($"batch").as("batch"))
       .groupBy($"batch").agg(count(lit(1)).as("n_new"))
@@ -4991,7 +4999,7 @@ object CorpusOps {
       .join(newV, Seq("batch"), "left")
       .na.fill(0L, Seq("n_new"))
       .withColumn("sup", expr("batch div 1024"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val offsets = census.groupBy($"sup")
       .agg(sum($"n_tok").as("st"), sum($"n_new").as("sv"))
       .withColumn("tok_off",
@@ -5124,8 +5132,8 @@ object CorpusOps {
       .filter(length(col("w")) > 0)
       // three consumers (train census, vocab distinct, evidence join)
       // — uncheckpointed, each re-scanned the corpus and re-evaluated
-      // the per-doc quality label
-      .localCheckpoint()
+      // the per-doc quality label (lazy, round-12)
+      .localCheckpoint(eager = false)
     val tok = occ.filter(col("split") === "train")
       .groupBy(col("w"))
       .agg(sum(col("y")).cast("long").as("n1"),
@@ -5570,7 +5578,8 @@ object CorpusOps {
     * (the q262 inline lesson); the report is a |sources|-row frame
     * against one broadcast scalar. */
   val q270EpochAllocation: Q = (s, d) =>
-    epochAllocFrom(q246EffectiveMixture(s, d).localCheckpoint())
+    epochAllocFrom(
+      q246EffectiveMixture(s, d).localCheckpoint(eager = false))
 
   /** The epoch-allocation math over ANY (source, t_eff, share_eff)
     * census — q270 applies it to q246's mixture; EpochFixtureSpec
@@ -5633,10 +5642,18 @@ object CorpusOps {
   val q271ShardMixing: Q = (s, d) => {
     import s.implicits._
     val src = Tables.documents(s, d).select($"doc_id", $"source")
+    // LAZY checkpoints (round-12 gate-chain fold): an eager
+    // localCheckpoint runs a dedicated materialization job per site —
+    // on this 11-checkpoint cascade that was ~76 AQE stage-jobs of
+    // ~50-90 ms scheduling each. eager=false keeps the same
+    // materialize-once reuse (the first consuming job persists every
+    // partition; lineage truncates after) without the extra job.
     val asg = releaseAssignments(s, d).join(src, Seq("doc_id"))
-      .localCheckpoint() // feeds two order lanes + the expectation
+      .localCheckpoint(eager = false) // two order lanes + expectation
+    // 0-pair shards anchor (both lanes): NOT checkpointed — the
+    // distinct's exchange appears twice in the one final plan and AQE
+    // ReuseExchange dedupes it; a checkpoint here was a pure extra job
     val shards = asg.select($"split", $"shard").distinct()
-      .localCheckpoint() // anchors 0-pair shards in both lanes
     // BOTH order lanes' positions come off ONE checkpointed frame
     // (two chained twoLevelRank passes) instead of a per-lane
     // checkpoint each — one materialization, and the two adjacency
@@ -5647,7 +5664,7 @@ object CorpusOps {
         "ntok", "doc_id", asc = true,
         partCols = Seq("split", "shard"), rankCol = "pos_len")
       .select($"split", $"shard", $"pos_id", $"pos_len", $"source")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def lane(posCol: String, name: String): DataFrame = {
       val pos = pos2.select($"split", $"shard",
         col(posCol).as("pos"), $"source")
@@ -5786,7 +5803,7 @@ object CorpusOps {
         col("gs").cast("double") / col("gn").cast("double"))
       .withColumn("e", floor(((col("mean_g") - col("mean_src"))
         / lit(1.0e15)) * lit(2048.0) + lit(16384.0)).cast("long"))
-      .localCheckpoint() // |sources| rows; three consumers below
+      .localCheckpoint(eager = false) // |sources| rows; 3 consumers
     val emin = e.agg(min(col("e")).as("e_min"))
     val tot = e.agg(sum(col("n_docs")).cast("long").as("tot_docs"))
     val w = e.join(broadcast(emin)).join(broadcast(tot))

@@ -65,7 +65,7 @@ object DedupOps {
       : DataFrame =
     withTokenHashes(withShingles(Tables.documents(s, d)))
       .select(col("doc_id"), col("shs"), col("thm"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
   /** In-row unordered-pair generation over a SORTED array column:
     * for every i < j the expression emits `body`, with
@@ -296,7 +296,7 @@ object DedupOps {
       // two consumers (size census + pair generation): ReuseExchange
       // dedupes the shuffle but the collect_list FINAL aggregate — the
       // expensive half — re-ran per consumer (the q208 convention)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -380,7 +380,7 @@ object DedupOps {
       // two consumers (size census + pair generation): ReuseExchange
       // dedupes the shuffle but the collect_list FINAL aggregate — the
       // expensive half — re-ran per consumer (the q208 convention)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -680,7 +680,7 @@ object DedupOps {
     // feeds the star join-back, the banding, and both cross lookups
     val reps = sig.groupBy($"simhash")
       .agg(min($"doc_id").as("rep"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val star = sig.join(reps, Seq("simhash"))
       .filter($"doc_id" =!= $"rep")
       .select($"rep".as("doc_a"), $"doc_id".as("doc_b"))
@@ -710,7 +710,7 @@ object DedupOps {
     // distinct signature) frame.
     val groups = sig.groupBy($"simhash")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // hamming-0 member pairs, memory-safe at any group size (the
     // boilerplate regime: one template shared by 10⁵ pages is ONE
     // group here) — see [[withinPairs]].
@@ -784,7 +784,7 @@ object DedupOps {
     // shingle table once and builds every index off it) — without
     // this the expensive tokenize+shingle HOF pass runs twice
     val base = withShingles(Tables.documents(s, d))
-      .select($"doc_id", $"shs").localCheckpoint()
+      .select($"doc_id", $"shs").localCheckpoint(eager = false)
     val sig = minhashFrom(base)
     val est = (0 until 4).map(j =>
       when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
@@ -798,7 +798,7 @@ object DedupOps {
     // frame is already checkpointed), falling back to a shuffle join
     // above it, the same guard connectedComponents applies before its
     // driver collect.
-    val pairs = jaccardFrom(base).localCheckpoint()
+    val pairs = jaccardFrom(base).localCheckpoint(eager = false)
     val small = pairs.count() <= MaxBroadcastPairs
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val withA = sig.select($"doc_id".as("doc_a"), $"mh0".as("a_mh0"),
@@ -950,7 +950,7 @@ object DedupOps {
     val groups = q56MinHash(s, d)
       .groupBy($"mh0", $"mh1", $"mh2", $"mh3")
       .agg(sort_array(collect_list($"doc_id")).as("ids"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // memory-safe at any exact-dup group size — see [[withinPairs]]
     val within = withinPairs(groups, Seq("mh0", "mh1", "mh2", "mh3"))
     // banding carries SIGNATURES only (the q60 layout): member id
@@ -1084,7 +1084,7 @@ object DedupOps {
     val postings = exploded.groupBy($"fp")
       .agg(collect_list($"doc_id").as("docs"))
       .filter(size($"docs") <= MaxShingleDf)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val sizes = postings
       .select(explode($"docs").as("doc_id"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n"))
@@ -1430,7 +1430,7 @@ object DedupOps {
     val pairs = truthPairs.withColumn("pair_class", lit("replay"))
       .unionByName(adjacent.withColumn("pair_class", lit("adjacent")))
     val base = withShingles(aug)
-    val sig = minhashFrom(base).localCheckpoint()
+    val sig = minhashFrom(base).localCheckpoint(eager = false)
     val shs = base.select($"doc_id", array_distinct($"shs").as("ds"))
     def side(p: String) = (df: DataFrame, cols: Seq[String]) =>
       cols.foldLeft(df.withColumnRenamed("doc_id", p)) { (f, c) =>
@@ -1566,7 +1566,7 @@ object DedupOps {
         Tables.documents(s, d).select($"doc_id", $"text")))
       .groupBy($"mh0", $"mh1", $"mh2", $"mh3")
       .agg(count(lit(1)).as("m"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // m·(m−1) and its sum route through decimal(38,0) (the q179
     // crossDevAbs convention) and halve by INTEGER division — exact
     // at any corpus size, where the old long product + double `/ 2`
@@ -1663,7 +1663,7 @@ object DedupOps {
       .select($"doc_id", $"source", TextOps.fingerprintCol.as("fp"))
     val keepS = docs.groupBy($"fp", $"source")
       .agg(min($"doc_id").as("keep_s"))
-      .localCheckpoint() // feeds the global election AND the verdict
+      .localCheckpoint(eager = false) // feeds the global election AND the verdict
     val keepG = keepS.groupBy($"fp").agg(min($"keep_s").as("keep_g"))
     docs.join(keepS, Seq("fp", "source"))
       .join(keepG, Seq("fp"))

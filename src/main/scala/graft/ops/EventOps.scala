@@ -612,7 +612,7 @@ object EventOps {
       .select($"user_id", $"session_id", $"event_type").distinct()
     val sets = st.groupBy($"user_id", $"session_id")
       .agg(array_sort(collect_set($"event_type")).as("types"))
-      .localCheckpoint() // feeds totals, marginals AND pairs
+      .localCheckpoint(eager = false) // feeds totals, marginals AND pairs
     val nSessions = sets.count()
     val marg = sets
       .select(explode($"types").as("t"))

@@ -100,7 +100,7 @@ object InsightOps {
       .select($"l_orderkey", $"p_brand")
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"p_brand")).as("bs"))
-      .localCheckpoint() // reused by pair census + brand supports + N
+      .localCheckpoint(eager = false) // reused by pair census + brand supports + N
     val nOrders = ob.select(count(lit(1)).as("n_orders"))
     val brandSupport = ob
       .select(explode($"bs").as("brand"))
@@ -596,7 +596,7 @@ object InsightOps {
     val base = Tables.documents(s, d)
       .select($"doc_id" +: size(split($"text", " ")).cast("long").as("len") +:
         Bm25Terms.zipWithIndex.map { case (t, i) => tf(t).as(s"tf$i") }: _*)
-      .localCheckpoint() // one tokenize feeds stats + scoring
+      .localCheckpoint(eager = false) // one tokenize feeds stats + scoring
     val statCols = sum($"len").as("sum_len") +:
       Bm25Terms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
@@ -668,7 +668,7 @@ object InsightOps {
   val q197TriangleCensus: Q = (s, d) => {
     import s.implicits._
     val edges = DedupOps.q60SimHashPairs(s, d)
-      .select($"doc_a", $"doc_b").localCheckpoint()
+      .select($"doc_a", $"doc_b").localCheckpoint(eager = false)
     val nEdges = edges.agg(count(lit(1)).as("n_edges"))
     val wedges = edges
       .select(explode(array($"doc_a", $"doc_b")).as("v"))
@@ -839,7 +839,7 @@ object InsightOps {
       .withColumn("tail_s",
         array_join(expr(s"slice(ts, n - ${ov - 1}, $ov)"), " "))
       .select($"doc_id", $"source", $"head_s", $"tail_s")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tails = docs.select($"doc_id".as("doc_a"), $"source".as("source_a"),
       TextOps.fingerprintOf($"tail_s").as("fp"), $"tail_s")
     val heads = docs.select($"doc_id".as("doc_b"), $"source".as("source_b"),
@@ -896,7 +896,7 @@ object InsightOps {
   val q201KcorePeel: Q = (s, d) => {
     import s.implicits._
     val e0 = DedupOps.q60SimHashPairs(s, d)
-      .select($"doc_a", $"doc_b").localCheckpoint()
+      .select($"doc_a", $"doc_b").localCheckpoint(eager = false)
     def peel(e: DataFrame): DataFrame = {
       val keep = e.select(explode(array($"doc_a", $"doc_b")).as("v"))
         .groupBy($"v").agg(count(lit(1)).as("deg"))
@@ -906,8 +906,8 @@ object InsightOps {
         .join(keep.withColumnRenamed("v", "doc_b"), Seq("doc_b"))
         .select($"doc_a", $"doc_b")
     }
-    val e1 = peel(e0).localCheckpoint()
-    val e2 = peel(e1).localCheckpoint()
+    val e1 = peel(e0).localCheckpoint(eager = false)
+    val e2 = peel(e1).localCheckpoint(eager = false)
     val e3 = peel(e2)
     def cens(e: DataFrame, r: Int): DataFrame = {
       val s2 = e.sparkSession

@@ -248,7 +248,7 @@ object MultiModal {
       .withColumn("b2", expr(phashLaneExpr(2)))
       .withColumn("b3", expr(phashLaneExpr(3)))
       .select($"doc_id", $"b0", $"b1", $"b2", $"b3")
-      .localCheckpoint() // feeds the band index AND both verify joins
+      .localCheckpoint(eager = false) // feeds the band index AND both verify joins
     val cand = hashes
       .select($"doc_id",
         posexplode(array($"b0", $"b1", $"b2", $"b3"))

@@ -592,7 +592,7 @@ object TextOps {
         .withColumn("quality", qualityExpr)
         .withColumn("n_tokens", size(toks($"text"))))
       .select($"doc_id", $"lang", $"text", $"quality", $"n_tokens", $"shs")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // exact-dedup stage keyed on (fingerprint, text) like q55: the
     // groupBy's map-side combine collapses hot duplicates pre-shuffle,
     // and the canonical row's attributes come out of the same agg

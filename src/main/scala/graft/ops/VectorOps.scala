@@ -569,7 +569,7 @@ object VectorOps {
              'c_label', ct.c_label)))"""))
       .select($"vec_id", $"embedding",
         $"a.c_label".as("cell"), $"a.d2".as("d2"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val census = assigned.groupBy($"cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum($"d2".cast("decimal(30,8)")).cast("double").as("inertia"))
@@ -758,13 +758,13 @@ object VectorOps {
       // single row, consumed by BOTH the index build and the query
       // routing — materialize so the 64× posexplode aggregate behind
       // it runs once
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // PQ codebook (q113's construction) → one broadcast row
     val codebook = emb.filter($"vec_id" < PqK)
       .select($"vec_id".cast("int").as("code"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
       .agg(array_sort(collect_list(struct($"code", $"cvec"))).as("cb"))
-      .localCheckpoint() // consumed by the index build and the ADC pass
+      .localCheckpoint(eager = false) // consumed by the index build and the ADC pass
     // index build: coarse cell + PQ code word per vector, one pass
     val index = emb
       .join(broadcast(packed)).join(broadcast(codebook))
@@ -779,7 +779,7 @@ object VectorOps {
                                   slice(c.cvec, s * $PqD + 1, $PqD)),
                 'code', c.code))).code)"""))
       .select($"vec_id", $"cell", $"codes")
-      .localCheckpoint() // the persisted ANN index of a real pipeline
+      .localCheckpoint(eager = false) // the persisted ANN index of a real pipeline
     val qset = emb.filter($"vec_id".isin(ProbeIds: _*))
       .select($"vec_id".as("query_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("q_emb"))
@@ -1105,7 +1105,7 @@ object VectorOps {
       .filter(expr(dot("a_emb", "b_emb")) / ($"a_norm" * $"b_norm")
         >= DbscanEps)
       .select($"ia", $"ib")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg = pairs.groupBy($"ia").agg(count(lit(1)).as("n_nb"))
     val pts = e.select($"vec_id", $"label")
       .join(deg.withColumnRenamed("ia", "vec_id"), Seq("vec_id"), "left")
@@ -1431,7 +1431,7 @@ object VectorOps {
     // the |sources|-row assignment feeds the doc map AND the
     // per-shard source census — materialize the tiny frame once
     // instead of re-running its corpus token census per consumer
-    val assign = ScaleOps.shardAssignments(s, d).localCheckpoint()
+    val assign = ScaleOps.shardAssignments(s, d).localCheckpoint(eager = false)
     val docShard = Tables.documents(s, d).select($"doc_id", $"source")
       .join(broadcast(assign.select($"source", $"shard")),
         Seq("source"))
@@ -2049,7 +2049,7 @@ object VectorOps {
       .select($"query_id", $"neighbor_id", $"cos_e", $"cos_q")
       // both rankings read the same pair frame — materialize it once
       // rather than re-running the 25×N fold per top-k pass
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val topE = graft.plans.TopK.perGroup(
       pairs.select($"query_id", $"neighbor_id", $"cos_e"),
       Seq("query_id"), Seq(("cos_e", true), ("neighbor_id", false)), 10)
@@ -2149,7 +2149,7 @@ object VectorOps {
       .select($"c_label", expr("transform(pc, x -> x.c)").as("carr"))
       .agg(array_sort(collect_list(struct($"c_label", $"carr")))
         .as("cents"))
-      .localCheckpoint() // consumed by routing AND corpus assignment
+      .localCheckpoint(eager = false) // consumed by routing AND corpus assignment
     val queries0 = emb
       .filter($"vec_id" % 100 === 0 && $"vec_id" < 2500)
       .select($"vec_id".as("query_id"), $"embedding".as("q_emb"),
@@ -2176,7 +2176,7 @@ object VectorOps {
       .withColumn("cosine",
         expr(dot("q_emb", "n_emb")) / ($"q_norm" * $"n_norm"))
       .select($"query_id", $"neighbor_id", $"cellrank", $"cosine")
-      .localCheckpoint() // three nprobe cuts read the same pair frame
+      .localCheckpoint(eager = false) // three nprobe cuts read the same pair frame
     val truth = graft.plans.TopK.perGroup(
       broadcast(queries0).join(
         emb.select($"vec_id".as("neighbor_id"),
@@ -2187,7 +2187,7 @@ object VectorOps {
         .select($"query_id", $"neighbor_id", $"cosine"),
       Seq("query_id"), Seq(("cosine", true), ("neighbor_id", false)), 10)
       .select($"query_id", $"neighbor_id")
-      .localCheckpoint() // one truth pass serves all three cuts
+      .localCheckpoint(eager = false) // one truth pass serves all three cuts
     val sweeps = Seq(1L, 2L, 4L).map { np =>
       val cut = pairs.filter($"cellrank" <= np)
       val top = graft.plans.TopK.perGroup(
@@ -2414,7 +2414,7 @@ object VectorOps {
       .select($"vec_id", $"cell", $"h", $"b")
       // consumed by the bucket census AND the row filters — one
       // assignment pass, not three
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // quota from the cell census (two-level), not a mixed
     // count/count-distinct aggregate — the latter plans an Expand
     val quota = assigned.groupBy($"cell")
@@ -2517,7 +2517,7 @@ object VectorOps {
         floor($"variance" * lit(1.0e12)).cast("long"))
       // 64 rows feeding both the totals row and the report — never
       // re-run the corpus aggregate for the denominator
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val tot = per.agg(sum($"var_fp").cast("long").as("tot_fp"))
     per.join(broadcast(tot))
       .select($"pos".cast("long").as("pos"), $"mean", $"variance",

@@ -11,13 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * New queries must be snapshotted the same way. */
 class PlanFingerprintSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .withExtensions(new graft.functions.GraftExtensions)
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.Sessions.local("4").getOrCreate()
 
   test("every registry plan matches its reviewed fingerprint") {
     val path = java.nio.file.Paths.get(PlanFingerprints.SnapshotPath)
